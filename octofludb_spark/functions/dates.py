@@ -1,0 +1,194 @@
+"""Vectorized date recognition.
+
+Reproduces the reference's ordered-choice date grammar
+(reference: octofludb/domain_date.py:51-197) as a cascade of anchored
+regular expressions evaluated over whole pandas Series.  Alternative
+ORDER IS SEMANTICS (utc -> polite -> dMy -> ymd -> mdy -> my -> ym ->
+bare year, domain_date.py:186-195); each alternative must consume the
+entire cell (the reference uses ``parse_strict``).
+
+Output per cell: (clean, dtype) where clean is the canonical
+``Y[-MM[-DD]]`` lexical form (reference Date.__str__, domain_date.py:47-48)
+and dtype is the partial-date XSD type picked by which parts are
+present (Date.as_uri, domain_date.py:24-45).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from octofludb_spark.functions.uri import (
+    DT_DATE,
+    DT_GYEAR,
+    DT_GYEARMONTH,
+)
+
+# Month-name lexicon (reference: domain_date.py:149-174).  The
+# reference maps "january" to "1 " (trailing space survives padDigit);
+# we reproduce that faithfully.
+MONTHS = {
+    "jan": "01", "feb": "02", "mar": "03", "apr": "04", "may": "05",
+    "jun": "06", "jul": "07", "aug": "08", "sep": "09", "oct": "10",
+    "nov": "11", "dec": "12",
+    "january": "1 ", "february": "02", "march": "03", "april": "04",
+    "june": "06", "july": "07", "august": "08", "september": "09",
+    "october": "10", "november": "11", "december": "12",
+}
+
+# longest-first, mirroring the reference wordset's length-bucketed
+# longest-match order (parser.py:13-31)
+_MONTH_ALT = "|".join(sorted(MONTHS.keys(), key=len, reverse=True))
+
+_LONGYEAR = r"(?:20\d\d|1[89]\d\d)"
+_ANYYEAR = r"(?:20\d\d|1\d\d\d|\d\d)"       # p_year, domain_date.py:145
+_MONTH_NUM = r"(?:10|11|12|0?[1-9])"
+_DAY = r"(?:3[01]|[012]?\d)"
+_TIME_SFX = r"(?: \d\d:\d\d:\d\d(?:\.\d+)?)?"
+_MN = rf"(?:{_MONTH_NUM}|{_MONTH_ALT})"
+
+# Ordered alternatives of p_any_date (domain_date.py:186-195).
+# Each is (name, compiled-fullmatch-regex with groups y/m/d).
+_ALTERNATIVES = [
+    (
+        "utc",  # domain_date.py:117-126
+        rf"(?P<y>{_LONGYEAR})-?(?P<m>{_MONTH_NUM})-?(?P<d>{_DAY})"
+        rf"T(?:[01]\d|2[0-3]):?[0-5]\d:?[0-5]\d(?:Z|\+\d\d:\d\d)?",
+    ),
+    (
+        "polite",  # "May 31, 2018", domain_date.py:87-98
+        rf"(?P<m>{_MONTH_ALT})\s*(?P<d>{_DAY})\s*,\s*(?P<y>{_LONGYEAR})",
+    ),
+    (
+        "dMy",  # 01-Apr-2002, domain_date.py:73-84 (year may be 2-digit)
+        rf"(?P<d>{_DAY})[-/]?(?P<m>{_MONTH_ALT})[-/]?(?P<y>{_ANYYEAR}){_TIME_SFX}",
+    ),
+    (
+        "ymd",  # domain_date.py:51-59
+        rf"(?P<y>{_LONGYEAR})[-/]?(?P<m>{_MN})[-/]?(?P<d>{_DAY}){_TIME_SFX}",
+    ),
+    (
+        "mdy",  # domain_date.py:62-70
+        rf"(?P<m>{_MN})[-/]?(?P<d>{_DAY})[-/]?(?P<y>{_LONGYEAR}){_TIME_SFX}",
+    ),
+    (
+        "my",  # domain_date.py:101-106 (separator required)
+        rf"(?P<m>{_MN})[-/](?P<y>{_LONGYEAR})",
+    ),
+    (
+        "ym",  # domain_date.py:109-114 (separator required)
+        rf"(?P<y>{_LONGYEAR})[-/](?P<m>{_MN})",
+    ),
+    (
+        "year",  # bare year incl. 2-digit expansion
+        rf"(?P<y>{_ANYYEAR})",
+    ),
+]
+_COMPILED = [(n, re.compile(rx, re.IGNORECASE)) for n, rx in _ALTERNATIVES]
+
+
+def _expand_year(y: str) -> str:
+    # 00-29 -> 20xx, 30-99 -> 19xx (reference: domain_date.py:8-15)
+    if len(y) == 2:
+        return ("20" + y) if int(y[0]) <= 2 else ("19" + y)
+    return y
+
+
+def _norm_month(m: str | None) -> str | None:
+    if m is None:
+        return None
+    key = m.lower()
+    if key in MONTHS:
+        m = MONTHS[key]
+    return "0" * (2 - len(m)) + m  # padDigit, util.py:83-85
+
+
+_MONTH_MAP = {k: ("0" * (2 - len(v)) + v) for k, v in MONTHS.items()}
+
+
+def _norm_month_series(m: pd.Series) -> pd.Series:
+    """Month-name lookup + padDigit, vectorized."""
+    lowered = m.where(m.isna(), m.astype("object").fillna("").astype(str).str.lower())
+    named = lowered.map(_MONTH_MAP)
+    numeric = m.astype("object").fillna("").astype(str).str.zfill(2).where(m.notna())
+    return named.where(named.notna(), numeric)
+
+
+def _expand_year_series(y: pd.Series) -> pd.Series:
+    s = y.astype("object").fillna("").astype(str)
+    two = y.notna() & (s.str.len() == 2)
+    lo = two & (s.str[0].isin(list("012")))
+    hi = two & ~lo
+    out = y.astype("object").copy()
+    out[lo] = "20" + s[lo]
+    out[hi] = "19" + s[hi]
+    return out
+
+
+def parse_date_parts(s: pd.Series) -> pd.DataFrame:
+    """Parse a Series of strings into (y, m, d) part columns (None for
+    non-dates).  One vectorized anchored-extract pass per grammar
+    alternative, applied to still-unresolved cells in reference order."""
+    s = s.astype("object")
+    n = len(s)
+    parts = pd.DataFrame(
+        {"y": np.full(n, None, dtype=object),
+         "m": np.full(n, None, dtype=object),
+         "d": np.full(n, None, dtype=object)},
+        index=s.index,
+    )
+    # every alternative requires at least two digits somewhere
+    unresolved = s.notna() & s.fillna("").astype(str).str.contains(r"\d\d", regex=True)
+    for _, rx in _COMPILED:
+        if not unresolved.any():
+            break
+        sub = s[unresolved].astype(str)
+        ext = sub.str.extract(re.compile(rf"^(?:{rx.pattern})$", re.IGNORECASE))
+        hit = ext["y"].notna() if "y" in ext else pd.Series(False, index=sub.index)
+        if not hit.any():
+            continue
+        hit_idx = ext.index[hit]
+        parts.loc[hit_idx, "y"] = _expand_year_series(ext.loc[hit_idx, "y"])
+        if "m" in ext:
+            parts.loc[hit_idx, "m"] = _norm_month_series(ext.loc[hit_idx, "m"])
+        if "d" in ext:
+            parts.loc[hit_idx, "d"] = (
+                ext.loc[hit_idx, "d"].astype("object").fillna("").astype(str)
+                .str.zfill(2).where(ext.loc[hit_idx, "d"].notna())
+            )
+        unresolved.loc[hit_idx] = False
+    return parts
+
+
+def date_clean_from_parts(parts: pd.DataFrame) -> pd.Series:
+    """Canonical lexical form: '-'.join of present parts (vectorized)."""
+    y, m, d = parts["y"], parts["m"], parts["d"]
+    out = y.astype("object").fillna("")
+    out = out.where(m.isna(), out + "-" + m.fillna(""))
+    out = out.where(d.isna(), out + "-" + d.fillna(""))
+    return out.where(y.notna(), None)
+
+
+def date_dtype_from_parts(parts: pd.DataFrame) -> pd.Series:
+    """Partial-date XSD type (reference Date.as_uri, domain_date.py:24-45).
+    p_any_date always yields a year, so only gYear / gYearMonth / date
+    are reachable."""
+    y = parts["y"].notna()
+    m = parts["m"].notna()
+    d = parts["d"].notna()
+    out = pd.Series(np.full(len(parts), None, dtype=object), index=parts.index)
+    out[y & ~m] = DT_GYEAR
+    out[y & m & ~d] = DT_GYEARMONTH
+    out[y & m & d] = DT_DATE
+    return out
+
+
+def parse_date_series(s: pd.Series) -> pd.DataFrame:
+    """(clean, dtype) per cell; clean is None for non-dates."""
+    parts = parse_date_parts(s)
+    return pd.DataFrame(
+        {"clean": date_clean_from_parts(parts), "dtype": date_dtype_from_parts(parts)},
+        index=s.index,
+    )
