@@ -1,0 +1,299 @@
+"""Ingestion recipes: one function per source shape, each mapping a
+file's content to a (s, p, o, dt) pandas DataFrame via explicit
+column->Token assignments (no inference), mirroring the reference's
+recipes (reference: octofludb/recipes.py — cited per function).
+
+All of these execute inside mapInPandas batches.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from octofludb_spark.extract.emit import (
+    P_FILE,
+    P_NAME,
+    P_TAG,
+    P_TIME,
+    TripleSink,
+    TypedColumn,
+    emit_table,
+)
+from octofludb_spark.extract.infer import (
+    type_headless_table,
+    type_ragged,
+    type_table,
+)
+from octofludb_spark.extract.parse import parse_fasta, parse_idlist, parse_tsv
+from octofludb_spark.functions import recognizers as R
+from octofludb_spark.functions.uri import (
+    DT_DOUBLE,
+    DT_INT,
+    DT_PLAIN,
+    DT_URI,
+    make_tag_uri,
+    make_uri,
+    make_uri_series,
+)
+
+_EMPTY = pd.DataFrame({"s": pd.Series(dtype=object), "p": pd.Series(dtype=object),
+                       "o": pd.Series(dtype=object), "dt": pd.Series(dtype=object)})
+
+
+def typed(recog: R.Recog, values, field: Optional[str] = None,
+          na_str=()) -> TypedColumn:
+    """Apply one recognizer to a value list -> TypedColumn."""
+    s = pd.Series(list(values), dtype=object)
+    if len(na_str):
+        s = s.where(~s.isin(list(na_str)), None)
+    res = recog.run(s)
+    clean = res["clean"].where(s.notna(), None)
+    dtype = res["dtype"].where(s.notna(), None) if "dtype" in res else None
+    return TypedColumn(recog=recog, dirty=s, clean=clean, field=field, dtype=dtype)
+
+
+def tag_node_triples(tag: Optional[str], filename: Optional[str],
+                     run_ts: Optional[str]) -> pd.DataFrame:
+    """addTag (classes.py:104-123): tag node name/time/file triples.
+    The reference stamps wall-clock; we take an injected run_ts for
+    deterministic output."""
+    if not tag:
+        return _EMPTY.copy()
+    taguri = make_tag_uri(tag)
+    rows = [(taguri, P_NAME, tag, DT_PLAIN)]
+    if run_ts:
+        rows.append((taguri, P_TIME, run_ts, "xsd:dateTime"))
+    if filename:
+        rows.append((taguri, P_FILE, filename, DT_PLAIN))
+    return pd.DataFrame(rows, columns=["s", "p", "o", "dt"])
+
+
+def fasta_triples(content: str, levels=None, na_str=(), taguri=None,
+                  classifiers=None) -> pd.DataFrame:
+    """prep fasta (ui.py:883-929 via classes.Ragged)."""
+    rows = parse_fasta(content)
+    if not rows:
+        return _EMPTY.copy()
+    arities = {len(r) for r in rows}
+    dfs = []
+    if len(arities) == 1:
+        cols = type_headless_table(rows, classifiers=classifiers, na_str=na_str)
+        dfs.append(emit_table(cols, levels=levels, taguri=taguri))
+    else:
+        for cols, _ in type_ragged(rows, classifiers=classifiers, na_str=na_str):
+            dfs.append(emit_table(cols, levels=levels, taguri=taguri))
+    return pd.concat(dfs, ignore_index=True)
+
+
+def table_triples(content: str, levels=None, na_str=(), taguri=None,
+                  classifiers=None) -> pd.DataFrame:
+    """prep table (classes.Table): headered TSV with column inference."""
+    data = parse_tsv(content)
+    if not data:
+        return _EMPTY.copy()
+    cols = type_table(data, classifiers=classifiers, na_str=na_str)
+    return emit_table(cols, levels=levels, taguri=taguri)
+
+
+def idlist_triples(content: str, taguri: Optional[str]) -> pd.DataFrame:
+    """prep tag (ui.py:600-619): (make_uri(id), f:tag, taguri)."""
+    if not taguri:
+        return _EMPTY.copy()
+    ids = parse_idlist(content)
+    if not ids:
+        return _EMPTY.copy()
+    uris = make_uri_series(pd.Series(ids, dtype=object))
+    sink = TripleSink()
+    sink.add(uris, P_TAG, taguri, DT_URI)
+    return sink.frame()
+
+
+_BLAST_FIELDS = [
+    ("pident", float, DT_DOUBLE), ("length", int, DT_INT),
+    ("mismatch", int, DT_INT), ("gapopen", int, DT_INT),
+    ("qstart", int, DT_INT), ("qend", int, DT_INT),
+    ("sstart", int, DT_INT), ("send", int, DT_INT),
+    ("evalue", float, DT_DOUBLE), ("bitscore", float, DT_DOUBLE),
+]
+
+
+def blast_triples(content: str, taguri=None) -> pd.DataFrame:
+    """mk_blast (recipes.py:21-71): 12-field outfmt-6 rows; hit node
+    keyed blast/{qseqid}-{sseqid}-{bitscore}."""
+    rows = [ln.split("\t") for ln in content.splitlines() if ln.strip()]
+    rows = [r for r in rows if len(r) == 12]
+    if not rows:
+        return _EMPTY.copy()
+    cols = list(zip(*rows))
+    qseqid = pd.Series(cols[0], dtype=object)
+    sseqid = pd.Series(cols[1], dtype=object)
+    bit_raw = pd.Series(cols[11], dtype=object).astype(str).str.strip()
+    huid = make_uri_series("blast/" + qseqid.astype(str) + "-"
+                           + sseqid.astype(str) + "-" + bit_raw)
+    sink = TripleSink()
+    from octofludb_spark.functions.uri import NT
+    sink.add(huid, NT + "qseqid", make_uri_series(qseqid), DT_URI)
+    sink.add(huid, NT + "sseqid", make_uri_series(sseqid), DT_URI)
+    raw = {"pident": cols[2], "length": cols[3], "mismatch": cols[4],
+           "gapopen": cols[5], "qstart": cols[6], "qend": cols[7],
+           "sstart": cols[8], "send": cols[9], "evalue": cols[10],
+           "bitscore": cols[11]}
+    for name, cast, dt in _BLAST_FIELDS:
+        vals = pd.Series(
+            [str(cast(v.strip())) for v in raw[name]], dtype=object
+        )
+        sink.add(huid, NT + name, vals, dt)
+    if taguri:
+        sink.add(huid, P_TAG, taguri, DT_URI)
+    return sink.frame()
+
+
+_IVR_STRAIN_PAT = re.compile(r"[ABCD]/[^()\[\]]+")
+
+
+def ivr_triples(content: str, taguri=None) -> pd.DataFrame:
+    """mk_influenza_na (recipes.py:74-110): fixed 11-column IVR layout;
+    strain extracted by regex from column 7."""
+    rows = [ln.split("\t") for ln in content.split("\n") if ln.strip()]
+    rows = [r for r in rows if len(r) >= 11]
+    if not rows:
+        return _EMPTY.copy()
+    cols = list(zip(*[r[:11] for r in rows]))
+
+    def strain_of(x):
+        m = _IVR_STRAIN_PAT.search(x)
+        return m.group(0) if m else None
+
+    table = [
+        typed(R.GENBANK, cols[0]),
+        typed(R.UNKNOWN, [x.lower() for x in cols[1]], field="host"),
+        typed(R.SEGMENT_NUMBER, cols[2]),
+        typed(R.SUBTYPE, cols[3]),
+        typed(R.COUNTRY, cols[4]),
+        typed(R.DATE, cols[5]),
+        typed(R.INTEGER, [x.lower() for x in cols[6]], field="length"),
+        typed(R.STRAIN, [strain_of(x) for x in cols[7]]),
+        typed(R.UNKNOWN, [x.strip() for x in cols[10]], field="genome_status"),
+    ]
+    return emit_table(table, taguri=taguri)
+
+
+def ird_triples(content: str, taguri=None) -> pd.DataFrame:
+    """mk_ird (recipes.py:113-151): 15-column IRD layout, NA='-N/A-'."""
+    na = ("-N/A-",)
+    rows = [ln.split("\t") for ln in content.split("\n") if ln.strip()]
+    rows = [r for r in rows if len(r) >= 12]
+    if not rows:
+        return _EMPTY.copy()
+    cols = list(zip(*[r[:12] for r in rows]))
+    table = [
+        typed(R.SEGMENT_NUMBER, cols[0], na_str=na),
+        typed(R.GENBANK, cols[2], field="genbank_id", na_str=na),
+        typed(R.INTEGER, cols[4], field="length", na_str=na),
+        typed(R.SUBTYPE, cols[5], na_str=na),
+        typed(R.DATE, cols[6], na_str=na),
+        typed(R.UNKNOWN, [x.replace("IRD:", "").lower() for x in cols[7]],
+              field="host", na_str=na),
+        typed(R.COUNTRY, cols[8]),
+        typed(R.UNKNOWN, cols[10], field="flu_season", na_str=na),
+        typed(R.STRAIN, cols[11], field="strain_name", na_str=na),
+    ]
+    return emit_table(table, taguri=taguri)
+
+
+_GIS_SEGMENTS = ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS")
+_EPI_SUFFIX = re.compile(r" *\|.*")
+_GIS_STRAIN_PAREN = re.compile(r"^\([ABCD]/[^/()\[\]]+/.+\)")
+_GIS_STRAIN_PLAIN = re.compile(r"^[ABCD]/[^/()\[\]]+/.+")
+
+
+def _gis_strain_clean(name: str) -> Optional[str]:
+    """p_strain.parse (non-strict prefix) + clean_strain
+    (domain_identifier.py:9-22), as used by mk_gis (recipes.py:166)."""
+    m = _GIS_STRAIN_PAREN.match(name) or _GIS_STRAIN_PLAIN.match(name)
+    if not m:
+        return None
+    x = m.group(0).strip().replace(" ", "_")
+    x = re.sub(r"^\((.*)\)$", r"\1", x)
+    x = re.sub(r"_*\(.*\)_*$", "", x)
+    x = re.sub(r"_*\[.*\]_*$", "", x)
+    return x
+
+
+def gisaid_triples(content: str, taguri=None) -> pd.DataFrame:
+    """mk_gis (recipes.py:154-234) over a TSV-shaped GISAID metadata
+    sheet (the reference reads .xls via pandas; the column semantics
+    are identical).  Rows explode per segment x (epi_id, genbank_id)
+    pair; zip truncation of unequal lists is faithful to the
+    reference."""
+    d = parse_tsv(content)
+    if "Isolate_Id" not in d:
+        return _EMPTY.copy()
+    n = len(d["Isolate_Id"])
+
+    ex: dict[str, list] = {k: [] for k in (
+        "isolate", "epi", "gbk", "strain", "full_strain", "segment",
+        "subtype", "lineage", "host", "country", "cdate", "sdate")}
+    for i in range(n):
+        name = d["Isolate_Name"][i] or ""
+        strain_clean = _gis_strain_clean(name)
+        if strain_clean is None:
+            continue  # reference skips the row on strain-parse failure
+        try:
+            country = (d.get("Location", [None] * n)[i] or "").split(" / ")[1]
+        except IndexError:
+            country = None
+        for seg in _GIS_SEGMENTS:
+            seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
+            if not seg_cell:
+                continue
+            epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
+            gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
+            gbk_ids = gbk_cell.split(",") if gbk_cell else [None]
+            for epi_id, gbk_id in zip(epi_ids, gbk_ids):
+                ex["isolate"].append(d["Isolate_Id"][i])
+                ex["epi"].append(epi_id)
+                ex["gbk"].append(gbk_id)
+                ex["strain"].append(strain_clean)
+                ex["full_strain"].append(name if name != "" else None)
+                ex["segment"].append(seg)
+                ex["subtype"].append(d.get("Subtype", [None] * n)[i])
+                lineage = d.get("Lineage", [None] * n)[i]
+                ex["lineage"].append(lineage if lineage else None)
+                ex["host"].append(d.get("Host", [None] * n)[i])
+                ex["country"].append(country)
+                ex["cdate"].append(d.get("Collection_Date", [None] * n)[i])
+                ex["sdate"].append(d.get("Submission_Date", [None] * n)[i])
+    if not ex["isolate"]:
+        return _EMPTY.copy()
+
+    table = [
+        typed(R.ISOLATE, ex["isolate"]),
+        typed(R.EPI_SEQID, ex["epi"]),
+        typed(R.GENBANK, ex["gbk"]),
+        typed(R.UNKNOWN, ex["strain"], field="strain_name"),
+        typed(R.UNKNOWN, ex["full_strain"], field="gisaid_strain_name"),
+        typed(R.SEGMENT_NAME, ex["segment"]),
+        typed(R.SUBTYPE, ex["subtype"], field="gisaid_subtype"),
+        typed(R.STRING, ex["lineage"], field="lineage"),
+        typed(R.HOST, ex["host"], field="host"),
+        typed(R.COUNTRY, ex["country"]),
+        typed(R.DATE, ex["cdate"], field="collection_date"),
+        typed(R.DATE, ex["sdate"], field="submission_date"),
+    ]
+    return emit_table(table, taguri=taguri)
+
+
+RECIPES = {
+    "fasta": lambda content, taguri=None: fasta_triples(content, taguri=taguri),
+    "tsv": lambda content, taguri=None: table_triples(content, taguri=taguri),
+    "ids": idlist_triples,
+    "blast": blast_triples,
+    "ivr": ivr_triples,
+    "ird": ird_triples,
+    "gisaid": gisaid_triples,
+}

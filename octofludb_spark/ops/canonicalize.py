@@ -1,0 +1,69 @@
+"""Canonical-IRI rewriting: map every subject / URI-object through the
+connected-component dictionary (SURVEY.md §1.5), replacing GraphDB's
+sameAs expansion with an explicit, broadcastable join.
+
+The dictionary is tiny relative to the triple store (only aliased ids
+appear), so the join is a broadcast hash join — no shuffle of the big
+side and hub-entity skew cannot bite.  If the dictionary outgrows the
+broadcast threshold the helper falls back to a salted repartition
+join: the BIG side keeps its natural partitioning, the dictionary is
+exploded SALT ways so no single reducer owns a hub key (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octofludb_spark.functions.uri import DT_URI
+
+BROADCAST_LIMIT = 5_000_000  # dictionary rows safely broadcastable
+
+
+def canonical_map(components: DataFrame) -> DataFrame:
+    """(node, canonical) — identity rows omitted."""
+    return (
+        components.where(F.col("node") != F.col("component"))
+        .select(F.col("node"), F.col("component").alias("canonical"))
+    )
+
+
+def canonicalize(triples: DataFrame, mapping: DataFrame,
+                 use_broadcast: bool = True) -> DataFrame:
+    """Rewrite subject and URI-typed objects to canonical IRIs, then
+    re-dedup (aliases may collapse identical triples)."""
+    m = F.broadcast(mapping) if use_broadcast else mapping
+    out = (
+        triples.join(m.withColumnRenamed("node", "subject")
+                      .withColumnRenamed("canonical", "_s_canon"),
+                     on="subject", how="left")
+        .withColumn("subject", F.coalesce("_s_canon", "subject"))
+        .drop("_s_canon")
+    )
+    obj_map = (
+        m.withColumnRenamed("node", "object_lex")
+        .withColumnRenamed("canonical", "_o_canon")
+    )
+    out = (
+        out.join(obj_map, on="object_lex", how="left")
+        .withColumn(
+            "object_lex",
+            F.when((F.col("object_dtype") == DT_URI) & F.col("_o_canon").isNotNull(),
+                   F.col("_o_canon")).otherwise(F.col("object_lex")),
+        )
+        .drop("_o_canon")
+    )
+    cols = ["subject", "predicate", "object_lex", "object_dtype"]
+    return out.select(*cols).dropDuplicates(cols)
+
+
+def salted_join(big: DataFrame, dim: DataFrame, key: str, nsalt: int = 16) -> DataFrame:
+    """Skew-proof equi-join helper for hub keys (e.g. subtype nodes):
+    salt the big side, explode-replicate the dim side (north_rule)."""
+    # per-row salt: hash of the whole row spreads one hub key over
+    # nsalt reducers deterministically
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(nsalt))
+    )
+    dim_s = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
+    return big_s.join(dim_s, on=[key, "_salt"]).drop("_salt")

@@ -1,0 +1,96 @@
+"""Connected components over owl:sameAs edges — the entity-linking
+pass that replaces GraphDB's built-in sameAs inference
+(reference: octofludb/data/octofludb-config.ttl:29,48; queries opt out
+with FROM onto:disable-sameAs, masterlist.rq:23).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+DataFrame joins.  Each iteration localCheckpoints to cut lineage; the
+loop stops when an iteration changes no edges.  sameAs clusters here
+are tiny (ids co-occurring in a row, classifier_flucrew.py:337-342),
+so convergence takes 2-3 rounds; the algorithm still scales to
+billion-edge graphs because every step is a pair of shuffles on the
+edge relation only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octofludb_spark.functions.uri import OWL_SAMEAS
+
+
+def sameas_edges(triples: DataFrame) -> DataFrame:
+    """(src, dst) edge list from owl:sameAs triples."""
+    return (
+        triples.where(F.col("predicate") == OWL_SAMEAS)
+        .select(F.col("subject").alias("src"), F.col("object_lex").alias("dst"))
+        .where(F.col("dst").isNotNull())
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than the node to the component
+    minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    grouped = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("mn"),
+        F.collect_set("dst").alias("nbrs"),
+    )
+    return (
+        grouped.select("src", "mn", F.explode("nbrs").alias("v"))
+        .where(F.col("v") > F.col("src"))
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all strictly-smaller neighbors (and self) to the min."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    grouped = directed.groupBy("src").agg(
+        F.min("dst").alias("mn"), F.collect_set("dst").alias("nbrs")
+    )
+    return (
+        grouped.select("src", "mn",
+                       F.explode(F.array_union("nbrs", F.array("src"))).alias("v"))
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """-> (node, component) with component = min member IRI.
+
+    Deterministic: component representative is the lexicographic
+    minimum, independent of partitioning."""
+    edges = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.rdd.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, component string")
+    for _ in range(max_iter):
+        edges2 = _small_star(_large_star(edges)).localCheckpoint()
+        # converged when the edge relation is a fixpoint
+        if (
+            edges2.exceptAll(edges).isEmpty()
+            and edges.exceptAll(edges2).isEmpty()
+        ):
+            edges = edges2
+            break
+        edges = edges2
+    # after convergence every edge points node -> component min
+    comp = edges.select(F.col("src").alias("node"),
+                        F.col("dst").alias("component"))
+    roots = comp.select(F.col("component").alias("node"),
+                        F.col("component").alias("component")).distinct()
+    return comp.unionByName(roots).distinct()

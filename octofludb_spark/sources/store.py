@@ -1,0 +1,137 @@
+"""Manifest-swap parquet triple store — Iceberg-shaped semantics
+without the Iceberg runtime (this sandbox has no Iceberg jar or
+network; SURVEY.md §7.0).
+
+Guarantees, matching what the pipeline needs from Iceberg:
+  * atomic commit: data lands in an unreferenced snapshot directory
+    first; the commit is a single atomic ``os.replace`` of
+    ``manifest.json`` pointing at it.
+  * snapshot isolation + resume: a killed job leaves the previous
+    manifest intact; restart re-reads the last committed snapshot and
+    re-runs only uncommitted stages (checkpoint-resumable stages,
+    north_rule).
+  * idempotent merge: append = union + dropDuplicates into a NEW
+    snapshot (reference semantics: uploading the same data twice adds
+    nothing, README.md:96).
+  * layout for pruning: data is hash-bucketed by subject
+    (``part_bucket = pmod(xxhash64(subject), n_buckets)``) and written
+    partitionBy(part_bucket), so point lookups and co-located
+    self-joins prune/skip shuffles.
+
+Swapping this for a real Iceberg catalog is a config change: the
+writer/reader interface takes DataFrames and table names only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+TRIPLE_KEY = ["subject", "predicate", "object_lex", "object_dtype"]
+
+
+class TripleStore:
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # ---- manifest protocol ------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"tables": {}, "committed_stages": [], "seq": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, m: dict) -> None:
+        m["seq"] = m.get("seq", 0) + 1
+        m["committed_at"] = time.time()
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic swap
+
+    def stage_done(self, stage: str) -> bool:
+        return stage in self.manifest().get("committed_stages", [])
+
+    # ---- tables -----------------------------------------------------------
+
+    def _snap_dir(self, table: str) -> str:
+        snap = f"snap-{uuid.uuid4().hex}"
+        return os.path.join(self.root, "data", table, snap)
+
+    def write(self, df: DataFrame, table: str, stage: str | None = None,
+              bucket_by_subject: bool = False) -> str:
+        """Write df as a NEW snapshot of `table`, then commit."""
+        path = self._snap_dir(table)
+        writer = df
+        if bucket_by_subject and "subject" in df.columns:
+            writer = df.withColumn(
+                "part_bucket",
+                F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)),
+            ).repartition("part_bucket")
+            writer.write.mode("overwrite").partitionBy("part_bucket").parquet(path)
+        else:
+            writer.write.mode("overwrite").parquet(path)
+        m = self.manifest()
+        m["tables"][table] = path
+        if stage and stage not in m.setdefault("committed_stages", []):
+            m["committed_stages"].append(stage)
+        self._commit(m)
+        return path
+
+    def merge_triples(self, spark: SparkSession, df: DataFrame,
+                      table: str = "triples", stage: str | None = None) -> str:
+        """Idempotent append: union with the current snapshot, dedup on
+        the triple key, commit as a new snapshot."""
+        current = self.read(spark, table)
+        if current is not None:
+            df = current.select(*TRIPLE_KEY).unionByName(
+                df.select(*TRIPLE_KEY)
+            ).dropDuplicates(TRIPLE_KEY)
+        else:
+            df = df.select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+        return self.write(df, table, stage=stage, bucket_by_subject=True)
+
+    def delete_where(self, spark: SparkSession, condition,
+                     table: str = "triples", stage: str | None = None) -> str:
+        """Iceberg-style DELETE WHERE via snapshot rewrite (the
+        reference's delete-*.rq ops, SURVEY.md §2.9)."""
+        current = self.read(spark, table)
+        if current is None:
+            raise ValueError(f"no such table {table}")
+        return self.write(current.where(~condition), table, stage=stage,
+                          bucket_by_subject=True)
+
+    def read(self, spark: SparkSession, table: str = "triples") -> DataFrame | None:
+        m = self.manifest()
+        path = m["tables"].get(table)
+        if path is None or not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    def vacuum(self) -> None:
+        """Remove snapshot dirs not referenced by the manifest."""
+        m = self.manifest()
+        live = set(m["tables"].values())
+        data = os.path.join(self.root, "data")
+        if not os.path.isdir(data):
+            return
+        for table in os.listdir(data):
+            tdir = os.path.join(data, table)
+            for snap in os.listdir(tdir):
+                p = os.path.join(tdir, snap)
+                if p not in live:
+                    shutil.rmtree(p, ignore_errors=True)

@@ -1,0 +1,169 @@
+"""Spark-level pipeline tests: extraction parity with the pandas
+layer, sha256 invariant, dedup idempotence, connected components,
+canonicalization, and kill/resume via the manifest store."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from octofludb_spark.build import build_graph
+from octofludb_spark.extract.pipeline import (
+    dedup_triples,
+    extract_triples,
+    lineage_metrics,
+)
+from octofludb_spark.ops.canonicalize import canonical_map, canonicalize
+from octofludb_spark.ops.cc import connected_components, sameas_edges
+from octofludb_spark.sources.store import TripleStore
+from octofludb_spark.sources.synth import source_pandas, source_table
+
+pytestmark = pytest.mark.spark
+
+FID = "https://flu-crew.org/id/"
+FT = "https://flu-crew.org/term/"
+
+
+def _mini_source(spark, rows):
+    import hashlib
+
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    pdf["content_sha256"] = pdf["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_extract_fasta_golden_on_spark(spark):
+    src = _mini_source(
+        spark,
+        [("r", "a.fna", "c" * 40, "fasta", ">baz\nATGG\n>foo||z\nATGGG")],
+    )
+    out = extract_triples(src)
+    got = sorted(
+        (r.subject, r.predicate, r.object_lex)
+        for r in out.select("subject", "predicate", "object_lex").collect()
+    )
+    assert (FID + "4badd1687f27faae29f9b1fe1ea37e78", FT + "dnaseq", "ATGGG") in got
+    assert (FID + "5b2033ab635505389b1acfa0d6eda05c", FT + "unknown", "baz") in got
+    assert len(got) == 7
+
+
+def test_sha_invariant(spark):
+    src = _mini_source(spark, [("r", "a.fna", "c" * 40, "fasta", ">MC123456\nATGG")])
+    bad = src.withColumn("content_sha256", F.lit("deadbeef"))
+    met = lineage_metrics(extract_triples(bad))
+    assert met.agg(F.sum("sha_violations")).collect()[0][0] > 0
+    met_ok = lineage_metrics(extract_triples(src))
+    assert met_ok.agg(F.sum("sha_violations")).collect()[0][0] == 0
+
+
+def test_dedup_idempotent(spark):
+    """Uploading the same data twice adds nothing (README.md:96)."""
+    src1 = source_table(spark, 12, partitions=2)
+    doubled = src1.unionByName(src1)
+    once = dedup_triples(extract_triples(src1))
+    twice = dedup_triples(extract_triples(doubled))
+    assert once.count() == twice.count()
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("x", "x")], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_canonicalize_rewrites_subject_and_uri_objects(spark):
+    trips = spark.createDataFrame(
+        [
+            ("b", FT + "x", "lit-b", ""),
+            ("a", FT + "same", "b", "uri"),
+            ("z", FT + "y", "b", ""),  # plain literal 'b' must NOT rewrite
+        ],
+        ["subject", "predicate", "object_lex", "object_dtype"],
+    )
+    mapping = spark.createDataFrame([("b", "a")], ["node", "canonical"])
+    out = {
+        (r.subject, r.predicate, r.object_lex)
+        for r in canonicalize(trips, mapping).collect()
+    }
+    assert ("a", FT + "x", "lit-b") in out
+    assert ("a", FT + "same", "a") in out
+    assert ("z", FT + "y", "b") in out
+
+
+def test_build_graph_and_resume(spark, tmp_path):
+    src = source_table(spark, 30, partitions=2)
+    root = str(tmp_path / "store")
+    store = build_graph(spark, src, root, run_ts="2026-08-16T00:00:00")
+    n1 = store.read(spark, "triples_canonical").count()
+    assert n1 > 0
+    assert store.stage_done("extract") and store.stage_done("canon")
+
+    # simulate kill after extract: new store with only extract committed
+    m = store.manifest()
+    m["committed_stages"] = ["extract"]
+    store._commit(m)
+    store2 = build_graph(spark, src, root, run_ts="2026-08-16T00:00:00")
+    n2 = store2.read(spark, "triples_canonical").count()
+    assert n2 == n1  # resume reproduces the identical final triple set
+
+
+def test_merge_idempotent(spark, tmp_path):
+    store = TripleStore(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [("s1", "p", "o", "")], ["subject", "predicate", "object_lex", "object_dtype"]
+    )
+    store.merge_triples(spark, df)
+    store.merge_triples(spark, df)
+    assert store.read(spark, "triples").count() == 1
+
+
+def test_delete_where(spark, tmp_path):
+    store = TripleStore(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [("s1", FT + "subtype", "H1N1", ""), ("s1", FT + "host", "swine", "")],
+        ["subject", "predicate", "object_lex", "object_dtype"],
+    )
+    store.merge_triples(spark, df)
+    store.delete_where(spark, F.col("predicate") == FT + "subtype")
+    left = store.read(spark, "triples").collect()
+    assert len(left) == 1 and left[0].predicate == FT + "host"
+
+
+def test_gisaid_shapes(spark):
+    """GISAID recipe mirrors the reference golden shape
+    (test-data/.exp-gisaid.ttl): isolate node attrs + segment nodes +
+    two-way sameAs."""
+    content = "\t".join(
+        ["Isolate_Id", "Isolate_Name", "Host", "Subtype", "Lineage",
+         "Location", "Collection_Date", "Submission_Date",
+         "HA Segment_Id", "HA INSDC_Upload"]
+    ) + "\n" + "\t".join(
+        ["EPI_ISL_218508", "A/swine/Bac Ninh/12-01-3/2015", "swine",
+         "H1N1", "pdm09", "Asia / Viet Nam / Bac Ninh", "2015-12-07",
+         "2016-04-26", "EPI744022 | x", "MN436834"]
+    )
+    src = _mini_source(spark, [("r", "g.gis", "c" * 40, "gisaid", content)])
+    got = {
+        (r.subject, r.predicate, r.object_lex, r.object_dtype)
+        for r in extract_triples(src).select(
+            "subject", "predicate", "object_lex", "object_dtype"
+        ).collect()
+    }
+    iso = FID + "epi_isl_218508"
+    assert (iso, FT + "isolate_id", "EPI_ISL_218508", "") in got
+    assert (iso, FT + "strain_name", "A/swine/Bac_Ninh/12-01-3/2015", "") in got
+    assert (iso, FT + "gisaid_strain_name", "A/swine/Bac Ninh/12-01-3/2015", "") in got
+    assert (iso, FT + "collection_date", "2015-12-07", "xsd:date") in got
+    assert (iso, FT + "country", "https://flu-crew.org/geo/country/VNM", "uri") in got
+    assert (iso, FT + "has_segment", FID + "epi744022", "uri") in got
+    assert (iso, FT + "has_segment", FID + "mn436834", "uri") in got
+    seg = FID + "epi744022"
+    assert (seg, FT + "epi_id", "EPI744022", "") in got
+    assert (seg, FT + "lineage", "pdm09", "") in got
+    assert (seg, FT + "segment_name", "HA", "") in got
+    assert (seg, "http://www.w3.org/2002/07/owl#sameAs", FID + "mn436834", "uri") in got
+    assert (FID + "mn436834", "http://www.w3.org/2002/07/owl#sameAs", seg, "uri") in got
