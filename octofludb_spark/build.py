@@ -37,7 +37,10 @@ def build_graph(
         raw.persist()
         try:
             store.write(lineage_metrics(raw), "lineage_metrics")
-            triples = dedup_triples(raw)
+            # static schema/geography triples (ui.py:396-402 analog)
+            from octofludb_spark.plans.static_graph import geography_triples
+
+            triples = dedup_triples(raw).unionByName(geography_triples(spark))
             store.write(triples, "triples", stage="extract",
                         bucket_by_subject=True)
         finally:

@@ -42,12 +42,16 @@ MONTHS = {
 # longest-match order (parser.py:13-31)
 _MONTH_ALT = "|".join(sorted(MONTHS.keys(), key=len, reverse=True))
 
-_LONGYEAR = r"(?:20\d\d|1[89]\d\d)"
-_ANYYEAR = r"(?:20\d\d|1\d\d\d|\d\d)"       # p_year, domain_date.py:145
-_MONTH_NUM = r"(?:10|11|12|0?[1-9])"
-_DAY = r"(?:3[01]|[012]?\d)"
+# ATOMIC groups ((?>...), py3.11+) reproduce parsec's committed
+# ordered choice: once an alternative matches, the regex engine may
+# not backtrack into it ("2011/10" must fail ymd on the missing day —
+# not reparse month "10" as "1"+day "0" — and fall through to ym).
+_LONGYEAR = r"(?>20\d\d|1[89]\d\d)"
+_ANYYEAR = r"(?>20\d\d|1\d\d\d|\d\d)"       # p_year, domain_date.py:145
+_MONTH_NUM = r"(?>10|11|12|0?[1-9])"
+_DAY = r"(?>3[01]|[012]?\d)"
 _TIME_SFX = r"(?: \d\d:\d\d:\d\d(?:\.\d+)?)?"
-_MN = rf"(?:{_MONTH_NUM}|{_MONTH_ALT})"
+_MN = rf"(?>{_MONTH_NUM}|{_MONTH_ALT})"
 
 # Ordered alternatives of p_any_date (domain_date.py:186-195).
 # Each is (name, compiled-fullmatch-regex with groups y/m/d).

@@ -1,0 +1,464 @@
+"""The reference's shipped query/report suite as DataFrame plans.
+
+Each function mirrors one .rq file (reference: octofludb/data/*.rq)
+plus its python post-processing (recipes.py / formatting.py).  All
+aggregation is hash aggregation with map-side partials; OPTIONALs are
+left joins; NOT EXISTS / MINUS are left_anti joins; the segment<->
+strain patterns are self-equi-joins of the predicate views.  Multi-
+valued GROUP_CONCAT cells are sort_array'd for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octofludb_spark.plans.views import GraphViews, group_concat
+
+
+# --------------------------------------------------------------------------
+# segments.rq + formatting.write_constellations (A7)
+# --------------------------------------------------------------------------
+
+# formatting.py:72: segment slot order
+_CONST_SLOTS = ["PB2", "PB1", "PA", "NP", "M", "NS"]
+# formatting.py:74-76: exact clade -> letter
+_CLADE_LETTER = {"pdm": "P", "LAIV": "V", "TRIG": "T",
+                 "humanSeasonal": "H", "classicalSwine": "C", "avian": "A"}
+
+
+def segments_query(v: GraphViews) -> DataFrame:
+    """segments.rq: swine strains' internal-segment clades."""
+    swine = v.value("host", "swine", s="sid")
+    strain = v.pred("strain_name", s="sid", o="strain")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    segname = v.pred("segment_name", s="gid", o="segment").where(
+        ~F.col("segment").isin("HA", "NA")
+    )
+    clade = v.pred("clade", s="gid", o="clade")
+    return (
+        swine.join(strain, "sid").join(hs, "sid")
+        .join(segname, "gid").join(clade, "gid")
+        .select("strain", "segment", "clade").distinct()
+    )
+
+
+def _clade_letter_col(clade: str = "clade"):
+    """_make_constellations letter logic (formatting.py:92-112):
+    exact lookup, then '-like' -> X, then case-insensitive substring
+    in dict order, else X."""
+    c = F.col(clade)
+    expr = None
+    flex = F.lit("X")
+    for key, letter in reversed(list(_CLADE_LETTER.items())):
+        flex = F.when(F.lower(c).contains(key.lower()), letter).otherwise(flex)
+    expr = (
+        F.when(c.isin(*_CLADE_LETTER.keys()),
+               F.element_at(F.create_map(*[F.lit(x) for kv in
+                                           _CLADE_LETTER.items() for x in kv]), c))
+        .when(F.lower(c).contains("-like"), F.lit("X"))
+        .otherwise(flex)
+    )
+    return expr
+
+
+def constellations(v: GraphViews) -> DataFrame:
+    """(strain, constellation): 6-slot string, conflicts -> M -> whole
+    string 'mixed' (formatting.py:70-125)."""
+    rows = segments_query(v).where(F.col("segment").isin(
+        list(_CONST_SLOTS) + ["MP"]
+    ))
+    rows = rows.withColumn(
+        "segment", F.when(F.col("segment") == "MP", "M").otherwise(F.col("segment"))
+    ).withColumn("letter", _clade_letter_col())
+    slots = rows.groupBy("strain").agg(
+        *[
+            F.collect_set(
+                F.when(F.col("segment") == seg, F.col("letter"))
+            ).alias(f"_{seg}")
+            for seg in _CONST_SLOTS
+        ]
+    )
+    def slot(seg):
+        arr = F.col(f"_{seg}")
+        return (
+            F.when(F.size(arr) == 0, "-")
+            .when(F.size(arr) == 1, F.element_at(arr, 1))
+            .otherwise("M")
+        )
+    strung = slots.select(
+        "strain",
+        F.concat(*[slot(seg) for seg in _CONST_SLOTS]).alias("raw"),
+    )
+    return strung.select(
+        "strain",
+        F.when(F.col("raw").contains("M"), "mixed")
+        .otherwise(F.col("raw")).alias("constellation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# subtypes.rq + mk_subtypes (A6)
+# --------------------------------------------------------------------------
+
+def subtypes_query(v: GraphViews) -> DataFrame:
+    """subtypes.rq: HA/NA segment info for strains lacking an HxNy
+    subtype annotation (FILTER NOT EXISTS -> left_anti)."""
+    strain = v.pred("strain_name", s="sid", o="strain_name")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    segname = v.pred("segment_name", s="gid", o="segment_name").where(
+        F.col("segment_name").isin("HA", "NA")
+    )
+    typed = v.pred("subtype", s="sid", o="st").where(
+        F.col("st").rlike("H.N.")
+    ).select("sid").distinct()
+    base = strain.join(hs, "sid").join(segname, "gid").join(
+        typed, "sid", "left_anti"
+    )
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    segsub = v.pred("segment_subtype", s="gid", o="segment_subtype")
+    serotype = v.path2("has_feature", "serotype", s="gid", o="genbank_subtype")
+    gsub = v.pred("gisaid_subtype", s="sid", o="gisaid_subtype")
+    out = (
+        base.join(iso, "sid", "left")
+        .join(segsub, "gid", "left")
+        .join(serotype, "gid", "left")
+        .join(gsub, "sid", "left")
+    )
+    return out.groupBy("strain_name", "segment_name").agg(
+        group_concat("isolate", "isolates"),
+        group_concat("segment_subtype", "segment_subtypes"),
+        group_concat("gisaid_subtype", "gisaid_subtypes"),
+        group_concat("genbank_subtype", "genbank_subtypes"),
+    )
+
+
+def _clean_subtype_col(c):
+    """_clean_subtype (recipes.py:279-288): upper, extract H\\d+ and
+    N\\d+, concat (empty string when either missing)."""
+    up = F.upper(F.trim(c))
+    ha = F.regexp_extract(up, r".*(H\d+).*(N\d+).*", 1)
+    na = F.regexp_extract(up, r".*(H\d+).*(N\d+).*", 2)
+    return F.concat(ha, na)
+
+
+def subtypes_report(v: GraphViews) -> DataFrame:
+    """mk_subtypes (recipes.py:338-387): per strain, resolve the
+    subtype by the octoFLU > genbank > gisaid priority lattice
+    (_get_subtype, recipes.py:291-335).  -> (strain_name, subtype)."""
+    q = subtypes_query(v)
+    per_strain = (
+        q.withColumn("sub1",
+                     F.when(~F.col("segment_subtypes").contains("+"),
+                            F.col("segment_subtypes")))
+        .groupBy("strain_name")
+        .agg(
+            F.flatten(F.collect_list(F.split("isolates", r"\+"))).alias("_iso"),
+            F.collect_set(F.when(F.col("sub1").rlike(r"^H\d+$"), F.col("sub1")))
+            .alias("_ha_raw"),
+            F.collect_set(F.when(F.col("sub1").rlike(r"^N\d+$"), F.col("sub1")))
+            .alias("_na_raw"),
+            F.flatten(F.collect_set(F.split("gisaid_subtypes", r"\+")))
+            .alias("_gis_raw"),
+            F.flatten(F.collect_set(F.split("genbank_subtypes", r"\+")))
+            .alias("_gb_raw"),
+        )
+    )
+    def distinct_clean(col, cleaner):
+        arr = F.array_distinct(
+            F.filter(
+                F.transform(col, cleaner),
+                lambda x: (x.isNotNull()) & (x != ""),
+            )
+        )
+        return arr
+    per_strain = (
+        per_strain
+        .withColumn("has", distinct_clean(F.col("_ha_raw"),
+                                          lambda x: F.upper(F.trim(x))))
+        .withColumn("nas", distinct_clean(F.col("_na_raw"),
+                                          lambda x: F.upper(F.trim(x))))
+        .withColumn("gis", distinct_clean(
+            F.filter(F.col("_gis_raw"), lambda x: x != ""),
+            _clean_subtype_col))
+        .withColumn("gb", distinct_clean(
+            F.filter(F.col("_gb_raw"), lambda x: x != ""),
+            _clean_subtype_col))
+    )
+    subtype = (
+        F.when((F.size("has") == 1) & (F.size("nas") == 1),
+               F.concat(F.element_at("has", 1), F.element_at("nas", 1)))
+        .when((F.size("gis") > 1) | (F.size("gb") > 1)
+              | (F.size("has") > 1) | (F.size("nas") > 1), F.lit("mixed"))
+        .when(F.size("gb") == 1, F.element_at("gb", 1))
+        .when(F.size("gis") == 1, F.element_at("gis", 1))
+    )
+    out = per_strain.withColumn("subtype", subtype)
+    strains = out.where(F.col("subtype").isNotNull()).select(
+        "strain_name", "subtype",
+        F.array_distinct(F.filter(F.col("_iso"), lambda x: x != ""))
+        .alias("isolates"),
+    )
+    return strains
+
+
+# --------------------------------------------------------------------------
+# masterlist.rq + mk_masterlist (A8)
+# --------------------------------------------------------------------------
+
+def masterlist_query(v: GraphViews) -> DataFrame:
+    """masterlist.rq:4-51 — per (barcode, genbank_id, segment) grouped
+    row over USA swine surveillance strains."""
+    strain = v.pred("strain_name", s="sid", o="strain").where(
+        F.col("strain").rlike("A/swine/.*/A0")
+    )
+    swine = v.value("host", "swine", s="sid")
+    usa = v.path2("country", "code", s="sid", o="_code").where(
+        F.col("_code") == "USA"
+    ).select("sid").distinct()
+    barcode = v.pred("barcode", s="sid", o="barcode")
+    date = v.pred("date", s="sid", o="date")
+    state = v.path2("state", "abbr", s="sid", o="state")
+    const = v.pred("constellation", s="sid", o="const")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    segname = v.pred("segment_name", s="gid", o="segment")
+    segsub = v.pred("segment_subtype", s="gid", o="segment_subtype")
+    gb = v.pred("genbank_id", s="gid", o="genbank_id", expand=False)
+    us_clade = v.pred("clade", s="gid", o="us_clade")
+    gl_clade = v.pred("gl_clade", s="gid", o="gl_clade")
+
+    core = (
+        strain.join(swine, "sid").join(usa, "sid")
+        .join(barcode, "sid").join(date, "sid")
+        .join(hs, "sid").join(segname, "gid").join(gb, "gid")
+    )
+    opt = (
+        core.join(state, "sid", "left")
+        .join(const, "sid", "left")
+        .join(subtype, "sid", "left")
+        .join(segsub, "gid", "left")
+        .join(us_clade, "gid", "left")
+        .join(gl_clade, "gid", "left")
+    )
+    motif_cols = []
+    for m in ("h3_motif", "sa_motif", "sb_motif", "ca1_motif", "ca2_motif",
+              "cb_motif"):
+        opt = opt.join(v.pred(m, s="gid", o=m, expand=False), "gid", "left")
+        motif_cols.append(m)
+    return opt.groupBy("barcode", "genbank_id", "segment").agg(
+        group_concat("segment_subtype", "segment_subtypes"),
+        group_concat("subtype", "subtypes"),
+        F.min("date").alias("earliest_date"),
+        group_concat("state", "states"),
+        group_concat("strain", "strains"),
+        group_concat("us_clade", "us_clades"),
+        group_concat("gl_clade", "gl_clades"),
+        group_concat("const", "consts"),
+        *[group_concat(m, m + "s") for m in motif_cols],
+    )
+
+
+MASTERLIST_HEADER = [
+    "Barcode", "Date", "Collection_Q", "State", "Subtype", "H_Genbank",
+    "N_Genbank", "PB2_Genbank", "PB1_Genbank", "PA_Genbank", "NP_Genbank",
+    "M_Genbank", "NS_Genbank", "Strain", "US_Clade", "GL_Clade", "H1", "H3",
+    "N1", "N2", "PB2", "PB1", "PA", "NP", "M", "NS", "Constellation",
+    "Motif", "Sa_Motif", "Sb_Motif", "Ca1_Motif", "Ca2_Motif", "Cb_Motif",
+]
+
+
+def masterlist_report(v: GraphViews) -> DataFrame:
+    """mk_masterlist (recipes.py:427-507): the 33-column wide report,
+    one row per barcode; list cells comma-joined, sorted for
+    determinism.  Quarter = ceil(month/3) calendar (recipes.py:261-272)."""
+    q = masterlist_query(v)
+
+    def split_nonempty(col):
+        return F.filter(F.split(col, r"\+"), lambda x: x != "")
+
+    quarter = F.when(
+        F.col("earliest_date").rlike(r"^\d{4}-\d{2}"),
+        F.concat(
+            F.substring("earliest_date", 1, 4),
+            F.lit("Q"),
+            F.ceil(F.substring("earliest_date", 6, 2).cast("int") / 3)
+            .cast("string"),
+        ),
+    ).otherwise("")
+    first_sub = F.element_at(F.split("subtypes", r"\+"), 1)
+    seg = F.col("segment")
+    segsub1 = F.element_at(F.split("segment_subtypes", r"\+"), 1)
+    us = split_nonempty(F.col("us_clades"))
+    enriched = q.select(
+        "barcode", "genbank_id", "segment",
+        F.col("earliest_date").alias("date"), quarter.alias("cq"),
+        split_nonempty("states").alias("state"),
+        first_sub.alias("subtype"),
+        split_nonempty("strains").alias("strain"),
+        us.alias("us"),
+        split_nonempty("gl_clades").alias("gl"),
+        split_nonempty("consts").alias("const"),
+        segsub1.alias("segsub"),
+        *[split_nonempty(m + "s").alias(m) for m in
+          ("h3_motif", "sa_motif", "sb_motif", "ca1_motif", "ca2_motif",
+           "cb_motif")],
+    )
+
+    def when_seg(cond, col):
+        return F.when(cond, col)
+
+    agg = enriched.groupBy("barcode").agg(
+        F.sort_array(F.collect_set("date")).alias("Date_l"),
+        F.sort_array(F.collect_set("cq")).alias("CQ_l"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("state")))).alias("State_l"),
+        F.sort_array(F.collect_set("subtype")).alias("Subtype_l"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("strain")))).alias("Strain_l"),
+        F.sort_array(F.collect_set(when_seg(seg == "HA", F.col("genbank_id")))).alias("H_Genbank_l"),
+        F.sort_array(F.collect_set(when_seg(seg == "NA", F.col("genbank_id")))).alias("N_Genbank_l"),
+        *[
+            F.sort_array(F.collect_set(
+                when_seg(seg == s, F.col("genbank_id")))).alias(f"{s}_Genbank_l")
+            for s in ("PB2", "PB1", "PA", "NP", "M", "NS")
+        ],
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list(
+            F.when(seg == "HA", F.col("us")))))).alias("US_Clade_l"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list(
+            F.when(seg == "HA", F.col("gl")))))).alias("GL_Clade_l"),
+        *[
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list(
+                F.when(F.col("segsub") == ss, F.col("us"))))))
+            .alias(f"{ss}_l")
+            for ss in ("H1", "H3", "N1", "N2")
+        ],
+        *[
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list(
+                F.when(seg == s, F.col("us")))))).alias(f"{s}_seg_l")
+            for s in ("PB2", "PB1", "PA", "NP", "M", "NS")
+        ],
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("const")))).alias("Const_l"),
+        *[
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list(m))))
+            .alias(f"{m}_l")
+            for m in ("h3_motif", "sa_motif", "sb_motif", "ca1_motif",
+                      "ca2_motif", "cb_motif")
+        ],
+    )
+    j = lambda c: F.concat_ws(",", F.col(c))  # noqa: E731
+    return agg.select(
+        F.col("barcode").alias("Barcode"),
+        j("Date_l").alias("Date"), j("CQ_l").alias("Collection_Q"),
+        j("State_l").alias("State"), j("Subtype_l").alias("Subtype"),
+        j("H_Genbank_l").alias("H_Genbank"), j("N_Genbank_l").alias("N_Genbank"),
+        *[j(f"{s}_Genbank_l").alias(f"{s}_Genbank")
+          for s in ("PB2", "PB1", "PA", "NP", "M", "NS")],
+        j("Strain_l").alias("Strain"),
+        j("US_Clade_l").alias("US_Clade"), j("GL_Clade_l").alias("GL_Clade"),
+        *[j(f"{ss}_l").alias(ss) for ss in ("H1", "H3", "N1", "N2")],
+        *[j(f"{s}_seg_l").alias(s) for s in ("PB2", "PB1", "PA", "NP", "M", "NS")],
+        j("Const_l").alias("Constellation"),
+        j("h3_motif_l").alias("Motif"), j("sa_motif_l").alias("Sa_Motif"),
+        j("sb_motif_l").alias("Sb_Motif"), j("ca1_motif_l").alias("Ca1_Motif"),
+        j("ca2_motif_l").alias("Ca2_Motif"), j("cb_motif_l").alias("Cb_Motif"),
+    )
+
+
+# --------------------------------------------------------------------------
+# other shipped queries
+# --------------------------------------------------------------------------
+
+def unclassified_swine(v: GraphViews) -> DataFrame:
+    """fetch-unclassified-swine.rq: swine segment sequences with no
+    clade+segment_subtype classification (MINUS -> left_anti)."""
+    swine = v.value("host", "swine", s="sid")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    seqid = v.pred("seqid", s="gid", o="seqid")       # subproperty closure
+    seq = v.pred("dnaseq", s="gid", o="seq")
+    classified = (
+        v.pred("clade", s="gid", o="_c")
+        .join(v.pred("segment_subtype", s="gid", o="_ss"), "gid")
+        .select("gid").distinct()
+    )
+    return (
+        swine.join(hs, "sid").join(seqid, "gid").join(seq, "gid")
+        .join(classified, "gid", "left_anti")
+        .select("seqid", "seq").distinct()
+    )
+
+
+def h_swine_sequences(v: GraphViews, ha: str = "H1") -> DataFrame:
+    """get-h1-swine.rq / get-h3-swine.rq: swine Hx segments missing
+    motif annotations (FILTER NOT EXISTS over 5 motif patterns)."""
+    swine = v.value("host", "swine", s="sid")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    gb = v.pred("genbank_id", s="gid", o="gb", expand=False)
+    hsub = v.value("segment_subtype", ha, s="gid")
+    seq = v.pred("dnaseq", s="gid", o="seq")
+    has_motifs = (
+        v.pred("sa_motif", s="gid", o="_1", expand=False)
+        .join(v.pred("sb_motif", s="gid", o="_2", expand=False), "gid")
+        .join(v.pred("cb_motif", s="gid", o="_3", expand=False), "gid")
+        .join(v.pred("ca1_motif", s="gid", o="_4", expand=False), "gid")
+        .join(v.pred("ca2_motif", s="gid", o="_5", expand=False), "gid")
+        .select("gid").distinct()
+    )
+    return (
+        swine.join(hs, "sid").join(gb, "gid").join(hsub, "gid")
+        .join(seq, "gid").join(has_motifs, "gid", "left_anti")
+        .select("gb", "seq").distinct()
+    )
+
+
+def tagged_strains(v: GraphViews) -> DataFrame:
+    """get-tagged-strain.rq: 4-branch UNION matching query-tag values
+    against strain_name / isolate_name / barcode / segment seqid, then
+    per-strain aggregation."""
+    tags = v.pred("query_tag", s="_tid", o="tag").select("tag").distinct()
+    by_strain = v.pred("strain_name", s="sid", o="tag")
+    by_isolate = v.pred("isolate_name", s="sid", o="tag")
+    by_barcode = v.pred("barcode", s="sid", o="tag")
+    by_seqid = (
+        v.pred("has_segment", s="sid", o="gid")
+        .join(v.pred("seqid", s="gid", o="tag"), "gid")
+        .select("sid", "tag")
+    )
+    matched = (
+        by_strain.unionByName(by_isolate).unionByName(by_barcode)
+        .unionByName(by_seqid)
+        .join(tags, "tag")
+        .select("sid").distinct()
+    )
+    strain = v.pred("strain_name", s="sid", o="strain")
+    date = v.pred("date", s="sid", o="date")
+    base = matched.join(strain, "sid").join(date, "sid")
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    host = v.pred("host", s="sid", o="host")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+    const = v.pred("constellation", s="sid", o="constellation")
+    country = v.path2("country", "code", s="sid", o="country")
+    hagid = v.value("segment_name", "HA", s="gid")
+    nagid = v.value("segment_name", "NA", s="gid")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    ha_gl = hs.join(hagid, "gid").join(
+        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("sid", "gl_clade")
+    ha_clade = hs.join(hagid, "gid").join(
+        v.pred("clade", s="gid", o="haclade"), "gid").select("sid", "haclade")
+    na_clade = hs.join(nagid, "gid").join(
+        v.pred("clade", s="gid", o="naclade"), "gid").select("sid", "naclade")
+    out = (
+        base.join(iso, "sid", "left").join(host, "sid", "left")
+        .join(subtype, "sid", "left").join(const, "sid", "left")
+        .join(country, "sid", "left").join(ha_gl, "sid", "left")
+        .join(ha_clade, "sid", "left").join(na_clade, "sid", "left")
+    )
+    return out.groupBy("strain").agg(
+        group_concat("isolate", "isolates"),
+        group_concat("host", "hosts"),
+        group_concat("subtype", "subtypes"),
+        group_concat("naclade", "naclades"),
+        group_concat("haclade", "haclades"),
+        group_concat("gl_clade", "gl_clades"),
+        group_concat("constellation", "constellations"),
+        group_concat("country", "countries"),
+        F.min("date").alias("earliest_date"),
+    )

@@ -37,15 +37,22 @@ BASES = np.array(list("ATGC"))
 LANGS = ["fasta", "tsv", "gisaid", "ids", "blast", "ivr"]
 
 
+# Shared entity pools: ids are drawn from bounded deterministic pools
+# so different document types mention the SAME entities — that overlap
+# is what entity linking / sameAs / report joins exercise.
+POOL = 20_000
+
+
 def _rng(doc_id: int) -> np.random.RandomState:
     return np.random.RandomState((doc_id * 2654435761 + 42) % (2**31 - 1))
 
 
 def _strain(r: np.random.RandomState) -> str:
-    host = r.choice(["swine", "Swine"])
-    state = STATES[r.randint(len(STATES))]
-    ident = f"A0{r.randint(10**6, 10**7)}{r.randint(10)}"
-    year = 2009 + r.randint(13)
+    k = r.randint(POOL)
+    host = ["swine", "Swine"][k % 2]
+    state = STATES[k % len(STATES)]
+    ident = f"A0{1000000 + k:07d}"
+    year = 2009 + k % 13
     return f"A/{host}/{state}/{ident}/{year}"
 
 
@@ -62,11 +69,11 @@ def _date(r: np.random.RandomState) -> str:
 
 
 def _gb(r: np.random.RandomState) -> str:
-    return f"M{chr(65 + r.randint(26))}{r.randint(10**5, 10**6)}"
+    return f"MN{100000 + r.randint(POOL)}"
 
 
 def _epi(r: np.random.RandomState) -> str:
-    return f"EPI{r.randint(10**6, 10**7)}"
+    return f"EPI{300000 + r.randint(POOL)}"
 
 
 def _fasta_doc(r) -> str:
@@ -87,10 +94,17 @@ def _tsv_doc(r) -> str:
     # octoFLU-output-shaped classification table (ui.py:499)
     rows = ["seqid\tsegment_subtype\tclade\tgl_clade"]
     for _ in range(4 + r.randint(10)):
-        sub = ["H1", "H3", "N1", "N2", "PB2", "M"][r.randint(6)]
+        sub = ["H1", "H3", "N1", "N2", "PB2", "PB1", "PA", "NP", "M", "NS"][
+            r.randint(10)
+        ]
+        if sub in ("H1", "H3"):
+            clade = CLADES[r.randint(len(CLADES))]
+        elif sub in ("N1", "N2"):
+            clade = ["Classical", "1998A", "2002A", "TX98"][r.randint(4)]
+        else:
+            clade = (IG_CLADES + ["humanSeasonal", "avian"])[r.randint(5)]
         rows.append(
-            f"{_gb(r)}\t{sub}\t{CLADES[r.randint(len(CLADES))]}"
-            f"\t{GL_CLADES[r.randint(len(GL_CLADES))]}"
+            f"{_gb(r)}\t{sub}\t{clade}\t{GL_CLADES[r.randint(len(GL_CLADES))]}"
         )
     return "\n".join(rows)
 
