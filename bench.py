@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus kg-pipeline throughput extras}.
+
+Headline set:
+  * kg_build — the engine's core path: synthetic source corpus ->
+    extract -> dedup -> sameAs CC -> canonicalize (triples/sec).
+  * representative §2 operators + training-data-pipeline ops over the
+    driver parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("BENCH_KG_DOCS", "4000"))
+
+BENCH_QUERIES = [
+    "lineitem_agg",
+    "revenue_3hop",
+    "earliest_order",
+    "event_hourly_windows",
+    "priority_pivot",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from octofludb_spark.session import get_spark
+
+    spark = get_spark(app="octofludb-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- kg pipeline end-to-end -----------------------------------------
+    from octofludb_spark.extract.pipeline import run_extraction
+    from octofludb_spark.ops.canonicalize import canonical_map, canonicalize
+    from octofludb_spark.ops.cc import connected_components, sameas_edges
+    from octofludb_spark.sources.synth import source_table
+
+    src = source_table(spark, N_DOCS, partitions=cpus * 4).persist()
+    n_docs = src.count()  # materialize input outside the timed window
+
+    t0 = time.time()
+    triples, _metrics = run_extraction(src, run_ts="2026-01-01T00:00:00")
+    triples = triples.persist()
+    n_triples = triples.count()
+    t_extract = time.time() - t0
+
+    t1 = time.time()
+    comps = connected_components(sameas_edges(triples))
+    canon = canonicalize(triples, canonical_map(comps))
+    n_canon = canon.count()
+    t_link = time.time() - t1
+
+    queries["kg_extract_dedup"] = round(t_extract, 3)
+    queries["kg_link_canonicalize"] = round(t_link, 3)
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_canonical_triples"] = n_canon
+    extras["kg_triples_per_sec_extract"] = round(n_triples / t_extract, 1)
+    extras["kg_triples_per_sec_e2e"] = round(
+        n_triples / (t_extract + t_link), 1
+    )
+    extras["kg_docs_per_sec"] = round(n_docs / t_extract, 1)
+    triples.unpersist()
+    src.unpersist()
+
+    # --- operator suite over the sf tables -------------------------------
+    from octofludb_spark.plans.driver_queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        queries[name] = round(time.time() - t0, 3)
+        extras[f"rows_{name}"] = n
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "kg_e2e_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

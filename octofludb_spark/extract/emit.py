@@ -102,10 +102,11 @@ class TypedColumn:
 
 
 class TripleSink:
-    """Accumulates vectorized triple blocks; finalizes to a DataFrame."""
+    """Accumulates triple blocks as numpy object arrays (positional
+    alignment, no pandas frame per block); finalizes to one DataFrame."""
 
     def __init__(self) -> None:
-        self._blocks: list[pd.DataFrame] = []
+        self._blocks: list[tuple] = []
 
     def add(self, s, p, o, dt=DT_PLAIN, mask=None) -> None:
         """All Series arguments are aligned POSITIONALLY (they come from
@@ -116,21 +117,24 @@ class TripleSink:
             if isinstance(v, pd.Series):
                 n = len(v)
                 break
+
         def col(v):
             if isinstance(v, pd.Series):
-                a = v.to_numpy(dtype=object, copy=False)
-            else:
-                a = np.full(n, v, dtype=object)
-            return a
-        df = pd.DataFrame({"s": col(s), "p": col(p), "o": col(o), "dt": col(dt)})
+                return v.to_numpy(dtype=object, copy=False)
+            return np.full(n, v, dtype=object)
+
+        sa, pa, oa, da = col(s), col(p), col(o), col(dt)
         if mask is not None:
-            m = mask.to_numpy(dtype=bool) if isinstance(mask, pd.Series) else np.asarray(mask, dtype=bool)
-            df = df[m]
+            m = mask.to_numpy(dtype=bool) if isinstance(mask, pd.Series) \
+                else np.asarray(mask, dtype=bool)
+        else:
+            m = np.ones(n, dtype=bool)
         # safeAdd semantics (util.py:116-123): only fully non-null triples
-        df = df[df["s"].notna() & df["p"].notna() & df["o"].notna()]
-        if len(df):
-            df["dt"] = df["dt"].fillna(DT_PLAIN)
-            self._blocks.append(df)
+        m = m & pd.notna(sa) & pd.notna(pa) & pd.notna(oa)
+        if m.any():
+            da = da.copy()
+            da[pd.isna(da)] = DT_PLAIN
+            self._blocks.append((sa[m], pa[m], oa[m], da[m]))
 
     def frame(self) -> pd.DataFrame:
         if not self._blocks:
@@ -138,7 +142,14 @@ class TripleSink:
                 {"s": pd.Series(dtype=object), "p": pd.Series(dtype=object),
                  "o": pd.Series(dtype=object), "dt": pd.Series(dtype=object)}
             )
-        out = pd.concat(self._blocks, ignore_index=True)
+        out = pd.DataFrame(
+            {
+                "s": np.concatenate([b[0] for b in self._blocks]),
+                "p": np.concatenate([b[1] for b in self._blocks]),
+                "o": np.concatenate([b[2] for b in self._blocks]),
+                "dt": np.concatenate([b[3] for b in self._blocks]),
+            }
+        )
         return out.drop_duplicates(ignore_index=True)
 
 

@@ -43,6 +43,25 @@ def _na_mask(s: pd.Series, na_str: Sequence[str]) -> pd.Series:
     return mask
 
 
+def _goodness(recog: Recog, live: pd.Series, res: pd.DataFrame,
+              n_nonna: int) -> float:
+    """Match fraction (token.py:121-131); sequence tokens require
+    len>20 and divide by ALL cells (classifier_flucrew.py:433-444)."""
+    clean = res["clean"]
+    if recog.goodness_mode == "sequence":
+        if len(live) == 0:
+            return 0.0
+        ok = (
+            clean.notna()
+            & live.notna()
+            & (live.astype("object").fillna("").astype(str).str.len() > 20)
+        )
+        return float(ok.sum()) / len(live)
+    if n_nonna == 0:
+        return 0.0
+    return float((clean.notna() & live.notna()).sum()) / n_nonna
+
+
 def type_column(
     values: Sequence[str | None],
     field: Optional[str] = None,
@@ -51,20 +70,25 @@ def type_column(
     default: Recog = UNKNOWN,
 ) -> TypedColumn:
     """HomoList semantics: pick the first classifier with
-    goodness > 0.8, apply it to every cell."""
+    goodness > 0.8, apply it to every cell.  Each recognizer runs
+    exactly once; the winner's result is reused."""
     s = pd.Series(list(values), dtype=object)
     na = _na_mask(s, na_str)
     live = s.where(~na, None)
-    chosen = default
+    n_nonna = int((~na).sum())
+    chosen, chosen_res = default, None
     for recog in classifiers if classifiers is not None else ALL_CLASSIFIERS:
-        if recog.goodness(live, na) > GOODNESS_THRESHOLD:
-            chosen = recog
+        res = recog.run(live)
+        if _goodness(recog, live, res, n_nonna) > GOODNESS_THRESHOLD:
+            chosen, chosen_res = recog, res
             break
-    return _apply(chosen, live, field)
+    if chosen_res is None:
+        chosen_res = chosen.run(live)
+    return _from_result(chosen, live, chosen_res, field)
 
 
-def _apply(recog: Recog, live: pd.Series, field: Optional[str]) -> TypedColumn:
-    res = recog.run(live)
+def _from_result(recog: Recog, live: pd.Series, res: pd.DataFrame,
+                 field: Optional[str]) -> TypedColumn:
     clean = res["clean"].where(live.notna(), None)
     dtype = res["dtype"].where(live.notna(), None) if "dtype" in res else None
     return TypedColumn(recog=recog, dirty=live, clean=clean, field=field,

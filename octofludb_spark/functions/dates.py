@@ -90,23 +90,9 @@ _ALTERNATIVES = [
         rf"(?P<y>{_ANYYEAR})",
     ),
 ]
-_COMPILED = [(n, re.compile(rx, re.IGNORECASE)) for n, rx in _ALTERNATIVES]
-
-
-def _expand_year(y: str) -> str:
-    # 00-29 -> 20xx, 30-99 -> 19xx (reference: domain_date.py:8-15)
-    if len(y) == 2:
-        return ("20" + y) if int(y[0]) <= 2 else ("19" + y)
-    return y
-
-
-def _norm_month(m: str | None) -> str | None:
-    if m is None:
-        return None
-    key = m.lower()
-    if key in MONTHS:
-        m = MONTHS[key]
-    return "0" * (2 - len(m)) + m  # padDigit, util.py:83-85
+_COMPILED = [
+    (n, re.compile(rf"^(?:{rx})$", re.IGNORECASE)) for n, rx in _ALTERNATIVES
+]
 
 
 _MONTH_MAP = {k: ("0" * (2 - len(v)) + v) for k, v in MONTHS.items()}
@@ -131,12 +117,54 @@ def _expand_year_series(y: pd.Series) -> pd.Series:
     return out
 
 
+_SMALL_N = 512
+
+
+def _expand_year(y: str) -> str:
+    # 00-29 -> 20xx, 30-99 -> 19xx (reference: domain_date.py:8-15)
+    if len(y) == 2:
+        return ("20" + y) if int(y[0]) <= 2 else ("19" + y)
+    return y
+
+
+def _parse_one(x: str):
+    """Per-cell cascade (compiled regexes, early exit) — faster than
+    pandas machinery below _SMALL_N rows."""
+    for _, rx in _COMPILED:
+        m = rx.match(x)
+        if m:
+            gd = m.groupdict()
+            y = gd.get("y")
+            mo = gd.get("m")
+            d = gd.get("d")
+            if y is not None:
+                y = _expand_year(y)
+            if mo is not None:
+                lowered = mo.lower()
+                mo = _MONTH_MAP.get(lowered, mo.zfill(2))
+            if d is not None:
+                d = d.zfill(2)
+            return y, mo, d
+    return None, None, None
+
+
 def parse_date_parts(s: pd.Series) -> pd.DataFrame:
     """Parse a Series of strings into (y, m, d) part columns (None for
-    non-dates).  One vectorized anchored-extract pass per grammar
+    non-dates).  Small series: per-cell compiled cascade; large
+    series: one vectorized anchored-extract pass per grammar
     alternative, applied to still-unresolved cells in reference order."""
     s = s.astype("object")
     n = len(s)
+    if n <= _SMALL_N:
+        ys = np.full(n, None, dtype=object)
+        ms = np.full(n, None, dtype=object)
+        ds = np.full(n, None, dtype=object)
+        for i, x in enumerate(s):
+            if x is None or not isinstance(x, str):
+                continue
+            y, mo, d = _parse_one(x)
+            ys[i], ms[i], ds[i] = y, mo, d
+        return pd.DataFrame({"y": ys, "m": ms, "d": ds}, index=s.index)
     parts = pd.DataFrame(
         {"y": np.full(n, None, dtype=object),
          "m": np.full(n, None, dtype=object),
@@ -149,7 +177,7 @@ def parse_date_parts(s: pd.Series) -> pd.DataFrame:
         if not unresolved.any():
             break
         sub = s[unresolved].astype(str)
-        ext = sub.str.extract(re.compile(rf"^(?:{rx.pattern})$", re.IGNORECASE))
+        ext = sub.str.extract(rx)
         hit = ext["y"].notna() if "y" in ext else pd.Series(False, index=sub.index)
         if not hit.any():
             continue
@@ -189,10 +217,10 @@ def date_dtype_from_parts(parts: pd.DataFrame) -> pd.Series:
     return out
 
 
-def parse_date_series(s: pd.Series) -> pd.DataFrame:
-    """(clean, dtype) per cell; clean is None for non-dates."""
+def parse_date_series(s: pd.Series) -> dict:
+    """{'clean': Series, 'dtype': Series}; clean None for non-dates."""
     parts = parse_date_parts(s)
-    return pd.DataFrame(
-        {"clean": date_clean_from_parts(parts), "dtype": date_dtype_from_parts(parts)},
-        index=s.index,
-    )
+    return {
+        "clean": date_clean_from_parts(parts),
+        "dtype": date_dtype_from_parts(parts),
+    }

@@ -50,17 +50,30 @@ def _tables():
     countries = data["countries"]              # lowercase_name -> "ABC"
     locations_in = data["locations_in"]        # province -> country code
     state_abbrs = set(states.values())
-    country_abbrs = set(countries.values())
-    # exact + edits-1 variant maps (variant -> canonical name)
-    state_e1 = {e: w for w in states for e in _edits1(w)}
-    country_e1 = {e: w for w in countries for e in _edits1(w)}
+    country_abbrs = {c for c in countries.values() if c is not None}
+    # exact + edits-1 variant maps, precomposed straight to the CODE
+    # (variant -> code) so lookup is one dict.get.  Exact names win
+    # over variants (reference wordfinder checks WORDS0 before WORDSN,
+    # spellcheck.py:30-36); variant collisions: last word wins, like
+    # the reference's dict comprehension (spellcheck.py:21).
+    def compose(names: dict) -> dict:
+        variants = {}
+        for w in names:
+            code = names[w]
+            for e in _edits1(w):
+                variants[e] = code
+        variants.update(names)
+        return variants
+
+    state_lookup = compose(states)
+    country_lookup = compose(countries)
     return {
         "states": states,
         "state_abbrs": state_abbrs,
-        "state_e1": state_e1,
+        "state_lookup": state_lookup,
         "countries": countries,
         "country_abbrs": country_abbrs,
-        "country_e1": country_e1,
+        "country_lookup": country_lookup,
         "locations_in": locations_in,
     }
 
@@ -72,20 +85,30 @@ def _normalized(s: pd.Series) -> pd.Series:
     )
 
 
+def _state_code(x, t) -> str | None:
+    if x is None:
+        return None
+    x = str(x).strip()
+    if x.upper() in t["state_abbrs"]:
+        return x.upper()
+    return t["state_lookup"].get(x.lower().replace(" ", "_"))
+
+
 def state_to_code_series(s: pd.Series) -> pd.Series:
     """State name/abbr -> 2-letter code; None on failure.
     Reference: domain_geography.py:62-77."""
     t = _tables()
-    s = s.astype("object")
-    mask = s.notna()
-    stripped = s.fillna("").astype(str).str.strip()
-    upper = stripped.str.upper()
-    by_abbr = upper.where(upper.isin(t["state_abbrs"]))
-    norm = stripped.str.lower().str.replace(" ", "_", regex=False)
-    corrected = norm.where(norm.isin(t["states"]), norm.map(t["state_e1"]))
-    by_name = corrected.map(t["states"])
-    out = by_abbr.where(by_abbr.notna(), by_name)
-    return out.where(mask, None)
+    return pd.Series([_state_code(x, t) for x in s], index=s.index, dtype=object)
+
+
+def _country_code(x, t) -> str | None:
+    if x is None:
+        return None
+    x = str(x).strip()
+    if x.upper() in t["country_abbrs"]:
+        return x.upper()
+    norm = _CLEAN_NAME.sub("", x.lower().replace(" ", "_"))
+    return t["country_lookup"].get(norm)
 
 
 def country_to_code_series(s: pd.Series) -> pd.Series:
@@ -93,34 +116,20 @@ def country_to_code_series(s: pd.Series) -> pd.Series:
     Reference: domain_geography.py:393-409 (incl. of_/the_/and_
     stripping and edits-1 correction)."""
     t = _tables()
-    s = s.astype("object")
-    mask = s.notna()
-    stripped = s.fillna("").astype(str).str.strip()
-    upper = stripped.str.upper()
-    by_abbr = upper.where(upper.isin(t["country_abbrs"]))
-    norm = (
-        stripped.str.lower().str.strip().str.replace(" ", "_", regex=False)
-        .str.replace(_CLEAN_NAME, "", regex=True)
-    )
-    corrected = norm.where(norm.isin(t["countries"]), norm.map(t["country_e1"]))
-    by_name = corrected.map(t["countries"])
-    out = by_abbr.where(by_abbr.notna(), by_name)
-    return out.where(mask, None)
+    return pd.Series([_country_code(x, t) for x in s], index=s.index, dtype=object)
 
 
 def location_to_country_code_series(s: pd.Series) -> pd.Series:
     """Countries, Canadian/Chinese provinces, or US states -> country
     code.  Reference: domain_geography.py:459-470."""
     t = _tables()
-    out = country_to_code_series(s)
-    missing = out.isna() & s.notna()
-    if missing.any():
-        prov = (
-            s[missing].astype(str).str.strip().str.lower().map(t["locations_in"])
-        )
-        out.loc[missing] = prov
-        still = out.isna() & s.notna()
-        if still.any():
-            st = state_to_code_series(s[still])
-            out.loc[still] = np.where(st.notna(), "USA", None)
-    return out
+
+    def loc(x):
+        code = _country_code(x, t)
+        if code is None and x is not None:
+            code = t["locations_in"].get(str(x).strip().lower())
+            if code is None and _state_code(x, t) is not None:
+                code = "USA"
+        return code
+
+    return pd.Series([loc(x) for x in s], index=s.index, dtype=object)

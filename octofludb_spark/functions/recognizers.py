@@ -78,10 +78,13 @@ class Recog:
         return float(res.notna().sum()) / len(sub)
 
 
-def _df(clean: pd.Series, dtype: pd.Series | None = None) -> pd.DataFrame:
+def _df(clean: pd.Series, dtype: pd.Series | None = None) -> dict:
+    """Recognizer result: {'clean': Series[, 'dtype': Series]} — a dict
+    (not a DataFrame) to avoid frame-construction overhead on the tiny
+    per-file tables."""
     clean = clean.astype("object")
     clean = clean.where(clean.notna(), None)  # canonical missing = None
-    out = pd.DataFrame({"clean": clean})
+    out = {"clean": clean}
     if dtype is not None:
         dtype = dtype.astype("object")
         out["dtype"] = dtype.where(dtype.notna(), None)

@@ -1,0 +1,565 @@
+"""Driver-contract queries: every SURVEY.md §2 operator family
+re-expressed over the driver's parquet tables (region nation customer
+supplier part orders lineitem events documents embeddings), each with
+a DuckDB-runnable ANSI-SQL oracle.
+
+Cross-engine discipline:
+  * every computed column is aliased IDENTICALLY in both plans;
+  * floats are rounded (4-6 dp) before emission;
+  * array sizes are cast to long (Spark size() is int32);
+  * dates/timestamps are emitted as formatted strings;
+  * hashes are md5 (identical hex in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octofludb_spark.scale import dedup as D
+from octofludb_spark.scale import simsearch as S
+from octofludb_spark.scale import text as TX
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# --------------------------------------------------------------------------
+# relational operator families (SURVEY.md §2.3-2.5 analogs)
+# --------------------------------------------------------------------------
+
+@q("lineitem_agg", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def lineitem_agg(spark, sf):
+    """A3 composite-key hash aggregation (TPC-H Q1 shape)."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q("group_concat_segments", """
+SELECT c_nationkey,
+       STRING_AGG(DISTINCT c_mktsegment, '+' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+""")
+def group_concat_segments(spark, sf):
+    """A1: GROUP_CONCAT(DISTINCT x; separator='+') with deterministic
+    ordering (masterlist.rq:9-22 analog)."""
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws("+", F.sort_array(F.collect_set("c_mktsegment")))
+        .alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@q("earliest_order", """
+SELECT o_custkey, STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS earliest_date,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""")
+def earliest_order(spark, sf):
+    """A2: MIN(date) per key (masterlist.rq:11)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("earliest_date"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q("distinct_pairs", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark, sf):
+    """A4: SELECT DISTINCT."""
+    return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q("customers_without_orders", """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def customers_without_orders(spark, sf):
+    """J12: FILTER NOT EXISTS / MINUS as left_anti
+    (fetch-unclassified-swine.rq analog)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@q("orders_with_optional_segment", """
+SELECT o.o_orderkey, COALESCE(c.c_mktsegment, '') AS segment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def orders_with_optional_segment(spark, sf):
+    """J10: SPARQL OPTIONAL as left outer join."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", F.coalesce("c_mktsegment", F.lit("")).alias("segment"))
+    )
+
+
+@q("union_branches", """
+SELECT DISTINCT id FROM (
+  SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""")
+def union_branches(spark, sf):
+    """J11: SPARQL UNION of alternative patterns
+    (get-tagged-strain.rq:22-31 analog)."""
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("id"))
+    o = t(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_custkey").alias("id"))
+    return c.unionByName(o).distinct()
+
+
+@q("revenue_3hop", """
+SELECT r.r_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name
+""")
+def revenue_3hop(spark, sf):
+    """J9: multi-hop equi-join chain (property-path analog,
+    masterlist.rq:29).  The two dimension joins broadcast."""
+    r = F.broadcast(t(spark, sf, "region"))
+    n = F.broadcast(t(spark, sf, "nation"))
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+@q("semi_join_orders", """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def semi_join_orders(spark, sf):
+    """Tag-filtering semi-join (get-tagged.rq analog)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("o_custkey"))
+    return o.join(F.broadcast(c), "o_custkey", "left_semi") \
+        .select("o_orderkey", "o_orderpriority")
+
+
+@q("incremental_user_diff", """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+""")
+def incremental_user_diff(spark, sf):
+    """J13/S6: incremental anti-diff (new ids = remote - existing,
+    entrez.py:78-122 analog)."""
+    e = t(spark, sf, "events").select("user_id").distinct()
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"))
+    return e.join(c, "user_id", "left_anti")
+
+
+@q("quarter_rollup", """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+       CONCAT(CAST(YEAR(o_orderdate) AS INT), 'Q',
+              CAST(QUARTER(o_orderdate) AS INT)) AS yq,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+""")
+def quarter_rollup(spark, sf):
+    """A9: calendar-quarter derivation (recipes.py:261-272)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.withColumn("year", F.year("o_orderdate").cast("int"))
+        .withColumn("yq", F.concat(F.col("year").cast("string"), F.lit("Q"),
+                                   F.quarter("o_orderdate").cast("string")))
+        .groupBy("year", "yq")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q("priority_pivot", """
+SELECT o_custkey,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+FROM orders GROUP BY o_custkey
+""")
+def priority_pivot(spark, sf):
+    """A8: wide per-entity report via conditional aggregation
+    (masterlist pivot analog)."""
+    o = t(spark, sf, "orders")
+    p = F.col("o_orderpriority")
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.when(p == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(p == "2-HIGH", 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(~p.isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).alias("n_other"),
+    )
+
+
+@q("event_hourly_windows", """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def event_hourly_windows(spark, sf):
+    """Tumbling-window aggregation over the event stream (the batch
+    view of the Structured Streaming plan in streaming/)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@q("extract_accessions", """
+SELECT doc_id, acc FROM (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '[A-Z][A-Z]?[0-9]{5,7}')) AS acc
+  FROM documents
+)
+""")
+def extract_accessions(spark, sf):
+    """R4 recognizer as a distributed regex extraction (genbank
+    accession grammar, domain_identifier.py:25) over free text."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text",
+                                       F.lit(r"[A-Z][A-Z]?[0-9]{5,7}"), 0))
+        .alias("acc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication suite (over documents)
+# --------------------------------------------------------------------------
+
+@q("dedup_exact", """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf):
+    return D.exact_dedup(t(spark, sf, "documents"))
+
+
+_JACCARD_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+ sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ inter AS (
+   SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS i
+   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   GROUP BY 1, 2)
+SELECT doc_x, doc_y,
+       ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 5) AS jaccard
+FROM inter JOIN sizes sa ON doc_x = sa.doc_id JOIN sizes sb ON doc_y = sb.doc_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {thr}
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_SQL.format(thr="0.2"))
+def dedup_ngram_jaccard(spark, sf):
+    return D.jaccard_pairs(t(spark, sf, "documents"), threshold=0.2)
+
+
+_MINHASH_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+ sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ perms AS (SELECT doc_id, shingle, UNNEST(range(8)) AS perm FROM sh),
+ mh AS (SELECT doc_id, perm, MIN(md5(perm || '|' || shingle)) AS mh
+        FROM perms GROUP BY 1, 2),
+ bands AS (
+   SELECT a.doc_id, a.perm // 2 AS band, md5(a.mh || '|' || b.mh) AS key
+   FROM mh a JOIN mh b ON a.doc_id = b.doc_id AND b.perm = a.perm + 1
+   WHERE a.perm % 2 = 0),
+ cand AS (
+   SELECT DISTINCT x.doc_id AS doc_x, y.doc_id AS doc_y
+   FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+   WHERE x.doc_id < y.doc_id),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ inter AS (
+   SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS i
+   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   GROUP BY 1, 2)
+SELECT c.doc_x, c.doc_y,
+       ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 5) AS jaccard
+FROM cand c JOIN inter ON c.doc_x = inter.doc_x AND c.doc_y = inter.doc_y
+JOIN sizes sa ON c.doc_x = sa.doc_id JOIN sizes sb ON c.doc_y = sb.doc_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+"""
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.2)
+
+
+_SIMHASH_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+ h AS (SELECT doc_id, md5(word) AS hx FROM w),
+ bits AS (
+   SELECT doc_id, j,
+          SUM(CASE WHEN (strpos('0123456789abcdef', substr(hx, j + 1, 1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END) AS s
+   FROM h, (SELECT UNNEST(range(16)) AS j) GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf):
+    return D.simhash(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# similarity search (over embeddings)
+# --------------------------------------------------------------------------
+
+_COS_EXPR = """
+ROUND(
+  list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (SQRT(list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * SQRT(list_sum(list_transform(range(1, 65),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 5)
+"""
+
+
+@q("cosine_pairs", f"""
+SELECT a.vec_id AS vec_x, b.vec_id AS vec_y, {_COS_EXPR} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_EXPR} >= 0.35
+""")
+def cosine_pairs(spark, sf):
+    """Brute-force cosine pairs >= threshold (the exact baseline)."""
+    return S.cosine_pairs(t(spark, sf, "embeddings"), threshold=0.35)
+
+
+@q("ann_topk_brute", f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_EXPR} AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+  JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+""")
+def ann_topk_brute(spark, sf):
+    """Exact top-5 neighbors for the first 20 vectors (window ranked
+    on the rounded score for cross-engine determinism)."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = S.topk_brute(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q("ann_topk_lsh")  # rows-only: approximate by construction
+def ann_topk_lsh(spark, sf):
+    return S.topk_lsh(t(spark, sf, "embeddings"), k=5)
+
+
+# --------------------------------------------------------------------------
+# text analysis (over documents)
+# --------------------------------------------------------------------------
+
+@q("text_token_counts", rf"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_seen
+FROM documents
+""")
+def text_token_counts(spark, sf):
+    out = TX.token_counts(t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars_seen").cast("long").alias("n_chars_seen"),
+    )
+
+
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_seen,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')))
+               * 1.0 / GREATEST(length(text), 1), 5) AS punct_ratio,
+         ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(w)))) AS BIGINT)
+               * 1.0 / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 5) AS stop_ratio,
+         ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+               * 1.0 / GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 5) AS mean_word_len
+  FROM documents)
+SELECT *,
+  ROUND((CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END), 2) AS quality
+FROM f
+"""
+
+
+@q("text_quality", _QUALITY_SQL)
+def text_quality(spark, sf):
+    out = TX.quality_scores(t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_seen").cast("long").alias("n_chars_seen"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio", "stop_ratio", "mean_word_len", "quality",
+    )
+
+
+_LANGID_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      w -> list_contains(['der','die','das','und','ist','ein','zu','mit','von'], w))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      w -> list_contains(['le','la','les','et','est','un','une','de','dans'], w))) AS BIGINT) AS h_fr,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      w -> list_contains(['el','los','las','y','es','un','una','en','por'], w))) AS BIGINT) AS h_es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+       WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+       WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+@q("text_lang_id", _LANGID_SQL)
+def text_lang_id(spark, sf):
+    return TX.lang_id(t(spark, sf, "documents"))
+
+
+@q("text_fingerprints", r"""
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint
+FROM documents
+""")
+def text_fingerprints(spark, sf):
+    return TX.fingerprints(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary columns; metadata oracle-checked,
+# decode exercised via the deterministic fake in pytest)
+# --------------------------------------------------------------------------
+
+@q("multimodal_metadata", """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""")
+def multimodal_metadata(spark, sf):
+    from octofludb_spark.scale.multimodal import to_media_table
+
+    m = to_media_table(t(spark, sf, "documents"))
+    return m.select("media_id", "media_type", "n_bytes", "sha256")
+
+
+# --------------------------------------------------------------------------
+# KG pipeline itself (rows-only checks: not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def _kg_source(spark, n_docs=240):
+    from octofludb_spark.sources.synth import source_table
+
+    return source_table(spark, n_docs, partitions=8)
+
+
+@q("kg_extract_triples")
+def kg_extract_triples(spark, sf):
+    """Full recognizer-to-triple extraction over the deterministic
+    synthetic source corpus (the engine's core operator)."""
+    from octofludb_spark.extract.pipeline import run_extraction
+
+    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+    return triples
+
+
+@q("kg_canonical_triples")
+def kg_canonical_triples(spark, sf):
+    """Extraction + sameAs connected components + canonical rewrite."""
+    from octofludb_spark.extract.pipeline import run_extraction
+    from octofludb_spark.ops.canonicalize import canonical_map, canonicalize
+    from octofludb_spark.ops.cc import connected_components, sameas_edges
+
+    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+    triples = triples.localCheckpoint()
+    comps = connected_components(sameas_edges(triples))
+    return canonicalize(triples, canonical_map(comps))
+
+
+@q("kg_subtype_report")
+def kg_subtype_report(spark, sf):
+    """Subtype priority-lattice report (A6) over the built graph."""
+    from octofludb_spark.extract.pipeline import run_extraction
+    from octofludb_spark.plans.reports import subtypes_report
+    from octofludb_spark.plans.views import GraphViews
+
+    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+    out = subtypes_report(GraphViews(triples))
+    return out.select("strain_name", "subtype",
+                      F.concat_ws("+", F.sort_array("isolates")).alias("isolates"))

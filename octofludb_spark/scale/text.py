@@ -1,0 +1,92 @@
+"""Text-analysis operators over documents(doc_id, text, ...):
+token counting, quality scoring, language-ID, fingerprinting.
+All JVM-side expressions (whole-stage codegen); portable to the
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars_seen)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features + a composite score."""
+    words = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", "")
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(STOPWORDS["en"]))
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_seen"),
+        n_words.alias("n_words"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 5)
+        .alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 5).alias("stop_ratio"),
+        F.round(
+            (F.length(F.regexp_replace("text", r"\s+", "")))
+            / F.greatest(n_words, F.lit(1)),
+            5,
+        ).alias("mean_word_len"),
+    )
+    score = (
+        F.when(F.col("n_words") >= 10, 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("stop_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3)
+                 & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+    )
+    return base.withColumn("quality", F.round(score, 2))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language hit
+    counts with deterministic tie order en > de > fr > es; 'und' when
+    all zero.  (doc_id, lang_pred)."""
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def hit_count(sw):
+        # single-arg lambda: a 2-arg lambda would make pyspark bind the
+        # second parameter to the array INDEX
+        return F.size(F.filter(words, lambda w: w.isin(sw)))
+
+    hits = {lang: hit_count(sw) for lang, sw in STOPWORDS.items()}
+    d = docs.select("doc_id", *[v.alias(f"h_{k}") for k, v in hits.items()])
+    best = F.greatest(*[F.col(f"h_{k}") for k in STOPWORDS])
+    pred = F.when(best == 0, "und")
+    for k in STOPWORDS:  # dict order = tie order
+        pred = pred.when(F.col(f"h_{k}") == best, k)
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the normalized word stream
+    (lowercase, single-space).  (doc_id, fingerprint)."""
+    norm = F.concat_ws(
+        " ", F.split(F.lower(F.trim("text")), r"\s+")
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
