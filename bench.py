@@ -59,6 +59,12 @@ def main() -> None:
     from octofludb_spark.ops.cc import connected_components, sameas_edges
     from octofludb_spark.sources.synth import source_table
 
+    # warm-up: spin up and warm every python worker (imports +
+    # broadcast dictionaries) outside the timed window — the metric is
+    # STEADY-STATE throughput (BASELINE.md protocol)
+    warm = source_table(spark, cpus * 8, partitions=cpus)
+    run_extraction(warm, run_ts="2026-01-01T00:00:00")[0].count()
+
     src = source_table(spark, N_DOCS, partitions=cpus * 4).persist()
     n_docs = src.count()  # materialize input outside the timed window
 

@@ -78,6 +78,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ).collect()[0]
         return (row["n"], row["h"])
 
+    spark = edges.sparkSession
     edges = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -86,15 +87,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     sig = _sig(edges)
     if sig[0] == 0:
-        spark = edges.sparkSession
         return spark.createDataFrame([], "node string, component string")
-    for _ in range(max_iter):
-        edges2 = _small_star(_large_star(edges)).localCheckpoint()
-        sig2 = _sig(edges2)
-        edges = edges2
-        if sig2 == sig:
-            break
-        sig = sig2
+    # The sameAs edge set is small relative to the triple store; size
+    # the iteration's shuffles to the data, not to the session-wide
+    # partition count (a 6-job driver loop at full width is pure
+    # scheduling overhead).
+    nparts = max(2, min(64, int(sig[0]) // 100_000 + 1))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        edges = edges.repartition(nparts)
+        for _ in range(max_iter):
+            edges2 = _small_star(_large_star(edges)).localCheckpoint()
+            sig2 = _sig(edges2)
+            edges = edges2
+            if sig2 == sig:
+                break
+            sig = sig2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # after convergence every edge points node -> component min
     comp = edges.select(F.col("src").alias("node"),
                         F.col("dst").alias("component"))

@@ -1,0 +1,79 @@
+"""Structured Streaming tests: streaming extraction into the triple
+store (exactly-once via idempotent merge), and watermarked windowed
+aggregation equivalence with the batch plan."""
+
+import pandas as pd
+import pytest
+
+from octofludb_spark.sources.store import TripleStore
+from octofludb_spark.sources.synth import source_pandas
+from octofludb_spark.streaming.pipeline import (
+    stream_extract_to_store,
+    stream_source,
+    windowed_event_counts,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "incoming")
+    pdf = source_pandas(20)
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(2).write.parquet(src_dir)
+
+    store_root = str(tmp_path / "store")
+    q = stream_extract_to_store(
+        stream_source(spark, src_dir),
+        store_root,
+        str(tmp_path / "ckpt"),
+        run_ts="2026-01-01T00:00:00",
+    ).start()
+    q.awaitTermination(120)
+
+    got = TripleStore(store_root).read(spark, "triples")
+    assert got is not None
+
+    from octofludb_spark.extract.pipeline import run_extraction
+
+    want, _ = run_extraction(sdf, run_ts="2026-01-01T00:00:00")
+    assert got.count() == want.count()
+
+    # re-running the same stream (new checkpoint, same files) adds nothing
+    q2 = stream_extract_to_store(
+        stream_source(spark, src_dir),
+        store_root,
+        str(tmp_path / "ckpt2"),
+        run_ts="2026-01-01T00:00:00",
+    ).start()
+    q2.awaitTermination(120)
+    assert TripleStore(store_root).read(spark, "triples").count() == want.count()
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev_dir = str(tmp_path / "events")
+    events.write.parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(ev_dir)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName("win_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts").toPandas()
+
+    want = windowed_event_counts(events).toPandas()
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    # append-mode emits only watermark-closed windows; every emitted
+    # window must match the batch result, and most windows close
+    merged = got_s.merge(want_s, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got_s) and len(got_s) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["avg_value_s"] == merged["avg_value_b"]).all()
