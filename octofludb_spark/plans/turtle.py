@@ -1,0 +1,180 @@
+"""Turtle-compatible text sink (reference S13: with_graph,
+ui.py:20-39, rdflib sorted turtle).
+
+Produces deterministic, spec-valid Turtle: prefixes bound exactly like
+the reference's namespace manager (nomenclature.py:22-27), subjects
+grouped with ';' / ',' continuation, typed literals as
+"lex"^^xsd:type, URI objects abbreviated.  Ordering is deterministic
+(lexicographic by prefixed subject, predicate, object) — the
+reference's rdflib serializer uses its own internal subject order, so
+the byte stream differs, but the parsed triple SET is identical
+(verified in tests by a mini turtle parser round-trip against
+the transcribed gisaid golden)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from octofludb_spark.functions.uri import (
+    DT_URI,
+    NCOUNTRY,
+    NI,
+    NQUERY,
+    NT,
+    NTAG,
+    NUSA,
+    OWL_SAMEAS,
+)
+
+PREFIXES = [
+    ("fid", NI),
+    ("f", NT),
+    ("usa", NUSA),
+    ("world", NCOUNTRY),
+    ("query", NQUERY),
+    ("tag", NTAG),
+    ("owl", "http://www.w3.org/2002/07/owl#"),
+    ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+    ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+]
+# longest namespace first so usa:/world: win over world:-prefixed usa
+_ORDERED = sorted(PREFIXES, key=lambda kv: len(kv[1]), reverse=True)
+
+
+def _abbrev(iri: str) -> str:
+    for pfx, ns in _ORDERED:
+        if iri.startswith(ns):
+            local = iri[len(ns):]
+            if local and all(c.isalnum() or c in "_-." for c in local):
+                return f"{pfx}:{local}"
+    return f"<{iri}>"
+
+
+def _literal(lex: str, dtype: str) -> str:
+    esc = (
+        lex.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+    if dtype and dtype != DT_URI:
+        short = dtype if ":" in dtype and not dtype.startswith("http") \
+            else _abbrev(dtype)
+        return f'"{esc}"^^{short}'
+    return f'"{esc}"'
+
+
+def triples_to_turtle(pdf: pd.DataFrame) -> str:
+    """Serialize a (subject, predicate, object_lex, object_dtype)
+    pandas frame (collected triples) to turtle text."""
+    used = set()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        s = _abbrev(r.subject)
+        p = "owl:sameAs" if r.predicate == OWL_SAMEAS else _abbrev(r.predicate)
+        if r.object_dtype == DT_URI:
+            o = _abbrev(r.object_lex)
+        else:
+            o = _literal(r.object_lex, r.object_dtype or "")
+        for term in (s, p, o):
+            if ":" in term and not term.startswith(("<", '"')):
+                used.add(term.split(":", 1)[0])
+        rows.append((s, p, o))
+    rows.sort()
+
+    out = []
+    for pfx, ns in PREFIXES:
+        if pfx in used:
+            out.append(f"@prefix {pfx}: <{ns}> .")
+    out.append("")
+
+    i = 0
+    while i < len(rows):
+        s = rows[i][0]
+        group = []
+        while i < len(rows) and rows[i][0] == s:
+            group.append(rows[i])
+            i += 1
+        parts = []
+        j = 0
+        while j < len(group):
+            p = group[j][1]
+            objs = []
+            while j < len(group) and group[j][1] == p:
+                objs.append(group[j][2])
+                j += 1
+            parts.append((p, objs))
+        lines = []
+        for k, (p, objs) in enumerate(parts):
+            obj_txt = ",\n        ".join(objs)
+            prefix = f"{s} " if k == 0 else "    "
+            sep = " ;" if k < len(parts) - 1 else " ."
+            lines.append(f"{prefix}{p} {obj_txt}{sep}")
+        out.extend(lines)
+        out.append("")
+    return "\n".join(out).rstrip() + "\n"
+
+
+def parse_turtle(text: str) -> set[tuple[str, str, str]]:
+    """Minimal turtle reader for golden-file comparison: handles the
+    prefix/';'/','-grouped shape this sink and rdflib emit.  Returns
+    (subject, predicate, object-token) string triples with prefixes
+    expanded."""
+    import re
+
+    prefixes: dict[str, str] = {}
+    triples: set[tuple[str, str, str]] = set()
+    # join logical statements: accumulate until '.', honoring strings
+    text = re.sub(r"#[^\n\"]*$", "", text, flags=re.M)
+    token_re = re.compile(
+        r'"(?:[^"\\]|\\.)*"(?:\^\^[\w:]+)?|<[^>]*>|[^\s,;]+|[,;]'
+    )
+
+    def expand(tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok.startswith('"'):
+            m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
+            lex = m.group(1).replace('\\"', '"').replace("\\n", "\n") \
+                .replace("\\t", "\t").replace("\\\\", "\\")
+            return lex
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local
+        return tok
+
+    stmt: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("@prefix"):
+            m = re.match(r"@prefix\s+(\w*):\s*<([^>]*)>", line)
+            if m:
+                prefixes[m.group(1)] = m.group(2)
+            continue
+        stmt.append(line)
+        if line.endswith(" .") or line == "." or line.endswith("> .") or line.rstrip().endswith("."):
+            full = " ".join(stmt)
+            stmt = []
+            toks = token_re.findall(full.rstrip(" ."))
+            if not toks:
+                continue
+            subj = expand(toks[0])
+            k = 1
+            pred = None
+            while k < len(toks):
+                tok = toks[k]
+                if tok == ";":
+                    pred = None
+                    k += 1
+                    continue
+                if tok == ",":
+                    k += 1
+                    continue
+                if pred is None:
+                    pred = (OWL_SAMEAS if tok == "owl:sameAs" else expand(tok))
+                    k += 1
+                    continue
+                triples.add((subj, pred, expand(tok)))
+                k += 1
+    return triples

@@ -1,0 +1,66 @@
+"""Turtle sink round-trip + end-to-end gisaid golden parity.
+
+The reference CI's E2E test is `prep gis gisaid.xls` diffed against
+test-data/.exp-gisaid.ttl (Makefile:4-7).  The .xls input is not
+readable in this sandbox (no xlrd), so this test reconstructs the
+VNM isolate row (EPI_ISL_218508) from the golden itself, runs our
+gisaid recipe, and asserts EXACT triple-set equality against the
+golden's triples for that isolate and its 8 segments — plus a
+serialize/parse round-trip of our turtle writer."""
+
+import os
+
+import pytest
+
+from octofludb_spark.extract.recipes import gisaid_triples
+from octofludb_spark.plans.turtle import parse_turtle, triples_to_turtle
+
+GOLDEN = "/root/reference/test-data/.exp-gisaid.ttl"
+FID = "https://flu-crew.org/id/"
+
+SEG_EPI = {
+    "NP": "EPI744022", "NS": "EPI744023", "MP": "EPI744024",
+    "PA": "EPI744025", "PB2": "EPI744026", "PB1": "EPI744027",
+    "NA": "EPI744028", "HA": "EPI744029",
+}
+
+
+def _vnm_row_content() -> str:
+    head = ["Isolate_Id", "Isolate_Name", "Host", "Subtype", "Lineage",
+            "Location", "Collection_Date", "Submission_Date"]
+    cells = ["EPI_ISL_218508", "A/swine/Bac Ninh/12-01-3/2015", "swine",
+             "H1N1", "pdm09", "Asia / Viet Nam / Bac Ninh",
+             "2015-12-07", "2016-04-26"]
+    for seg in ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS"):
+        head += [f"{seg} Segment_Id", f"{seg} INSDC_Upload"]
+        cells += [SEG_EPI[seg], ""]
+    return "\t".join(head) + "\n" + "\t".join(cells)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not present")
+def test_gisaid_golden_triple_set():
+    got_df = gisaid_triples(_vnm_row_content())
+    got = {(r.s, r.p, r.o) for r in got_df.itertuples(index=False)}
+
+    golden = parse_turtle(open(GOLDEN).read())
+    subjects = {FID + "epi_isl_218508"} | {
+        FID + e.lower() for e in SEG_EPI.values()
+    }
+    want = {t for t in golden if t[0] in subjects}
+    assert want, "golden parse produced nothing"
+    assert got == want
+
+
+def test_turtle_roundtrip():
+    df = gisaid_triples(_vnm_row_content()).rename(
+        columns={"s": "subject", "p": "predicate", "o": "object_lex",
+                 "dt": "object_dtype"}
+    )
+    text = triples_to_turtle(df)
+    back = parse_turtle(text)
+    want = {(r.subject, r.predicate, r.object_lex)
+            for r in df.itertuples(index=False)}
+    assert back == want
+    # prefixes bound like the reference's namespace manager
+    assert "@prefix f: <https://flu-crew.org/term/> ." in text
+    assert '"2015-12-07"^^xsd:date' in text
