@@ -1,0 +1,384 @@
+"""Batched extraction: the per-file semantics of extract/recipes.py
+executed table-at-a-BATCH instead of table-at-a-file.
+
+Inside one mapInPandas Arrow batch, files of the same shape are
+concatenated so every recognizer / emission op runs on thousands of
+cells instead of a handful — pandas call count per batch becomes
+O(columns x recognizers), not O(files x columns x recognizers).
+
+Semantics are IDENTICAL to the per-file path (verified by a parity
+test): column-level type inference stays per file (goodness is a
+per-file groupby mean over the concatenated column), relate/emission
+is row-local, and the has_segment table context depends only on the
+column-type signature, so same-signature files share one emit_table
+call.  Per-row lineage survives via a src-index column threaded
+through the sink.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from octofludb_spark.extract import emit as E
+from octofludb_spark.extract.infer import GOODNESS_THRESHOLD, _na_mask
+from octofludb_spark.extract.parse import parse_fasta, parse_tsv
+from octofludb_spark.extract.recipes import (
+    _EMPTY,
+    _GIS_SEGMENTS,
+    _EPI_SUFFIX,
+    _IVR_STRAIN_PAT,
+    _gis_strain_clean,
+    blast_triples,
+    idlist_triples,
+    typed,
+)
+from octofludb_spark.functions import recognizers as R
+from octofludb_spark.functions.recognizers import ALL_CLASSIFIERS, UNKNOWN
+
+EMPTY_WITH_SRC = _EMPTY.assign(src=pd.Series(dtype="int64"))
+
+
+def _typed_src(recog, values, field=None, na_str=()):
+    return typed(recog, values, field=field, na_str=na_str)
+
+
+def emit_with_src(cols, src_idx: np.ndarray, levels=None,
+                  taguri=None) -> pd.DataFrame:
+    """emit_table + per-row source attribution."""
+    sink = E.TripleSink(src=src_idx)
+    E.emit_into(sink, cols, levels=levels, taguri=taguri)
+    return sink.frame(with_src=True)
+
+
+# --------------------------------------------------------------------------
+# fixed-column recipes, batched
+# --------------------------------------------------------------------------
+
+def gisaid_triples_batched(items: Sequence[tuple[int, str]],
+                           taguri=None) -> pd.DataFrame:
+    """mk_gis over MANY sheets at once (recipes.gisaid_triples parity)."""
+    ex: dict[str, list] = {k: [] for k in (
+        "isolate", "epi", "gbk", "strain", "full_strain", "segment",
+        "subtype", "lineage", "host", "country", "cdate", "sdate")}
+    src: list[int] = []
+    for fi, content in items:
+        d = parse_tsv(content)
+        if "Isolate_Id" not in d:
+            continue
+        n = len(d["Isolate_Id"])
+        for i in range(n):
+            name = d["Isolate_Name"][i] or ""
+            strain_clean = _gis_strain_clean(name)
+            if strain_clean is None:
+                continue
+            try:
+                country = (d.get("Location", [None] * n)[i] or "").split(" / ")[1]
+            except IndexError:
+                country = None
+            for seg in _GIS_SEGMENTS:
+                seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
+                if not seg_cell:
+                    continue
+                epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
+                gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
+                gbk_ids = gbk_cell.split(",") if gbk_cell else [None]
+                for epi_id, gbk_id in zip(epi_ids, gbk_ids):
+                    ex["isolate"].append(d["Isolate_Id"][i])
+                    ex["epi"].append(epi_id)
+                    ex["gbk"].append(gbk_id)
+                    ex["strain"].append(strain_clean)
+                    ex["full_strain"].append(name if name != "" else None)
+                    ex["segment"].append(seg)
+                    ex["subtype"].append(d.get("Subtype", [None] * n)[i])
+                    lineage = d.get("Lineage", [None] * n)[i]
+                    ex["lineage"].append(lineage if lineage else None)
+                    ex["host"].append(d.get("Host", [None] * n)[i])
+                    ex["country"].append(country)
+                    ex["cdate"].append(d.get("Collection_Date", [None] * n)[i])
+                    ex["sdate"].append(d.get("Submission_Date", [None] * n)[i])
+                    src.append(fi)
+    if not src:
+        return EMPTY_WITH_SRC.copy()
+    cols = [
+        _typed_src(R.ISOLATE, ex["isolate"]),
+        _typed_src(R.EPI_SEQID, ex["epi"]),
+        _typed_src(R.GENBANK, ex["gbk"]),
+        _typed_src(R.UNKNOWN, ex["strain"], field="strain_name"),
+        _typed_src(R.UNKNOWN, ex["full_strain"], field="gisaid_strain_name"),
+        _typed_src(R.SEGMENT_NAME, ex["segment"]),
+        _typed_src(R.SUBTYPE, ex["subtype"], field="gisaid_subtype"),
+        _typed_src(R.STRING, ex["lineage"], field="lineage"),
+        _typed_src(R.HOST, ex["host"], field="host"),
+        _typed_src(R.COUNTRY, ex["country"]),
+        _typed_src(R.DATE, ex["cdate"], field="collection_date"),
+        _typed_src(R.DATE, ex["sdate"], field="submission_date"),
+    ]
+    return emit_with_src(cols, np.asarray(src), taguri=taguri)
+
+
+def ivr_triples_batched(items: Sequence[tuple[int, str]],
+                        taguri=None) -> pd.DataFrame:
+    rows: list[list[str]] = []
+    src: list[int] = []
+    for fi, content in items:
+        for ln in content.split("\n"):
+            if not ln.strip():
+                continue
+            r = ln.split("\t")
+            if len(r) >= 11:
+                rows.append(r[:11])
+                src.append(fi)
+    if not rows:
+        return EMPTY_WITH_SRC.copy()
+    cols_t = list(zip(*rows))
+
+    def strain_of(x):
+        m = _IVR_STRAIN_PAT.search(x)
+        return m.group(0) if m else None
+
+    table = [
+        _typed_src(R.GENBANK, cols_t[0]),
+        _typed_src(R.UNKNOWN, [x.lower() for x in cols_t[1]], field="host"),
+        _typed_src(R.SEGMENT_NUMBER, cols_t[2]),
+        _typed_src(R.SUBTYPE, cols_t[3]),
+        _typed_src(R.COUNTRY, cols_t[4]),
+        _typed_src(R.DATE, cols_t[5]),
+        _typed_src(R.INTEGER, [x.lower() for x in cols_t[6]], field="length"),
+        _typed_src(R.STRAIN, [strain_of(x) for x in cols_t[7]]),
+        _typed_src(R.UNKNOWN, [x.strip() for x in cols_t[10]],
+                   field="genome_status"),
+    ]
+    return emit_with_src(table, np.asarray(src), taguri=taguri)
+
+
+def ird_triples_batched(items: Sequence[tuple[int, str]],
+                        taguri=None) -> pd.DataFrame:
+    na = ("-N/A-",)
+    rows: list[list[str]] = []
+    src: list[int] = []
+    for fi, content in items:
+        for ln in content.split("\n"):
+            if not ln.strip():
+                continue
+            r = ln.split("\t")
+            if len(r) >= 12:
+                rows.append(r[:12])
+                src.append(fi)
+    if not rows:
+        return EMPTY_WITH_SRC.copy()
+    cols_t = list(zip(*rows))
+    table = [
+        _typed_src(R.SEGMENT_NUMBER, cols_t[0], na_str=na),
+        _typed_src(R.GENBANK, cols_t[2], field="genbank_id", na_str=na),
+        _typed_src(R.INTEGER, cols_t[4], field="length", na_str=na),
+        _typed_src(R.SUBTYPE, cols_t[5], na_str=na),
+        _typed_src(R.DATE, cols_t[6], na_str=na),
+        _typed_src(R.UNKNOWN, [x.replace("IRD:", "").lower() for x in cols_t[7]],
+                   field="host", na_str=na),
+        _typed_src(R.COUNTRY, cols_t[8]),
+        _typed_src(R.UNKNOWN, cols_t[10], field="flu_season", na_str=na),
+        _typed_src(R.STRAIN, cols_t[11], field="strain_name", na_str=na),
+    ]
+    return emit_with_src(table, np.asarray(src), taguri=taguri)
+
+
+# --------------------------------------------------------------------------
+# inferred-column tables (fasta / tsv), batched with PER-FILE inference
+# --------------------------------------------------------------------------
+
+def _infer_batched(col_values: pd.Series, file_idx: np.ndarray,
+                   classifiers, na_str, n_files: int):
+    """Per-file column inference over one concatenated column.
+
+    Runs each recognizer ONCE on the whole column; per-file goodness =
+    groupby(file) match fraction; first recognizer with goodness>0.8
+    wins per file (HomoList.cast semantics, classes.py:131-138).
+    Returns (chosen: list[Recog|None], results: dict[recog_name,
+    result]) — chosen[f] None means the default classifier."""
+    s = col_values.astype("object")
+    na = _na_mask(s, na_str)
+    live = s.where(~na, None)
+    live_np = live.notna().to_numpy()
+    chosen: list = [None] * n_files
+    results: dict[str, dict] = {}
+    undecided = np.ones(n_files, dtype=bool)
+    n_live = np.bincount(file_idx, weights=live_np, minlength=n_files)
+    n_all = np.bincount(file_idx, minlength=n_files)
+    long_np = (
+        live.astype("object").fillna("").astype(str).str.len() > 20
+    ).to_numpy()
+    for recog in classifiers:
+        if not undecided.any():
+            break
+        res = recog.run(live)
+        results[recog.name] = res
+        match_np = res["clean"].notna().to_numpy() & live_np
+        if recog.goodness_mode == "sequence":
+            ok = np.bincount(file_idx, weights=match_np & long_np,
+                             minlength=n_files)
+            good = np.divide(ok, np.maximum(n_all, 1))
+            good[n_all == 0] = 0.0
+        else:
+            good = np.divide(
+                np.bincount(file_idx, weights=match_np, minlength=n_files),
+                np.maximum(n_live, 1),
+            )
+            good[n_live == 0] = 0.0
+        win = undecided & (good > GOODNESS_THRESHOLD)
+        for f in np.flatnonzero(win):
+            chosen[f] = recog
+        undecided &= ~win
+    return live, chosen, results
+
+
+def tabular_triples_batched(
+    tables: list[tuple[int, dict[str, list]]],
+    headless: bool,
+    classifiers=None,
+    na_str=(),
+    levels=None,
+    taguri=None,
+) -> pd.DataFrame:
+    """Batched tabularTyping + emission for files sharing the same
+    column KEY (header tuple, or arity for headless).  tables:
+    [(src_idx, {col: values}), ...]."""
+    chain = classifiers if classifiers is not None else ALL_CLASSIFIERS
+    if not tables:
+        return EMPTY_WITH_SRC.copy()
+    col_names = list(tables[0][1].keys())
+    n_files = len(tables)
+    file_of_row: list[int] = []
+    src_of_row: list[int] = []
+    for f, (src_idx, data) in enumerate(tables):
+        n_rows = len(data[col_names[0]]) if col_names else 0
+        file_of_row.extend([f] * n_rows)
+        src_of_row.extend([src_idx] * n_rows)
+    file_idx = np.asarray(file_of_row, dtype=np.int64)
+    src_arr = np.asarray(src_of_row, dtype=np.int64)
+    if len(file_idx) == 0:
+        return EMPTY_WITH_SRC.copy()
+
+    per_col = []
+    for name in col_names:
+        vals = pd.Series(
+            [v for _, data in tables for v in data[name]], dtype=object
+        )
+        live, chosen, results = _infer_batched(
+            vals, file_idx, chain, na_str, n_files
+        )
+        per_col.append((name, live, chosen, results))
+
+    # group files by column-recog signature; one emit per signature
+    sigs: dict[tuple, list[int]] = {}
+    for f in range(n_files):
+        sig = tuple(
+            (chosen[f].name if chosen[f] is not None else "__default__")
+            for _, _, chosen, _ in per_col
+        )
+        sigs.setdefault(sig, []).append(f)
+
+    by_name = {c.name: c for c in chain}
+    frames = []
+    for sig, files in sigs.items():
+        row_mask = np.isin(file_idx, files)
+        cols = []
+        for (name, live, chosen, results), recog_name in zip(per_col, sig):
+            recog = UNKNOWN if recog_name == "__default__" \
+                else by_name[recog_name]
+            if recog.name in results:
+                res = results[recog.name]
+            else:
+                res = recog.run(live)
+                results[recog.name] = res
+            sub_live = live[row_mask].reset_index(drop=True)
+            clean = res["clean"][row_mask].reset_index(drop=True)
+            clean = clean.where(sub_live.notna(), None)
+            dtype = None
+            if "dtype" in res:
+                dtype = res["dtype"][row_mask].reset_index(drop=True)
+                dtype = dtype.where(sub_live.notna(), None)
+            cols.append(E.TypedColumn(
+                recog=recog, dirty=sub_live, clean=clean,
+                field=None if headless else name, dtype=dtype,
+            ))
+        frames.append(
+            emit_with_src(cols, src_arr[row_mask], levels=levels, taguri=taguri)
+        )
+    return pd.concat(frames, ignore_index=True) if frames else EMPTY_WITH_SRC.copy()
+
+
+def fasta_triples_batched(items: list[tuple[int, str]], levels=None,
+                          na_str=(), taguri=None) -> pd.DataFrame:
+    """Batched prep-fasta: equal-arity files are grouped by arity and
+    column-typed per file; ragged files fall back to the per-file
+    path."""
+    by_arity: dict[int, list[tuple[int, dict]]] = {}
+    fallback_frames = []
+    for src_idx, content in items:
+        rows = parse_fasta(content)
+        if not rows:
+            continue
+        arities = {len(r) for r in rows}
+        if len(arities) == 1:
+            k = arities.pop()
+            data = {str(i): [r[i] for r in rows] for i in range(k)}
+            by_arity.setdefault(k, []).append((src_idx, data))
+        else:
+            from octofludb_spark.extract.infer import type_ragged
+
+            for cols, _ in type_ragged(rows, na_str=na_str):
+                f = emit_with_src(
+                    cols, np.full(len(cols[0].dirty), src_idx, dtype=np.int64),
+                    levels=levels, taguri=taguri,
+                )
+                fallback_frames.append(f)
+    frames = list(fallback_frames)
+    for _, tables in by_arity.items():
+        frames.append(
+            tabular_triples_batched(tables, headless=True, na_str=na_str,
+                                    levels=levels, taguri=taguri)
+        )
+    return pd.concat(frames, ignore_index=True) if frames else EMPTY_WITH_SRC.copy()
+
+
+def table_triples_batched(items: list[tuple[int, str]], levels=None,
+                          na_str=(), taguri=None) -> pd.DataFrame:
+    """Batched prep-table: headered TSVs grouped by header tuple."""
+    by_header: dict[tuple, list[tuple[int, dict]]] = {}
+    for src_idx, content in items:
+        data = parse_tsv(content)
+        if not data:
+            continue
+        by_header.setdefault(tuple(data.keys()), []).append((src_idx, data))
+    frames = [
+        tabular_triples_batched(tables, headless=False, na_str=na_str,
+                                levels=levels, taguri=taguri)
+        for _, tables in by_header.items()
+    ]
+    return pd.concat(frames, ignore_index=True) if frames else EMPTY_WITH_SRC.copy()
+
+
+def _per_file_with_src(fn):
+    def run(items: list[tuple[int, str]], taguri=None) -> pd.DataFrame:
+        frames = []
+        for src_idx, content in items:
+            f = fn(content, taguri=taguri)
+            f = f.assign(src=np.int64(src_idx))
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True) if frames \
+            else EMPTY_WITH_SRC.copy()
+    return run
+
+
+BATCHED_RECIPES = {
+    "fasta": fasta_triples_batched,
+    "tsv": table_triples_batched,
+    "gisaid": gisaid_triples_batched,
+    "ivr": ivr_triples_batched,
+    "ird": ird_triples_batched,
+    "blast": _per_file_with_src(blast_triples),
+    "ids": _per_file_with_src(idlist_triples),
+}

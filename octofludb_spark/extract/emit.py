@@ -103,12 +103,17 @@ class TypedColumn:
 
 class TripleSink:
     """Accumulates triple blocks as numpy object arrays (positional
-    alignment, no pandas frame per block); finalizes to one DataFrame."""
+    alignment, no pandas frame per block); finalizes to one DataFrame.
 
-    def __init__(self) -> None:
+    With ``src`` (an int array aligned to the table's rows), every
+    emitted triple carries the source-file index of the row it came
+    from — per-row lineage for the batched extraction path."""
+
+    def __init__(self, src: Optional[np.ndarray] = None) -> None:
         self._blocks: list[tuple] = []
+        self._src = src
 
-    def add(self, s, p, o, dt=DT_PLAIN, mask=None) -> None:
+    def add(self, s, p, o, dt=DT_PLAIN, mask=None, src_rows=None) -> None:
         """All Series arguments are aligned POSITIONALLY (they come from
         the same table); indices are discarded to dodge duplicate-label
         alignment traps."""
@@ -131,17 +136,25 @@ class TripleSink:
             m = np.ones(n, dtype=bool)
         # safeAdd semantics (util.py:116-123): only fully non-null triples
         m = m & pd.notna(sa) & pd.notna(pa) & pd.notna(oa)
-        if m.any():
-            da = da.copy()
-            da[pd.isna(da)] = DT_PLAIN
-            self._blocks.append((sa[m], pa[m], oa[m], da[m]))
+        if not m.any():
+            return
+        da = da.copy()
+        da[pd.isna(da)] = DT_PLAIN
+        if src_rows is not None:
+            sr = np.asarray(src_rows, dtype=np.int64)
+        elif self._src is not None and n == len(self._src):
+            sr = self._src
+        else:
+            sr = np.full(n, -1, dtype=np.int64)
+        self._blocks.append((sa[m], pa[m], oa[m], da[m], sr[m]))
 
-    def frame(self) -> pd.DataFrame:
+    def frame(self, with_src: bool = False) -> pd.DataFrame:
         if not self._blocks:
-            return pd.DataFrame(
-                {"s": pd.Series(dtype=object), "p": pd.Series(dtype=object),
-                 "o": pd.Series(dtype=object), "dt": pd.Series(dtype=object)}
-            )
+            cols = {"s": pd.Series(dtype=object), "p": pd.Series(dtype=object),
+                    "o": pd.Series(dtype=object), "dt": pd.Series(dtype=object)}
+            if with_src:
+                cols["src"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
         out = pd.DataFrame(
             {
                 "s": np.concatenate([b[0] for b in self._blocks]),
@@ -150,6 +163,8 @@ class TripleSink:
                 "dt": np.concatenate([b[3] for b in self._blocks]),
             }
         )
+        if with_src:
+            out["src"] = np.concatenate([b[4] for b in self._blocks])
         return out.drop_duplicates(ignore_index=True)
 
 
@@ -222,6 +237,16 @@ def emit_table(
     """Phrase.connect over every row of a typed table
     (classes.py:373-396), vectorized by column pair."""
     sink = TripleSink()
+    emit_into(sink, cols, levels=levels, taguri=taguri)
+    return sink.frame()
+
+
+def emit_into(
+    sink: TripleSink,
+    cols: list[TypedColumn],
+    levels: Optional[set[str]] = None,
+    taguri: Optional[str] = None,
+) -> None:
     has_seg_or_dna = _table_has(cols, dnaseq_counts=True)
     has_seg = _table_has(cols, dnaseq_counts=False)
     use_segment = has_seg_or_dna and (levels is None or "segment" in levels)
@@ -250,8 +275,6 @@ def emit_table(
 
         if taguri is not None and col.group is not None:
             sink.add(col.uri(), P_TAG, taguri, DT_URI, alive)
-
-    return sink.frame()
 
 
 def _relate_strain(sink, col, cols, alive, use_segment):
@@ -353,12 +376,15 @@ def _strain_add_triples(sink, col, mask):
         return
     sub = col.clean.reset_index(drop=True)[keep]
     uri_np = uri.to_numpy(dtype=object)[keep]
+    src_np = sink._src[keep] if sink._src is not None else None
     parts = sub.astype(str).str.split("/")
     exploded = parts.explode()
-    # positional map back to the owning row's uri
+    # positional map back to the owning row's uri / src
     owner_pos = exploded.index.to_numpy()
     pos_of = {idx: i for i, idx in enumerate(sub.index)}
-    uris = np.array([uri_np[pos_of[i]] for i in owner_pos], dtype=object)
+    owner = np.array([pos_of[i] for i in owner_pos], dtype=np.int64)
+    uris = uri_np[owner]
+    srcs = src_np[owner] if src_np is not None else None
     vals = exploded.reset_index(drop=True)
     is_barcode = vals.str.fullmatch(_BARCODE_PAT).to_numpy(dtype=bool)
     if is_barcode.any():
@@ -367,6 +393,7 @@ def _strain_add_triples(sink, col, mask):
             P_BARCODE,
             vals[is_barcode].reset_index(drop=True),
             DT_PLAIN,
+            src_rows=srcs[is_barcode] if srcs is not None else None,
         )
     if (~is_barcode).any():
         from octofludb_spark.functions.geography import state_to_code_series
@@ -380,4 +407,5 @@ def _strain_add_triples(sink, col, mask):
                 P_STATE,
                 (NUSA + codes[has_state].astype(str)).reset_index(drop=True),
                 DT_URI,
+                src_rows=srcs[~is_barcode][has_state] if srcs is not None else None,
             )

@@ -21,6 +21,8 @@ joins OVER the store lives in plans/views.py.
 from __future__ import annotations
 
 import hashlib
+
+import numpy as np
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -54,36 +56,56 @@ def extract_triples(
     """Stage 1: parse + recognize + emit, per file, map-side only."""
     taguri = make_tag_uri(tag) if tag else None
 
+    from octofludb_spark.extract.batched import BATCHED_RECIPES
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            # per-row sha256 invariant (BASELINE input_hint)
+            shas = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in pdf["content"]
+            ]
+            recorded = pdf["content_sha256"] if "content_sha256" in pdf \
+                else pd.Series([None] * len(pdf))
+            sha_ok = [
+                r is None or s == r for s, r in zip(shas, recorded)
+            ]
+            # group the batch's files by lang; each recipe runs ONCE
+            # per batch over all its files (pandas overhead amortizes)
             frames = []
-            for row in pdf.itertuples(index=False):
-                recipe = RECIPES.get(row.lang)
+            for lang, grp in pdf.groupby("lang", sort=False):
+                recipe = BATCHED_RECIPES.get(lang)
                 if recipe is None:
                     continue
-                sha = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
-                recorded = getattr(row, "content_sha256", None)
-                sha_ok = recorded is None or sha == recorded
-                trips = recipe(row.content, taguri=taguri)
-                if tag:
-                    trips = pd.concat(
-                        [trips, tag_node_triples(tag, row.path, run_ts)],
-                        ignore_index=True,
-                    )
-                if not len(trips):
-                    continue
-                trips = trips.rename(
-                    columns={"s": "subject", "p": "predicate",
-                             "o": "object_lex", "dt": "object_dtype"}
-                )
-                trips["src_repo"] = row.repo
-                trips["src_path"] = row.path
-                trips["src_commit"] = row.commit
-                trips["content_sha256"] = sha
-                trips["sha_ok"] = sha_ok
-                frames.append(trips)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                items = list(zip(grp.index.to_numpy(), grp["content"]))
+                trips = recipe(items, taguri=taguri)
+                if len(trips):
+                    frames.append(trips)
+            if tag:
+                for i, path in enumerate(pdf["path"]):
+                    tn = tag_node_triples(tag, path, run_ts)
+                    frames.append(tn.assign(src=np.int64(i)))
+            if not frames:
+                continue
+            out = pd.concat(frames, ignore_index=True).rename(
+                columns={"s": "subject", "p": "predicate",
+                         "o": "object_lex", "dt": "object_dtype"}
+            )
+            src = out["src"].to_numpy()
+            valid = src >= 0
+            src_safe = np.where(valid, src, 0)
+            def attach(col_vals, missing=""):
+                vals = np.asarray(list(col_vals), dtype=object)[src_safe]
+                return np.where(valid, vals, missing)
+            out["src_repo"] = attach(pdf["repo"])
+            out["src_path"] = attach(pdf["path"])
+            out["src_commit"] = attach(pdf["commit"])
+            out["content_sha256"] = attach(shas)
+            out["sha_ok"] = np.where(
+                valid, np.asarray(sha_ok, dtype=object)[src_safe], True
+            ).astype(bool)
+            yield out.drop(columns=["src"])
 
     return source.mapInPandas(process, TRIPLE_SCHEMA)
 
