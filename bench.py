@@ -23,7 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_DOCS = int(os.environ.get("BENCH_KG_DOCS", "4000"))
+N_DOCS = int(os.environ.get("BENCH_KG_DOCS", "24000"))
+# fixed input partitioning: the scaling protocol varies ONLY the
+# parallelism, never the data layout
+N_PARTS = int(os.environ.get("BENCH_KG_PARTITIONS", "128"))
 
 BENCH_QUERIES = [
     "lineitem_agg",
@@ -65,7 +68,7 @@ def main() -> None:
     warm = source_table(spark, cpus * 8, partitions=cpus)
     run_extraction(warm, run_ts="2026-01-01T00:00:00")[0].count()
 
-    src = source_table(spark, N_DOCS, partitions=cpus * 4).persist()
+    src = source_table(spark, N_DOCS, partitions=N_PARTS).persist()
     n_docs = src.count()  # materialize input outside the timed window
 
     t0 = time.time()

@@ -133,6 +133,35 @@ def subtypes_query(v: GraphViews) -> DataFrame:
     )
 
 
+def resolve_subtype(has, nas, gisaid_subtypes, genbank_subtypes):
+    """_get_subtype priority lattice (recipes.py:291-335) as plain
+    python — the unit-testable specification the Spark expression in
+    subtypes_report must match (octoFLU > genbank > gisaid,
+    conflicts -> 'mixed')."""
+    import re as _re
+
+    def ustr(s):
+        return s.upper().strip()
+
+    def clean(s):
+        m = _re.search(r".*(H\d+).*(N\d+).*", ustr(s))
+        return (m.group(1) + m.group(2)) if m else ""
+
+    gis = list({clean(s) for s in gisaid_subtypes if len(s) > 0})
+    gb = list({clean(s) for s in genbank_subtypes if len(s) > 0})
+    has = list({ustr(h) for h in has if len(h) > 0})
+    nas = list({ustr(n) for n in nas if len(n) > 0})
+    if len(nas) == 1 and len(has) == 1:
+        return has[0] + nas[0]
+    if len(gis) > 1 or len(gb) > 1 or len(nas) > 1 or len(has) > 1:
+        return "mixed"
+    if len(gb) == 1:
+        return gb[0]
+    if len(gis) == 1:
+        return gis[0]
+    return None
+
+
 def _clean_subtype_col(c):
     """_clean_subtype (recipes.py:279-288): upper, extract H\\d+ and
     N\\d+, concat (empty string when either missing)."""
@@ -165,25 +194,23 @@ def subtypes_report(v: GraphViews) -> DataFrame:
         )
     )
     def distinct_clean(col, cleaner):
-        arr = F.array_distinct(
-            F.filter(
-                F.transform(col, cleaner),
-                lambda x: (x.isNotNull()) & (x != ""),
+        """{clean(s) for s in col if len(s) > 0} — the reference KEEPS
+        empty-string CLEAN results in the set (recipes.py:299-308),
+        so only the raw empties are filtered."""
+        return F.array_distinct(
+            F.transform(
+                F.filter(col, lambda x: x.isNotNull() & (x != "")),
+                cleaner,
             )
         )
-        return arr
     per_strain = (
         per_strain
         .withColumn("has", distinct_clean(F.col("_ha_raw"),
                                           lambda x: F.upper(F.trim(x))))
         .withColumn("nas", distinct_clean(F.col("_na_raw"),
                                           lambda x: F.upper(F.trim(x))))
-        .withColumn("gis", distinct_clean(
-            F.filter(F.col("_gis_raw"), lambda x: x != ""),
-            _clean_subtype_col))
-        .withColumn("gb", distinct_clean(
-            F.filter(F.col("_gb_raw"), lambda x: x != ""),
-            _clean_subtype_col))
+        .withColumn("gis", distinct_clean(F.col("_gis_raw"), _clean_subtype_col))
+        .withColumn("gb", distinct_clean(F.col("_gb_raw"), _clean_subtype_col))
     )
     subtype = (
         F.when((F.size("has") == 1) & (F.size("nas") == 1),

@@ -1,0 +1,96 @@
+"""Training-data-pipeline operators: dedup family consistency,
+similarity-search structure, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_subset_of_jaccard(spark):
+    """LSH candidates verified at the same threshold are a subset of
+    the exact pair set — and near-complete at high similarity."""
+    from octofludb_spark.scale.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark)
+    exact = {(r.doc_x, r.doc_y) for r in
+             jaccard_pairs(docs, threshold=0.2).collect()}
+    lsh = {(r.doc_x, r.doc_y) for r in
+           minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    assert lsh <= exact
+    high = {(r.doc_x, r.doc_y) for r in
+            jaccard_pairs(docs, threshold=0.5).collect()}
+    assert high <= lsh or not high  # high-sim pairs survive banding
+
+
+def test_exact_dedup_covers_all_docs(spark):
+    from octofludb_spark.scale.dedup import exact_dedup
+
+    docs = _docs(spark)
+    agg = exact_dedup(docs)
+    assert agg.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+def test_simhash_is_16_bit(spark):
+    from octofludb_spark.scale.dedup import simhash
+
+    s = simhash(_docs(spark))
+    mx = s.agg(F.max("simhash"), F.min("simhash")).collect()[0]
+    assert 0 <= mx[1] and mx[0] < 2 ** 16
+
+
+def test_topk_lsh_structure(spark):
+    from octofludb_spark.scale.simsearch import topk_brute, topk_lsh
+
+    emb = _emb(spark)
+    lsh = topk_lsh(emb, k=3, n_planes=2)
+    per_q = lsh.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 3
+    brute = topk_brute(emb, emb.where(F.col("vec_id") < 5), k=3)
+    assert brute.groupBy("query_id").count().count() == 5
+    # ranks are 1..k, scores non-increasing per query
+    rows = sorted(
+        brute.where(F.col("query_id") == 0).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1))
+
+
+def test_multimodal_plumbing(spark):
+    from octofludb_spark.scale.multimodal import (
+        decode_image,
+        extract_features,
+        to_media_table,
+    )
+
+    media = to_media_table(_docs(spark).limit(30))
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r.width >= 64 and r.height >= 64 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+
+
+def test_lang_id_deterministic_tie_order(spark):
+    from octofludb_spark.scale.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the der le el"), (2, "zzz qqq"), (3, "the the der")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out[1] == "en"   # 4-way tie -> dict order en first
+    assert out[2] == "und"
+    assert out[3] == "en"
