@@ -382,3 +382,27 @@ BATCHED_RECIPES = {
     "blast": _per_file_with_src(blast_triples),
     "ids": _per_file_with_src(idlist_triples),
 }
+
+
+def _late_bind():
+    """Irregular recipes are registered after import to avoid cycles."""
+    from octofludb_spark.extract.recipes import (
+        irregular_fasta_triples,
+        irregular_segment_table_triples,
+    )
+
+    BATCHED_RECIPES.setdefault(
+        "unpublished",
+        _per_file_with_src(
+            lambda content, taguri=None: irregular_fasta_triples(
+                content, taguri=taguri)),
+    )
+    BATCHED_RECIPES.setdefault(
+        "segtable",
+        _per_file_with_src(
+            lambda content, taguri=None: irregular_segment_table_triples(
+                content, taguri=taguri)),
+    )
+
+
+_late_bind()

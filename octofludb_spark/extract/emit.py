@@ -201,6 +201,8 @@ def _object_of(sink: TripleSink, col: TypedColumn, uri: pd.Series, mask) -> None
         return
     if kind == "string_dirty":
         # String literal of the ORIGINAL text (token.py:155-165)
+        if col.choose_field() is None:
+            return  # as_predicate None -> no triple (token.py:57-62)
         m = mask & col.truthy
         sink.add(uri, make_property(col.choose_field()), col.dirty, DT_PLAIN, m)
         return
@@ -212,6 +214,8 @@ def _object_of(sink: TripleSink, col: TypedColumn, uri: pd.Series, mask) -> None
         return
     # default Token.object_of: literal of clean, typed when the
     # recognizer carries a dtype column (dates, int/double/bool)
+    if col.choose_field() is None:
+        return  # as_predicate None -> no triple (token.py:57-62)
     m = mask & col.truthy & col.clean.notna()
     dt = col.dtype if col.dtype is not None else DT_PLAIN
     sink.add(uri, make_property(col.choose_field()), col.clean, dt, m)
@@ -281,8 +285,10 @@ def _relate_strain(sink, col, cols, alive, use_segment):
     """StrainToken.relate (classifier_flucrew.py:197-218)."""
     valid = alive & col.truthy
     uri = col.uri()
-    # the typename self-assertion triple
-    sink.add(uri, make_property(col.typename), col.clean, DT_PLAIN, valid)
+    # the typename self-assertion triple (skipped for None typenames,
+    # classifier_flucrew.py:207-208)
+    if col.typename is not None:
+        sink.add(uri, make_property(col.typename), col.clean, DT_PLAIN, valid)
     for other in cols:
         if other is col:
             continue  # other.clean == self.clean for the same column
@@ -305,7 +311,8 @@ def _relate_segment(sink, col, cols, alive):
         ok = valid & other.clean.notna()
         if other.group == "segment" and other.typename != col.typename:
             sink.add(uri, OWL_SAMEAS, other.uri(), DT_URI, ok & other.truthy)
-        elif other.choose_field() not in STRAIN_FIELDS:
+        elif other.choose_field() not in STRAIN_FIELDS \
+                and other.typename is not None:
             _object_of(sink, other, uri, ok)
 
 

@@ -288,6 +288,58 @@ def gisaid_triples(content: str, taguri=None) -> pd.DataFrame:
     return emit_table(table, taguri=taguri)
 
 
+def irregular_fasta_triples(content: str, levels=None, na_str=(),
+                            taguri=None) -> pd.DataFrame:
+    """prep unpublished (IrregularFasta, recipes.py:522-545): the
+    first header field is FORCED to be a strain id (f:strain_id); the
+    remaining fields type normally; every sequence node is tagged
+    tag:unpublished."""
+    rows = parse_fasta(content)
+    rows = [r for r in rows if len(r) >= 2]
+    if not rows:
+        return _EMPTY.copy()
+    strain_col = typed(R.IRREGULAR_STRAIN, [r[0] for r in rows])
+    rest = [r[1:] for r in rows]
+    arities = {len(r) for r in rest}
+    dfs = []
+    if len(arities) == 1:
+        cols = type_headless_table(rest, na_str=na_str) + [strain_col]
+        dfs.append(emit_table(cols, levels=levels, taguri=taguri))
+        seq_cols = [c for c in cols if c.group == "sequence"]
+    else:
+        # ragged remainder: per-signature groups, strain column sliced
+        seq_cols = []
+        for cols, ris in type_ragged(rest, na_str=na_str):
+            sub_strain = typed(R.IRREGULAR_STRAIN,
+                               [rows[i][0] for i in ris])
+            group_cols = cols + [sub_strain]
+            dfs.append(emit_table(group_cols, levels=levels, taguri=taguri))
+            seq_cols.extend(c for c in group_cols if c.group == "sequence")
+    # tag all sequence nodes as unpublished (recipes.py:535-543)
+    unpub = make_tag_uri("unpublished")
+    sink = TripleSink()
+    for c in seq_cols:
+        sink.add(c.uri(), P_TAG, unpub, DT_URI, c.clean.notna())
+    dfs.append(sink.frame())
+    return pd.concat(dfs, ignore_index=True).drop_duplicates(ignore_index=True)
+
+
+def irregular_segment_table_triples(content: str, levels=None, na_str=(),
+                                    taguri=None) -> pd.DataFrame:
+    """prep table --segment-key (IrregularSegmentTable,
+    recipes.py:559-573): the FIRST column is forced to be a segment
+    identifier (typename None — it gets sameAs links and attributes
+    but asserts no predicate of its own)."""
+    data = parse_tsv(content)
+    if not data:
+        return _EMPTY.copy()
+    names = list(data.keys())
+    seg_col = typed(R.IRREGULAR_SEGMENT, data[names[0]])
+    rest = {k: data[k] for k in names[1:]}
+    cols = type_table(rest, na_str=na_str) + [seg_col]
+    return emit_table(cols, levels=levels, taguri=taguri)
+
+
 RECIPES = {
     "fasta": lambda content, taguri=None: fasta_triples(content, taguri=taguri),
     "tsv": lambda content, taguri=None: table_triples(content, taguri=taguri),
@@ -296,4 +348,8 @@ RECIPES = {
     "ivr": ivr_triples,
     "ird": ird_triples,
     "gisaid": gisaid_triples,
+    "unpublished": lambda content, taguri=None: irregular_fasta_triples(
+        content, taguri=taguri),
+    "segtable": lambda content, taguri=None: irregular_segment_table_triples(
+        content, taguri=taguri),
 }

@@ -46,7 +46,8 @@ K_PLAIN = "plain"              # default Token behavior
 class Recog:
     """One vectorized classifier."""
 
-    name: str                        # reference typename
+    name: Optional[str]              # reference typename (None allowed,
+                                     # e.g. IrregularSegment)
     kind: str
     run: Callable[[pd.Series], pd.DataFrame]
     group: Optional[str] = None      # strain | segment | sequence | None
@@ -342,9 +343,9 @@ STRING = Recog("string", K_PLAIN, _string_run, object_kind="string_dirty")
 INTEGER = Recog("integer", K_PLAIN, _integer_run)
 DOUBLE = Recog("double", K_PLAIN, _double_run)
 BOOLEAN = Recog("float", K_PLAIN, _boolean_run)  # reference typename quirk
-IRREGULAR_STRAIN = Recog("strain_name", K_STRAIN, _unknown_run, group="strain")
-IRREGULAR_SEGMENT = Recog("irregular_segment", K_SEGMENT, _unknown_run,
-                          group="segment")
+# recipes.py:510-556: match-anything tokens forcing a group
+IRREGULAR_STRAIN = Recog("strain_id", K_STRAIN, _unknown_run, group="strain")
+IRREGULAR_SEGMENT = Recog(None, K_SEGMENT, _unknown_run, group="segment")
 
 # The inference chain, in exactly the reference's order
 # (classifier_flucrew.py:532-564).

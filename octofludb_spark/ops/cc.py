@@ -64,11 +64,52 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+DRIVER_CC_THRESHOLD = 2_000_000  # edges; ~100MB of IRIs on the driver
+
+
+def _driver_union_find(pairs) -> list[tuple[str, str]]:
+    """Union-find with path compression; representative = lexicographic
+    min (same result as the distributed fixpoint)."""
+    parent: dict[str, str] = {}
+    nodes: set[str] = set()
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    # second pass: the min member of each set wins as representative
+    # (union order above may have attached an earlier-found min later)
+    comp_min: dict[str, str] = {}
+    for x in nodes:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return [(x, comp_min[find(x)]) for x in sorted(nodes)]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_threshold: int = DRIVER_CC_THRESHOLD) -> DataFrame:
     """-> (node, component) with component = min member IRI.
 
     Deterministic: component representative is the lexicographic
-    minimum, independent of partitioning."""
+    minimum, independent of partitioning.
+
+    Hybrid execution: below ``driver_threshold`` edges the alias graph
+    collects to the driver for union-find (microseconds — the common
+    case, since sameAs edges only link ids co-occurring in a row);
+    above it, alternating large-star/small-star DataFrame iterations
+    handle arbitrarily large graphs."""
     def _sig(e: DataFrame) -> tuple:
         """Cheap fixpoint signature: (count, sum of row hashes) — one
         aggregate instead of two anti-joins per iteration."""
@@ -88,6 +129,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sig = _sig(edges)
     if sig[0] == 0:
         return spark.createDataFrame([], "node string, component string")
+    if sig[0] <= driver_threshold:
+        pairs = [(r.src, r.dst) for r in edges.collect()]
+        comp = _driver_union_find(pairs)
+        return spark.createDataFrame(comp, "node string, component string")
     # The sameAs edge set is small relative to the triple store; size
     # the iteration's shuffles to the data, not to the session-wide
     # partition count (a 6-job driver loop at full width is pure

@@ -391,6 +391,145 @@ def masterlist_report(v: GraphViews) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# wgs.rq — quarterly WGS selection report (macro params __YEAR__/__MONTH__)
+# --------------------------------------------------------------------------
+
+def wgs_report(v: GraphViews, year: int, month: int) -> DataFrame:
+    """wgs.rq: USA swine A0 strains with HA+NA genbank ids collected in
+    (year, month); grouped per (strain, host, year, month).  The
+    SPARQL BIND(YEAR/MONTH/DAY) on typed dates maps to substring
+    extraction on full xsd:date lexicals (FILTER BOUND drops partial
+    dates, exactly like MONTH() on a gYear is unbound)."""
+    strain = v.pred("strain_name", s="sid", o="strain").where(
+        F.col("strain").rlike("A/.wine/.*/A0")
+    )
+    swine = v.value("host", "swine", s="sid").withColumn("host", F.lit("swine"))
+    country = v.path2("country", "code", s="sid", o="country").where(
+        F.col("country") == "USA"
+    )
+    # full dates only (BOUND(month) && BOUND(day))
+    date = v.pred_typed("date", s="sid", o="date").where(
+        F.col("dt") == "xsd:date"
+    ).select(
+        "sid", "date",
+        F.substring("date", 1, 4).cast("int").alias("year"),
+        F.substring("date", 6, 2).cast("int").alias("month"),
+        F.substring("date", 9, 2).alias("day"),
+    ).where((F.col("year") == year) & (F.col("month") == month))
+    barcode = v.pred("barcode", s="sid", o="barcode")
+    state = v.path2("state", "name", s="sid", o="state")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    hagid = hs.join(v.value("segment_name", "HA", s="gid"), "gid")
+    nagid = hs.join(v.value("segment_name", "NA", s="gid"), "gid")
+    gb = v.pred("genbank_id", s="gid", o="gb", expand=False)
+    h_gb = hagid.join(gb, "gid").select("sid", F.col("gb").alias("h_genbank"))
+    n_gb = nagid.join(gb, "gid").select("sid", F.col("gb").alias("n_genbank"))
+    ha_clade = hagid.join(v.pred("clade", s="gid", o="ha_clade"), "gid") \
+        .select("sid", "ha_clade")
+    na_clade = nagid.join(v.pred("clade", s="gid", o="na_clade"), "gid") \
+        .select("sid", "na_clade")
+    ha_gl = hagid.join(v.pred("gl_clade", s="gid", o="ha_gl_clade"), "gid") \
+        .select("sid", "ha_gl_clade")
+    source = hagid.join(
+        v.path2("has_feature", "isolation_source", s="gid", o="source"), "gid"
+    ).select("sid", "source")
+    const = v.pred("constellation", s="sid", o="const")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+
+    core = (
+        strain.join(swine, "sid").join(country.select("sid").distinct(), "sid")
+        .join(date, "sid").join(h_gb, "sid").join(n_gb, "sid")
+    )
+    opt = (
+        core.join(barcode, "sid", "left").join(state, "sid", "left")
+        .join(source, "sid", "left").join(const, "sid", "left")
+        .join(subtype, "sid", "left").join(ha_clade, "sid", "left")
+        .join(na_clade, "sid", "left").join(ha_gl, "sid", "left")
+        .join(country, "sid", "left")
+    )
+    return opt.groupBy("strain", "host", "year", "month").agg(
+        group_concat("barcode", "barcode"),
+        group_concat("subtype", "subtype"),
+        group_concat("day", "day"),
+        group_concat("country", "country"),
+        group_concat("state", "state"),
+        group_concat("source", "source"),
+        group_concat("h_genbank", "h_genbank"),
+        group_concat("n_genbank", "n_genbank"),
+        group_concat("const", "const"),
+        group_concat("ha_clade", "ha_clade"),
+        group_concat("na_clade", "na_clade"),
+        group_concat("ha_gl_clade", "ha_gl_clade"),
+    )
+
+
+def monthly_context(v: GraphViews, min_date: str, max_date: str) -> DataFrame:
+    """monthly-context.rq: sequences for recent A0 swine USA strains
+    (collection date in [min_date, max_date]) or older strains with a
+    full [PVT]{6} constellation after 2015; per (strain, segment,
+    seq)."""
+    barcode = v.pred("barcode", s="sid", o="barcode").where(
+        F.col("barcode").rlike("^A0")
+    )
+    strain = v.pred("strain_name", s="sid", o="strain")
+    swine = v.value("host", "swine", s="sid")
+    usa = v.path2("country", "code", s="sid", o="_c").where(
+        F.col("_c") == "USA").select("sid").distinct()
+    date = v.pred("date", s="sid", o="date")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+    const = v.pred("constellation", s="sid", o="const")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    hagid = hs.join(v.value("segment_name", "HA", s="gid"), "gid") \
+        .select("sid").distinct()
+    nagid = hs.join(v.value("segment_name", "NA", s="gid"), "gid") \
+        .select("sid").distinct()
+    segname = v.pred("segment_name", s="gid", o="segment")
+    seq = v.pred("dnaseq", s="gid", o="seq")
+    ha_clade = (
+        hs.join(v.value("segment_name", "HA", s="gid"), "gid")
+        .join(v.pred("clade", s="gid", o="ha_clade"), "gid")
+        .select("sid", "ha_clade")
+    )
+    na_clade = (
+        hs.join(v.value("segment_name", "NA", s="gid"), "gid")
+        .join(v.pred("clade", s="gid", o="na_clade"), "gid")
+        .select("sid", "na_clade")
+    )
+    wgs_tag = (
+        v.pred("tag", s="sid", o="_t")
+        .join(v.pred("name", s="_t", o="_n", expand=False)
+              .where(F.col("_n") == "wgs"), "_t")
+        .select("sid", F.lit("wgs").alias("wgs"))
+        .distinct()
+    )
+    core = (
+        barcode.select("sid").distinct().join(strain, "sid").join(swine, "sid")
+        .join(usa, "sid").join(date, "sid").join(subtype, "sid")
+        .join(hagid, "sid").join(nagid, "sid")
+        .join(const, "sid", "left").join(wgs_tag, "sid", "left")
+    )
+    year = F.substring("date", 1, 4).cast("int")
+    keep = (
+        ((F.col("date") > min_date) & (F.col("date") < max_date))
+        | ((year > 2015) & F.col("const").isNotNull()
+           & F.col("const").rlike("[PVT]{6}"))
+    )
+    core = core.where(keep)
+    rows = (
+        core.join(hs, "sid").join(segname, "gid").join(seq, "gid")
+        .join(ha_clade, "sid").join(na_clade, "sid")
+    )
+    return rows.groupBy("strain", "segment", "seq").agg(
+        group_concat("subtype", "subtypes"),
+        F.min("date").alias("earliest_date"),
+        group_concat("wgs", "wgss"),
+        group_concat("const", "consts"),
+        group_concat("ha_clade", "ha_clades"),
+        group_concat("na_clade", "na_clades"),
+    )
+
+
+# --------------------------------------------------------------------------
 # other shipped queries
 # --------------------------------------------------------------------------
 

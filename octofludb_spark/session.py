@@ -21,6 +21,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # local-mode shuffle writes from many task threads thrash a slow
+    # /tmp; keep shuffle spill on tmpfs when available (a real cluster
+    # has per-executor local disks instead)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
@@ -34,6 +41,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

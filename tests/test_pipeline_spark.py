@@ -66,13 +66,19 @@ def test_dedup_idempotent(spark):
     assert once.count() == twice.count()
 
 
-def test_connected_components(spark):
+@pytest.mark.parametrize("threshold", [0, 10_000])
+def test_connected_components(spark, threshold):
+    """threshold=0 forces the distributed star iterations; the large
+    threshold takes the driver union-find path — identical results."""
     edges = spark.createDataFrame(
-        [("b", "a"), ("c", "b"), ("e", "d"), ("x", "x")], ["src", "dst"]
+        [("b", "a"), ("c", "b"), ("e", "d"), ("x", "x"), ("f", "c")],
+        ["src", "dst"],
     )
-    comp = {r.node: r.component for r in connected_components(edges).collect()}
-    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    comp = {r.node: r.component for r in
+            connected_components(edges, driver_threshold=threshold).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["f"] == "a"
     assert comp["d"] == comp["e"] == "d"
+    assert "x" not in comp  # self-loops are dropped
 
 
 def test_canonicalize_rewrites_subject_and_uri_objects(spark):
