@@ -397,6 +397,9 @@ def _late_bind():
             lambda content, taguri=None: irregular_fasta_triples(
                 content, taguri=taguri)),
     )
+    from octofludb_spark.extract.genbank import genbank_triples
+
+    BATCHED_RECIPES.setdefault("genbank", _per_file_with_src(genbank_triples))
     BATCHED_RECIPES.setdefault(
         "segtable",
         _per_file_with_src(

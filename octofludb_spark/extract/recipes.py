@@ -353,3 +353,12 @@ RECIPES = {
     "segtable": lambda content, taguri=None: irregular_segment_table_triples(
         content, taguri=taguri),
 }
+
+
+def _register_genbank():
+    from octofludb_spark.extract.genbank import genbank_triples
+
+    RECIPES["genbank"] = genbank_triples
+
+
+_register_genbank()
