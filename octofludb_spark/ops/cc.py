@@ -130,9 +130,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     if sig[0] == 0:
         return spark.createDataFrame([], "node string, component string")
     if sig[0] <= driver_threshold:
-        pairs = [(r.src, r.dst) for r in edges.collect()]
-        comp = _driver_union_find(pairs)
-        return spark.createDataFrame(comp, "node string, component string")
+        import pandas as pd
+
+        pdf = edges.toPandas()  # Arrow transfer
+        comp = _driver_union_find(
+            zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+        )
+        out = pd.DataFrame(comp, columns=["node", "component"])
+        return spark.createDataFrame(out)  # Arrow transfer back
     # The sameAs edge set is small relative to the triple store; size
     # the iteration's shuffles to the data, not to the session-wide
     # partition count (a 6-job driver loop at full width is pure
