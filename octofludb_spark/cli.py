@@ -1,0 +1,206 @@
+"""Command-line interface mirroring the reference's surface
+(reference: octofludb/ui.py subcommands), Spark-backed.
+
+  prep <kind> <file> [--tag T]      file -> turtle on stdout
+  build <store> --docs N | --source <parquet>   staged graph build
+  merge <store> <kind> <file>      idempotent ingest into a store
+  query <store> <name> [args]      run a shipped report query -> TSV
+  fasta <store> <name>             report -> FASTA (last col = seq)
+  delete <store> <kind>            delete-*.rq analogs
+  bench                            one-line JSON benchmark
+
+Usage: python -m octofludb_spark.cli <subcommand> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cores=None):
+    from octofludb_spark.session import get_spark
+
+    return get_spark(app="octofludb-spark-cli", cores=cores)
+
+
+PREP_KINDS = ("fasta", "table", "gisaid", "ivr", "ird", "blast", "tag",
+              "unpublished", "segtable", "genbank")
+_KIND_TO_LANG = {"table": "tsv", "tag": "ids"}
+
+
+def cmd_prep(args) -> int:
+    import pandas as pd
+
+    from octofludb_spark.extract.recipes import RECIPES, tag_node_triples
+    from octofludb_spark.functions.uri import make_tag_uri
+    from octofludb_spark.plans.turtle import triples_to_turtle
+
+    lang = _KIND_TO_LANG.get(args.kind, args.kind)
+    content = open(args.file).read()
+    taguri = make_tag_uri(args.tag) if args.tag else None
+    trips = RECIPES[lang](content, taguri=taguri)
+    if args.tag:
+        trips = pd.concat(
+            [trips, tag_node_triples(args.tag, args.file, args.run_ts)],
+            ignore_index=True,
+        )
+    trips = trips.rename(columns={"s": "subject", "p": "predicate",
+                                  "o": "object_lex", "dt": "object_dtype"})
+    sys.stdout.write(triples_to_turtle(trips))
+    return 0
+
+
+def cmd_build(args) -> int:
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.sources.synth import source_table
+
+    spark = _spark(args.cores)
+    if args.source:
+        src = spark.read.parquet(args.source)
+    else:
+        src = source_table(spark, args.docs)
+    store = build_graph(spark, src, args.store, tag=args.tag,
+                        run_ts=args.run_ts)
+    n = store.read(spark, "triples_canonical").count()
+    print(f"built {args.store}: {n} canonical triples", file=sys.stderr)
+    return 0
+
+
+def cmd_merge(args) -> int:
+    import hashlib
+
+    import pandas as pd
+
+    from octofludb_spark.extract.pipeline import run_extraction
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    content = open(args.file).read()
+    lang = _KIND_TO_LANG.get(args.kind, args.kind)
+    row = pd.DataFrame([{
+        "repo": "local", "path": args.file, "commit": "0" * 40,
+        "lang": lang, "content": content,
+        "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+    }])
+    triples, _ = run_extraction(spark.createDataFrame(row), tag=args.tag,
+                                run_ts=args.run_ts)
+    TripleStore(args.store).merge_triples(spark, triples)
+    return 0
+
+
+def _queries():
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.plans import reports as R
+
+    return {
+        "masterlist": lambda v, a: R.masterlist_report(v),
+        "subtypes": lambda v, a: R.subtypes_report(v).withColumn(
+            "isolates", F.concat_ws("+", F.sort_array("isolates"))),
+        "constellations": lambda v, a: R.constellations(v),
+        "segments": lambda v, a: R.segments_query(v),
+        "unclassified": lambda v, a: R.unclassified_swine(v),
+        "h1-swine": lambda v, a: R.h_swine_sequences(v, "H1"),
+        "h3-swine": lambda v, a: R.h_swine_sequences(v, "H3"),
+        "tagged": lambda v, a: R.tagged_strains(v),
+        "wgs": lambda v, a: R.wgs_report(v, int(a[0]), int(a[1])),
+        "monthly-context": lambda v, a: R.monthly_context(v, a[0], a[1]),
+    }
+
+
+QUERY_NAMES = ["masterlist", "subtypes", "constellations", "segments",
+               "unclassified", "h1-swine", "h3-swine", "tagged", "wgs",
+               "monthly-context"]
+
+
+def _views(spark, store_root, sameas=True):
+    from octofludb_spark.plans.views import GraphViews
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(store_root)
+    table = "triples_canonical" if sameas else "triples"
+    df = store.read(spark, table)
+    if df is None:
+        df = store.read(spark, "triples")
+    return GraphViews(df)
+
+
+def cmd_query(args) -> int:
+    from octofludb_spark.plans.formatting import as_fasta_text, as_table_text
+
+    spark = _spark(args.cores)
+    v = _views(spark, args.store, sameas=not args.no_sameas)
+    df = _queries()[args.name](v, args.args)
+    if args.fasta:
+        print(as_fasta_text(df))
+    else:
+        print(as_table_text(df))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from octofludb_spark.plans import maintenance as M
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    store = TripleStore(args.store)
+    if args.kind == "motifs":
+        M.delete_motifs(spark, store)
+    elif args.kind == "query-tags":
+        M.clear_query_tags(spark, store)
+    else:
+        M.delete_predicate(spark, store, args.kind)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="octofludb-spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prep")
+    sp.add_argument("kind", choices=PREP_KINDS)
+    sp.add_argument("file")
+    sp.add_argument("--tag")
+    sp.add_argument("--run-ts", dest="run_ts", default=None)
+    sp.set_defaults(fn=cmd_prep)
+
+    sb = sub.add_parser("build")
+    sb.add_argument("store")
+    sb.add_argument("--docs", type=int, default=1000)
+    sb.add_argument("--source")
+    sb.add_argument("--tag")
+    sb.add_argument("--run-ts", dest="run_ts", default=None)
+    sb.set_defaults(fn=cmd_build)
+
+    sm = sub.add_parser("merge")
+    sm.add_argument("store")
+    sm.add_argument("kind", choices=PREP_KINDS)
+    sm.add_argument("file")
+    sm.add_argument("--tag")
+    sm.add_argument("--run-ts", dest="run_ts", default=None)
+    sm.set_defaults(fn=cmd_merge)
+
+    sq = sub.add_parser("query")
+    sq.add_argument("store")
+    sq.add_argument("name", choices=QUERY_NAMES)
+    sq.add_argument("args", nargs="*")
+    sq.add_argument("--fasta", action="store_true")
+    sq.add_argument("--no-sameas", action="store_true",
+                    help="FROM onto:disable-sameAs analog")
+    sq.set_defaults(fn=cmd_query)
+
+    sd = sub.add_parser("delete")
+    sd.add_argument("store")
+    sd.add_argument("kind", choices=["subtypes", "constellations",
+                                     "us_clades", "gl_clades", "motifs",
+                                     "query-tags"])
+    sd.set_defaults(fn=cmd_delete)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -75,7 +75,10 @@ def triples_to_turtle(pdf: pd.DataFrame) -> str:
         else:
             o = _literal(r.object_lex, r.object_dtype or "")
         for term in (s, p, o):
-            if ":" in term and not term.startswith(("<", '"')):
+            if term.startswith('"'):
+                if "^^" in term:  # typed literal -> its dtype prefix
+                    used.add(term.rsplit("^^", 1)[1].split(":", 1)[0])
+            elif ":" in term and not term.startswith("<"):
                 used.add(term.split(":", 1)[0])
         rows.append((s, p, o))
     rows.sort()
