@@ -30,31 +30,51 @@ def canonical_map(components: DataFrame) -> DataFrame:
 
 def canonicalize(triples: DataFrame, mapping: DataFrame,
                  use_broadcast: bool = True) -> DataFrame:
-    """Rewrite subject and URI-typed objects to canonical IRIs, then
-    re-dedup (aliases may collapse identical triples)."""
-    m = F.broadcast(mapping) if use_broadcast else mapping
-    out = (
-        triples.join(m.withColumnRenamed("node", "subject")
-                      .withColumnRenamed("canonical", "_s_canon"),
-                     on="subject", how="left")
-        .withColumn("subject", F.coalesce("_s_canon", "subject"))
-        .drop("_s_canon")
-    )
-    obj_map = (
-        m.withColumnRenamed("node", "object_lex")
-        .withColumnRenamed("canonical", "_o_canon")
-    )
-    out = (
-        out.join(obj_map, on="object_lex", how="left")
-        .withColumn(
-            "object_lex",
-            F.when((F.col("object_dtype") == DT_URI) & F.col("_o_canon").isNotNull(),
-                   F.col("_o_canon")).otherwise(F.col("object_lex")),
-        )
-        .drop("_o_canon")
-    )
+    """Rewrite subject and URI-typed objects to canonical IRIs.
+
+    Scale design: only TOUCHED triples (those whose subject or URI
+    object appears in the alias dictionary) are rewritten and
+    deduplicated — the untouched majority of the store is passed
+    through with NO shuffle at all.  A rewritten triple may collide
+    with an untouched one, so the touched set (small) is also
+    anti-joined against the untouched side on the triple key; with the
+    dictionary broadcast both joins keep the big side map-side."""
     cols = ["subject", "predicate", "object_lex", "object_dtype"]
-    return out.select(*cols).dropDuplicates(cols)
+    m = F.broadcast(mapping) if use_broadcast else mapping
+    s_map = (m.withColumnRenamed("node", "subject")
+              .withColumnRenamed("canonical", "_s_canon"))
+    o_map = (m.withColumnRenamed("node", "object_lex")
+              .withColumnRenamed("canonical", "_o_canon"))
+    joined = (
+        triples.join(s_map, on="subject", how="left")
+        .join(o_map, on="object_lex", how="left")
+        .withColumn(
+            "_o_canon",
+            F.when(F.col("object_dtype") == DT_URI, F.col("_o_canon")),
+        )
+    )
+    untouched = joined.where(
+        F.col("_s_canon").isNull() & F.col("_o_canon").isNull()
+    ).select(*cols)
+    touched = (
+        joined.where(F.col("_s_canon").isNotNull() | F.col("_o_canon").isNotNull())
+        .select(
+            F.coalesce("_s_canon", "subject").alias("subject"),
+            "predicate",
+            F.coalesce("_o_canon", "object_lex").alias("object_lex"),
+            "object_dtype",
+        )
+        .dropDuplicates(cols)
+    )
+    if use_broadcast:
+        # touched is small when the dictionary is broadcastable: find
+        # collisions with a broadcast SEMI join (untouched never
+        # shuffles), then subtract them from the touched side.
+        collide = untouched.join(F.broadcast(touched), on=cols, how="left_semi")
+        touched = touched.join(F.broadcast(collide), on=cols, how="left_anti")
+        return untouched.unionByName(touched)
+    # huge-dictionary fallback: exact set semantics via one full dedup
+    return untouched.unionByName(touched).dropDuplicates(cols)
 
 
 def salted_join(big: DataFrame, dim: DataFrame, key: str, nsalt: int = 16) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Property-based checks (hypothesis) for the pure layers, plus
+equivalence of the dual execution strategies (driver vs distributed
+CC; broadcast vs full-shuffle canonicalize)."""
+
+import string
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from octofludb_spark.functions.dates import parse_date_series
+from octofludb_spark.functions.uri import make_uri, make_uri_series
+
+# --- pure-function properties ----------------------------------------------
+
+text_st = st.text(
+    alphabet=string.ascii_letters + string.digits + " -_/.()",
+    min_size=0, max_size=30,
+)
+
+
+@given(st.lists(text_st, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_make_uri_series_matches_scalar(xs):
+    s = pd.Series(xs, dtype=object)
+    got = make_uri_series(s).tolist()
+    want = [make_uri(x) for x in xs]
+    assert got == want
+
+
+@given(st.lists(text_st, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_date_parser_total_and_stable(xs):
+    """Never raises; parsing twice gives identical output; every clean
+    has a 4-digit year prefix."""
+    s = pd.Series(xs, dtype=object)
+    a = parse_date_series(s)
+    b = parse_date_series(s)
+    assert a["clean"].tolist() == b["clean"].tolist()
+    for v in a["clean"]:
+        if v is not None:
+            assert len(v) >= 4 and v[:4].isdigit()
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=60))
+@settings(max_examples=50, deadline=None)
+def test_driver_union_find_is_correct(pairs):
+    """Union-find components equal a BFS ground truth."""
+    from octofludb_spark.ops.cc import _driver_union_find
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    if not edges:
+        return
+    comp = dict(_driver_union_find(edges))
+    # ground truth via BFS
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: dict = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, members = [start], []
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen[x] = None
+            members.append(x)
+            stack.extend(adj[x])
+        rep = min(members)
+        for m in members:
+            seen[m] = rep
+    assert comp == seen
+
+
+# --- dual-strategy equivalence on Spark ------------------------------------
+
+pytestmark_spark = pytest.mark.spark
+
+
+@pytest.mark.spark
+def test_cc_distributed_equals_driver(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(f"v{rnd.randint(0, 60)}", f"v{rnd.randint(0, 60)}")
+             for _ in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from octofludb_spark.ops.cc import connected_components
+
+    a = {(r.node, r.component) for r in
+         connected_components(df, driver_threshold=10**9).collect()}
+    b = {(r.node, r.component) for r in
+         connected_components(df, driver_threshold=0).collect()}
+    assert a == b
+
+
+@pytest.mark.spark
+def test_canonicalize_strategies_agree(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(300):
+        s = f"e{rnd.randint(0, 40)}"
+        o = f"e{rnd.randint(0, 40)}"
+        dt = "uri" if rnd.random() < 0.5 else ""
+        rows.append((s, f"p{rnd.randint(0, 3)}", o, dt))
+    trips = spark.createDataFrame(
+        rows, ["subject", "predicate", "object_lex", "object_dtype"]
+    ).dropDuplicates()
+    mapping = spark.createDataFrame(
+        [(f"e{i}", f"e{i % 5}") for i in range(10, 30)],
+        ["node", "canonical"],
+    )
+    from octofludb_spark.ops.canonicalize import canonicalize
+
+    fast = {tuple(r) for r in canonicalize(trips, mapping, True).collect()}
+    exact = {tuple(r) for r in canonicalize(trips, mapping, False).collect()}
+    assert fast == exact
