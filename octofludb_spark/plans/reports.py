@@ -286,6 +286,69 @@ def masterlist_query(v: GraphViews) -> DataFrame:
     )
 
 
+def masterlist_query_fast(v: GraphViews) -> DataFrame:
+    """masterlist.rq as a ONE-SHUFFLE-PER-ENTITY plan: instead of ~15
+    predicate-view self-joins (each an exchange), pivot all strain
+    attributes and all segment attributes in one groupBy each, join
+    once through has_segment, and evaluate every SPARQL pattern as an
+    array predicate.  Output is row-identical to masterlist_query
+    (equivalence-tested); this is the plan shape that survives a
+    100TB store."""
+    strain_attrs = v.entity_attrs(
+        ["strain_name", "host", "barcode", "date", "state",
+         "constellation", "subtype", "country"], s="sid")
+    seg_attrs = v.entity_attrs(
+        ["segment_name", "segment_subtype", "genbank_id", "clade",
+         "gl_clade", "h3_motif", "sa_motif", "sb_motif", "ca1_motif",
+         "ca2_motif", "cb_motif"], s="gid")
+    from octofludb_spark.functions.uri import NCOUNTRY, NUSA
+
+    strains = (
+        strain_attrs
+        .withColumn("strain_f",
+                    F.filter("strain_name",
+                             lambda x: x.rlike("A/swine/.*/A0")))
+        .where(F.size("strain_f") > 0)
+        .where(F.array_contains("host", "swine"))
+        .where(F.array_contains("country", NCOUNTRY + "USA"))
+        .where(F.size("date") > 0)
+        .withColumn("state_abbr",
+                    F.transform("state",
+                                lambda u: F.substring(u, len(NUSA) + 1, 2)))
+        .withColumn("barcode", F.explode("barcode"))
+    )
+    segs = (
+        seg_attrs
+        .withColumn("segment", F.explode("segment_name"))
+        .withColumn("genbank_id", F.explode("genbank_id"))
+    )
+    hs = v.pred("has_segment", s="sid", o="gid")
+    rows = strains.join(hs, "sid").join(segs, "gid")
+
+    def gc(col, alias):
+        return F.concat_ws(
+            "+",
+            F.sort_array(F.array_distinct(F.flatten(F.collect_set(col)))),
+        ).alias(alias)
+
+    return rows.groupBy("barcode", "genbank_id", "segment").agg(
+        gc("segment_subtype", "segment_subtypes"),
+        gc("subtype", "subtypes"),
+        F.min(F.array_min("date")).alias("earliest_date"),
+        gc("state_abbr", "states"),
+        gc("strain_f", "strains"),
+        gc("clade", "us_clades"),
+        gc("gl_clade", "gl_clades"),
+        gc("constellation", "consts"),
+        gc("h3_motif", "h3_motifs"),
+        gc("sa_motif", "sa_motifs"),
+        gc("sb_motif", "sb_motifs"),
+        gc("ca1_motif", "ca1_motifs"),
+        gc("ca2_motif", "ca2_motifs"),
+        gc("cb_motif", "cb_motifs"),
+    )
+
+
 MASTERLIST_HEADER = [
     "Barcode", "Date", "Collection_Q", "State", "Subtype", "H_Genbank",
     "N_Genbank", "PB2_Genbank", "PB1_Genbank", "PA_Genbank", "NP_Genbank",
@@ -298,8 +361,10 @@ MASTERLIST_HEADER = [
 def masterlist_report(v: GraphViews) -> DataFrame:
     """mk_masterlist (recipes.py:427-507): the 33-column wide report,
     one row per barcode; list cells comma-joined, sorted for
-    determinism.  Quarter = ceil(month/3) calendar (recipes.py:261-272)."""
-    q = masterlist_query(v)
+    determinism.  Quarter = ceil(month/3) calendar (recipes.py:261-272).
+    Uses the one-shuffle entity-pivot plan (row-identical to the
+    literal translation, tests/test_masterlist_fast.py)."""
+    q = masterlist_query_fast(v)
 
     def split_nonempty(col):
         return F.filter(F.split(col, r"\+"), lambda x: x != "")

@@ -82,6 +82,40 @@ class GraphViews:
         return a.join(b, on="_mid").drop("_mid")
 
 
+    def entity_attrs(self, preds: list[str], s: str = "s",
+                     expand: bool = True) -> DataFrame:
+        """One-shuffle wide entity view: all requested predicates of
+        each subject as array columns (groupBy + pivot).  Replaces a
+        chain of per-predicate self-joins — the workhorse for
+        report-shaped queries at scale."""
+        iri_to_name: dict[str, str] = {}
+        for p in preds:
+            names = SUBPROP.get(p, [p]) if expand else [p]
+            for n in names:
+                iri_to_name[NT + n] = p
+        base = self.triples.where(
+            F.col("predicate").isin(list(iri_to_name))
+        ).select(
+            F.col("subject").alias(s),
+            F.col("predicate").alias("_p"),
+            F.col("object_lex").alias("_o"),
+        )
+        pivoted = (
+            base.groupBy(s)
+            .pivot("_p", values=list(iri_to_name))
+            .agg(F.collect_set("_o"))
+        )
+        out = pivoted
+        # merge subproperty columns into their super-property array
+        for p in preds:
+            iris = [i for i, name in iri_to_name.items() if name == p]
+            cols = [F.coalesce(F.col(f"`{i}`"), F.array()) for i in iris]
+            merged = cols[0] if len(cols) == 1 else F.array_distinct(
+                F.concat(*cols))
+            out = out.withColumn(p, F.coalesce(merged, F.array()))
+        return out.select(s, *preds)
+
+
 def group_concat(col: str, alias: str, sep: str = "+"):
     """GROUP_CONCAT(DISTINCT x; separator=sep) with deterministic
     ordering (A1): sort_array before join."""
