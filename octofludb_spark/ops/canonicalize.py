@@ -29,7 +29,8 @@ def canonical_map(components: DataFrame) -> DataFrame:
 
 
 def canonicalize(triples: DataFrame, mapping: DataFrame,
-                 use_broadcast: bool = True) -> DataFrame:
+                 use_broadcast: bool = True,
+                 scalable_collide: bool = False) -> DataFrame:
     """Rewrite subject and URI-typed objects to canonical IRIs.
 
     Scale design: only TOUCHED triples (those whose subject or URI
@@ -66,14 +67,16 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
         )
         .dropDuplicates(cols)
     )
-    if use_broadcast:
-        # touched is small when the dictionary is broadcastable: find
-        # collisions with a broadcast SEMI join (untouched never
-        # shuffles), then subtract them from the touched side.
+    if scalable_collide and use_broadcast:
+        # when the TOUCHED subset is known-small (sparse aliasing):
+        # find collisions with a broadcast SEMI join (untouched never
+        # shuffles), then subtract them from the touched side.  With
+        # dense aliasing the broadcast outgrows its win — hence opt-in.
         collide = untouched.join(F.broadcast(touched), on=cols, how="left_semi")
         touched = touched.join(F.broadcast(collide), on=cols, how="left_anti")
         return untouched.unionByName(touched)
-    # huge-dictionary fallback: exact set semantics via one full dedup
+    # exact set semantics at any alias density: one full dedup (this
+    # shuffle doubles as the store's bucket-partitioning pass)
     return untouched.unionByName(touched).dropDuplicates(cols)
 
 

@@ -119,6 +119,8 @@ def test_canonicalize_strategies_agree(spark):
     )
     from octofludb_spark.ops.canonicalize import canonicalize
 
-    fast = {tuple(r) for r in canonicalize(trips, mapping, True).collect()}
+    default = {tuple(r) for r in canonicalize(trips, mapping, True).collect()}
+    scalable = {tuple(r) for r in canonicalize(
+        trips, mapping, True, scalable_collide=True).collect()}
     exact = {tuple(r) for r in canonicalize(trips, mapping, False).collect()}
-    assert fast == exact
+    assert default == scalable == exact
