@@ -34,7 +34,7 @@ GL_CLADES = ["1A.1.1", "1A.3.3.2", "1B.2.1", "3.1990.4.1", "Other-Avian",
              "Other-Human-1990", "1A.3.3.2-vaccine"]
 IG_CLADES = ["pdm", "TRIG", "LAIV"]
 BASES = np.array(list("ATGC"))
-LANGS = ["fasta", "tsv", "gisaid", "ids", "blast", "ivr"]
+LANGS = ["fasta", "tsv", "gisaid", "ids", "blast", "ivr", "genbank"]
 
 
 # Shared entity pools: ids are drawn from bounded deterministic pools
@@ -177,6 +177,53 @@ def _ivr_doc(r) -> str:
     return "\n".join(rows)
 
 
+def _genbank_doc(r) -> str:
+    """JSON-lines of Entrez-shaped records (sequence + source feature)."""
+    import json
+
+    lines = []
+    for _ in range(2 + r.randint(4)):
+        acc = _gb(r)
+        strain = _strain(r)
+        gene = SEGMENTS[r.randint(len(SEGMENTS))]
+        rec = {
+            "GBSeq_primary-accession": acc,
+            "GBSeq_locus": acc,
+            "GBSeq_organism": "Influenza A virus",
+            "GBSeq_length": str(800 + r.randint(1600)),
+            "GBSeq_update-date": f"{1 + r.randint(28):02d}-JUN-{2015 + r.randint(7)}",
+            "GBSeq_definition": f"Influenza A virus ({strain}) segment",
+            "GBSeq_sequence": _seq(r).lower(),
+            "GBSeq_feature-table": [
+                {
+                    "GBFeature_key": "source",
+                    "GBFeature_location": "1..2280",
+                    "GBFeature_quals": [
+                        {"GBQualifier_name": "strain",
+                         "GBQualifier_value": strain},
+                        {"GBQualifier_name": "host",
+                         "GBQualifier_value": "Sus scrofa"},
+                        {"GBQualifier_name": "country",
+                         "GBQualifier_value": f"USA: {STATES[r.randint(len(STATES))]}"},
+                        {"GBQualifier_name": "collection_date",
+                         "GBQualifier_value": _date(r)},
+                        {"GBQualifier_name": "serotype",
+                         "GBQualifier_value": SUBTYPES[r.randint(3)]},
+                    ],
+                },
+                {
+                    "GBFeature_key": "CDS",
+                    "GBFeature_quals": [
+                        {"GBQualifier_name": "gene",
+                         "GBQualifier_value": gene},
+                    ],
+                },
+            ],
+        }
+        lines.append(json.dumps(rec))
+    return "\n".join(lines)
+
+
 _MAKERS = {
     "fasta": _fasta_doc,
     "tsv": _tsv_doc,
@@ -184,9 +231,10 @@ _MAKERS = {
     "ids": _ids_doc,
     "blast": _blast_doc,
     "ivr": _ivr_doc,
+    "genbank": _genbank_doc,
 }
 _EXT = {"fasta": "fna", "tsv": "tsv", "gisaid": "gis", "ids": "txt",
-        "blast": "blast", "ivr": "ivr"}
+        "blast": "blast", "ivr": "ivr", "genbank": "gbjson"}
 
 
 def make_doc(doc_id: int) -> tuple[str, str, str, str, str, str]:
