@@ -640,10 +640,9 @@ def h_swine_sequences(v: GraphViews, ha: str = "H1") -> DataFrame:
     )
 
 
-def tagged_strains(v: GraphViews) -> DataFrame:
-    """get-tagged-strain.rq: 4-branch UNION matching query-tag values
-    against strain_name / isolate_name / barcode / segment seqid, then
-    per-strain aggregation."""
+def _tag_matched_sids(v: GraphViews) -> DataFrame:
+    """The get-tagged-*.rq 4-branch UNION: subjects whose strain_name /
+    isolate_name / barcode / segment seqid equals any query-tag value."""
     tags = v.pred("query_tag", s="_tid", o="tag").select("tag").distinct()
     by_strain = v.pred("strain_name", s="sid", o="tag")
     by_isolate = v.pred("isolate_name", s="sid", o="tag")
@@ -653,12 +652,19 @@ def tagged_strains(v: GraphViews) -> DataFrame:
         .join(v.pred("seqid", s="gid", o="tag"), "gid")
         .select("sid", "tag")
     )
-    matched = (
+    return (
         by_strain.unionByName(by_isolate).unionByName(by_barcode)
         .unionByName(by_seqid)
-        .join(tags, "tag")
+        .join(F.broadcast(tags), "tag")
         .select("sid").distinct()
     )
+
+
+def tagged_strains(v: GraphViews) -> DataFrame:
+    """get-tagged-strain.rq: 4-branch UNION matching query-tag values
+    against strain_name / isolate_name / barcode / segment seqid, then
+    per-strain aggregation."""
+    matched = _tag_matched_sids(v)
     strain = v.pred("strain_name", s="sid", o="strain")
     date = v.pred("date", s="sid", o="date")
     base = matched.join(strain, "sid").join(date, "sid")
@@ -684,6 +690,152 @@ def tagged_strains(v: GraphViews) -> DataFrame:
     )
     return out.groupBy("strain").agg(
         group_concat("isolate", "isolates"),
+        group_concat("host", "hosts"),
+        group_concat("subtype", "subtypes"),
+        group_concat("naclade", "naclades"),
+        group_concat("haclade", "haclades"),
+        group_concat("gl_clade", "gl_clades"),
+        group_concat("constellation", "constellations"),
+        group_concat("country", "countries"),
+        F.min("date").alias("earliest_date"),
+    )
+
+
+def all_accessions(v: GraphViews) -> DataFrame:
+    """all-acc.rq: accessions with full genbank data (sequence +
+    definition) stored."""
+    gb = v.pred("genbank_id", s="gid", o="acc", expand=False)
+    seq = v.pred("dnaseq", s="gid", o="_seq").select("gid").distinct()
+    d = v.pred("definition", s="gid", o="_def").select("gid").distinct()
+    return gb.join(seq, "gid").join(d, "gid").select("acc").distinct()
+
+
+def h_sequences(v: GraphViews, subtype_prefix: str = "H1N") -> DataFrame:
+    """get-h1-sequences.rq / get-h3-sequences.rq: HA segment sequences
+    of strains whose subtype matches the prefix."""
+    typed = v.pred("subtype", s="sid", o="_st").where(
+        F.col("_st").rlike(subtype_prefix)
+    ).select("sid").distinct()
+    hs = v.pred("has_segment", s="sid", o="gid")
+    ha = v.value("segment_name", "HA", s="gid")
+    gb = v.pred("genbank_id", s="gid", o="seqid", expand=False)
+    seq = v.pred("dnaseq", s="gid", o="seq")
+    return (
+        typed.join(hs, "sid").join(ha, "gid").join(gb, "gid").join(seq, "gid")
+        .select("seqid", "seq").distinct()
+    )
+
+
+def tagged_segments(v: GraphViews) -> DataFrame:
+    """get-tagged-segment.rq: per (dna_hash, strain) segment-level
+    report for tag-matched subjects."""
+    matched = _tag_matched_sids(v)
+    strain = v.pred("strain_name", s="sid", o="strain")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    seqid = v.pred("seqid", s="gid", o="_seqid").select("gid").distinct()
+    segname = v.pred("segment_name", s="gid", o="segment_name")
+    chks = v.pred("chksum", s="gid", o="dna_hash")
+    base = (
+        matched.join(strain, "sid").join(hs, "sid")
+        .join(seqid, "gid").join(segname, "gid").join(chks, "gid")
+    )
+    gb = v.pred("genbank_id", s="gid", o="gb", expand=False)
+    epi = v.pred("epi_id", s="gid", o="epi", expand=False)
+    clade = v.pred("clade", s="gid", o="clade")
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    out = (
+        base.join(gb, "gid", "left").join(epi, "gid", "left")
+        .join(clade, "gid", "left").join(iso, "sid", "left")
+    )
+    return out.groupBy("dna_hash", "strain").agg(
+        group_concat("isolate", "epiflu_isolate_id"),
+        group_concat("gb", "genbank_id"),
+        group_concat("epi", "epiflu_id"),
+        group_concat("segment_name", "segment_name"),
+        group_concat("clade", "us_clade"),
+    )
+
+
+def tagged_sequences(v: GraphViews) -> DataFrame:
+    """get-tagged-sequence.rq: per (strain, segment_name, seq) with
+    strain-level concats, for tag-matched subjects with sequences."""
+    matched = _tag_matched_sids(v)
+    strain = v.pred("strain_name", s="sid", o="strain")
+    hs = v.pred("has_segment", s="sid", o="gid")
+    seqid = v.pred("seqid", s="gid", o="_sq").select("gid").distinct()
+    seq = v.pred("dnaseq", s="gid", o="seq")
+    segname = v.pred("segment_name", s="gid", o="segment_name")
+    date = v.pred("date", s="sid", o="date")
+    core = (
+        matched.join(strain, "sid").join(hs, "sid").join(seqid, "gid")
+        .join(seq, "gid").join(segname, "gid").join(date, "sid")
+    )
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    host = v.pred("host", s="sid", o="host")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+    const = v.pred("constellation", s="sid", o="constellation")
+    country = v.path2("country", "code", s="sid", o="country")
+    hagid = v.value("segment_name", "HA", s="gid")
+    nagid = v.value("segment_name", "NA", s="gid")
+    hs2 = v.pred("has_segment", s="sid", o="gid")
+    ha_gl = hs2.join(hagid, "gid").join(
+        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("sid", "gl_clade")
+    ha_clade = hs2.join(hagid, "gid").join(
+        v.pred("clade", s="gid", o="haclade"), "gid").select("sid", "haclade")
+    na_clade = hs2.join(nagid, "gid").join(
+        v.pred("clade", s="gid", o="naclade"), "gid").select("sid", "naclade")
+    out = (
+        core.join(iso, "sid", "left").join(host, "sid", "left")
+        .join(subtype, "sid", "left").join(const, "sid", "left")
+        .join(country, "sid", "left").join(ha_gl, "sid", "left")
+        .join(ha_clade, "sid", "left").join(na_clade, "sid", "left")
+    )
+    return out.groupBy("strain", "segment_name", "seq").agg(
+        group_concat("isolate", "isolates"),
+        group_concat("host", "hosts"),
+        group_concat("subtype", "subtypes"),
+        group_concat("naclade", "naclades"),
+        group_concat("haclade", "haclades"),
+        group_concat("gl_clade", "gl_clades"),
+        group_concat("constellation", "constellations"),
+        group_concat("country", "countries"),
+        F.min("date").alias("earliest_date"),
+    )
+
+
+def tagged_isolates(v: GraphViews) -> DataFrame:
+    """get-tagged-isolate.rq: isolate-level view; isolate entities
+    (lid) join strain entities (sid) through the shared strain_name."""
+    matched = _tag_matched_sids(v)  # matches both lid- and sid-shaped
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    strain = v.pred("strain_name", s="sid", o="strain")
+    date = v.pred("date", s="sid", o="date")
+    lids = matched.join(iso, "sid").join(strain, "sid").join(date, "sid") \
+        .withColumnRenamed("sid", "lid")
+    host = v.pred("host", s="sid", o="host").withColumnRenamed("sid", "lid")
+    # strain-entity attributes join via the strain NAME
+    sid_by_name = v.pred("strain_name", s="sid2", o="strain")
+    subtype = v.pred("subtype", s="sid2", o="subtype")
+    const = v.pred("constellation", s="sid2", o="constellation")
+    strain_attrs = sid_by_name.join(subtype, "sid2", "left") \
+        .join(const, "sid2", "left").select("strain", "subtype", "constellation")
+    hs = v.pred("has_segment", s="lid", o="gid")
+    hagid = v.value("segment_name", "HA", s="gid")
+    nagid = v.value("segment_name", "NA", s="gid")
+    ha_gl = hs.join(hagid, "gid").join(
+        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("lid", "gl_clade")
+    ha_clade = hs.join(hagid, "gid").join(
+        v.pred("clade", s="gid", o="haclade"), "gid").select("lid", "haclade")
+    na_clade = hs.join(nagid, "gid").join(
+        v.pred("clade", s="gid", o="naclade"), "gid").select("lid", "naclade")
+    country = v.path2("country", "code", s="lid", o="country")
+    out = (
+        lids.join(host, "lid", "left").join(strain_attrs, "strain", "left")
+        .join(ha_gl, "lid", "left").join(ha_clade, "lid", "left")
+        .join(na_clade, "lid", "left").join(country, "lid", "left")
+    )
+    return out.groupBy("isolate").agg(
+        group_concat("strain", "strains"),
         group_concat("host", "hosts"),
         group_concat("subtype", "subtypes"),
         group_concat("naclade", "naclades"),
