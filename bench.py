@@ -70,7 +70,7 @@ def main() -> None:
     warm = source_table(spark, cpus * 8, partitions=cpus)
     run_extraction(warm, run_ts="2026-01-01T00:00:00")[0].count()
 
-    n_parts = N_PARTS or max(16, cpus * 2)
+    n_parts = N_PARTS or max(8, cpus)  # 1 partition/core: max batch amortization
     src = source_table(spark, N_DOCS, partitions=n_parts).persist()
     n_docs = src.count()  # materialize input outside the timed window
 

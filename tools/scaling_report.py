@@ -35,7 +35,7 @@ def main() -> None:
     results: dict[int, dict] = {}
     # interleave repeats and keep the best run per config — the box is
     # shared, so min-of-k isolates our job's cost from ambient noise
-    parts = int(os.environ.get("BENCH_KG_PARTITIONS", str(2 * n_hi)))
+    parts = int(os.environ.get("BENCH_KG_PARTITIONS", str(n_hi)))
     for rep in range(repeats):
         for cpus in (n_lo, n_hi):
             t0 = time.time()
