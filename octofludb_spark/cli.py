@@ -139,6 +139,37 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_pull(args) -> int:
+    """The reference's `octofludb pull` DAG (ui.py:330-433): build the
+    graph from the source table (schema/geography + extraction + link
+    + canonicalize), then the enrichment rounds (classification,
+    constellations, subtypes), each stage committed to the manifest so
+    a killed pull resumes."""
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.plans.enrich import (
+        enrich_classifications,
+        enrich_constellations,
+        enrich_subtypes,
+    )
+    from octofludb_spark.sources.synth import source_table
+
+    spark = _spark(args.cores)
+    if args.source:
+        src = spark.read.parquet(args.source)
+    else:
+        src = source_table(spark, args.docs)
+    store = build_graph(spark, src, args.store, run_ts=args.run_ts)
+    if not args.no_classify:
+        n1 = enrich_classifications(spark, store)
+        print(f"classified: {n1} triples", file=sys.stderr)
+    n2 = enrich_constellations(spark, store)
+    n3 = enrich_subtypes(spark, store)
+    total = store.read(spark, "triples").count()
+    print(f"pull complete: +{n2} constellation triples, +{n3} subtype "
+          f"triples, {total} total", file=sys.stderr)
+    return 0
+
+
 def cmd_delete(args) -> int:
     from octofludb_spark.plans import maintenance as M
     from octofludb_spark.sources.store import TripleStore
@@ -190,6 +221,14 @@ def main(argv=None) -> int:
     sq.add_argument("--no-sameas", action="store_true",
                     help="FROM onto:disable-sameAs analog")
     sq.set_defaults(fn=cmd_query)
+
+    spl = sub.add_parser("pull")
+    spl.add_argument("store")
+    spl.add_argument("--docs", type=int, default=1000)
+    spl.add_argument("--source")
+    spl.add_argument("--run-ts", dest="run_ts", default=None)
+    spl.add_argument("--no-classify", action="store_true")
+    spl.set_defaults(fn=cmd_pull)
 
     sd = sub.add_parser("delete")
     sd.add_argument("store")
