@@ -105,13 +105,19 @@ def distinct_pairs(spark, sf):
 
 @q("customers_without_orders", """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 """)
 def customers_without_orders(spark, sf):
     """J12: FILTER NOT EXISTS / MINUS as left_anti
-    (fetch-unclassified-swine.rq analog)."""
+    (fetch-unclassified-swine.rq analog).  The anti-join is against
+    the URGENT subset so the result is NON-EMPTY at every sf (every
+    customer has some order in the driver corpus; a 0=0 gate proves
+    nothing)."""
     c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (t(spark, sf, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_mktsegment")
 
 
@@ -186,13 +192,18 @@ def semi_join_orders(spark, sf):
 
 @q("incremental_user_diff", """
 SELECT DISTINCT user_id FROM events
-WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
 """)
 def incremental_user_diff(spark, sf):
     """J13/S6: incremental anti-diff (new ids = remote - existing,
-    entrez.py:78-122 analog)."""
+    entrez.py:78-122 analog).  'Existing' is the BUILDING-segment
+    registry subset so the diff is NON-EMPTY at every sf (event users
+    are all registered customers in the driver corpus)."""
     e = t(spark, sf, "events").select("user_id").distinct()
-    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"))
+    c = (t(spark, sf, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("user_id")))
     return e.join(c, "user_id", "left_anti")
 
 
@@ -219,20 +230,23 @@ def quarter_rollup(spark, sf):
 
 @q("priority_pivot", """
 SELECT o_custkey,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
 FROM orders GROUP BY o_custkey
 """)
 def priority_pivot(spark, sf):
     """A8: wide per-entity report via conditional aggregation
-    (masterlist pivot analog)."""
+    (masterlist pivot analog).  Both engines emit BIGINT sums: DuckDB
+    SUM(int) is HUGEINT (renders '5.0' via pandas) while Spark SUM is
+    BIGINT — the explicit casts make the lexical values identical."""
     o = t(spark, sf, "orders")
     p = F.col("o_orderpriority")
     return o.groupBy("o_custkey").agg(
-        F.sum(F.when(p == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
-        F.sum(F.when(p == "2-HIGH", 1).otherwise(0)).alias("n_high"),
-        F.sum(F.when(~p.isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).alias("n_other"),
+        F.sum(F.when(p == "1-URGENT", 1).otherwise(0)).cast("long").alias("n_urgent"),
+        F.sum(F.when(p == "2-HIGH", 1).otherwise(0)).cast("long").alias("n_high"),
+        F.sum(F.when(~p.isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("long")
+        .alias("n_other"),
     )
 
 
@@ -258,17 +272,40 @@ def event_hourly_windows(spark, sf):
 
 @q("extract_accessions", """
 SELECT doc_id, acc FROM (
-  SELECT doc_id, UNNEST(regexp_extract_all(text, '[A-Z][A-Z]?[0-9]{5,7}')) AS acc
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(
+           text || ' MN' || lpad(CAST((doc_id * 7919) % 900000 AS VARCHAR), 6, '0')
+                || ' see CY' || lpad(CAST((doc_id * 104729) % 90000 AS VARCHAR), 5, '0')
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' K' || lpad(CAST((doc_id * 31) % 100000 AS VARCHAR), 5, '0')
+                        ELSE ' x123' END,
+           '[A-Z][A-Z]?[0-9]{5,7}')) AS acc
   FROM documents
 )
 """)
 def extract_accessions(spark, sf):
     """R4 recognizer as a distributed regex extraction (genbank
-    accession grammar, domain_identifier.py:25) over free text."""
+    accession grammar, domain_identifier.py:25) over free text.
+
+    The driver documents corpus is lowercase word soup (no
+    accession-shaped tokens), so both engines first splice in
+    DETERMINISTIC accession mentions derived from doc_id (plus a
+    non-matching decoy) — the gate then checks real extraction work
+    with rows > 0 instead of a vacuous 0=0."""
     d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" MN"), F.lpad(((did * 7919) % 900000).cast("string"), 6, "0"),
+        F.lit(" see CY"), F.lpad(((did * 104729) % 90000).cast("string"), 5, "0"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" K"),
+                        F.lpad(((did * 31) % 100000).cast("string"), 5, "0")))
+        .otherwise(F.lit(" x123")),
+    )
     return d.select(
         "doc_id",
-        F.explode(F.regexp_extract_all("text",
+        F.explode(F.regexp_extract_all(aug,
                                        F.lit(r"[A-Z][A-Z]?[0-9]{5,7}"), 0))
         .alias("acc"),
     )
