@@ -326,7 +326,9 @@ def dedup_exact(spark, sf):
 _JACCARD_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
- sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ sh0 AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 200),
+ sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
  inter AS (
    SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS i
@@ -347,7 +349,9 @@ def dedup_ngram_jaccard(spark, sf):
 _MINHASH_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
- sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ sh0 AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 200),
+ sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
  perms AS (SELECT doc_id, shingle, UNNEST(range(8)) AS perm FROM sh),
  mh AS (SELECT doc_id, perm, MIN(md5(perm || '|' || shingle)) AS mh
         FROM perms GROUP BY 1, 2),

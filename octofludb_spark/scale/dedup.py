@@ -9,17 +9,26 @@ bit-for-bit; at production scale xxhash64 is a drop-in swap.
 Scale notes:
   * exact dedup — one hash-agg shuffle on the digest.
   * n-gram Jaccard — shingle explode (map-side), self-join on shingle
-    (the classic candidate-pair generation); shingle frequency skew is
-    bounded by a document-frequency cap.
+    (the classic candidate-pair generation); a stop-word shingle in k
+    docs would make k² candidate rows, so shingles with document
+    frequency > MAX_SHINGLE_DF are dropped BEFORE the self-join (the
+    dropped count is logged — no silent caps).
   * MinHash+LSH — signatures via groupBy(doc) min-agg (one shuffle),
-    banding turns the O(n²) pair space into per-bucket joins.
+    banding turns the O(n²) pair space into per-bucket joins; the
+    exact-Jaccard verify step runs ONLY over the LSH candidate pairs
+    (candidate ⋈ shingle explode, work ∝ |candidates|), never the
+    full shingle self-join.
   * SimHash — 16-bit md5-parity fingerprint, pure projection + one agg.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger("octofludb_spark.dedup")
 
 N_PERM = 8          # minhash permutations
 BAND_SIZE = 2       # rows per LSH band -> 4 bands
@@ -39,9 +48,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def shingles(docs: DataFrame, n: int = 3,
+             max_df: int | None = None) -> DataFrame:
     """Distinct n-word shingles per document (word = single-space
-    token), via a JVM-side transform over the word array."""
+    token), via a JVM-side transform over the word array.
+
+    ``max_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE any self-join consumes them (skew bound: a shingle in
+    k docs contributes k² candidate rows).  The dropped-shingle count
+    is logged so the cap is never silent."""
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     idx = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
@@ -58,24 +73,38 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    sh = sh.distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+            .persist()
+        )
+        n_hot = hot.count()  # materializes the cache; NOT a silent cap
+        if n_hot:
+            log.warning("shingle DF cap: dropping %d shingles with df > %d",
+                        n_hot, max_df)
+        # hot set is tiny (stop-word-like shingles) -> broadcast anti-join
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
-                  n: int = 3) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard >= threshold:
-    (doc_x, doc_y, jaccard)."""
-    sh = shingles(docs, n)
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification restricted to the given candidate
+    pairs: explode each pair by doc_x's shingles, match doc_y's on
+    (doc_y, shingle), count.  Work ∝ |cand| × avg shingles — NEVER the
+    full shingle self-join."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
+    shx = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_x") < F.col("doc_y"))
+        cand.join(shx, "doc_x")
+        .join(shy, ["doc_y", "shingle"])
         .groupBy("doc_x", "doc_y")
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_x")
                    .withColumnRenamed("n_sh", "n_x"), "doc_x")
         .join(sizes.withColumnRenamed("doc_id", "doc_y")
@@ -88,37 +117,74 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
         .where(F.col("jaccard") >= threshold)
         .select("doc_x", "doc_y", "jaccard")
     )
-    return out
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                  n: int = 3, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard >= threshold:
+    (doc_x, doc_y, jaccard).  Candidate generation is the classic
+    shingle self-join, skew-bounded by the ``max_df`` cap; the
+    intersection count falls out of the same join (one pass)."""
+    sh = shingles(docs, n, max_df=max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_x") < F.col("doc_y"))
+        .groupBy("doc_x", "doc_y")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_x")
+                   .withColumnRenamed("n_sh", "n_x"), "doc_x")
+        .join(sizes.withColumnRenamed("doc_id", "doc_y")
+              .withColumnRenamed("n_sh", "n_y"), "doc_y")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.col("n_x") + F.col("n_y") - F.col("inter")), 5),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_x", "doc_y", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM,
+                       max_df: int | None = None) -> DataFrame:
     """(doc_id, sig: array<string>) — per-permutation minima of
     md5(perm || '|' || shingle).  Hex-string min == numeric min for
     equal-length lowercase hex."""
-    sh = shingles(docs)
-    perms = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.array(*[F.lit(i) for i in range(n_perm)])).alias("perm"),
-    ).withColumn(
-        "h", F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle")))
-    )
-    mins = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
-    return (
-        mins.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("perm", "mh")))
-             .alias("m"))
-        .select(
-            "doc_id",
-            F.array(*[F.element_at("m", i) for i in range(n_perm)]).alias("sig"),
-        )
+    return _signatures(shingles(docs, max_df=max_df), n_perm)
+
+
+def _signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """All n_perm minima in ONE hash-agg shuffle: each permutation's
+    hash is a projected column (map-side, codegen) and F.min gives the
+    partial-aggregated per-doc minimum — no ×n_perm row explode, no
+    second shuffle."""
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))))
+        .alias(f"_h{i}")
+        for i in range(n_perm)
+    ])
+    return mins.select(
+        "doc_id", F.array(*[f"_h{i}" for i in range(n_perm)]).alias("sig")
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """MinHash banding -> candidate pairs -> exact-Jaccard verify.
-    Identical output columns to jaccard_pairs but the pair space is
-    pruned by LSH buckets instead of the full shingle join."""
-    sig = minhash_signatures(docs)
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
+                      max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """MinHash banding -> candidate pairs -> exact-Jaccard verify
+    restricted to the candidates.
+
+    Identical output columns to jaccard_pairs, but the O(n²) pair
+    space is pruned TWICE: banding keeps only bucket-colliding pairs,
+    and the verify step (``_verify_pairs``) touches shingles only for
+    those pairs — there is NO full shingle self-join anywhere in this
+    plan (that join is exactly what LSH exists to avoid)."""
+    sh = shingles(docs, max_df=max_df).persist()
+    sig = _signatures(sh)
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -139,12 +205,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
                 F.col("y.doc_id").alias("doc_y"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, threshold=0.0)
-    return (
-        cand.join(exact, ["doc_x", "doc_y"])
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_x", "doc_y", "jaccard")
-    )
+    return _verify_pairs(cand, sh, threshold)
 
 
 _HEX = "0123456789abcdef"

@@ -94,3 +94,50 @@ def test_lang_id_deterministic_tie_order(spark):
     assert out[1] == "en"   # 4-way tie -> dict order en first
     assert out[2] == "und"
     assert out[3] == "en"
+
+
+def test_minhash_never_runs_full_pair_join(spark, monkeypatch):
+    """Structural guard: the LSH verify step must NOT fall back to the
+    full all-pairs shingle join (that join is what LSH exists to
+    avoid).  jaccard_pairs is poisoned; the plan must never need it."""
+    from octofludb_spark.scale import dedup
+
+    def boom(*a, **k):
+        raise AssertionError("minhash_lsh_pairs called jaccard_pairs "
+                             "(full all-pairs join)")
+
+    monkeypatch.setattr(dedup, "jaccard_pairs", boom)
+    out = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.2)
+    assert out.count() >= 0  # forces full plan execution
+
+
+def test_shingle_df_cap_bounds_skew(spark):
+    """A stop-word shingle shared by every doc must be dropped by the
+    DF cap so candidate generation stays linear: 300 docs that agree
+    ONLY on the hot shingle produce zero candidate pairs."""
+    from octofludb_spark.scale.dedup import jaccard_pairs, shingles
+
+    rows = [(i, f"hot stop words u{i}a u{i}b u{i}c u{i}d") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = shingles(docs, max_df=100)
+    # the universal shingle is gone, per-doc unique shingles survive
+    assert capped.where(F.col("shingle") == "hot stop words").count() == 0
+    assert capped.count() > 0
+    assert jaccard_pairs(docs, threshold=0.01, max_df=100).count() == 0
+    # and without the cap the hot shingle would connect everything
+    uncapped = jaccard_pairs(docs, threshold=0.01, max_df=None)
+    assert uncapped.count() == 300 * 299 // 2
+
+
+def test_minhash_equals_candidate_filtered_jaccard(spark):
+    """The candidate-only verify must score candidates EXACTLY like
+    the full-join jaccard does (same values, same threshold cut)."""
+    from octofludb_spark.scale.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = _docs(spark)
+    exact = {(r.doc_x, r.doc_y): r.jaccard for r in
+             jaccard_pairs(docs, threshold=0.2).collect()}
+    lsh = {(r.doc_x, r.doc_y): r.jaccard for r in
+           minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    for pair, j in lsh.items():
+        assert exact[pair] == j
