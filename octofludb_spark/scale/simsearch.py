@@ -47,16 +47,20 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 def topk_brute(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Brute-force top-k neighbors for each query vector:
-    (query_id, vec_id, cos, rank).  Deterministic tiebreak on vec_id."""
+    (query_id, vec_id, cos, rank).  Deterministic tiebreak on vec_id.
+    Norms are hoisted BELOW the join (computed once per vector, not
+    once per pair)."""
     from pyspark.sql import Window
 
     q = queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("eq"))
-    c = emb.select("vec_id", F.col("embedding").alias("ec"))
+                       F.col("embedding").alias("eq"),
+                       _norm(F.col("embedding")).alias("nq"))
+    c = emb.select("vec_id", F.col("embedding").alias("ec"),
+                   _norm(F.col("embedding")).alias("nc"))
     scored = q.join(c, F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id",
         F.round(_dot(F.col("eq"), F.col("ec"))
-                / (_norm(F.col("eq")) * _norm(F.col("ec"))), 5).alias("cos"),
+                / (F.col("nq") * F.col("nc")), 5).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -79,32 +83,114 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
+TARGET_BUCKET = 256  # expected vectors per LSH bucket
+
+
+def adaptive_n_planes(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Plane count scaling with corpus size so the expected bucket
+    occupancy stays ~target_bucket: per-query candidate work is then
+    O(target_bucket × probes) REGARDLESS of n — 10⁹ vectors get ~22
+    planes, not a fixed 16 buckets."""
+    import math
+
+    return max(3, math.ceil(math.log2(max(n_vectors / target_bucket, 2.0))))
+
+
+def _bucket_bits(emb: DataFrame, n_planes: int, dim: int) -> DataFrame:
+    """(vec_id, embedding, norm, bits: array<int>) — hyperplane sign
+    pattern; norm computed once per vector."""
+    bits = [
+        (_dot(F.col("embedding"),
+              F.array(*[F.lit(v) for v in _hyperplane(dim, p)])) > 0).cast("int")
+        for p in range(n_planes)
+    ]
+    return emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("norm"),
+        F.array(*bits).alias("bits"),
+    )
+
+
 def lsh_bucket(emb: DataFrame, n_planes: int = 6, dim: int = 64) -> DataFrame:
     """(vec_id, bucket): sign pattern across n random hyperplanes."""
-    sig = None
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bit = (_dot(F.col("embedding"), plane) > 0).cast("int")
-        sig = bit.cast("string") if sig is None else F.concat(sig, bit.cast("string"))
-    return emb.select("vec_id", sig.alias("bucket"))
+    b = _bucket_bits(emb, n_planes, dim)
+    return b.select("vec_id", F.concat_ws("", *[
+        F.element_at("bits", i + 1) for i in range(n_planes)
+    ]).alias("bucket"))
 
 
-def topk_lsh(emb: DataFrame, k: int = 5, n_planes: int = 4,
-             dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same LSH bucket
-    (plus score+rank as in brute force).  Recall < 1 by construction —
-    this is the scale path for corpora where n² is impossible."""
+def topk_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = None,
+             dim: int = 64, target_bucket: int = TARGET_BUCKET,
+             multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates restricted to LSH buckets.
+
+    Scale path for corpora where n² is impossible:
+      * n_planes defaults to ``adaptive_n_planes(count)`` so bucket
+        occupancy — and therefore per-query work — is bounded at any
+        corpus size (the fixed-16-bucket geometry dies at 10⁹ rows);
+      * multi-probe: each query also probes every Hamming-1 neighbor
+        bucket (flip one sign bit), recovering most of the recall the
+        extra planes cost;
+      * per-vector norms are computed once, below the bucket join.
+    Each (query, candidate) pair joins at most once — probe buckets
+    are distinct and a candidate lives in exactly one bucket."""
     from pyspark.sql import Window
 
-    b = lsh_bucket(emb, n_planes=n_planes, dim=dim)
-    e = emb.join(b, "vec_id")
-    a = e.select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("eq"), "bucket")
-    c = e.select("vec_id", F.col("embedding").alias("ec"), "bucket")
-    scored = a.join(c, "bucket").where(F.col("query_id") != F.col("vec_id")).select(
-        "query_id", "vec_id",
-        F.round(_dot(F.col("eq"), F.col("ec"))
-                / (_norm(F.col("eq")) * _norm(F.col("ec"))), 5).alias("cos"),
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count(), target_bucket)
+    b = _bucket_bits(emb, n_planes, dim)
+    key = lambda bits: F.concat_ws("", *[
+        F.element_at(bits, i + 1) for i in range(n_planes)
+    ])
+    c = b.select("vec_id", F.col("embedding").alias("ec"),
+                 F.col("norm").alias("nc"), key(F.col("bits")).alias("bucket"))
+    def _flip(p):
+        return F.transform(
+            F.col("bits"), lambda x, i: F.when(i == p, 1 - x).otherwise(x)
+        )
+
+    if multiprobe:
+        probes = F.array(F.col("bits"), *[_flip(p) for p in range(n_planes)])
+    else:
+        probes = F.array(F.col("bits"))
+    q = b.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+        F.explode(probes).alias("pb"),
+    ).select("query_id", "eq", "nq", key(F.col("pb")).alias("bucket"))
+
+    # IVF-style scoring: cogroup queries and candidates per bucket and
+    # run ONE numpy matmul per bucket (Arrow-batched) — the per-pair
+    # higher-order-function dot product doesn't whole-stage-codegen and
+    # is 10x slower.  Each bucket emits only its local top-k per query;
+    # the global window then ranks ≤ (n_probes × k) rows per query.
+    import numpy as np
+    import pandas as pd
+
+    def score_bucket(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qdf) or not len(cdf):
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos": []})
+        Q = np.stack(qdf["eq"].to_numpy()).astype(np.float64)
+        C = np.stack(cdf["ec"].to_numpy()).astype(np.float64)
+        S = (Q / qdf["nq"].to_numpy()[:, None]) @ (C / cdf["nc"].to_numpy()[:, None]).T
+        qids = qdf["query_id"].to_numpy()
+        cids = cdf["vec_id"].to_numpy()
+        # deterministic local top-(k+1): sort by (-cos, vec_id); +1
+        # because the self-pair may occupy one slot
+        order = np.lexsort((cids[None, :].repeat(len(qids), 0), -S), axis=1)
+        take = min(k + 1, len(cids))
+        sel = order[:, :take]
+        out = pd.DataFrame({
+            "query_id": np.repeat(qids, take),
+            "vec_id": cids[sel.ravel()],
+            "cos": np.round(S[np.arange(len(qids))[:, None], sel].ravel(), 5),
+        })
+        return out[out["query_id"] != out["vec_id"]]
+
+    scored = (
+        q.groupBy("bucket").cogroup(c.groupBy("bucket"))
+        .applyInPandas(score_bucket,
+                       "query_id long, vec_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()

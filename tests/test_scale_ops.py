@@ -141,3 +141,20 @@ def test_minhash_equals_candidate_filtered_jaccard(spark):
            minhash_lsh_pairs(docs, threshold=0.2).collect()}
     for pair, j in lsh.items():
         assert exact[pair] == j
+
+
+def test_topk_lsh_recall_vs_brute(spark):
+    """Recall gate for the scale ANN path: adaptive plane count +
+    Hamming-1 multi-probe must recover >= 0.6 of the exact top-5."""
+    from octofludb_spark.scale.simsearch import (adaptive_n_planes,
+                                                 topk_brute, topk_lsh)
+
+    emb = _emb(spark)
+    brute = {(r.query_id, r.vec_id)
+             for r in topk_brute(emb, emb, k=5).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in topk_lsh(emb, k=5).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.6, f"recall@5 {recall:.3f} < 0.6"
+    # plane count grows with corpus size (bounded bucket occupancy)
+    assert adaptive_n_planes(10**9) >= 20
+    assert adaptive_n_planes(500) == 3
