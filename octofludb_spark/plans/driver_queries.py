@@ -13,6 +13,8 @@ Cross-engine discipline:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -561,13 +563,49 @@ def multimodal_metadata(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# KG pipeline itself (rows-only checks: not SQL-expressible)
+# KG pipeline gates.
+#
+# The mapInPandas extraction itself is not SQL-expressible (its real
+# oracle is the reference pipeline run live in tests/refshim — P/R
+# 1.0000), so kg_extract_triples stays rows-only.  Everything
+# DOWNSTREAM of extraction is relational: the Spark gates stage the
+# extracted triples (and the CC canonical map) as parquet under
+# /root/repo/.staged/, and the DuckDB oracles recompute the canonical
+# rewrite / the subtype priority-lattice report from those files —
+# a genuine cross-engine check of the link+canonicalize and report
+# operators.
 # --------------------------------------------------------------------------
+
+_STAGED = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".staged")
+_NT = "https://flu-crew.org/term/"
+
 
 def _kg_source(spark, n_docs=240):
     from octofludb_spark.sources.synth import source_table
 
     return source_table(spark, n_docs, partitions=8)
+
+
+def _stage_kg(spark, with_map: bool = False):
+    """Extract the gate corpus, stage triples (and optionally the
+    sameAs canonical map) to parquet; return DataFrames READ BACK from
+    the staged files so Spark and DuckDB consume identical bytes."""
+    from octofludb_spark.extract.pipeline import run_extraction
+    from octofludb_spark.ops.canonicalize import canonical_map
+    from octofludb_spark.ops.cc import connected_components, sameas_edges
+
+    tpath = os.path.join(_STAGED, "kg_triples.parquet")
+    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+    triples.write.mode("overwrite").parquet(tpath)
+    triples = spark.read.parquet(tpath)
+    mapping = None
+    if with_map:
+        mpath = os.path.join(_STAGED, "kg_canon_map.parquet")
+        comps = connected_components(sameas_edges(triples))
+        canonical_map(comps).write.mode("overwrite").parquet(mpath)
+        mapping = spark.read.parquet(mpath)
+    return triples, mapping
 
 
 @q("kg_extract_triples")
@@ -580,27 +618,264 @@ def kg_extract_triples(spark, sf):
     return triples
 
 
-@q("kg_canonical_triples")
+@q("kg_canonical_triples", f"""
+WITH t AS (SELECT subject, predicate, object_lex, object_dtype
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ m AS (SELECT node, canonical
+       FROM read_parquet('{_STAGED}/kg_canon_map.parquet/*.parquet')),
+ r AS (SELECT COALESCE(ms.canonical, t.subject) AS subject,
+              t.predicate,
+              CASE WHEN t.object_dtype = 'uri' AND mo.canonical IS NOT NULL
+                   THEN mo.canonical ELSE t.object_lex END AS object_lex,
+              t.object_dtype
+       FROM t LEFT JOIN m ms ON t.subject = ms.node
+              LEFT JOIN m mo ON t.object_lex = mo.node)
+SELECT DISTINCT subject, predicate, object_lex, object_dtype FROM r
+""")
 def kg_canonical_triples(spark, sf):
-    """Extraction + sameAs connected components + canonical rewrite."""
-    from octofludb_spark.extract.pipeline import run_extraction
-    from octofludb_spark.ops.canonicalize import canonical_map, canonicalize
-    from octofludb_spark.ops.cc import connected_components, sameas_edges
+    """Extraction + sameAs connected components + canonical rewrite.
+    The oracle recomputes the rewrite relationally from the staged
+    triples + canonical map (LEFT JOIN + COALESCE + DISTINCT)."""
+    from octofludb_spark.ops.canonicalize import canonicalize
 
-    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
-    triples = triples.localCheckpoint()
-    comps = connected_components(sameas_edges(triples))
-    return canonicalize(triples, canonical_map(comps))
+    triples, mapping = _stage_kg(spark, with_map=True)
+    return canonicalize(triples, mapping)
 
 
-@q("kg_subtype_report")
+_SUBTYPE_SQL = f"""
+WITH t AS (SELECT subject, predicate, object_lex
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ strain AS (SELECT subject sid, object_lex strain_name FROM t
+            WHERE predicate = '{_NT}strain_name'),
+ hs AS (SELECT subject sid, object_lex gid FROM t
+        WHERE predicate = '{_NT}has_segment'),
+ segname AS (SELECT subject gid, object_lex segment_name FROM t
+             WHERE predicate = '{_NT}segment_name'
+               AND object_lex IN ('HA', 'NA')),
+ typed AS (SELECT DISTINCT subject sid FROM t
+           WHERE predicate = '{_NT}subtype'
+             AND regexp_matches(object_lex, 'H.N.')),
+ iso AS (SELECT subject sid, object_lex isolate FROM t
+         WHERE predicate = '{_NT}isolate_id'),
+ segsub AS (SELECT subject gid, object_lex segment_subtype FROM t
+            WHERE predicate = '{_NT}segment_subtype'),
+ sero AS (SELECT a.subject gid, b.object_lex genbank_subtype
+          FROM t a JOIN t b ON a.object_lex = b.subject
+          WHERE a.predicate = '{_NT}has_feature'
+            AND b.predicate = '{_NT}serotype'),
+ gsub AS (SELECT subject sid, object_lex gisaid_subtype FROM t
+          WHERE predicate = '{_NT}gisaid_subtype'),
+ base AS (SELECT s.sid, s.strain_name, h.gid, g.segment_name
+          FROM strain s JOIN hs h USING (sid) JOIN segname g USING (gid)
+          WHERE s.sid NOT IN (SELECT sid FROM typed)),
+ q AS (SELECT b.strain_name, b.segment_name,
+         COALESCE(string_agg(DISTINCT i.isolate, '+' ORDER BY i.isolate), '')
+           AS isolates,
+         COALESCE(string_agg(DISTINCT ss.segment_subtype, '+'
+                             ORDER BY ss.segment_subtype), '')
+           AS segment_subtypes,
+         COALESCE(string_agg(DISTINCT gs.gisaid_subtype, '+'
+                             ORDER BY gs.gisaid_subtype), '')
+           AS gisaid_subtypes,
+         COALESCE(string_agg(DISTINCT se.genbank_subtype, '+'
+                             ORDER BY se.genbank_subtype), '')
+           AS genbank_subtypes
+       FROM base b
+       LEFT JOIN iso i ON b.sid = i.sid
+       LEFT JOIN segsub ss ON b.gid = ss.gid
+       LEFT JOIN sero se ON b.gid = se.gid
+       LEFT JOIN gsub gs ON b.sid = gs.sid
+       GROUP BY 1, 2),
+ per AS (SELECT strain_name,
+           flatten(list(string_split(isolates, '+'))) AS iso_all,
+           list_distinct(list(CASE WHEN NOT contains(segment_subtypes, '+')
+                 AND regexp_matches(segment_subtypes, '^H[0-9]+$')
+                 THEN segment_subtypes END)) AS has0,
+           list_distinct(list(CASE WHEN NOT contains(segment_subtypes, '+')
+                 AND regexp_matches(segment_subtypes, '^N[0-9]+$')
+                 THEN segment_subtypes END)) AS nas0,
+           flatten(list(DISTINCT string_split(gisaid_subtypes, '+'))) AS gis_raw,
+           flatten(list(DISTINCT string_split(genbank_subtypes, '+'))) AS gb_raw
+         FROM q GROUP BY strain_name),
+ cleaned AS (SELECT strain_name, iso_all,
+           list_filter(has0, x -> x IS NOT NULL) AS has,
+           list_filter(nas0, x -> x IS NOT NULL) AS nas,
+           list_distinct(list_transform(
+             list_filter(gis_raw, x -> x IS NOT NULL AND x <> ''),
+             x -> regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 1)
+               || regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 2)))
+             AS gis,
+           list_distinct(list_transform(
+             list_filter(gb_raw, x -> x IS NOT NULL AND x <> ''),
+             x -> regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 1)
+               || regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 2)))
+             AS gb
+         FROM per),
+ resolved AS (SELECT strain_name,
+           CASE WHEN len(has) = 1 AND len(nas) = 1 THEN has[1] || nas[1]
+                WHEN len(gis) > 1 OR len(gb) > 1
+                  OR len(has) > 1 OR len(nas) > 1 THEN 'mixed'
+                WHEN len(gb) = 1 THEN gb[1]
+                WHEN len(gis) = 1 THEN gis[1]
+                ELSE NULL END AS subtype,
+           array_to_string(list_sort(list_distinct(
+             list_filter(iso_all, x -> x <> ''))), '+') AS isolates
+         FROM cleaned)
+SELECT strain_name, subtype, isolates FROM resolved WHERE subtype IS NOT NULL
+"""
+
+
+_MASTERLIST_SQL = f"""
+WITH t AS (SELECT subject, predicate, object_lex
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ strain AS (SELECT subject sid, object_lex strain FROM t
+            WHERE predicate = '{_NT}strain_name'),
+ ok_sid AS (
+   SELECT sid FROM strain WHERE regexp_matches(strain, 'A/swine/.*/A0')
+   INTERSECT
+   SELECT subject FROM t WHERE predicate = '{_NT}host' AND object_lex = 'swine'
+   INTERSECT
+   SELECT subject FROM t WHERE predicate = '{_NT}country'
+     AND object_lex = 'https://flu-crew.org/geo/country/USA'
+   INTERSECT
+   SELECT subject FROM t
+     WHERE predicate IN ('{_NT}date', '{_NT}collection_date')),
+ bar AS (SELECT subject sid, object_lex barcode FROM t
+         WHERE predicate = '{_NT}barcode' AND subject IN (SELECT sid FROM ok_sid)),
+ hs AS (SELECT subject sid, object_lex gid FROM t
+        WHERE predicate = '{_NT}has_segment'),
+ segname AS (SELECT subject gid, object_lex segment FROM t
+             WHERE predicate = '{_NT}segment_name'),
+ gb AS (SELECT subject gid, object_lex genbank_id FROM t
+        WHERE predicate = '{_NT}genbank_id'),
+ dt AS (SELECT subject sid, object_lex d FROM t
+        WHERE predicate IN ('{_NT}date', '{_NT}collection_date')),
+ st AS (SELECT subject sid,
+               substr(object_lex, length('https://flu-crew.org/geo/country/usa/') + 1, 2)
+                 AS state_abbr
+        FROM t WHERE predicate = '{_NT}state'),
+ sub AS (SELECT subject sid, object_lex subtype FROM t
+         WHERE predicate = '{_NT}subtype'),
+ cst AS (SELECT subject sid, object_lex const FROM t
+         WHERE predicate = '{_NT}constellation'),
+ ss AS (SELECT subject gid, object_lex segment_subtype FROM t
+        WHERE predicate = '{_NT}segment_subtype'),
+ usc AS (SELECT subject gid, object_lex us_clade FROM t
+         WHERE predicate = '{_NT}clade'),
+ glc AS (SELECT subject gid, object_lex gl_clade FROM t
+         WHERE predicate = '{_NT}gl_clade'),
+ sf AS (SELECT sid, strain FROM strain
+        WHERE regexp_matches(strain, 'A/swine/.*/A0')),
+ rows0 AS (SELECT b.sid, b.barcode, h.gid, sn.segment, g.genbank_id
+           FROM bar b JOIN hs h USING (sid)
+           JOIN segname sn USING (gid) JOIN gb g USING (gid)),
+ q AS (SELECT r.barcode, r.genbank_id, r.segment,
+         COALESCE(string_agg(DISTINCT ss.segment_subtype, '+'
+                             ORDER BY ss.segment_subtype), '') AS segment_subtypes,
+         COALESCE(string_agg(DISTINCT sub.subtype, '+'
+                             ORDER BY sub.subtype), '') AS subtypes,
+         MIN(dt.d) AS earliest_date,
+         COALESCE(string_agg(DISTINCT st.state_abbr, '+'
+                             ORDER BY st.state_abbr), '') AS states,
+         COALESCE(string_agg(DISTINCT sf.strain, '+'
+                             ORDER BY sf.strain), '') AS strains,
+         COALESCE(string_agg(DISTINCT usc.us_clade, '+'
+                             ORDER BY usc.us_clade), '') AS us_clades,
+         COALESCE(string_agg(DISTINCT glc.gl_clade, '+'
+                             ORDER BY glc.gl_clade), '') AS gl_clades,
+         COALESCE(string_agg(DISTINCT cst.const, '+'
+                             ORDER BY cst.const), '') AS consts
+       FROM rows0 r
+       LEFT JOIN ss ON r.gid = ss.gid
+       LEFT JOIN sub ON r.sid = sub.sid
+       LEFT JOIN dt ON r.sid = dt.sid
+       LEFT JOIN st ON r.sid = st.sid
+       LEFT JOIN sf ON r.sid = sf.sid
+       LEFT JOIN usc ON r.gid = usc.gid
+       LEFT JOIN glc ON r.gid = glc.gid
+       LEFT JOIN cst ON r.sid = cst.sid
+       GROUP BY 1, 2, 3),
+ enr AS (SELECT barcode, genbank_id, segment, earliest_date,
+           CASE WHEN regexp_matches(earliest_date, '^[0-9]{{4}}-[0-9]{{2}}')
+                THEN substr(earliest_date, 1, 4) || 'Q' ||
+                     CAST(CAST(CEIL(CAST(substr(earliest_date, 6, 2) AS INT)
+                                    / 3.0) AS BIGINT) AS VARCHAR)
+                ELSE '' END AS cq,
+           COALESCE(string_split(subtypes, '+')[1], '') AS first_sub,
+           COALESCE(string_split(segment_subtypes, '+')[1], '') AS segsub1,
+           list_filter(string_split(states, '+'), x -> x <> '') AS state_l,
+           list_filter(string_split(strains, '+'), x -> x <> '') AS strain_l,
+           list_filter(string_split(us_clades, '+'), x -> x <> '') AS us_l,
+           list_filter(string_split(gl_clades, '+'), x -> x <> '') AS gl_l,
+           list_filter(string_split(consts, '+'), x -> x <> '') AS const_l
+         FROM q)
+SELECT barcode AS "Barcode",
+  array_to_string(list_sort(list_distinct(list(earliest_date))), ',') AS "Date",
+  array_to_string(list_sort(list_distinct(list(cq))), ',') AS "Collection_Q",
+  array_to_string(list_sort(list_distinct(flatten(
+    list_filter(list(state_l), x -> x IS NOT NULL)))), ',') AS "State",
+  array_to_string(list_sort(list_distinct(list(first_sub))), ',') AS "Subtype",
+  array_to_string(list_sort(list_distinct(list(
+    CASE WHEN segment = 'HA' THEN genbank_id END))), ',') AS "H_Genbank",
+  array_to_string(list_sort(list_distinct(list(
+    CASE WHEN segment = 'NA' THEN genbank_id END))), ',') AS "N_Genbank",
+  {", ".join(
+    'array_to_string(list_sort(list_distinct(list('
+    f"CASE WHEN segment = '{s}' THEN genbank_id END))), ',') AS "
+    f'"{s}_Genbank"' for s in ("PB2", "PB1", "PA", "NP", "M", "NS"))},
+  array_to_string(list_sort(list_distinct(flatten(
+    list_filter(list(strain_l), x -> x IS NOT NULL)))), ',') AS "Strain",
+  array_to_string(list_sort(list_distinct(flatten(list_filter(list(
+    CASE WHEN segment = 'HA' THEN us_l END), x -> x IS NOT NULL)))), ',')
+    AS "US_Clade",
+  array_to_string(list_sort(list_distinct(flatten(list_filter(list(
+    CASE WHEN segment = 'HA' THEN gl_l END), x -> x IS NOT NULL)))), ',')
+    AS "GL_Clade",
+  {", ".join(
+    'array_to_string(list_sort(list_distinct(flatten(list_filter(list('
+    f"CASE WHEN segsub1 = '{x}' THEN us_l END), x -> x IS NOT NULL)))), ',') AS "
+    f'"{x}"' for x in ("H1", "H3", "N1", "N2"))},
+  {", ".join(
+    'array_to_string(list_sort(list_distinct(flatten(list_filter(list('
+    f"CASE WHEN segment = '{s}' THEN us_l END), x -> x IS NOT NULL)))), ',') AS "
+    f'"{s}"' for s in ("PB2", "PB1", "PA", "NP", "M", "NS"))},
+  array_to_string(list_sort(list_distinct(flatten(
+    list_filter(list(const_l), x -> x IS NOT NULL)))), ',') AS "Constellation",
+  '' AS "Motif", '' AS "Sa_Motif", '' AS "Sb_Motif",
+  '' AS "Ca1_Motif", '' AS "Ca2_Motif", '' AS "Cb_Motif"
+FROM enr GROUP BY barcode
+"""
+
+
+@q("masterlist_wide", _MASTERLIST_SQL)
+def masterlist_wide(spark, sf):
+    """A8 flagship: the 33-column masterlist report (one row per
+    barcode) over the staged KG triples, computed with the one-shuffle
+    entity-pivot plan (masterlist_query_fast).  The oracle recomputes
+    the whole report relationally from the staged triples — predicate
+    views, qualification filters, the (barcode, genbank, segment)
+    group-concat stage, and the per-barcode wide pivot.
+
+    The synthetic corpus has no motif triples (the reference's motif
+    wrapper is an external tool, SURVEY §2 S12), so the six motif
+    columns are constitutively '' in BOTH engines."""
+    from octofludb_spark.plans.reports import masterlist_report
+    from octofludb_spark.plans.views import GraphViews
+
+    triples, _ = _stage_kg(spark)
+    return masterlist_report(GraphViews(triples))
+
+
+@q("kg_subtype_report", _SUBTYPE_SQL)
 def kg_subtype_report(spark, sf):
-    """Subtype priority-lattice report (A6) over the built graph."""
-    from octofludb_spark.extract.pipeline import run_extraction
+    """Subtype priority-lattice report (A6) over the built graph.
+    The oracle recomputes the full report — predicate views, NOT
+    EXISTS, GROUP_CONCAT, and the octoFLU > genbank > gisaid lattice
+    (reference recipes.py:291-335) — from the staged triples."""
     from octofludb_spark.plans.reports import subtypes_report
     from octofludb_spark.plans.views import GraphViews
 
-    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+    triples, _ = _stage_kg(spark)
     out = subtypes_report(GraphViews(triples))
     return out.select("strain_name", "subtype",
                       F.concat_ws("+", F.sort_array("isolates")).alias("isolates"))
