@@ -37,9 +37,16 @@ def cmd_prep(args) -> int:
     from octofludb_spark.plans.turtle import triples_to_turtle
 
     lang = _KIND_TO_LANG.get(args.kind, args.kind)
-    content = open(args.file).read()
     taguri = make_tag_uri(args.tag) if args.tag else None
-    trips = RECIPES[lang](content, taguri=taguri)
+    raw = open(args.file, "rb").read()
+    if lang == "gisaid" and (raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+                             or raw[:2] == b"PK"):
+        # binary GISAID sheet (`prep gis gisaid.xls`, reference ui.py:657)
+        from octofludb_spark.extract.recipes import gisaid_triples_excel
+
+        trips = gisaid_triples_excel(raw, taguri=taguri)
+    else:
+        trips = RECIPES[lang](raw.decode("utf-8", "replace"), taguri=taguri)
     if args.tag:
         trips = pd.concat(
             [trips, tag_node_triples(args.tag, args.file, args.run_ts)],

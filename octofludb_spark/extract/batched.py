@@ -373,10 +373,22 @@ def _per_file_with_src(fn):
     return run
 
 
+def _gisaid_excel_per_file(content, taguri=None):
+    """Binary GISAID Excel (.xls OLE2 / .xlsx ZIP) carried in the
+    string-typed corpus as base64 (a real deployment reads a binary
+    column directly — see scale/multimodal.py for that plumbing)."""
+    import base64
+
+    from octofludb_spark.extract.recipes import gisaid_triples_excel
+
+    return gisaid_triples_excel(base64.b64decode(content), taguri=taguri)
+
+
 BATCHED_RECIPES = {
     "fasta": fasta_triples_batched,
     "tsv": table_triples_batched,
     "gisaid": gisaid_triples_batched,
+    "gisaid_xls": _per_file_with_src(_gisaid_excel_per_file),
     "ivr": ivr_triples_batched,
     "ird": ird_triples_batched,
     "blast": _per_file_with_src(blast_triples),

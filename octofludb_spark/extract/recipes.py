@@ -226,11 +226,24 @@ def _gis_strain_clean(name: str) -> Optional[str]:
 
 def gisaid_triples(content: str, taguri=None) -> pd.DataFrame:
     """mk_gis (recipes.py:154-234) over a TSV-shaped GISAID metadata
-    sheet (the reference reads .xls via pandas; the column semantics
-    are identical).  Rows explode per segment x (epi_id, genbank_id)
-    pair; zip truncation of unequal lists is faithful to the
-    reference."""
-    d = parse_tsv(content)
+    sheet (the column semantics are identical to the Excel path)."""
+    return gisaid_triples_columns(parse_tsv(content), taguri=taguri)
+
+
+def gisaid_triples_excel(data: bytes, taguri=None) -> pd.DataFrame:
+    """mk_gis over a REAL binary Excel sheet (.xls OLE2/BIFF8 or
+    .xlsx), the reference's native GISAID input (`prep gis gisaid.xls`,
+    classes.py:258-268) — parsed by the stdlib reader in extract/xls.py,
+    no xlrd/openpyxl needed."""
+    from octofludb_spark.extract.xls import excel_columns
+
+    return gisaid_triples_columns(excel_columns(data), taguri=taguri)
+
+
+def gisaid_triples_columns(d: dict, taguri=None) -> pd.DataFrame:
+    """mk_gis core over header-keyed columns.  Rows explode per
+    segment x (epi_id, genbank_id) pair; zip truncation of unequal
+    lists is faithful to the reference."""
     if "Isolate_Id" not in d:
         return _EMPTY.copy()
     n = len(d["Isolate_Id"])

@@ -120,24 +120,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         return (row["n"], row["h"])
 
     spark = edges.sparkSession
-    edges = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint()
-    )
-    sig = _sig(edges)
-    if sig[0] == 0:
+    edges = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    # one cheap count decides the execution mode (a real deployment
+    # would read this from table stats); the driver path then collects
+    # DIRECTLY — no distinct / localCheckpoint / hash-sig jobs, since
+    # union-find is insensitive to duplicate edges and the fixed cost
+    # of extra driver-loop jobs is exactly what hurts N->4N scaling.
+    n_edges = edges.count()
+    if n_edges == 0:
         return spark.createDataFrame([], "node string, component string")
-    if sig[0] <= driver_threshold:
+    if n_edges <= driver_threshold:
         import pandas as pd
 
-        pdf = edges.toPandas()  # Arrow transfer
+        pdf = edges.toPandas()  # Arrow transfer, duplicates included
         comp = _driver_union_find(
             zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
         )
         out = pd.DataFrame(comp, columns=["node", "component"])
         return spark.createDataFrame(out)  # Arrow transfer back
+    edges = edges.distinct().localCheckpoint()
+    sig = _sig(edges)
     # The sameAs edge set is small relative to the triple store; size
     # the iteration's shuffles to the data, not to the session-wide
     # partition count (a 6-job driver loop at full width is pure

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Official N-vs-4N scaling measurement (BENCH/BASELINE.md protocol).
+
+Runs the identical KG-build job (deterministic corpus, FIXED partition
+layout) at two parallelism levels in separate Spark sessions,
+interleaved best-of-R to shrug off shared-box noise, and prints one
+JSON line with throughputs and the scaling efficiency
+(throughput_4N / throughput_N) / (4N / N).
+
+Usage: python tools/scaling_pair.py [N] [MULT] [DOCS] [PARTS] [REPEATS]
+Defaults: 2 4 48000 128 2
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+RUN_SNIPPET = r"""
+import time, sys
+from octofludb_spark.session import get_spark
+from octofludb_spark.sources.synth import source_table
+from octofludb_spark.extract.pipeline import run_extraction
+from octofludb_spark.ops.cc import connected_components, sameas_edges
+from octofludb_spark.ops.canonicalize import canonical_map, canonicalize
+
+cores, docs, parts = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(app=f"scaling-{cores}", cores=cores,
+                  shuffle_partitions=max(cores, 8))
+spark.sparkContext.setLogLevel("ERROR")
+warm = source_table(spark, cores * 8, partitions=cores)
+run_extraction(warm)[0].count()
+src = source_table(spark, docs, partitions=parts).persist()
+src.count()
+t0 = time.time()
+triples, _ = run_extraction(src)
+triples = triples.persist()
+n = triples.count()
+t_extract = time.time() - t0
+t1 = time.time()
+comps = connected_components(sameas_edges(triples))
+canon = canonicalize(triples, canonical_map(comps))
+nc = canon.count()
+t_link = time.time() - t1
+print(f"PAIR {cores} {n} {nc} {t_extract:.3f} {t_link:.3f}", flush=True)
+"""
+
+
+def run_once(cores: int, docs: int, parts: int):
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET, str(cores), str(docs), str(parts)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PAIR "):
+            _, c, n, nc, te, tl = line.split()
+            return int(n), int(nc), float(te), float(tl)
+    raise RuntimeError(f"no PAIR line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main():
+    args = sys.argv[1:]
+    n_cores = int(args[0]) if len(args) > 0 else 2
+    mult = int(args[1]) if len(args) > 1 else 4
+    docs = int(args[2]) if len(args) > 2 else 48000
+    parts = int(args[3]) if len(args) > 3 else 128
+    repeats = int(args[4]) if len(args) > 4 else 2
+
+    best: dict[int, dict] = {}
+    for r in range(repeats):
+        for cores in (n_cores, n_cores * mult):  # interleaved
+            n, nc, te, tl = run_once(cores, docs, parts)
+            e2e = n / (te + tl)
+            rec = {"cores": cores, "triples": n, "canon": nc,
+                   "t_extract": te, "t_link": tl,
+                   "thr_extract": round(n / te, 1), "thr_e2e": round(e2e, 1)}
+            print(f"run {r}: {rec}", file=sys.stderr, flush=True)
+            if cores not in best or e2e > best[cores]["thr_e2e"]:
+                best[cores] = rec
+    lo, hi = best[n_cores], best[n_cores * mult]
+    out = {
+        "protocol": f"local[{n_cores}] vs local[{n_cores * mult}], "
+                    f"{docs} docs, {parts} partitions, best-of-{repeats} interleaved",
+        "N": lo, "4N": hi,
+        "eff_extract": round(hi["thr_extract"] / lo["thr_extract"] / mult, 3),
+        "eff_e2e": round(hi["thr_e2e"] / lo["thr_e2e"] / mult, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
