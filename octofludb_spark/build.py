@@ -37,10 +37,11 @@ def build_graph(
         raw.persist()
         try:
             store.write(lineage_metrics(raw), "lineage_metrics")
-            # static schema/geography triples (ui.py:396-402 analog)
-            from octofludb_spark.plans.static_graph import geography_triples
+            # static schema/geography triples incl. the locatedIn
+            # transitive closure (ui.py:396-402 analog)
+            from octofludb_spark.plans.static_graph import static_graph
 
-            triples = dedup_triples(raw).unionByName(geography_triples(spark))
+            triples = dedup_triples(raw).unionByName(static_graph(spark))
             store.write(triples, "triples", stage="extract",
                         bucket_by_subject=True)
         finally:

@@ -1,41 +1,107 @@
-"""Static schema/geography triples, the analog of the reference's
-schema.ttl + geography.ttl upload step (ui.py:396-402).
+"""Static schema/geography triples — the analog of the reference's
+schema.ttl + geography.ttl upload step (ui.py:396-402): the reference
+uploads BOTH files into the store at pull time, so geography hierarchy
+queries (f:locatedIn, a transitive property, geography.ttl:7-10) and
+schema introspection (rdfs:domain/range/subPropertyOf,
+schema.ttl:73-106) have data to bind against.
 
-Generated from octofludb_spark/data/geography.json:
-  usa:XX  f:name "Full Name" ; f:abbr "XX" .
-  world:CODE f:code "CODE" ; f:name "name" .
-(reference geography.ttl:15-…; f:code usage in masterlist.rq:29).
+Data files (octofludb_spark/data/):
+  geography_triples.json — all 943 geography triples derived from the
+    reference's geography.ttl: usa:XX f:name/f:abbr, world:CODE
+    f:code/f:name, and the full f:locatedIn hierarchy
+    (state -> usa:RegionN -> world:USA; country -> subregion ->
+    continent -> world:Earth).
+  schema_triples.json — all 103 schema triples from schema.ttl
+    (subPropertyOf lattice, domain/range, comments, examples).
+
+The transitive closure of f:locatedIn is computed eagerly in plain
+python: the hierarchy is a tiny static dimension (<1000 edges, depth
+<= 4), so the scale-correct plan is to materialize the closure once
+and broadcast it into joins — never to iterate DataFrame joins over a
+dimension this small.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from octofludb_spark.functions.geography import _tables
-from octofludb_spark.functions.uri import DT_PLAIN, NCOUNTRY, NT, NUSA
+_DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+_COLS = ["subject", "predicate", "object_lex", "object_dtype"]
+
+NT = "https://flu-crew.org/term/"
+LOCATED_IN = NT + "locatedIn"
+
+_DT = {"plain": "", "uri": "uri", "xsd:date": "xsd:date"}
+
+
+def _load(name: str) -> pd.DataFrame:
+    rows = json.load(open(os.path.join(_DATA, name)))
+    df = pd.DataFrame(rows, columns=["subject", "predicate", "object_lex",
+                                     "_dt"])
+    df["object_dtype"] = df["_dt"].map(lambda d: _DT.get(d, d))
+    return df[_COLS]
 
 
 def geography_triples_pandas() -> pd.DataFrame:
-    t = _tables()
-    rows = []
-    for name, abbr in t["states"].items():
-        full = name.replace("_", " ").title()
-        rows.append((NUSA + abbr, NT + "name", full, DT_PLAIN))
-        rows.append((NUSA + abbr, NT + "abbr", abbr, DT_PLAIN))
-    seen = set()
-    for name, code in t["countries"].items():
-        if code is None:
-            continue  # reference maps some regions to no ISO code
-        if code not in seen:
-            seen.add(code)
-            rows.append((NCOUNTRY + code, NT + "code", code, DT_PLAIN))
-        rows.append((NCOUNTRY + code, NT + "name", name.replace("_", " "),
-                     DT_PLAIN))
-    return pd.DataFrame(
-        rows, columns=["subject", "predicate", "object_lex", "object_dtype"]
-    )
+    """All geography triples (reference geography.ttl, 943 rows):
+    names, abbrs, ISO codes AND the locatedIn hierarchy."""
+    return _load("geography_triples.json")
+
+
+def schema_triples_pandas() -> pd.DataFrame:
+    """All schema triples (reference schema.ttl, 103 rows)."""
+    return _load("schema_triples.json")
+
+
+def located_in_closure_pandas() -> pd.DataFrame:
+    """Transitive closure of f:locatedIn as extra triples
+    (f:locatedIn is owl:TransitiveProperty, geography.ttl:7 — GraphDB
+    materializes this under owl-horst; we materialize it statically).
+    Includes the direct edges."""
+    geo = geography_triples_pandas()
+    edges = geo[geo["predicate"] == LOCATED_IN]
+    parent: dict[str, set[str]] = {}
+    for s, o in zip(edges["subject"], edges["object_lex"]):
+        parent.setdefault(s, set()).add(o)
+    closure: dict[str, set[str]] = {}
+
+    def reach(node: str) -> set[str]:
+        if node in closure:
+            return closure[node]
+        closure[node] = set()  # cycle guard
+        out: set[str] = set()
+        for p in parent.get(node, ()):
+            out.add(p)
+            out |= reach(p)
+        closure[node] = out
+        return out
+
+    rows = [(s, LOCATED_IN, o, "uri")
+            for s in parent for o in sorted(reach(s))]
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+def static_graph_pandas(with_closure: bool = True) -> pd.DataFrame:
+    """The full static upload: geography + schema (+ locatedIn
+    closure), deduplicated."""
+    frames = [geography_triples_pandas(), schema_triples_pandas()]
+    if with_closure:
+        frames.append(located_in_closure_pandas())
+    return (pd.concat(frames, ignore_index=True)
+            .drop_duplicates(ignore_index=True))
 
 
 def geography_triples(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(geography_triples_pandas())
+
+
+def static_graph(spark: SparkSession, with_closure: bool = True) -> DataFrame:
+    """Distributed view of the static graph — a broadcast-sized
+    dimension that unions into the triple store at build time
+    (build.py), mirroring ui.py:396-402."""
+    return spark.createDataFrame(static_graph_pandas(with_closure))
