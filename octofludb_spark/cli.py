@@ -111,14 +111,17 @@ def _queries():
         "h1-swine": lambda v, a: R.h_swine_sequences(v, "H1"),
         "h3-swine": lambda v, a: R.h_swine_sequences(v, "H3"),
         "tagged": lambda v, a: R.tagged_strains(v),
+        # the INTENDED get-tagged.rq (the shipped reference query is
+        # broken — ?msgid typo / undefined "MS", get-tagged.rq:76-79)
+        "tagged-max": lambda v, a: R.tagged_max_report(v),
         "wgs": lambda v, a: R.wgs_report(v, int(a[0]), int(a[1])),
         "monthly-context": lambda v, a: R.monthly_context(v, a[0], a[1]),
     }
 
 
 QUERY_NAMES = ["masterlist", "subtypes", "constellations", "segments",
-               "unclassified", "h1-swine", "h3-swine", "tagged", "wgs",
-               "monthly-context"]
+               "unclassified", "h1-swine", "h3-swine", "tagged",
+               "tagged-max", "wgs", "monthly-context"]
 
 
 def _views(spark, store_root, sameas=True):

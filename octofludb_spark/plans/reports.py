@@ -701,6 +701,75 @@ def tagged_strains(v: GraphViews) -> DataFrame:
     )
 
 
+_MAX_REPORT_SEGS = ["HA", "NA", "PB2", "PB1", "PA", "NP", "M", "NS"]
+
+
+def tagged_max_report(v: GraphViews) -> DataFrame:
+    """get-tagged.rq as INTENDED: the per-isolate "maximum" report with
+    one seqid column per segment.
+
+    The shipped reference query is broken and can never return rows —
+    get-tagged.rq:76-79 binds ?msgid (undefined, typo for ?nsgid) and
+    matches segment_name "MS" (no such segment; should be "NS") — so
+    there is no golden to diff against.  This implements the evident
+    intent: tagged isolates (the 4-branch tag match) with strain
+    attributes, HA/NA clades, and per-segment seqids, using ONE
+    conditional-aggregation pass over the segment relation instead of
+    eight OPTIONAL self-joins (the plan shape that survives scale)."""
+    matched = _tag_matched_sids(v)
+    iso = v.pred("isolate_id", s="sid", o="isolate")
+    strain = v.pred("strain_name", s="sid", o="strain")
+    host = v.pred("host", s="sid", o="host")
+    subtype = v.pred("subtype", s="sid", o="subtype")
+    const = v.pred("constellation", s="sid", o="constellation")
+    country = v.path2("country", "code", s="sid", o="country")
+    date = v.pred("date", s="sid", o="date")
+
+    hs = v.pred("has_segment", s="sid", o="gid")
+    segname = v.pred("segment_name", s="gid", o="segment")
+    seqid = v.pred("seqid", s="gid", o="seqid")
+    clade = v.pred("clade", s="gid", o="clade")
+    seg_rows = (
+        hs.join(segname, "gid").join(seqid, "gid", "left")
+        .join(clade, "gid", "left")
+    )
+    seg = F.col("segment")
+    seg_wide = seg_rows.groupBy("sid").agg(
+        *[
+            F.concat_ws("+", F.sort_array(F.collect_set(
+                F.when(seg == s, F.col("seqid"))))).alias(s)
+            for s in _MAX_REPORT_SEGS
+        ],
+        F.concat_ws("+", F.sort_array(F.collect_set(
+            F.when(seg == "HA", F.col("clade"))))).alias("haclade"),
+        F.concat_ws("+", F.sort_array(F.collect_set(
+            F.when(seg == "NA", F.col("clade"))))).alias("naclade"),
+    )
+    gl = (
+        hs.join(v.value("segment_name", "HA", s="gid"), "gid")
+        .join(v.pred("gl_clade", s="gid", o="gl_clade"), "gid")
+        .select("sid", "gl_clade")
+    )
+    out = (
+        matched.join(iso, "sid").join(strain, "sid")
+        .join(host, "sid", "left").join(subtype, "sid", "left")
+        .join(const, "sid", "left").join(country, "sid", "left")
+        .join(date, "sid", "left").join(gl, "sid", "left")
+        .join(seg_wide, "sid", "left")
+    )
+    return out.groupBy("isolate", "strain").agg(
+        group_concat("host", "host"),
+        group_concat("subtype", "subtype"),
+        group_concat("naclade", "naclade"),
+        group_concat("haclade", "haclade"),
+        group_concat("gl_clade", "gl_clade"),
+        group_concat("constellation", "constellation"),
+        group_concat("country", "country"),
+        F.min("date").alias("date"),
+        *[group_concat(s, s) for s in _MAX_REPORT_SEGS],
+    )
+
+
 def all_accessions(v: GraphViews) -> DataFrame:
     """all-acc.rq: accessions with full genbank data (sequence +
     definition) stored."""

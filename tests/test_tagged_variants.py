@@ -92,3 +92,21 @@ def test_tagged_isolates(spark):
     assert r.strains == "A/swine/Iowa/X/2020"
     assert r.subtypes == "H1N1"  # via the shared strain name
     assert r.gl_clades == "1A.1.1"
+
+
+def test_tagged_max_report(spark):
+    """The INTENDED get-tagged.rq (the shipped query is broken:
+    ?msgid typo + undefined 'MS' segment, get-tagged.rq:76-79):
+    per-isolate row with per-segment seqid columns."""
+    from octofludb_spark.plans.reports import tagged_max_report
+
+    rows = {r.isolate: r for r in tagged_max_report(_graph(spark)).collect()}
+    assert set(rows) == {"EPI_ISL_1"}
+    r = rows["EPI_ISL_1"]
+    assert r.strain == "A/swine/Iowa/X/2020"
+    assert r.HA == "MN000001"   # genbank seqid on the HA segment
+    assert r.NA == ""           # isolate entity has no NA segment
+    assert r.haclade == "alpha"
+    assert r.gl_clade == "1A.1.1"
+    assert r.host == "swine"
+    assert r.date == "2020-06-21"
