@@ -403,6 +403,22 @@ def dedup_simhash(spark, sf):
     return D.simhash(t(spark, sf, "documents"))
 
 
+@q("dedup_simhash_near", f"""
+WITH sh AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_x, b.doc_id AS doc_y,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def dedup_simhash_near(spark, sf):
+    """SimHash Hamming-k near-dup pairs.  The Spark plan generates
+    candidates from per-band bucket joins (pigeonhole: hamming <
+    n_bands guarantees an exact band match) and verifies with ONE
+    popcount(xor); the oracle is the brute all-pairs filter — banding
+    completeness means the two agree exactly."""
+    return D.simhash_near_pairs(t(spark, sf, "documents"), max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # similarity search (over embeddings)
 # --------------------------------------------------------------------------
@@ -587,23 +603,33 @@ def _kg_source(spark, n_docs=240):
     return source_table(spark, n_docs, partitions=8)
 
 
+_staged_done: set[str] = set()  # per-process memo — staging is deterministic
+
+
 def _stage_kg(spark, with_map: bool = False):
     """Extract the gate corpus, stage triples (and optionally the
     sameAs canonical map) to parquet; return DataFrames READ BACK from
-    the staged files so Spark and DuckDB consume identical bytes."""
+    the staged files so Spark and DuckDB consume identical bytes.
+    Extraction is deterministic, so within one process the staged
+    files are written once and reused by later gates."""
     from octofludb_spark.extract.pipeline import run_extraction
     from octofludb_spark.ops.canonicalize import canonical_map
     from octofludb_spark.ops.cc import connected_components, sameas_edges
 
     tpath = os.path.join(_STAGED, "kg_triples.parquet")
-    triples, _ = run_extraction(_kg_source(spark), run_ts="2026-01-01T00:00:00")
-    triples.write.mode("overwrite").parquet(tpath)
+    if "triples" not in _staged_done:
+        triples, _ = run_extraction(_kg_source(spark),
+                                    run_ts="2026-01-01T00:00:00")
+        triples.write.mode("overwrite").parquet(tpath)
+        _staged_done.add("triples")
     triples = spark.read.parquet(tpath)
     mapping = None
     if with_map:
         mpath = os.path.join(_STAGED, "kg_canon_map.parquet")
-        comps = connected_components(sameas_edges(triples))
-        canonical_map(comps).write.mode("overwrite").parquet(mpath)
+        if "map" not in _staged_done:
+            comps = connected_components(sameas_edges(triples))
+            canonical_map(comps).write.mode("overwrite").parquet(mpath)
+            _staged_done.add("map")
         mapping = spark.read.parquet(mpath)
     return triples, mapping
 

@@ -242,3 +242,51 @@ def simhash_dup_candidates(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+SIMHASH_BANDS = 4  # 16 bits -> 4 bands of 4 bits
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 16,
+                       n_bands: int = SIMHASH_BANDS) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming:
+    (doc_x, doc_y, hamming).
+
+    Scale shape (the pigeonhole banding trick): split the ``bits``-bit
+    fingerprint into ``n_bands`` bands; any pair within Hamming
+    distance < n_bands must agree EXACTLY on at least one band, so
+    candidates come from per-band bucket joins (work ∝ bucket sizes,
+    never O(n²)) and are then verified with one popcount(xor).
+    Requires max_hamming < n_bands for completeness."""
+    if max_hamming >= n_bands:
+        raise ValueError("banding is only complete for max_hamming < n_bands")
+    band_bits = bits // n_bands
+    s = simhash(docs, bits=bits)
+    bands = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits)
+                .bitwiseAND((1 << band_bits) - 1).alias("key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_x"),
+                F.col("y.doc_id").alias("doc_y"),
+                F.col("x.simhash").alias("hx"),
+                F.col("y.simhash").alias("hy"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hx").bitwiseXOR(F.col("hy"))).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_x", "doc_y", "hamming")
+    )

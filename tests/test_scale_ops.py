@@ -158,3 +158,22 @@ def test_topk_lsh_recall_vs_brute(spark):
     # plane count grows with corpus size (bounded bucket occupancy)
     assert adaptive_n_planes(10**9) >= 20
     assert adaptive_n_planes(500) == 3
+
+
+def test_simhash_near_banding_complete(spark):
+    """Banded candidates + popcount verify == brute-force Hamming
+    filter (pigeonhole completeness for max_hamming < n_bands)."""
+    from octofludb_spark.scale.dedup import simhash, simhash_near_pairs
+
+    docs = _docs(spark)
+    got = {(r.doc_x, r.doc_y, r.hamming)
+           for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    want = {(a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    assert got == want
+    import pytest as _p
+    with _p.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4)  # incomplete geometry
