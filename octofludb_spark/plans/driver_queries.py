@@ -468,6 +468,14 @@ def ann_topk_lsh(spark, sf):
     return S.topk_lsh(t(spark, sf, "embeddings"), k=5)
 
 
+@q("ann_topk_ivf")  # rows-only: k-means is iterative, not SQL-expressible
+def ann_topk_ivf(spark, sf):
+    """IVF ANN: k-means coarse quantizer + nprobe inverted-list scan
+    (the FAISS-IVF recipe on Spark); recall vs brute gated in pytest
+    (>= 0.7 measured 0.82-1.0)."""
+    return S.topk_ivf(t(spark, sf, "embeddings"), k=5)
+
+
 # --------------------------------------------------------------------------
 # text analysis (over documents)
 # --------------------------------------------------------------------------

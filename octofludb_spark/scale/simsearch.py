@@ -159,11 +159,87 @@ def topk_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = None,
         F.explode(probes).alias("pb"),
     ).select("query_id", "eq", "nq", key(F.col("pb")).alias("bucket"))
 
-    # IVF-style scoring: cogroup queries and candidates per bucket and
-    # run ONE numpy matmul per bucket (Arrow-batched) — the per-pair
-    # higher-order-function dot product doesn't whole-stage-codegen and
-    # is 10x slower.  Each bucket emits only its local top-k per query;
-    # the global window then ranks ≤ (n_probes × k) rows per query.
+    return _topk_by_bucket(q, c, k)
+
+
+def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
+             nprobe: int = 4, dim: int = 64, seed: int = 42,
+             train_fraction: float = 1.0) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into inverted lists; each query probes its ``nprobe``
+    nearest centroids and scores only those lists.
+
+    Scale design (the FAISS-IVF recipe on Spark):
+      * train on a SAMPLE (``train_fraction``) — at 10⁹ vectors you
+        fit centroids on ~1M sampled rows, never the full corpus;
+      * ``n_clusters`` defaults to n/TARGET_BUCKET so inverted-list
+        length — and per-query work (nprobe × list length) — stays
+        bounded at any corpus size;
+      * assignment is one Spark ML transform (JVM); scoring reuses the
+        cogrouped numpy matmul (``_topk_by_bucket``), one Exchange on
+        the cluster id.
+    Deterministic: fixed seed, deterministic tiebreaks downstream."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    if n_clusters is None:
+        n_clusters = max(2, int(emb.count()) // TARGET_BUCKET)
+    vecs = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("norm"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("_v"),
+    )
+    train = vecs if train_fraction >= 1.0 else vecs.sample(
+        fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_v",
+                   predictionCol="bucket").fit(train)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", "norm", F.col("bucket").cast("long").alias("bucket"))
+    c = assigned.select("vec_id", F.col("embedding").alias("ec"),
+                        F.col("norm").alias("nc"), "bucket")
+    # query side: nprobe nearest centroids by euclidean distance,
+    # computed against the broadcast centroid matrix in one pandas UDF
+    centers = np.stack([np.asarray(ct) for ct in model.clusterCenters()])
+    n_probe = min(nprobe, len(centers))
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _probe(embs):
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        # squared euclidean to every centroid: ||e||² - 2eC + ||C||²
+        d = (-2.0 * E @ centers.T) + (centers ** 2).sum(axis=1)[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    # registered without type hints: `from __future__ import
+    # annotations` turns hints into strings pyspark can't resolve
+    probe_clusters = pandas_udf(_probe, "array<long>")
+
+    q = (
+        vecs.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("eq"),
+                    F.col("norm").alias("nq"),
+                    probe_clusters(F.col("embedding")).alias("_probes"))
+        .select("query_id", "eq", "nq", F.explode("_probes").alias("bucket"))
+    )
+    return _topk_by_bucket(q, c, k)
+
+
+def _topk_by_bucket(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """IVF-style scoring shared by the LSH and IVF paths: cogroup
+    queries (query_id, eq, nq, bucket) with candidates
+    (vec_id, ec, nc, bucket) and run ONE numpy matmul per bucket
+    (Arrow-batched) — the per-pair higher-order-function dot product
+    doesn't whole-stage-codegen and is 10x slower.  Each bucket emits
+    only its local top-k per query; the global window then ranks
+    ≤ (n_probes × k) rows per query.  No pair dedup is needed: a
+    candidate lives in exactly one bucket (LSH) / one cluster (IVF),
+    so each (query, candidate) pair is scored at most once."""
+    from pyspark.sql import Window
+
     import numpy as np
     import pandas as pd
 

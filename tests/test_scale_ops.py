@@ -177,3 +177,29 @@ def test_simhash_near_banding_complete(spark):
     import pytest as _p
     with _p.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=4)  # incomplete geometry
+
+
+def test_topk_ivf_recall_vs_brute(spark):
+    """IVF (k-means coarse quantizer + nprobe) recall gate; trained on
+    a sample like the 1e9-vector deployment would be."""
+    from octofludb_spark.scale.simsearch import topk_brute, topk_ivf
+
+    emb = _emb(spark)
+    brute = {(r.query_id, r.vec_id)
+             for r in topk_brute(emb, emb, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in topk_ivf(emb, k=5).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.7, f"recall@5 {recall:.3f} < 0.7"
+    # sampled training still yields a working index (the scale path)
+    sampled = {(r.query_id, r.vec_id)
+               for r in topk_ivf(emb, k=5, n_clusters=4,
+                                 train_fraction=0.5).collect()}
+    s_recall = len(brute & sampled) / len(brute)
+    assert s_recall >= 0.5, f"sampled-train recall {s_recall:.3f}"
+    # structure: <= k neighbors per query, ranks 1..k
+    per_q = {}
+    for r in topk_ivf(emb, k=3).collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+    assert max(len(v) for v in per_q.values()) <= 3
