@@ -38,8 +38,13 @@ BENCH_QUERIES = [
     "priority_pivot",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # dedup_simhash_near is gate-checked at sf0.01 but excluded here:
+    # the synthetic corpus's tiny vocabulary puts ~half of ALL pairs
+    # within Hamming 3, so its sf0.1 output is ~6M rows — output-bound,
+    # not representative of the operator's cost on real text
     "text_quality",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

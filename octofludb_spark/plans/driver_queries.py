@@ -626,8 +626,14 @@ def _stage_kg(spark, with_map: bool = False):
 
     tpath = os.path.join(_STAGED, "kg_triples.parquet")
     if "triples" not in _staged_done:
+        from octofludb_spark.plans.static_graph import static_graph
+
         triples, _ = run_extraction(_kg_source(spark),
                                     run_ts="2026-01-01T00:00:00")
+        # the staged corpus mirrors a BUILT store: extraction plus the
+        # static schema/geography graph (build.py does the same union),
+        # so reports needing country/code or state/name paths bind
+        triples = triples.unionByName(static_graph(spark))
         triples.write.mode("overwrite").parquet(tpath)
         _staged_done.add("triples")
     triples = spark.read.parquet(tpath)
@@ -898,6 +904,104 @@ def masterlist_wide(spark, sf):
 
     triples, _ = _stage_kg(spark)
     return masterlist_report(GraphViews(triples))
+
+
+_WGS_SQL = f"""
+WITH t AS (SELECT subject, predicate, object_lex, object_dtype
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ strain AS (SELECT subject sid, object_lex strain FROM t
+            WHERE predicate = '{_NT}strain_name'
+              AND regexp_matches(object_lex, 'A/.wine/.*/A0')),
+ swine AS (SELECT DISTINCT subject sid FROM t
+           WHERE predicate = '{_NT}host' AND object_lex = 'swine'),
+ usa AS (SELECT DISTINCT a.subject sid
+         FROM t a JOIN t b ON a.object_lex = b.subject
+         WHERE a.predicate = '{_NT}country'
+           AND b.predicate = '{_NT}code' AND b.object_lex = 'USA'),
+ dt AS (SELECT subject sid, object_lex d,
+               CAST(substr(object_lex, 1, 4) AS INT) AS year,
+               CAST(substr(object_lex, 6, 2) AS INT) AS month,
+               substr(object_lex, 9, 2) AS day
+        FROM t WHERE predicate IN ('{_NT}date', '{_NT}collection_date')
+          AND object_dtype = 'xsd:date'
+          AND CAST(substr(object_lex, 1, 4) AS INT) = 2009
+          AND CAST(substr(object_lex, 6, 2) AS INT) = 6),
+ bar AS (SELECT subject sid, object_lex barcode FROM t
+         WHERE predicate = '{_NT}barcode'),
+ stname AS (SELECT a.subject sid, b.object_lex state
+            FROM t a JOIN t b ON a.object_lex = b.subject
+            WHERE a.predicate = '{_NT}state'
+              AND b.predicate IN ('{_NT}name', '{_NT}label')),
+ hs AS (SELECT subject sid, object_lex gid FROM t
+        WHERE predicate = '{_NT}has_segment'),
+ hagid AS (SELECT h.sid, h.gid FROM hs h JOIN t s ON h.gid = s.subject
+           WHERE s.predicate = '{_NT}segment_name' AND s.object_lex = 'HA'),
+ nagid AS (SELECT h.sid, h.gid FROM hs h JOIN t s ON h.gid = s.subject
+           WHERE s.predicate = '{_NT}segment_name' AND s.object_lex = 'NA'),
+ gbk AS (SELECT subject gid, object_lex gb FROM t
+         WHERE predicate = '{_NT}genbank_id'),
+ h_gb AS (SELECT a.sid, g.gb h_genbank FROM hagid a JOIN gbk g USING (gid)),
+ n_gb AS (SELECT a.sid, g.gb n_genbank FROM nagid a JOIN gbk g USING (gid)),
+ hacl AS (SELECT a.sid, c.object_lex ha_clade FROM hagid a
+          JOIN t c ON a.gid = c.subject WHERE c.predicate = '{_NT}clade'),
+ nacl AS (SELECT a.sid, c.object_lex na_clade FROM nagid a
+          JOIN t c ON a.gid = c.subject WHERE c.predicate = '{_NT}clade'),
+ hagl AS (SELECT a.sid, c.object_lex ha_gl_clade FROM hagid a
+          JOIN t c ON a.gid = c.subject WHERE c.predicate = '{_NT}gl_clade'),
+ src AS (SELECT a.sid, c.object_lex source FROM hagid a
+         JOIN t f ON a.gid = f.subject
+         JOIN t c ON f.object_lex = c.subject
+         WHERE f.predicate = '{_NT}has_feature'
+           AND c.predicate = '{_NT}isolation_source'),
+ cst AS (SELECT subject sid, object_lex const FROM t
+         WHERE predicate = '{_NT}constellation'),
+ sub AS (SELECT subject sid, object_lex subtype FROM t
+         WHERE predicate = '{_NT}subtype'),
+ core AS (SELECT s.sid, s.strain, d.year, d.month, d.day
+          FROM strain s JOIN swine USING (sid) JOIN usa USING (sid)
+          JOIN dt d ON s.sid = d.sid
+          WHERE s.sid IN (SELECT sid FROM h_gb)
+            AND s.sid IN (SELECT sid FROM n_gb))
+SELECT c.strain, 'swine' AS host, c.year, c.month,
+  COALESCE(string_agg(DISTINCT b.barcode, '+' ORDER BY b.barcode), '') AS barcode,
+  COALESCE(string_agg(DISTINCT sub.subtype, '+' ORDER BY sub.subtype), '') AS subtype,
+  COALESCE(string_agg(DISTINCT c.day, '+' ORDER BY c.day), '') AS day,
+  'USA' AS country,
+  COALESCE(string_agg(DISTINCT st.state, '+' ORDER BY st.state), '') AS state,
+  COALESCE(string_agg(DISTINCT sr.source, '+' ORDER BY sr.source), '') AS source,
+  COALESCE(string_agg(DISTINCT hg.h_genbank, '+' ORDER BY hg.h_genbank), '') AS h_genbank,
+  COALESCE(string_agg(DISTINCT ng.n_genbank, '+' ORDER BY ng.n_genbank), '') AS n_genbank,
+  COALESCE(string_agg(DISTINCT cst.const, '+' ORDER BY cst.const), '') AS const,
+  COALESCE(string_agg(DISTINCT hc.ha_clade, '+' ORDER BY hc.ha_clade), '') AS ha_clade,
+  COALESCE(string_agg(DISTINCT nc.na_clade, '+' ORDER BY nc.na_clade), '') AS na_clade,
+  COALESCE(string_agg(DISTINCT hgl.ha_gl_clade, '+' ORDER BY hgl.ha_gl_clade), '') AS ha_gl_clade
+FROM core c
+JOIN h_gb hg ON c.sid = hg.sid
+JOIN n_gb ng ON c.sid = ng.sid
+LEFT JOIN bar b ON c.sid = b.sid
+LEFT JOIN stname st ON c.sid = st.sid
+LEFT JOIN src sr ON c.sid = sr.sid
+LEFT JOIN cst ON c.sid = cst.sid
+LEFT JOIN sub ON c.sid = sub.sid
+LEFT JOIN hacl hc ON c.sid = hc.sid
+LEFT JOIN nacl nc ON c.sid = nc.sid
+LEFT JOIN hagl hgl ON c.sid = hgl.sid
+GROUP BY c.strain, c.year, c.month
+"""
+
+
+@q("kg_wgs_report", _WGS_SQL)
+def kg_wgs_report(spark, sf):
+    """wgs.rq (the reference's quarterly WGS-selection macro report,
+    __YEAR__/__MONTH__ = 2009/6) over the staged built-store triples
+    (extraction + static graph, so the country/code and state/name
+    property paths bind).  Oracle recomputes the whole report
+    relationally."""
+    from octofludb_spark.plans.reports import wgs_report
+    from octofludb_spark.plans.views import GraphViews
+
+    triples, _ = _stage_kg(spark)
+    return wgs_report(GraphViews(triples), 2009, 6)
 
 
 @q("kg_subtype_report", _SUBTYPE_SQL)
