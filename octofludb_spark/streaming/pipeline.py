@@ -158,3 +158,40 @@ def sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_dedup_documents(spark: SparkSession, directory: str,
+                           out_dir: str, checkpoint_dir: str,
+                           max_files: int = 16):
+    """Streaming EXACT deduplication for a training-data ingest: as
+    document files arrive, keep only the first document per content
+    digest — across micro-batches and across restarts.
+
+    Scale shape: ``dropDuplicates`` on the digest uses Spark's
+    streaming state store (one entry per distinct digest, partitioned
+    by digest hash) — the same single-shuffle key layout as the batch
+    ``exact_dedup``, with the state checkpointed so a killed stream
+    resumes without re-admitting duplicates.  Output is append-only
+    parquet of the surviving documents."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(directory)
+    )
+    deduped = (
+        stream.withColumn("digest", F.md5("text"))
+        .dropDuplicates(["digest"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

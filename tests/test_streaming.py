@@ -77,3 +77,41 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     assert len(merged) == len(got_s) and len(got_s) > 0
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["avg_value_s"] == merged["avg_value_b"]).all()
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (training-data ingest): first document
+    per digest survives, across micro-batches AND across a restart
+    with late-arriving duplicates."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.streaming.pipeline import stream_dedup_documents
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    # batch 1: 6 docs, 2 duplicate texts; batch 2: 4 docs all dups of b1
+    b1 = [(i, f"text {i % 4}") for i in range(6)]
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_documents(spark, src, out, ckpt).start()
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 4  # 4 distinct texts
+    assert got1.select("digest").distinct().count() == 4
+
+    # restart with only-duplicate late arrivals: state survives the
+    # checkpoint, nothing new is admitted
+    b2 = [(100 + i, f"text {i % 4}") for i in range(4)]
+    spark.createDataFrame(b2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dedup_documents(spark, src, out, ckpt).start()
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 4
+    # equivalence with the batch operator on the full input
+    from octofludb_spark.scale.dedup import exact_dedup
+    batch = exact_dedup(spark.read.parquet(src).select("doc_id", "text"))
+    assert batch.count() == 4
+    assert ({r.digest for r in got2.select("digest").collect()}
+            == {r.digest for r in batch.select("digest").collect()})
