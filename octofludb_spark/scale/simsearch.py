@@ -34,11 +34,17 @@ def _norm(a):
 
 
 def cosine_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """All pairs with cosine >= threshold: (vec_x, vec_y, cos)."""
-    a = emb.select(F.col("vec_id").alias("vec_x"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_y"), F.col("embedding").alias("eb"))
+    """All pairs with cosine >= threshold: (vec_x, vec_y, cos).
+    Labeled exact baseline — O(n²) by construction; norms are hoisted
+    below the join (once per vector, not once per pair)."""
+    a = emb.select(F.col("vec_id").alias("vec_x"),
+                   F.col("embedding").alias("ea"),
+                   _norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_y"),
+                   F.col("embedding").alias("eb"),
+                   _norm(F.col("embedding")).alias("nb"))
     pairs = a.join(b, F.col("vec_x") < F.col("vec_y"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("vec_x", "vec_y", F.round(cos, 5).alias("cos"))
         .where(F.col("cos") >= threshold)

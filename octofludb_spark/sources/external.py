@@ -246,3 +246,116 @@ def octoflu_classifier(
                 columns=["seqid", "segment_subtype", "clade", "gl_clade"])
         return pd.concat(frames, ignore_index=True)
     return classify
+
+
+# --------------------------------------------------------------------------
+# S12 — motif finder wrapper (flutile)
+# --------------------------------------------------------------------------
+
+# the reference's motif position patterns (ui.py:297-321) — data, not code
+H1_MOTIF_PATTERNS = [
+    "sa_motif=124,125,155,157,159,160,162,163,164",
+    "sb_motif=153,156,189,190,193,195",
+    "ca1_motif=166,170,204,237",
+    "ca2_motif=137,140,142,221,222",
+    "cb_motif=70,71,73,74,75,115",
+]
+H3_MOTIF_PATTERNS = ["h3_motif=145,155,156,158,159,189"]
+
+
+def flutile_runner(subtype: str, patterns: Sequence[str]) -> Callable[[str], str]:
+    """Production motif runner: flutile.write_bounds over a fasta file
+    (reference script.py:280-307 — dna2aa conversion, tabular output).
+    Dark in the sandbox — flutile isn't installed."""
+    def run(fasta_path: str) -> str:
+        import io
+
+        import flutile  # import-gated
+
+        out = io.StringIO()
+        flutile.write_bounds(
+            tabular=True, motif_strs=list(patterns), keep_signal=False,
+            subtype=subtype, fasta_file=fasta_path, conversion="dna2aa",
+            outfile=out)
+        return out.getvalue()
+    return run
+
+
+def motif_table(seqs: DataFrame, runner: Callable[[str], str]) -> DataFrame:
+    """Distributed motif extraction: (seqid, seq) partitions -> temp
+    fasta per batch -> one runner invocation -> the runner's tabular
+    output parsed back (header row = seqid + motif column names, as
+    flutile emits and prep_table expects, ui.py:312/326)."""
+    import pyspark.sql.types as T
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".fna", delete=False) as fh:
+                fh.write(_fasta_text(pdf))
+                path = fh.name
+            try:
+                text = runner(path)
+            finally:
+                os.unlink(path)
+            lines = [l for l in text.splitlines() if l.strip()]
+            if len(lines) < 2:
+                continue
+            header = lines[0].split("\t")
+            rows = [l.split("\t") for l in lines[1:]]
+            yield pd.DataFrame(rows, columns=header)
+
+    # schema is fixed by the FIRST batch's header at plan time: probe
+    # the runner's header with an empty fasta is not possible, so the
+    # caller's runner must emit a stable header; we derive it from a
+    # 1-row driver-side probe
+    probe = runner_probe_header(seqs, runner)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in probe])
+    return seqs.mapInPandas(run, schema)
+
+
+def runner_probe_header(seqs: DataFrame, runner: Callable[[str], str]) -> list[str]:
+    """One driver-side runner call on a single sequence to learn the
+    output header (mapInPandas needs the schema up front)."""
+    one = seqs.limit(1).toPandas()
+    if not len(one):
+        return ["seqid"]
+    with tempfile.NamedTemporaryFile("w", suffix=".fna", delete=False) as fh:
+        fh.write(_fasta_text(one))
+        path = fh.name
+    try:
+        text = runner(path)
+    finally:
+        os.unlink(path)
+    lines = [l for l in text.splitlines() if l.strip()]
+    return lines[0].split("\t") if lines else ["seqid"]
+
+
+def enrich_motifs(spark: SparkSession, store, runner_factory=flutile_runner,
+                  subtypes: Sequence[tuple[str, Sequence[str]]] = (
+                      ("H1", tuple(H1_MOTIF_PATTERNS)),
+                      ("H3", tuple(H3_MOTIF_PATTERNS)),
+                  )) -> int:
+    """The reference's upload_motifs round (ui.py:293-328): for each
+    HA subtype, pull that subtype's swine HA sequences from the store,
+    run the motif finder, re-extract the tabular output as triples
+    (prep_table semantics, segment-keyed), and merge idempotently."""
+    from octofludb_spark.plans.enrich import df_table_triples
+    from octofludb_spark.plans.reports import h_swine_sequences
+    from octofludb_spark.plans.views import GraphViews
+
+    total = 0
+    for subtype, patterns in subtypes:
+        v = GraphViews(store.read(spark, "triples"))
+        seqs = h_swine_sequences(v, subtype).withColumnRenamed("gb", "seqid")
+        table = motif_table(seqs, runner_factory(subtype, patterns))
+        triples = df_table_triples(table, segment_key=True)
+        n = triples.persist().count()
+        if n:
+            store.merge_triples(spark, triples,
+                                stage=f"enrich-motifs-{subtype.lower()}")
+        triples.unpersist()
+        total += n
+    return total

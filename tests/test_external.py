@@ -143,3 +143,51 @@ def test_octoflu_classifier_in_enrich_slot(spark):
         lambda it: (classify(pdf) for pdf in it if len(pdf)), schema)
     got = {(r.seqid, r.segment_subtype) for r in out.collect()}
     assert got == {("MN1", "N2"), ("MN2", "N2")}
+
+
+@pytest.mark.spark
+def test_enrich_motifs_round(spark, tmp_path):
+    """S12: the upload_motifs round (ui.py:293-328) with an injected
+    flutile-like runner — sequences pulled from the store, motif table
+    re-extracted as segment-keyed triples, merged idempotently."""
+    from octofludb_spark.sources.external import (H1_MOTIF_PATTERNS,
+                                                  enrich_motifs)
+    from octofludb_spark.sources.store import TripleStore
+
+    NT = "https://flu-crew.org/term/"
+    FID = "https://flu-crew.org/id/"
+    trips = [
+        (FID + "s1", NT + "host", "swine", ""),
+        (FID + "s1", NT + "has_segment", FID + "mn000001", "uri"),
+        (FID + "mn000001", NT + "genbank_id", "MN000001", ""),
+        (FID + "mn000001", NT + "segment_subtype", "H1", ""),
+        (FID + "mn000001", NT + "dnaseq", "GATACAGATACA", ""),
+    ]
+    store = TripleStore(str(tmp_path / "store"))
+    store.merge_triples(spark, spark.createDataFrame(
+        trips, ["subject", "predicate", "object_lex", "object_dtype"]))
+
+    def fake_factory(subtype, patterns):
+        names = [p.split("=")[0] for p in patterns]
+
+        def run(fasta_path):
+            seqids = [l[1:].strip() for l in open(fasta_path)
+                      if l.startswith(">")]
+            header = "\t".join(["seqid"] + names)
+            rows = ["\t".join([s] + [f"{n[:2].upper()}{i}"
+                                     for i, n in enumerate(names)])
+                    for s in seqids]
+            return header + "\n" + "\n".join(rows)
+        return run
+
+    n = enrich_motifs(spark, store, runner_factory=fake_factory)
+    assert n > 0
+    t = store.read(spark, "triples")
+    from pyspark.sql import functions as F
+    sa = t.where(F.col("predicate") == NT + "sa_motif").collect()
+    assert len(sa) == 1 and sa[0].subject == FID + "mn000001"
+    assert sa[0].object_lex == "SA0"
+    # idempotent: re-running adds nothing
+    before = t.count()
+    enrich_motifs(spark, store, runner_factory=fake_factory)
+    assert store.read(spark, "triples").count() == before
