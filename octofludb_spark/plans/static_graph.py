@@ -24,13 +24,11 @@ dimension this small.
 from __future__ import annotations
 
 import json
-import os
+from importlib import resources
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-_DATA = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "data")
 _COLS = ["subject", "predicate", "object_lex", "object_dtype"]
 
 NT = "https://flu-crew.org/term/"
@@ -40,7 +38,10 @@ _DT = {"plain": "", "uri": "uri", "xsd:date": "xsd:date"}
 
 
 def _load(name: str) -> pd.DataFrame:
-    rows = json.load(open(os.path.join(_DATA, name)))
+    # importlib.resources (not __file__ paths) so the package also
+    # works from a spark-submit --py-files zip
+    with resources.files("octofludb_spark.data").joinpath(name).open() as f:
+        rows = json.load(f)
     df = pd.DataFrame(rows, columns=["subject", "predicate", "object_lex",
                                      "_dt"])
     df["object_dtype"] = df["_dt"].map(lambda d: _DT.get(d, d))
