@@ -61,19 +61,23 @@ def shingles(docs: DataFrame, n: int = 3,
     idx = F.when(
         F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
     ).otherwise(F.array().cast("array<int>"))
+    # per-doc distinct is done map-side (array_distinct before the
+    # explode) — globally distinct (doc_id, shingle) needs NO shuffle
+    # because a doc's shingles never span partitions
     sh = words.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("w", (i + k + 1).cast("int"))
-                           for k in range(n)]
-                ),
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("w", (i + k + 1).cast("int"))
+                               for k in range(n)]
+                    ),
+                )
             )
         ).alias("shingle"),
     )
-    sh = sh.distinct()
     if max_df is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -185,6 +189,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
     plan (that join is exactly what LSH exists to avoid)."""
     sh = shingles(docs, max_df=max_df).persist()
     sig = _signatures(sh)
+    # persisted: the band table feeds BOTH sides of the bucket
+    # self-join (and through it the verify step) — without the cache
+    # the whole shingle->signature subtree is recomputed per side
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -197,7 +204,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
             )
             for b in range(N_PERM // BAND_SIZE)
         ])).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key").persist()
     cand = (
         bands.alias("x").join(bands.alias("y"), ["band", "key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
