@@ -31,7 +31,6 @@ from octofludb_spark.extract.recipes import (
     _EPI_SUFFIX,
     _IVR_STRAIN_PAT,
     _gis_strain_clean,
-    blast_triples,
     idlist_triples,
     typed,
 )
@@ -361,6 +360,89 @@ def table_triples_batched(items: list[tuple[int, str]], levels=None,
     return pd.concat(frames, ignore_index=True) if frames else EMPTY_WITH_SRC.copy()
 
 
+def blast_triples_batched(items: Sequence[tuple[int, str]],
+                          taguri=None) -> pd.DataFrame:
+    """mk_blast batch-at-once: every file's outfmt-6 rows concatenated
+    into ONE column set before any pandas/URI op runs (the per-file
+    path paid make_uri_series overhead 12x per file; here it's 12x per
+    BATCH).  Per-row lineage rides the sink's src array.  Semantics ==
+    recipes.blast_triples (parity-tested)."""
+    from octofludb_spark.extract.recipes import _BLAST_FIELDS
+    from octofludb_spark.functions.uri import DT_URI, NT, make_uri_series
+    from octofludb_spark.extract.emit import P_TAG
+
+    rows: list[list[str]] = []
+    srcs: list[int] = []
+    for src_idx, content in items:
+        for ln in content.splitlines():
+            if not ln.strip():
+                continue
+            r = ln.split("\t")
+            if len(r) == 12:
+                rows.append(r)
+                srcs.append(src_idx)
+    if not rows:
+        return EMPTY_WITH_SRC.copy()
+    cols = list(zip(*rows))
+    qseqid = pd.Series(cols[0], dtype=object)
+    sseqid = pd.Series(cols[1], dtype=object)
+    bit_raw = pd.Series(cols[11], dtype=object).astype(str).str.strip()
+    huid = make_uri_series("blast/" + qseqid.astype(str) + "-"
+                           + sseqid.astype(str) + "-" + bit_raw)
+    sink = E.TripleSink(src=np.asarray(srcs, dtype=np.int64))
+    sink.add(huid, NT + "qseqid", make_uri_series(qseqid), DT_URI)
+    sink.add(huid, NT + "sseqid", make_uri_series(sseqid), DT_URI)
+    raw = {"pident": cols[2], "length": cols[3], "mismatch": cols[4],
+           "gapopen": cols[5], "qstart": cols[6], "qend": cols[7],
+           "sstart": cols[8], "send": cols[9], "evalue": cols[10],
+           "bitscore": cols[11]}
+    for name, cast, dt in _BLAST_FIELDS:
+        vals = pd.Series(
+            [str(cast(v.strip())) for v in raw[name]], dtype=object
+        )
+        sink.add(huid, NT + name, vals, dt)
+    if taguri:
+        sink.add(huid, P_TAG, taguri, DT_URI)
+    return sink.frame(with_src=True)
+
+
+def genbank_triples_batched(items: Sequence[tuple[int, str]],
+                            taguri=None) -> pd.DataFrame:
+    """genbank JSON-lines, batch-at-once.  Record traversal stays
+    per-record (nested Entrez dicts), but the frame construction and
+    the dedup run ONCE per batch — deduping on (s,p,o,dt,src) is
+    exactly the per-file drop_duplicates because src separates files.
+    The reference's genbank path is untagged (prep_update_gb,
+    ui.py:745-766), so taguri is ignored for interface parity."""
+    del taguri
+    import json as _json
+
+    from octofludb_spark.extract.genbank import _ScalarSink, record_triples
+
+    all_rows: list[tuple] = []
+    for src_idx, content in items:
+        sink = _ScalarSink()
+        for line in content.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = _json.loads(line)
+            except _json.JSONDecodeError:
+                continue
+            if not isinstance(rec, dict):
+                continue  # a malformed line must not kill the task
+            record_triples(rec, sink)
+        all_rows.extend(
+            (s, p, o, dt, np.int64(src_idx)) for (s, p, o, dt) in sink.rows
+        )
+    if not all_rows:
+        return EMPTY_WITH_SRC.copy()
+    return pd.DataFrame(
+        all_rows, columns=["s", "p", "o", "dt", "src"]
+    ).drop_duplicates(ignore_index=True)
+
+
 def _per_file_with_src(fn):
     def run(items: list[tuple[int, str]], taguri=None) -> pd.DataFrame:
         frames = []
@@ -391,7 +473,7 @@ BATCHED_RECIPES = {
     "gisaid_xls": _per_file_with_src(_gisaid_excel_per_file),
     "ivr": ivr_triples_batched,
     "ird": ird_triples_batched,
-    "blast": _per_file_with_src(blast_triples),
+    "blast": blast_triples_batched,
     "ids": _per_file_with_src(idlist_triples),
 }
 
@@ -409,9 +491,7 @@ def _late_bind():
             lambda content, taguri=None: irregular_fasta_triples(
                 content, taguri=taguri)),
     )
-    from octofludb_spark.extract.genbank import genbank_triples
-
-    BATCHED_RECIPES.setdefault("genbank", _per_file_with_src(genbank_triples))
+    BATCHED_RECIPES.setdefault("genbank", genbank_triples_batched)
     BATCHED_RECIPES.setdefault(
         "segtable",
         _per_file_with_src(

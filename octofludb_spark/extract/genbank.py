@@ -277,5 +277,7 @@ def genbank_triples(content: str, taguri=None) -> pd.DataFrame:
             rec = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if not isinstance(rec, dict):
+            continue  # a malformed line must not kill the task
         record_triples(rec, sink)
     return sink.frame()
