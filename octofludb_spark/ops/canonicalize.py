@@ -54,30 +54,39 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
             F.when(F.col("object_dtype") == DT_URI, F.col("_o_canon")),
         )
     )
-    untouched = joined.where(
-        F.col("_s_canon").isNull() & F.col("_o_canon").isNull()
-    ).select(*cols)
-    touched = (
-        joined.where(F.col("_s_canon").isNotNull() | F.col("_o_canon").isNotNull())
-        .select(
-            F.coalesce("_s_canon", "subject").alias("subject"),
-            "predicate",
-            F.coalesce("_o_canon", "object_lex").alias("object_lex"),
-            "object_dtype",
-        )
-        .dropDuplicates(cols)
-    )
     if scalable_collide and use_broadcast:
         # when the TOUCHED subset is known-small (sparse aliasing):
         # find collisions with a broadcast SEMI join (untouched never
         # shuffles), then subtract them from the touched side.  With
         # dense aliasing the broadcast outgrows its win — hence opt-in.
+        untouched = joined.where(
+            F.col("_s_canon").isNull() & F.col("_o_canon").isNull()
+        ).select(*cols)
+        touched = (
+            joined.where(F.col("_s_canon").isNotNull()
+                         | F.col("_o_canon").isNotNull())
+            .select(
+                F.coalesce("_s_canon", "subject").alias("subject"),
+                "predicate",
+                F.coalesce("_o_canon", "object_lex").alias("object_lex"),
+                "object_dtype",
+            )
+            .dropDuplicates(cols)
+        )
         collide = untouched.join(F.broadcast(touched), on=cols, how="left_semi")
         touched = touched.join(F.broadcast(collide), on=cols, how="left_anti")
         return untouched.unionByName(touched)
-    # exact set semantics at any alias density: one full dedup (this
-    # shuffle doubles as the store's bucket-partitioning pass)
-    return untouched.unionByName(touched).dropDuplicates(cols)
+    # exact set semantics at any alias density: rewrite in ONE pass
+    # (coalesce leaves unmapped ids as-is) and dedup once — the single
+    # wide shuffle doubles as the store's bucket-partitioning pass.
+    # (A two-branch untouched/touched union would scan and join the
+    # store twice for the same result.)
+    return joined.select(
+        F.coalesce("_s_canon", "subject").alias("subject"),
+        "predicate",
+        F.coalesce("_o_canon", "object_lex").alias("object_lex"),
+        "object_dtype",
+    ).dropDuplicates(cols)
 
 
 def salted_join(big: DataFrame, dim: DataFrame, key: str, nsalt: int = 16) -> DataFrame:

@@ -98,6 +98,33 @@ def _driver_union_find(pairs) -> list[tuple[str, str]]:
     return [(x, comp_min[find(x)]) for x in sorted(nodes)]
 
 
+def _driver_union_find_hashed(hs, hd, h2s: dict) -> list[tuple[str, str]]:
+    """Union-find over int64 node hashes; representative = the
+    lexicographically smallest node STRING of the component (same
+    output as `_driver_union_find` on the string edges)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(hs, hd):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict[int, str] = {}
+    for h, s in h2s.items():
+        r = find(h)
+        cur = comp_min.get(r)
+        if cur is None or s < cur:
+            comp_min[r] = s
+    return sorted((s, comp_min[find(h)]) for h, s in h2s.items())
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          driver_threshold: int = DRIVER_CC_THRESHOLD) -> DataFrame:
     """-> (node, component) with component = min member IRI.
@@ -121,21 +148,45 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
     spark = edges.sparkSession
     edges = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    # one cheap count decides the execution mode (a real deployment
-    # would read this from table stats); the driver path then collects
-    # DIRECTLY — no distinct / localCheckpoint / hash-sig jobs, since
-    # union-find is insensitive to duplicate edges and the fixed cost
-    # of extra driver-loop jobs is exactly what hurts N->4N scaling.
-    n_edges = edges.count()
-    if n_edges == 0:
+    # ONE job both decides the execution mode and fetches the edge
+    # structure: collect int64 edge hashes up to threshold+1 rows
+    # (Arrow transfers them zero-copy into numpy).  Collecting hashes
+    # instead of ~2n python string objects matters because the collect
+    # is the link stage's SERIAL cost — it doesn't shrink with more
+    # cores.  Union-find is insensitive to duplicate edges, so no
+    # distinct / localCheckpoint / hash-sig jobs on this path either.
+    hpdf = (
+        edges.select(F.xxhash64("src").alias("hs"),
+                     F.xxhash64("dst").alias("hd"))
+        .limit(driver_threshold + 1)
+        .toPandas()
+    )
+    if len(hpdf) == 0:
         return spark.createDataFrame([], "node string, component string")
-    if n_edges <= driver_threshold:
+    if len(hpdf) <= driver_threshold:
         import pandas as pd
 
-        pdf = edges.toPandas()  # Arrow transfer, duplicates included
-        comp = _driver_union_find(
-            zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+        # The node dictionary (distinct endpoints, typically << edges)
+        # carries the strings.  An xxhash64 collision over the node
+        # set would silently merge two entities, so it is CHECKED; on
+        # collision fall back to the exact string path.
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .withColumn("h", F.xxhash64("node"))
+            .toPandas()
         )
+        if nodes["h"].nunique() == len(nodes):
+            comp = _driver_union_find_hashed(
+                hpdf["hs"].to_numpy(), hpdf["hd"].to_numpy(),
+                dict(zip(nodes["h"].to_numpy(), nodes["node"].to_numpy())),
+            )
+        else:  # astronomically rare; exactness beats speed
+            pdf = edges.toPandas()
+            comp = _driver_union_find(
+                zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+            )
         out = pd.DataFrame(comp, columns=["node", "component"])
         return spark.createDataFrame(out)  # Arrow transfer back
     edges = edges.distinct().localCheckpoint()

@@ -38,6 +38,7 @@ triples, _ = run_extraction(src)
 triples = triples.persist()
 n = triples.count()
 t_extract = time.time() - t0
+src.unpersist()  # free heap before the link stage (GC-stall guard)
 t1 = time.time()
 comps = connected_components(sameas_edges(triples))
 canon = canonicalize(triples, canonical_map(comps))
