@@ -199,8 +199,12 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
     )
     train = vecs if train_fraction >= 1.0 else vecs.sample(
         fraction=train_fraction, seed=seed)
+    # maxIter=8: a COARSE quantizer only routes probes — residual
+    # centroid drift past a few iterations doesn't move recall (the
+    # recall gate in tests/test_scale_ops.py holds), and each extra
+    # iteration is a full pass over the training sample
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_v",
-                   predictionCol="bucket").fit(train)
+                   predictionCol="bucket", maxIter=8).fit(train)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", "norm", F.col("bucket").cast("long").alias("bucket"))
     c = assigned.select("vec_id", F.col("embedding").alias("ec"),
