@@ -148,19 +148,46 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
     spark = edges.sparkSession
     edges = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    # ONE job both decides the execution mode and fetches the edge
-    # structure: collect int64 edge hashes up to threshold+1 rows
-    # (Arrow transfers them zero-copy into numpy).  Collecting hashes
-    # instead of ~2n python string objects matters because the collect
-    # is the link stage's SERIAL cost — it doesn't shrink with more
-    # cores.  Union-find is insensitive to duplicate edges, so no
-    # distinct / localCheckpoint / hash-sig jobs on this path either.
-    hpdf = (
+    # Two-level connected components.  Level 1 contracts each
+    # partition's edges to a spanning forest IN PARALLEL (mapInPandas
+    # over int64 node hashes — Arrow moves them zero-copy): a
+    # partition with e edges over v nodes emits at most v-1 pairs that
+    # preserve its connectivity, so the driver never sees the raw edge
+    # multiplicity.  Level 2 union-finds the contracted pairs on the
+    # driver.  ONE job both decides the execution mode and fetches the
+    # contracted structure (limit threshold+1); union-find is
+    # insensitive to duplicates so there is no distinct job anywhere.
+    import pandas as pd
+
+    def _contract(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        n_in = False
+        for bpdf in batches:
+            n_in = n_in or len(bpdf)
+            for a, b in zip(bpdf["hs"].to_numpy(), bpdf["hd"].to_numpy()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        if not n_in:
+            return
+        out = [(x, find(x)) for x in list(parent)]
+        yield pd.DataFrame(out, columns=["hs", "hd"])
+
+    contracted = (
         edges.select(F.xxhash64("src").alias("hs"),
                      F.xxhash64("dst").alias("hd"))
-        .limit(driver_threshold + 1)
-        .toPandas()
+        .mapInPandas(_contract, "hs long, hd long")
     )
+    hpdf = contracted.limit(driver_threshold + 1).toPandas()
     if len(hpdf) == 0:
         return spark.createDataFrame([], "node string, component string")
     if len(hpdf) <= driver_threshold:
