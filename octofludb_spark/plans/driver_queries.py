@@ -656,6 +656,40 @@ def _stage_kg(spark, with_map: bool = False):
     return triples, mapping
 
 
+def _stage_kg_raw(spark):
+    """Stage the RAW extraction (lineage columns included) so the
+    lineage/metrics aggregation can be recomputed cross-engine from
+    identical bytes."""
+    from octofludb_spark.extract.pipeline import extract_triples
+
+    rpath = os.path.join(_STAGED, "kg_raw.parquet")
+    if "raw" not in _staged_done:
+        raw = extract_triples(_kg_source(spark), run_ts="2026-01-01T00:00:00")
+        raw.write.mode("overwrite").parquet(rpath)
+        _staged_done.add("raw")
+    return spark.read.parquet(rpath)
+
+
+@q("kg_lineage_metrics", f"""
+SELECT src_repo, src_path, src_commit, content_sha256,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT subject) AS n_subjects,
+       CAST(SUM(CASE WHEN NOT sha_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS sha_violations
+FROM read_parquet('{_STAGED}/kg_raw.parquet/*.parquet')
+GROUP BY src_repo, src_path, src_commit, content_sha256
+""")
+def kg_lineage_metrics(spark, sf):
+    """Per-source lineage + metrics rows (north_rule: 'per-partition
+    lineage + metrics'): triples emitted, distinct subjects, and
+    content-sha256 invariant violations per source file.  The oracle
+    recomputes the aggregation relationally from the staged raw
+    extraction."""
+    from octofludb_spark.extract.pipeline import lineage_metrics
+
+    return lineage_metrics(_stage_kg_raw(spark))
+
+
 @q("kg_extract_triples")
 def kg_extract_triples(spark, sf):
     """Full recognizer-to-triple extraction over the deterministic
