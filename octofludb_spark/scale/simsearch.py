@@ -168,6 +168,33 @@ def topk_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = None,
     return _topk_by_bucket(q, c, k)
 
 
+def _kmeans_np(X, k: int, seed: int, iters: int = 8):
+    """Driver-side Lloyd k-means with k-means++ init (numpy).  The
+    incremental min-d2 update keeps init at O(nk); each Lloyd pass is
+    one matmul.  Deterministic for a fixed seed."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    n = len(X)
+    k = max(1, min(k, n))
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[rs.randint(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        i = rs.choice(n, p=d2 / tot) if tot > 0 else rs.randint(n)
+        C[j] = X[i]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        d = (-2.0 * X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
 def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
              nprobe: int = 4, dim: int = 64, seed: int = 42,
              train_fraction: float = 1.0) -> DataFrame:
@@ -176,46 +203,32 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
     nearest centroids and scores only those lists.
 
     Scale design (the FAISS-IVF recipe on Spark):
-      * train on a SAMPLE (``train_fraction``) — at 10⁹ vectors you
-        fit centroids on ~1M sampled rows, never the full corpus;
+      * the quantizer trains DRIVER-SIDE on a bounded sample
+        (``train_fraction``; FAISS does exactly this) — at 10⁹ vectors
+        you collect ~1M sampled rows, never the full corpus, and skip
+        the many tiny jobs a distributed k-means schedules;
       * ``n_clusters`` defaults to n/TARGET_BUCKET so inverted-list
         length — and per-query work (nprobe × list length) — stays
         bounded at any corpus size;
-      * assignment is one Spark ML transform (JVM); scoring reuses the
+      * assignment + probing are ONE Arrow-batched pandas UDF against
+        the broadcast centroid matrix (a vector's inverted list is its
+        nearest centroid = its first probe); scoring reuses the
         cogrouped numpy matmul (``_topk_by_bucket``), one Exchange on
         the cluster id.
     Deterministic: fixed seed, deterministic tiebreaks downstream."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     if n_clusters is None:
         n_clusters = max(2, int(emb.count()) // TARGET_BUCKET)
-    vecs = emb.select(
-        "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("norm"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("_v"),
-    )
-    train = vecs if train_fraction >= 1.0 else vecs.sample(
-        fraction=train_fraction, seed=seed)
-    # maxIter=8: a COARSE quantizer only routes probes — residual
-    # centroid drift past a few iterations doesn't move recall (the
-    # recall gate in tests/test_scale_ops.py holds), and each extra
-    # iteration is a full pass over the training sample
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_v",
-                   predictionCol="bucket", maxIter=8).fit(train)
-    assigned = model.transform(vecs).select(
-        "vec_id", "embedding", "norm", F.col("bucket").cast("long").alias("bucket"))
-    c = assigned.select("vec_id", F.col("embedding").alias("ec"),
-                        F.col("norm").alias("nc"), "bucket")
-    # query side: nprobe nearest centroids by euclidean distance,
-    # computed against the broadcast centroid matrix in one pandas UDF
-    centers = np.stack([np.asarray(ct) for ct in model.clusterCenters()])
+    vecs = emb.select("vec_id", "embedding",
+                      _norm(F.col("embedding")).alias("norm"))
+    train = vecs.select("embedding") if train_fraction >= 1.0 else (
+        vecs.select("embedding").sample(fraction=train_fraction, seed=seed))
+    X = np.stack(train.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    centers = _kmeans_np(X, n_clusters, seed=seed)
     n_probe = min(nprobe, len(centers))
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     def _probe(embs):
         E = np.stack(embs.to_numpy()).astype(np.float64)
@@ -228,13 +241,14 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
     # annotations` turns hints into strings pyspark can't resolve
     probe_clusters = pandas_udf(_probe, "array<long>")
 
-    q = (
-        vecs.select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("eq"),
-                    F.col("norm").alias("nq"),
-                    probe_clusters(F.col("embedding")).alias("_probes"))
-        .select("query_id", "eq", "nq", F.explode("_probes").alias("bucket"))
-    )
+    assigned = vecs.withColumn("_probes", probe_clusters(F.col("embedding")))
+    c = assigned.select("vec_id", F.col("embedding").alias("ec"),
+                        F.col("norm").alias("nc"),
+                        F.element_at("_probes", 1).alias("bucket"))
+    q = assigned.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("eq"),
+                        F.col("norm").alias("nq"),
+                        F.explode("_probes").alias("bucket"))
     return _topk_by_bucket(q, c, k)
 
 
