@@ -116,12 +116,21 @@ def main() -> None:
     # --- operator suite over the sf tables -------------------------------
     from octofludb_spark.plans.driver_queries import QUERIES
 
+    # best-of-N per query (default 2), same rationale as the KG stage:
+    # the metric is steady-state operator latency, and this shared box
+    # shows ~2x ambient run-to-run swings that would otherwise be
+    # recorded as engine behavior
+    op_runs = int(os.environ.get("BENCH_OP_RUNS", "2"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        queries[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(op_runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        queries[name] = round(best, 3)
         extras[f"rows_{name}"] = n
 
     total = round(sum(queries.values()), 3)
