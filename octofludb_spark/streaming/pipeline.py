@@ -195,3 +195,126 @@ def stream_dedup_documents(spark: SparkSession, directory: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+# --------------------------------------------------------------------------
+# streaming NEAR-duplicate candidates: MinHash LSH buckets as state
+# --------------------------------------------------------------------------
+
+_BAND_SCHEMA = "doc_id long, band int, key string"
+_NEARDUP_STATE = T.StructType([
+    T.StructField("doc_ids", T.ArrayType(T.LongType())),
+])
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("doc_x", T.LongType()),
+    T.StructField("doc_y", T.LongType()),
+])
+
+
+def _band_rows_fn(n_perm: int, band_size: int, n: int):
+    """mapInPandas closure emitting per-doc LSH band keys,
+    bit-identical to the batch path (scale/dedup.py): shingle = n
+    consecutive words joined by single spaces (distinct per doc),
+    permutation i's value = min md5(f"{i}|{shingle}") as lowercase
+    hex, band key = md5 of the band's values joined by '|'."""
+    import hashlib
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            out = {"doc_id": [], "band": [], "key": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                sh = {" ".join(words[i:i + n])
+                      for i in range(len(words) - n + 1)} \
+                    if len(words) >= n else set()
+                if not sh:
+                    continue
+                sig = [
+                    min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                        for s in sh)
+                    for i in range(n_perm)
+                ]
+                for b in range(n_perm // band_size):
+                    key = hashlib.md5(
+                        "|".join(sig[b * band_size:(b + 1) * band_size])
+                        .encode()).hexdigest()
+                    out["doc_id"].append(int(doc_id))
+                    out["band"].append(b)
+                    out["key"].append(key)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _neardup_fn(key, pdf_iter, state: GroupState):
+    """Custom stateful operator: each (band, bucket) remembers its
+    member doc_ids; an arriving doc pairs with every remembered member
+    (work ~ bucket occupancy, the LSH premise — never corpus-wide)."""
+    seen: list[int] = list(state.get[0]) if state.exists else []
+    member = set(seen)
+    out_x: list[int] = []
+    out_y: list[int] = []
+    arrived: list[int] = []
+    for pdf in pdf_iter:
+        arrived.extend(int(d) for d in pdf["doc_id"].tolist())
+    for d in sorted(set(arrived)):
+        if d in member:
+            continue  # re-delivery of a known doc pairs with nothing
+        for s in seen:
+            lo, hi = (s, d) if s < d else (d, s)
+            out_x.append(lo)
+            out_y.append(hi)
+        seen.append(d)
+        member.add(d)
+    state.update((seen,))
+    yield pd.DataFrame({"doc_x": pd.Series(out_x, dtype="int64"),
+                        "doc_y": pd.Series(out_y, dtype="int64")})
+
+
+def stream_neardup_documents(spark: SparkSession, directory: str,
+                             out_dir: str, checkpoint_dir: str,
+                             n_perm: int = 8, band_size: int = 2,
+                             n: int = 3, max_files: int = 16):
+    """Streaming NEAR-duplicate candidate detection for a training-data
+    ingest: as document files arrive, any pair agreeing on a MinHash
+    LSH band surfaces as a candidate pair — across micro-batches and
+    across restarts (the bucket membership lives in the streaming
+    state store, checkpointed).
+
+    Scale shape: state is one entry per occupied (band, bucket) with
+    that bucket's member ids — the same key layout as the batch bucket
+    self-join (scale/dedup.py minhash_lsh_pairs), partitioned by
+    bucket hash; per-doc work is bounded by bucket occupancy.  A pair
+    may surface once per agreeing band; a downstream distinct (or the
+    idempotent store merge) collapses repeats.  At production scale
+    the state wants a TTL (GroupStateTimeout) matched to the dedup
+    horizon.  Signatures are bit-identical to the batch path, so the
+    stream's distinct pairs equal the batch candidate pairs
+    (tests/test_streaming.py)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(directory)
+    )
+    bands = stream.mapInPandas(
+        _band_rows_fn(n_perm, band_size, n), _BAND_SCHEMA)
+    pairs = (
+        bands.groupBy("band", "key")
+        .applyInPandasWithState(
+            _neardup_fn,
+            outputStructType=_PAIR_SCHEMA,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

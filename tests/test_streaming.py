@@ -115,3 +115,67 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert batch.count() == 4
     assert ({r.digest for r in got2.select("digest").collect()}
             == {r.digest for r in batch.select("digest").collect()})
+
+
+def test_stream_neardup_matches_batch_candidates(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: the stream's distinct candidate
+    pairs equal the batch band-bucket self-join's, across micro-batches
+    AND across a restart (bucket membership survives the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.scale.dedup import (
+        BAND_SIZE, N_PERM, _signatures, shingles)
+    from octofludb_spark.streaming.pipeline import stream_neardup_documents
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variant = base + " tonight"
+    other = "completely different content with no shared shingles at all here"
+    b1 = [(0, base), (1, variant), (2, other), (3, base)]
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_neardup_documents(spark, src, out, ckpt).start()
+    q.awaitTermination(120)
+
+    # restart with a late near-duplicate: it must pair with docs seen
+    # BEFORE the restart
+    b2 = [(10, base + " tonight"), (11, other)]
+    spark.createDataFrame(b2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_neardup_documents(spark, src, out, ckpt).start()
+    q2.awaitTermination(120)
+
+    got = set(map(tuple, spark.read.parquet(out)
+                  .select("doc_x", "doc_y").distinct().collect()))
+
+    # batch expectation: the candidate generation of minhash_lsh_pairs
+    # (band-bucket self-join) over the full corpus, no DF cap
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    sig = _signatures(shingles(docs, max_df=None), N_PERM)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.element_at("sig", b * BAND_SIZE + r + 1)
+                           for r in range(BAND_SIZE)]
+                )).alias("key"),
+            )
+            for b in range(N_PERM // BAND_SIZE)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    want = set(map(tuple, (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_x"),
+                F.col("y.doc_id").alias("doc_y"))
+        .distinct().collect()
+    )))
+
+    assert got == want
+    # the late arrival paired across the restart boundary
+    assert any(x in (0, 1, 3) and y == 10 or x == 10 for x, y in got), got
