@@ -85,3 +85,93 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_sha256", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _fake_resize(payload: bytes, width: int, height: int,
+                 fake: bool) -> bytes:
+    """Stub: real resize needs PIL (absent).  fake=True produces a
+    deterministic digest-derived payload so downstream plumbing
+    (binary column, recomputed metadata) is exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL, not available in this container"
+        )
+    seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
+    return seed * 4  # 64 deterministic bytes standing in for pixels
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224,
+                  fake: bool = True) -> DataFrame:
+    """Resize every image payload (Arrow-batched mapInPandas).  Only
+    image rows pass through — the filter is JVM-side so non-image
+    payload bytes never cross into python.  Metadata (n_bytes, sha256)
+    is recomputed from the new payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _fake_resize(bytes(p), width, height, fake)
+                for p in pdf["payload"]
+            ]
+            out = pdf[["media_id"]].copy()
+            out["payload"] = payloads
+            out["width"] = pd.array([width] * len(pdf), dtype="int32")
+            out["height"] = pd.array([height] * len(pdf), dtype="int32")
+            out["n_bytes"] = pd.array([len(p) for p in payloads],
+                                      dtype="int64")
+            out["sha256"] = [hashlib.sha256(p).hexdigest() for p in payloads]
+            yield out
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = 4,
+                  fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT row per sampled
+    frame (the one-to-many explode shape that matters at scale —
+    memory is bounded per Arrow batch, never per video).  The decode
+    is the same stub as decode_image; frame identity is a
+    deterministic digest of (payload, frame_idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sha256": [],
+                   "n_bytes": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, _h = decode_image(payload, fake=fake)
+                n_frames = 1 + (w % 16)  # same derivation as features
+                for idx in range(0, n_frames, stride):
+                    fp = hashlib.md5(
+                        payload + idx.to_bytes(4, "big")).hexdigest()
+                    out["media_id"].append(int(media_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(fp)
+                    out["n_bytes"].append(len(payload))
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                "frame_sha256": out["frame_sha256"] or
+                    pd.Series(dtype=object),
+                "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+            })
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        run, FRAME_SCHEMA)

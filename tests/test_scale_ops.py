@@ -83,6 +83,41 @@ def test_multimodal_plumbing(spark):
         decode_image(b"xx", fake=False)
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    from octofludb_spark.scale.multimodal import (
+        _fake_resize,
+        resize_images,
+        sample_frames,
+        to_media_table,
+    )
+
+    media = to_media_table(_docs(spark).limit(30)).cache()
+    n_img = media.where("media_type = 'image'").count()
+    n_vid = media.where("media_type = 'video'").count()
+
+    resized = resize_images(media, width=128, height=96).collect()
+    assert len(resized) == n_img  # non-image rows filtered JVM-side
+    assert all(r.width == 128 and r.height == 96 for r in resized)
+    # metadata recomputed from the NEW payload
+    import hashlib
+    assert all(hashlib.sha256(bytes(r.payload)).hexdigest() == r.sha256
+               and r.n_bytes == len(bytes(r.payload)) for r in resized)
+
+    frames = sample_frames(media, stride=4).collect()
+    assert {r.media_id for r in frames} == {
+        r.media_id for r in media.where("media_type = 'video'").collect()}
+    assert len(frames) >= n_vid  # at least frame 0 per video
+    assert all(r.frame_idx % 4 == 0 for r in frames)
+    # deterministic: same input -> identical frame digests
+    again = sample_frames(media, stride=4).collect()
+    assert sorted((r.media_id, r.frame_idx, r.frame_sha256) for r in frames) \
+        == sorted((r.media_id, r.frame_idx, r.frame_sha256) for r in again)
+
+    with pytest.raises(NotImplementedError):
+        _fake_resize(b"xx", 8, 8, fake=False)
+    media.unpersist()
+
+
 def test_lang_id_deterministic_tie_order(spark):
     from octofludb_spark.scale.text import lang_id
 
