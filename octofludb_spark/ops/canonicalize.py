@@ -39,20 +39,33 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
     through with NO shuffle at all.  A rewritten triple may collide
     with an untouched one, so the touched set (small) is also
     anti-joined against the untouched side on the triple key; with the
-    dictionary broadcast both joins keep the big side map-side."""
+    dictionary broadcast both joins keep the big side map-side.
+
+    With ``use_broadcast=False`` (the dictionary outgrew
+    BROADCAST_LIMIT) the two dictionary joins run as SALTED
+    repartition joins: canonical IRIs are hub keys by construction —
+    every alias of H1N1 maps to the same canonical node — so a plain
+    shuffled join would send one reducer the whole hub.  salted_join
+    spreads each key over nsalt reducers (output equality with the
+    broadcast path is property-tested)."""
     cols = ["subject", "predicate", "object_lex", "object_dtype"]
-    m = F.broadcast(mapping) if use_broadcast else mapping
-    s_map = (m.withColumnRenamed("node", "subject")
-              .withColumnRenamed("canonical", "_s_canon"))
-    o_map = (m.withColumnRenamed("node", "object_lex")
-              .withColumnRenamed("canonical", "_o_canon"))
-    joined = (
-        triples.join(s_map, on="subject", how="left")
-        .join(o_map, on="object_lex", how="left")
-        .withColumn(
-            "_o_canon",
-            F.when(F.col("object_dtype") == DT_URI, F.col("_o_canon")),
+    s_map = (mapping.withColumnRenamed("node", "subject")
+             .withColumnRenamed("canonical", "_s_canon"))
+    o_map = (mapping.withColumnRenamed("node", "object_lex")
+             .withColumnRenamed("canonical", "_o_canon"))
+    if use_broadcast:
+        joined = (
+            triples.join(F.broadcast(s_map), on="subject", how="left")
+            .join(F.broadcast(o_map), on="object_lex", how="left")
         )
+    else:
+        joined = salted_join(
+            salted_join(triples, s_map, "subject", how="left"),
+            o_map, "object_lex", how="left",
+        )
+    joined = joined.withColumn(
+        "_o_canon",
+        F.when(F.col("object_dtype") == DT_URI, F.col("_o_canon")),
     )
     if scalable_collide and use_broadcast:
         # when the TOUCHED subset is known-small (sparse aliasing):
@@ -89,13 +102,18 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
     ).dropDuplicates(cols)
 
 
-def salted_join(big: DataFrame, dim: DataFrame, key: str, nsalt: int = 16) -> DataFrame:
+def salted_join(big: DataFrame, dim: DataFrame, key: str, nsalt: int = 16,
+                how: str = "inner") -> DataFrame:
     """Skew-proof equi-join helper for hub keys (e.g. subtype nodes):
-    salt the big side, explode-replicate the dim side (north_rule)."""
+    salt the big side, explode-replicate the dim side (north_rule).
+    Every big row carries exactly one salt and the dim side is
+    replicated to all salts, so the result equals the plain join for
+    ``inner`` and ``left`` alike — but one hub key's rows now land on
+    nsalt reducers instead of one."""
     # per-row salt: hash of the whole row spreads one hub key over
     # nsalt reducers deterministically
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(nsalt))
     )
     dim_s = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
-    return big_s.join(dim_s, on=[key, "_salt"]).drop("_salt")
+    return big_s.join(dim_s, on=[key, "_salt"], how=how).drop("_salt")

@@ -124,3 +124,47 @@ def test_canonicalize_strategies_agree(spark):
         trips, mapping, True, scalable_collide=True).collect()}
     exact = {tuple(r) for r in canonicalize(trips, mapping, False).collect()}
     assert default == scalable == exact
+
+
+@pytest.mark.spark
+def test_salted_join_spreads_hub_key(spark):
+    """north_rule skew handling: one hub key's rows land on multiple
+    reducers after salted_join, and the left-join variant passes
+    unmatched keys through (equality with plain joins is covered by
+    test_canonicalize_strategies_agree's use_broadcast=False leg)."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.ops.canonicalize import salted_join
+
+    big = spark.range(20000).select(
+        F.lit("H1N1").alias("k"), F.col("id").alias("payload"))
+    dim = spark.createDataFrame([("H1N1", "canon")], ["k", "v"])
+
+    out = salted_join(big, dim, "k", nsalt=16)
+    assert out.count() == 20000
+    # structural: the join is keyed on (k, _salt), so the hub key
+    # cannot serialize onto one reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    # distribution: at test scale the optimizer auto-broadcasts (both
+    # sides are tiny), which hides the repartitioning that salting
+    # exists for — disable broadcast/AQE to see the shuffle-join shape
+    # a hub key meets at real scale
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = salted_join(big, dim, "k", nsalt=16)
+        nparts = (shuffled.withColumn("p", F.spark_partition_id())
+                  .select("p").distinct().count())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    assert nparts > 1
+
+    late = spark.range(5).select(F.lit("H3N2").alias("k"),
+                                 F.col("id").alias("payload"))
+    left = salted_join(big.unionByName(late), dim, "k", nsalt=8, how="left")
+    assert left.count() == 20005
+    assert left.where(F.col("v").isNull()).count() == 5
