@@ -122,6 +122,46 @@ class TripleStore:
             return None
         return spark.read.parquet(path)
 
+    def read_subject(self, spark: SparkSession, subject: str,
+                     table: str = "triples") -> DataFrame | None:
+        """Point lookup with PARTITION PRUNING: the subject's bucket is
+        computed driver-side with the same pmod(xxhash64(.)) the writer
+        used, and the part_bucket filter prunes the scan to 1/n_buckets
+        of the store — at 100 TB a subject lookup reads one partition
+        directory, not the table.  (`.explain` shows the pruned
+        PartitionFilters; tested structurally.)"""
+        df = self.read(spark, table)
+        if df is None or "part_bucket" not in df.columns:
+            return None if df is None else df.where(F.col("subject") == subject)
+        bucket = (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(subject)),
+                           F.lit(self.n_buckets)).alias("b"))
+            .first()["b"]
+        )
+        return df.where((F.col("part_bucket") == int(bucket))
+                        & (F.col("subject") == subject))
+
+    def compact(self, spark: SparkSession, table: str = "triples",
+                target_files: int = 8) -> str:
+        """Small-file compaction via snapshot rewrite: streaming merges
+        and incremental enrich rounds accrete many small parquet files
+        per bucket; rewrite the current snapshot with ~target_files
+        files per bucket partition.  The manifest swap keeps readers on
+        the old snapshot until the new one commits."""
+        current = self.read(spark, table)
+        if current is None:
+            raise ValueError(f"no such table {table}")
+        if "part_bucket" in current.columns:
+            out = current.drop("part_bucket")
+            bucketed = "subject" in out.columns
+        else:
+            out = current
+            bucketed = False
+        if bucketed:
+            return self.write(out, table, bucket_by_subject=True)
+        return self.write(out.coalesce(target_files), table)
+
     def vacuum(self) -> None:
         """Remove snapshot dirs not referenced by the manifest."""
         m = self.manifest()

@@ -173,3 +173,52 @@ def test_gisaid_shapes(spark):
     assert (seg, FT + "segment_name", "HA", "") in got
     assert (seg, "http://www.w3.org/2002/07/owl#sameAs", FID + "mn436834", "uri") in got
     assert (FID + "mn436834", "http://www.w3.org/2002/07/owl#sameAs", seg, "uri") in got
+
+
+def test_store_subject_lookup_prunes_partitions(spark, tmp_path):
+    """read_subject computes the subject's bucket driver-side and the
+    scan prunes to that partition directory (PartitionFilters in the
+    plan) — the point-lookup path for a 100 TB store."""
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(str(tmp_path / "st"), n_buckets=8)
+    rows = [(f"s{i}", "p", f"o{i}", "") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, ["subject", "predicate", "object_lex", "object_dtype"])
+    store.write(df, "triples", bucket_by_subject=True)
+
+    hit = store.read_subject(spark, "s7")
+    got = hit.collect()
+    assert len(got) == 1 and got[0].object_lex == "o7"
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_bucket" in plan
+    # equality with the unpruned filter
+    full = store.read(spark, "triples").where("subject = 's7'").collect()
+    assert [(r.subject, r.object_lex) for r in got] == \
+        [(r.subject, r.object_lex) for r in full]
+    # missing subject -> empty, still pruned
+    assert store.read_subject(spark, "nope").count() == 0
+
+
+def test_store_compact_reduces_files(spark, tmp_path):
+    """Compaction rewrites the accreted many-small-files snapshot into
+    ~one file per bucket, atomically (manifest swap)."""
+    import glob
+
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(str(tmp_path / "st"), n_buckets=4)
+    for wave in range(5):  # accrete small files via idempotent merges
+        rows = [(f"s{i}", "p", f"o{wave}_{i}", "") for i in range(40)]
+        df = spark.createDataFrame(
+            rows, ["subject", "predicate", "object_lex", "object_dtype"])
+        store.merge_triples(spark, df)
+    before_path = store.manifest()["tables"]["triples"]
+    n_before = store.read(spark, "triples").count()
+
+    store.compact(spark)
+    after_path = store.manifest()["tables"]["triples"]
+    assert after_path != before_path  # new snapshot, old one untouched
+    assert store.read(spark, "triples").count() == n_before
+    files = glob.glob(after_path + "/part_bucket=*/*.parquet")
+    assert 0 < len(files) <= 8  # ~one file per bucket (4 buckets)
