@@ -195,6 +195,33 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_store(args) -> int:
+    """Store maintenance: compact small files, vacuum dead snapshots,
+    or a bucket-pruned point lookup (ops surface for a big store)."""
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(args.store)
+    if args.op == "vacuum":
+        store.vacuum()
+        return 0
+    if args.op == "lookup" and not args.subject:
+        print("store lookup requires --subject <IRI>")
+        return 2
+    spark = _spark(args.cores)
+    if args.op == "compact":
+        store.compact(spark, table=args.table)
+        return 0
+    df = store.read_subject(spark, args.subject, table=args.table)
+    if df is None:
+        print("no such table", args.table)
+        return 1
+    for r in df.collect():
+        print("\t".join("" if v is None else str(v)
+                        for v in (r.subject, r.predicate, r.object_lex,
+                                  r.object_dtype)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="octofludb-spark")
     p.add_argument("--cores", type=int, default=None)
@@ -246,6 +273,13 @@ def main(argv=None) -> int:
                                      "us_clades", "gl_clades", "motifs",
                                      "query-tags"])
     sd.set_defaults(fn=cmd_delete)
+
+    ss = sub.add_parser("store")
+    ss.add_argument("op", choices=["compact", "vacuum", "lookup"])
+    ss.add_argument("store")
+    ss.add_argument("--table", default="triples_canonical")
+    ss.add_argument("--subject", help="IRI for lookup")
+    ss.set_defaults(fn=cmd_store)
 
     args = p.parse_args(argv)
     return args.fn(args)
