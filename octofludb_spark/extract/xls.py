@@ -22,6 +22,7 @@ trailing '.0' only when the cell count says integer — mirroring
 from __future__ import annotations
 
 import io
+import math
 import re
 import struct
 import zipfile
@@ -214,8 +215,10 @@ def _rk_value(rk: int) -> float:
 def _num_to_str(v: float) -> str:
     """Mirror str() of what pandas hands back for a numeric cell: an
     int-valued float renders as an int (pandas infers int64 columns),
-    otherwise the float repr."""
-    if v == int(v):
+    otherwise the float repr.  NaN/Infinity cells (writable in BIFF8
+    NUMBER records) must not kill the whole sheet parse — render as
+    their repr like pandas would."""
+    if math.isfinite(v) and v == int(v):
         return str(int(v))
     return repr(v)
 

@@ -188,7 +188,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         .mapInPandas(_contract, "hs long, hd long")
     )
     hpdf = contracted.limit(driver_threshold + 1).toPandas()
-    if len(hpdf) == 0:
+    if len(hpdf) == 0 and edges.isEmpty():
+        # Empty ONLY when there are genuinely no edges: a contraction
+        # that lost every pair to src/dst hash collisions must still
+        # reach the collision check below, not short-circuit to zero
+        # components.
         return spark.createDataFrame([], "node string, component string")
     if len(hpdf) <= driver_threshold:
         import pandas as pd

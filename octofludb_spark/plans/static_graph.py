@@ -69,17 +69,17 @@ def located_in_closure_pandas() -> pd.DataFrame:
     parent: dict[str, set[str]] = {}
     for s, o in zip(edges["subject"], edges["object_lex"]):
         parent.setdefault(s, set()).add(o)
-    closure: dict[str, set[str]] = {}
-
     def reach(node: str) -> set[str]:
-        if node in closure:
-            return closure[node]
-        closure[node] = set()  # cycle guard
+        # Iterative BFS: correct even if the edge data ever contains a
+        # cycle (a memoized recursive walk would cache a partial set
+        # for cycle members and silently truncate the closure).
         out: set[str] = set()
-        for p in parent.get(node, ()):
-            out.add(p)
-            out |= reach(p)
-        closure[node] = out
+        frontier = list(parent.get(node, ()))
+        while frontier:
+            p = frontier.pop()
+            if p not in out:
+                out.add(p)
+                frontier.extend(parent.get(p, ()))
         return out
 
     rows = [(s, LOCATED_IN, o, "uri")

@@ -79,35 +79,34 @@ def shingles(docs: DataFrame, n: int = 3,
         ).alias("shingle"),
     )
     if max_df is not None:
-        hot = (
+        # The over-cap set is tiny by construction (stop-word-like
+        # shingles), so collect it driver-side once: no persisted
+        # DataFrame leaks into the session, and re-evaluations of the
+        # returned plan reuse the same broadcast instead of re-running
+        # the DF aggregation.
+        spark = docs.sparkSession
+        hot_pdf = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
-            .persist()
+            .toPandas()
         )
-        n_hot = hot.count()  # materializes the cache; NOT a silent cap
-        if n_hot:
+        n_hot = len(hot_pdf)
+        if n_hot:  # logged: NOT a silent cap
             log.warning("shingle DF cap: dropping %d shingles with df > %d",
                         n_hot, max_df)
-        # hot set is tiny (stop-word-like shingles) -> broadcast anti-join
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            hot = spark.createDataFrame(hot_pdf)
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification restricted to the given candidate
-    pairs: explode each pair by doc_x's shingles, match doc_y's on
-    (doc_y, shingle), count.  Work ∝ |cand| × avg shingles — NEVER the
-    full shingle self-join."""
+def _score_pairs(inter: DataFrame, sh: DataFrame,
+                 threshold: float) -> DataFrame:
+    """Shared scoring tail for BOTH the exact and the LSH path: join
+    per-doc shingle counts onto (doc_x, doc_y, inter) and keep pairs
+    with Jaccard >= threshold.  One copy keeps the rounding in
+    lockstep with the DuckDB oracles' ROUND(..., 5) everywhere."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    shx = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
-    shy = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
-    inter = (
-        cand.join(shx, "doc_x")
-        .join(shy, ["doc_y", "shingle"])
-        .groupBy("doc_x", "doc_y")
-        .agg(F.count("*").alias("inter"))
-    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_x")
                    .withColumnRenamed("n_sh", "n_x"), "doc_x")
@@ -121,6 +120,22 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame
         .where(F.col("jaccard") >= threshold)
         .select("doc_x", "doc_y", "jaccard")
     )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification restricted to the given candidate
+    pairs: explode each pair by doc_x's shingles, match doc_y's on
+    (doc_y, shingle), count.  Work ∝ |cand| × avg shingles — NEVER the
+    full shingle self-join."""
+    shx = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
+    inter = (
+        cand.join(shx, "doc_x")
+        .join(shy, ["doc_y", "shingle"])
+        .groupBy("doc_x", "doc_y")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _score_pairs(inter, sh, threshold)
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
@@ -130,7 +145,6 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     shingle self-join, skew-bounded by the ``max_df`` cap; the
     intersection count falls out of the same join (one pass)."""
     sh = shingles(docs, n, max_df=max_df)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
     inter = (
@@ -139,19 +153,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
         .groupBy("doc_x", "doc_y")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_x")
-                   .withColumnRenamed("n_sh", "n_x"), "doc_x")
-        .join(sizes.withColumnRenamed("doc_id", "doc_y")
-              .withColumnRenamed("n_sh", "n_y"), "doc_y")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter")
-                    / (F.col("n_x") + F.col("n_y") - F.col("inter")), 5),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_x", "doc_y", "jaccard")
-    )
+    return _score_pairs(inter, sh, threshold)
 
 
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM,
@@ -186,7 +188,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
     space is pruned TWICE: banding keeps only bucket-colliding pairs,
     and the verify step (``_verify_pairs``) touches shingles only for
     those pairs — there is NO full shingle self-join anywhere in this
-    plan (that join is exactly what LSH exists to avoid)."""
+    plan (that join is exactly what LSH exists to avoid).
+
+    Cache lifecycle: the shingle/band tables are cached only for this
+    call — the result is materialized eagerly and the intermediates
+    unpersisted before returning, so repeated calls in a long-lived
+    session do not accrete stale cached blocks.  If the (much
+    smaller) persisted result is later evicted it recomputes from
+    lineage: correct, just slower."""
     sh = shingles(docs, max_df=max_df).persist()
     sig = _signatures(sh)
     # persisted: the band table feeds BOTH sides of the bucket
@@ -212,7 +221,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
                 F.col("y.doc_id").alias("doc_y"))
         .distinct()
     )
-    return _verify_pairs(cand, sh, threshold)
+    try:
+        out = _verify_pairs(cand, sh, threshold).persist()
+        out.count()  # materialize while the intermediate caches are live
+        return out
+    finally:
+        bands.unpersist()
+        sh.unpersist()
 
 
 _HEX = "0123456789abcdef"

@@ -90,6 +90,7 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 TARGET_BUCKET = 256  # expected vectors per LSH bucket
+TRAIN_CAP = 1_000_000  # max rows ever collected to train the IVF quantizer
 
 
 def adaptive_n_planes(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
@@ -197,16 +198,19 @@ def _kmeans_np(X, k: int, seed: int, iters: int = 8):
 
 def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
              nprobe: int = 4, dim: int = 64, seed: int = 42,
-             train_fraction: float = 1.0) -> DataFrame:
+             train_fraction: float | None = None) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions the
     corpus into inverted lists; each query probes its ``nprobe``
     nearest centroids and scores only those lists.
 
     Scale design (the FAISS-IVF recipe on Spark):
-      * the quantizer trains DRIVER-SIDE on a bounded sample
-        (``train_fraction``; FAISS does exactly this) — at 10⁹ vectors
-        you collect ~1M sampled rows, never the full corpus, and skip
-        the many tiny jobs a distributed k-means schedules;
+      * the quantizer trains DRIVER-SIDE on a bounded sample (FAISS
+        does exactly this) — the DEFAULT derives a fraction targeting
+        ~40 training points per centroid, floored at 10k rows and
+        hard-capped at TRAIN_CAP (1M): at 10⁹ vectors you collect the
+        capped sample, never the full corpus, and skip the many tiny
+        jobs a distributed k-means schedules.  Pass ``train_fraction``
+        to override;
       * ``n_clusters`` defaults to n/TARGET_BUCKET so inverted-list
         length — and per-query work (nprobe × list length) — stays
         bounded at any corpus size;
@@ -220,13 +224,23 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    n = int(emb.count())
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos double")
     if n_clusters is None:
-        n_clusters = max(2, int(emb.count()) // TARGET_BUCKET)
+        n_clusters = max(2, n // TARGET_BUCKET)
     vecs = emb.select("vec_id", "embedding",
                       _norm(F.col("embedding")).alias("norm"))
+    if train_fraction is None:
+        target = min(max(10_000, 40 * n_clusters), TRAIN_CAP)
+        train_fraction = min(1.0, target / n)
     train = vecs.select("embedding") if train_fraction >= 1.0 else (
         vecs.select("embedding").sample(fraction=train_fraction, seed=seed))
-    X = np.stack(train.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    tpdf = train.toPandas()
+    if not len(tpdf):  # tiny corpus + tiny fraction: never train on nothing
+        tpdf = vecs.select("embedding").limit(10_000).toPandas()
+    X = np.stack(tpdf["embedding"].to_numpy()).astype(np.float64)
     centers = _kmeans_np(X, n_clusters, seed=seed)
     n_probe = min(nprobe, len(centers))
 

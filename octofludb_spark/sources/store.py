@@ -38,10 +38,15 @@ TRIPLE_KEY = ["subject", "predicate", "object_lex", "object_dtype"]
 
 
 class TripleStore:
-    def __init__(self, root: str, n_buckets: int = 32):
+    def __init__(self, root: str, n_buckets: int | None = None):
         self.root = root
-        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
+        # The bucket count is part of the on-disk layout, so the
+        # committed manifest is authoritative once it exists: a reader
+        # opening an existing store MUST prune with the writer's bucket
+        # count or point lookups silently miss ~half the subjects.
+        committed = self.manifest().get("n_buckets")
+        self.n_buckets = int(committed or n_buckets or 32)
 
     # ---- manifest protocol ------------------------------------------------
 
@@ -57,6 +62,7 @@ class TripleStore:
 
     def _commit(self, m: dict) -> None:
         m["seq"] = m.get("seq", 0) + 1
+        m["n_buckets"] = self.n_buckets
         m["committed_at"] = time.time()
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -73,15 +79,33 @@ class TripleStore:
         return os.path.join(self.root, "data", table, snap)
 
     def write(self, df: DataFrame, table: str, stage: str | None = None,
-              bucket_by_subject: bool = False) -> str:
-        """Write df as a NEW snapshot of `table`, then commit."""
+              bucket_by_subject: bool = False,
+              files_per_bucket: int | None = None) -> str:
+        """Write df as a NEW snapshot of `table`, then commit.
+
+        files_per_bucket splits each bucket partition across ~that many
+        shuffle keys (compaction's file-count control): each
+        (bucket, slot) combo hashes wholly into one task, so a bucket
+        directory receives at most files_per_bucket files."""
         path = self._snap_dir(table)
         writer = df
         if bucket_by_subject and "subject" in df.columns:
             writer = df.withColumn(
                 "part_bucket",
                 F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)),
-            ).repartition("part_bucket")
+            )
+            if files_per_bucket and files_per_bucket > 1:
+                writer = (
+                    writer.withColumn(
+                        "file_slot",
+                        F.pmod(F.xxhash64("subject", F.lit(1)),
+                               F.lit(files_per_bucket)),
+                    )
+                    .repartition("part_bucket", "file_slot")
+                    .drop("file_slot")
+                )
+            else:
+                writer = writer.repartition("part_bucket")
             writer.write.mode("overwrite").partitionBy("part_bucket").parquet(path)
         else:
             writer.write.mode("overwrite").parquet(path)
@@ -143,12 +167,14 @@ class TripleStore:
                         & (F.col("subject") == subject))
 
     def compact(self, spark: SparkSession, table: str = "triples",
-                target_files: int = 8) -> str:
+                target_files: int = 1) -> str:
         """Small-file compaction via snapshot rewrite: streaming merges
         and incremental enrich rounds accrete many small parquet files
         per bucket; rewrite the current snapshot with ~target_files
-        files per bucket partition.  The manifest swap keeps readers on
-        the old snapshot until the new one commits."""
+        files per bucket partition (default 1 = maximal compaction; a
+        100 TB store raises it so each bucket stays splittable).  The
+        manifest swap keeps readers on the old snapshot until the new
+        one commits."""
         current = self.read(spark, table)
         if current is None:
             raise ValueError(f"no such table {table}")
@@ -159,7 +185,8 @@ class TripleStore:
             out = current
             bucketed = False
         if bucketed:
-            return self.write(out, table, bucket_by_subject=True)
+            return self.write(out, table, bucket_by_subject=True,
+                              files_per_bucket=target_files)
         return self.write(out.coalesce(target_files), table)
 
     def vacuum(self) -> None:

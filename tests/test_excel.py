@@ -94,3 +94,13 @@ def test_gisaid_xls_lang_distributed(spark):
     assert triples.count() == 224
     m = metrics.collect()[0]
     assert m.sha_violations == 0
+
+
+def test_num_to_str_nonfinite_does_not_raise():
+    """One NaN/Inf NUMBER cell must not kill the whole sheet parse."""
+    from octofludb_spark.extract.xls import _num_to_str
+
+    assert _num_to_str(float("nan")) == "nan"
+    assert _num_to_str(float("inf")) == "inf"
+    assert _num_to_str(2.0) == "2"
+    assert _num_to_str(2.5) == "2.5"

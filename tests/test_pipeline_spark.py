@@ -222,3 +222,47 @@ def test_store_compact_reduces_files(spark, tmp_path):
     assert store.read(spark, "triples").count() == n_before
     files = glob.glob(after_path + "/part_bucket=*/*.parquet")
     assert 0 < len(files) <= 8  # ~one file per bucket (4 buckets)
+
+
+def test_store_bucket_count_persists_in_manifest(spark, tmp_path):
+    """A reader opening an existing store must prune with the WRITER's
+    bucket count: n_buckets is committed in the manifest, so a default-
+    constructed TripleStore on a 16-bucket store still finds every
+    subject (regression: a 32-bucket reader missed ~half of them)."""
+    from octofludb_spark.sources.store import TripleStore
+
+    root = str(tmp_path / "st")
+    w = TripleStore(root, n_buckets=16)
+    rows = [(f"s{i}", "p", f"o{i}", "") for i in range(64)]
+    df = spark.createDataFrame(
+        rows, ["subject", "predicate", "object_lex", "object_dtype"])
+    w.write(df, "triples", bucket_by_subject=True)
+    assert w.manifest()["n_buckets"] == 16
+
+    r = TripleStore(root)  # no bucket count given: manifest wins
+    assert r.n_buckets == 16
+    for s in ("s0", "s7", "s33", "s63"):
+        got = r.read_subject(spark, s).collect()
+        assert len(got) == 1 and got[0].subject == s
+
+
+def test_store_compact_target_files_per_bucket(spark, tmp_path):
+    """target_files > 1 is honored on the bucketed path: each bucket
+    directory receives at most target_files files (the knob a 100 TB
+    store uses to keep buckets splittable)."""
+    import glob
+
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(str(tmp_path / "st"), n_buckets=2)
+    rows = [(f"s{i}", "p", f"o{i}", "") for i in range(400)]
+    df = spark.createDataFrame(
+        rows, ["subject", "predicate", "object_lex", "object_dtype"])
+    store.write(df, "triples", bucket_by_subject=True)
+
+    store.compact(spark, target_files=4)
+    after = store.manifest()["tables"]["triples"]
+    assert store.read(spark, "triples").count() == 400
+    for bucket_dir in glob.glob(after + "/part_bucket=*"):
+        n = len(glob.glob(bucket_dir + "/*.parquet"))
+        assert 0 < n <= 4, f"{bucket_dir}: {n} files"

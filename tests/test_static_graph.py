@@ -78,3 +78,29 @@ def test_states_in_usa_query(spark):
     # 48 contiguous states + DC (the reference assigns AK/HI to no
     # region, so they are not transitively locatedIn world:USA)
     assert states.count() == 49
+
+
+def test_located_in_closure_survives_cycle(monkeypatch):
+    """A cyclic locatedIn edge set must yield the full reachability
+    set, not a silently truncated one (regression: the old memoized
+    recursion cached a partial set for cycle members)."""
+    import pandas as pd
+
+    from octofludb_spark.plans import static_graph as sg
+
+    cols = ["subject", "predicate", "object_lex", "object_dtype"]
+    rows = [
+        ("A", sg.LOCATED_IN, "B", "uri"),
+        ("B", sg.LOCATED_IN, "A", "uri"),   # cycle
+        ("B", sg.LOCATED_IN, "C", "uri"),
+    ]
+    monkeypatch.setattr(
+        sg, "geography_triples_pandas",
+        lambda: pd.DataFrame(rows, columns=cols),
+    )
+    out = sg.located_in_closure_pandas()
+    got = {(r.subject, r.object_lex) for r in out.itertuples()}
+    # B reaches A (via the cycle), C, and itself through A->B
+    assert ("B", "A") in got and ("B", "C") in got and ("B", "B") in got
+    # A reaches everything too, including itself
+    assert ("A", "B") in got and ("A", "C") in got and ("A", "A") in got
