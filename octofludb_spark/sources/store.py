@@ -86,7 +86,10 @@ class TripleStore:
         files_per_bucket splits each bucket partition across ~that many
         shuffle keys (compaction's file-count control): each
         (bucket, slot) combo hashes wholly into one task, so a bucket
-        directory receives at most files_per_bucket files."""
+        directory receives at most files_per_bucket files.  The slot is
+        salted over the WHOLE triple, not just the subject, so a hub
+        entity's triples (north_star: H1N1-style hot subjects) spread
+        across all slots instead of re-concentrating in one task."""
         path = self._snap_dir(table)
         writer = df
         if bucket_by_subject and "subject" in df.columns:
@@ -98,7 +101,8 @@ class TripleStore:
                 writer = (
                     writer.withColumn(
                         "file_slot",
-                        F.pmod(F.xxhash64("subject", F.lit(1)),
+                        F.pmod(F.xxhash64(*[c for c in df.columns
+                                            if c != "part_bucket"]),
                                F.lit(files_per_bucket)),
                     )
                     .repartition("part_bucket", "file_slot")
