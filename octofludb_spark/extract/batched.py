@@ -212,7 +212,7 @@ def _infer_batched(col_values: pd.Series, file_idx: np.ndarray,
     for recog in classifiers:
         if not undecided.any():
             break
-        res = recog.run(live)
+        res = R.run_unique(recog, live)
         results[recog.name] = res
         match_np = res["clean"].notna().to_numpy() & live_np
         if recog.goodness_mode == "sequence":
@@ -290,7 +290,7 @@ def tabular_triples_batched(
             if recog.name in results:
                 res = results[recog.name]
             else:
-                res = recog.run(live)
+                res = R.run_unique(recog, live)
                 results[recog.name] = res
             sub_live = live[row_mask].reset_index(drop=True)
             clean = res["clean"][row_mask].reset_index(drop=True)

@@ -50,7 +50,7 @@ def typed(recog: R.Recog, values, field: Optional[str] = None,
     s = pd.Series(list(values), dtype=object)
     if len(na_str):
         s = s.where(~s.isin(list(na_str)), None)
-    res = recog.run(s)
+    res = R.run_unique(recog, s)
     clean = res["clean"].where(s.notna(), None)
     dtype = res["dtype"].where(s.notna(), None) if "dtype" in res else None
     return TypedColumn(recog=recog, dirty=s, clean=clean, field=field, dtype=dtype)

@@ -79,6 +79,32 @@ class Recog:
         return float(res.notna().sum()) / len(sub)
 
 
+def run_unique(recog: "Recog", s: pd.Series) -> dict:
+    """Run ``recog`` once per DISTINCT value and gather results back —
+    semantically identical to ``recog.run(s)`` because every recognizer
+    is a pure element-wise map, but the regex/munge work is paid per
+    distinct value instead of per cell.  Real metadata columns (host,
+    country, subtype, segment …) are heavily repetitive, so this is a
+    dictionary-encoded execution of the same classifier.
+
+    Falls back to the plain run for short or high-cardinality columns
+    (factorize+gather overhead would exceed the savings)."""
+    n = len(s)
+    if n < 128:
+        return recog.run(s)
+    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    if len(uniques) > 0.5 * n:
+        return recog.run(s)
+    res_u = recog.run(pd.Series(uniques, dtype=object))
+    safe = np.where(codes >= 0, codes, 0)
+    out = {}
+    for key, val in res_u.items():
+        arr = val.to_numpy(dtype=object)[safe]
+        out[key] = pd.Series(np.where(codes >= 0, arr, None),
+                             index=s.index, dtype=object)
+    return out
+
+
 def _df(clean: pd.Series, dtype: pd.Series | None = None) -> dict:
     """Recognizer result: {'clean': Series[, 'dtype': Series]} — a dict
     (not a DataFrame) to avoid frame-construction overhead on the tiny

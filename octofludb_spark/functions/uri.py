@@ -55,7 +55,21 @@ def quote_plus_series(s: pd.Series) -> pd.Series:
 
 def make_uri_series(s: pd.Series, namespace: str = NI) -> pd.Series:
     """Mint entity IRIs (reference: nomenclature.py:59-66): strip,
-    collapse ``[ -]+`` to ``_``, lowercase, percent-encode, prefix."""
+    collapse ``[ -]+`` to ``_``, lowercase, percent-encode, prefix.
+
+    Dictionary-encoded on repetitive columns: entity names repeat
+    heavily (bounded pools of strains/hosts/countries), and every
+    strain URI needs percent-escaping (the '/'), so minting once per
+    distinct value and gathering back skips most of the quote work."""
+    n = len(s)
+    if n >= 128:
+        codes, uniques = pd.factorize(s, use_na_sentinel=True)
+        if len(uniques) <= 0.5 * n:
+            res_u = make_uri_series(pd.Series(uniques, dtype=object),
+                                    namespace)
+            arr = res_u.to_numpy(dtype=object)[np.where(codes >= 0, codes, 0)]
+            return pd.Series(np.where(codes >= 0, arr, None),
+                             index=s.index, dtype=object)
     s = s.astype("object")
     mask = s.notna() & (s != "")
     cleaned = (
