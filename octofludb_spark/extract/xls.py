@@ -38,13 +38,16 @@ _FREE = 0xFFFFFFFF
 _ENDCHAIN = 0xFFFFFFFE
 
 
-def _read_chain(data: bytes, fat: list[int], start: int, sec_size: int,
-                offset: int) -> bytes:
+def _read_chain(data: bytes, fat: list[int], start: int,
+                sec_size: int) -> bytes:
+    # MS-CFB: sector N begins at (N+1)*sector_size — the 512-byte
+    # header occupies "sector -1", so the +1 holds for BOTH 512-byte
+    # (version 3) and 4096-byte (version 4) sector sizes.
     out = []
     sid = start
     seen = 0
     while sid not in (_ENDCHAIN, _FREE) and seen <= len(fat):
-        pos = offset + sid * sec_size
+        pos = (sid + 1) * sec_size
         out.append(data[pos:pos + sec_size])
         sid = fat[sid]
         seen += 1
@@ -68,7 +71,7 @@ def cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> by
     difat = list(struct.unpack_from("<109I", data, 76))
     sid = difat_start
     for _ in range(n_difat):
-        pos = 512 + sid * sec_size
+        pos = (sid + 1) * sec_size
         ids = struct.unpack_from(f"<{sec_size // 4}I", data, pos)
         difat.extend(ids[:-1])
         sid = ids[-1]
@@ -77,9 +80,9 @@ def cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> by
         if fsid in (_FREE, _ENDCHAIN):
             continue
         fat.extend(struct.unpack_from(f"<{sec_size // 4}I", data,
-                                      512 + fsid * sec_size))
+                                      (fsid + 1) * sec_size))
 
-    directory = _read_chain(data, fat, dir_start, sec_size, 512)
+    directory = _read_chain(data, fat, dir_start, sec_size)
     root_start = None
     target = None
     for off in range(0, len(directory), 128):
@@ -99,15 +102,15 @@ def cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> by
         raise ValueError(f"stream {names} not found")
     start, size = target
     if size >= mini_cutoff:
-        return _read_chain(data, fat, start, sec_size, 512)[:size]
+        return _read_chain(data, fat, start, sec_size)[:size]
     # small stream: walk the mini-FAT inside the root mini-stream
     minifat = []
     sid = minifat_start
     while sid not in (_ENDCHAIN, _FREE):
         minifat.extend(struct.unpack_from(f"<{sec_size // 4}I", data,
-                                          512 + sid * sec_size))
+                                          (sid + 1) * sec_size))
         sid = fat[sid]
-    mini_stream = _read_chain(data, fat, root_start, sec_size, 512)
+    mini_stream = _read_chain(data, fat, root_start, sec_size)
     out = []
     sid = start
     while sid not in (_ENDCHAIN, _FREE):

@@ -93,7 +93,9 @@ def run_unique(recog: "Recog", s: pd.Series) -> dict:
     if n < 128:
         return recog.run(s)
     codes, uniques = pd.factorize(s, use_na_sentinel=True)
-    if len(uniques) > 0.5 * n:
+    if len(uniques) == 0 or len(uniques) > 0.5 * n:
+        # empty uniques = all-NA column: the gather below would index
+        # an empty array; the plain run handles it (and is cheap)
         return recog.run(s)
     res_u = recog.run(pd.Series(uniques, dtype=object))
     safe = np.where(codes >= 0, codes, 0)

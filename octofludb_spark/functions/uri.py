@@ -64,7 +64,9 @@ def make_uri_series(s: pd.Series, namespace: str = NI) -> pd.Series:
     n = len(s)
     if n >= 128:
         codes, uniques = pd.factorize(s, use_na_sentinel=True)
-        if len(uniques) <= 0.5 * n:
+        # nonzero guard: an all-NA column factorizes to empty uniques
+        # and the gather would index an empty array
+        if 0 < len(uniques) <= 0.5 * n:
             res_u = make_uri_series(pd.Series(uniques, dtype=object),
                                     namespace)
             arr = res_u.to_numpy(dtype=object)[np.where(codes >= 0, codes, 0)]

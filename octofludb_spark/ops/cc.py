@@ -67,13 +67,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 DRIVER_CC_THRESHOLD = 2_000_000  # edges; ~100MB of IRIs on the driver
 
 
-def _driver_union_find(pairs) -> list[tuple[str, str]]:
-    """Union-find with path compression; representative = lexicographic
-    min (same result as the distributed fixpoint)."""
-    parent: dict[str, str] = {}
-    nodes: set[str] = set()
+def _make_union_find():
+    """One shared path-compressed union-find (closures, not methods —
+    these loops run over millions of pairs on the driver and inside
+    the per-partition contraction).  Returns (parent, find, union);
+    works over any hashable key type (str or int64 hash)."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -81,13 +82,23 @@ def _driver_union_find(pairs) -> list[tuple[str, str]]:
             parent[x], x = root, parent[x]
         return root
 
+    def union(a, b) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    return parent, find, union
+
+
+def _driver_union_find(pairs) -> list[tuple[str, str]]:
+    """Union-find with path compression; representative = lexicographic
+    min (same result as the distributed fixpoint)."""
+    _, find, union = _make_union_find()
+    nodes: set[str] = set()
     for a, b in pairs:
         nodes.add(a)
         nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        union(a, b)
     # second pass: the min member of each set wins as representative
     # (union order above may have attached an earlier-found min later)
     comp_min: dict[str, str] = {}
@@ -102,20 +113,9 @@ def _driver_union_find_hashed(hs, hd, h2s: dict) -> list[tuple[str, str]]:
     """Union-find over int64 node hashes; representative = the
     lexicographically smallest node STRING of the component (same
     output as `_driver_union_find` on the string edges)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
+    _, find, union = _make_union_find()
     for a, b in zip(hs, hd):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
+        union(a, b)
     comp_min: dict[int, str] = {}
     for h, s in h2s.items():
         r = find(h)
@@ -160,23 +160,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     import pandas as pd
 
     def _contract(batches):
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
+        parent, find, union = _make_union_find()
         n_in = False
         for bpdf in batches:
             n_in = n_in or len(bpdf)
             for a, b in zip(bpdf["hs"].to_numpy(), bpdf["hd"].to_numpy()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[rb] = ra
+                union(a, b)
         if not n_in:
             return
         out = [(x, find(x)) for x in list(parent)]

@@ -225,9 +225,9 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
     from pyspark.sql.functions import pandas_udf
 
     n = int(emb.count())
-    if n == 0:
+    if n == 0:  # same schema as the scored path, including rank
         return emb.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, cos double")
+            [], "query_id long, vec_id long, cos double, rank int")
     if n_clusters is None:
         n_clusters = max(2, n // TARGET_BUCKET)
     vecs = emb.select("vec_id", "embedding",

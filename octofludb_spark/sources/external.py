@@ -194,12 +194,22 @@ OCTOFLU_CHUNK = 5000  # script.py:236 — "don't kill our tree builder"
 def subprocess_octoflu_runner(workdir: str) -> Callable[[str], str]:
     """Production runner: `./octoFLU.sh <chunk.fa>` inside an octoFLU
     checkout (script.py:248-258), returning the Final_Output table
-    text.  Dark in the sandbox — the binary isn't installed."""
+    text.  Dark in the sandbox — the binary isn't installed.
+
+    octoFLU writes `{chunk}_output/{chunk}_Final_Output.txt` RELATIVE
+    to the checkout cwd (script.py:254-257), so the chunk is copied
+    into the checkout and addressed by basename — joining workdir with
+    an absolute chunk path would silently discard workdir."""
+    import shutil
+
     def run(chunk_path: str) -> str:
-        subprocess.run(["./octoFLU.sh", chunk_path], check=True, cwd=workdir)
-        table = os.path.join(
-            workdir, f"{chunk_path}_output",
-            f"{os.path.basename(chunk_path)}_Final_Output.txt")
+        rel = os.path.basename(chunk_path)
+        dst = os.path.join(workdir, rel)
+        if os.path.abspath(dst) != os.path.abspath(chunk_path):
+            shutil.copy(chunk_path, dst)
+        subprocess.run(["./octoFLU.sh", rel], check=True, cwd=workdir)
+        table = os.path.join(workdir, f"{rel}_output",
+                             f"{rel}_Final_Output.txt")
         with open(table) as f:
             return f.read()
     return run

@@ -104,3 +104,74 @@ def test_num_to_str_nonfinite_does_not_raise():
     assert _num_to_str(float("inf")) == "inf"
     assert _num_to_str(2.0) == "2"
     assert _num_to_str(2.5) == "2.5"
+
+
+def _wrap_cfb_v4(stream: bytes, name: str = "Workbook") -> bytes:
+    """Minimal MS-CFB version-4 writer (4096-byte sectors) for tests:
+    one FAT sector, one directory sector, then the stream chain."""
+    import struct
+
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    sec = 4096
+    n_data = max(1, (len(stream) + sec - 1) // sec)
+    # sectors: 0 = FAT, 1 = directory, 2.. = stream data
+    fat = [FATSECT, END]
+    for i in range(n_data):
+        fat.append(2 + i + 1 if i < n_data - 1 else END)
+    fat += [FREE] * (sec // 4 - len(fat))
+
+    def dirent(nm, typ, start, size):
+        enc = nm.encode("utf-16-le") + b"\x00\x00"
+        ent = bytearray(128)
+        ent[0:len(enc)] = enc
+        struct.pack_into("<H", ent, 64, len(enc))
+        ent[66] = typ
+        ent[67] = 1  # black
+        struct.pack_into("<III", ent, 68, FREE, FREE, FREE)
+        struct.pack_into("<I", ent, 116, start)
+        struct.pack_into("<I", ent, 120, size)
+        return bytes(ent)
+
+    directory = (
+        dirent("Root Entry", 5, END, 0)
+        + dirent(name, 2, 2, len(stream))
+        + bytes(128) * 30
+    )
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x3E)   # minor
+    struct.pack_into("<H", header, 26, 4)      # major version 4
+    struct.pack_into("<H", header, 28, 0xFFFE)  # byte order
+    struct.pack_into("<H", header, 30, 12)     # sector shift -> 4096
+    struct.pack_into("<H", header, 32, 6)      # mini sector shift
+    struct.pack_into("<I", header, 40, 1)      # v4: # directory sectors
+    struct.pack_into("<I", header, 44, 1)      # # FAT sectors
+    struct.pack_into("<I", header, 48, 1)      # directory start sector
+    struct.pack_into("<I", header, 56, 4096)   # mini stream cutoff
+    struct.pack_into("<I", header, 60, END)    # mini-FAT start
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, END)    # DIFAT start
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, 0)      # DIFAT[0] -> FAT sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREE)
+    # v4: header sector is padded to a full 4096-byte sector
+    blob = bytes(header) + bytes(sec - 512)
+    blob += b"".join(struct.pack("<I", x) for x in fat)
+    blob += directory + bytes(sec - len(directory))
+    data = stream + bytes(n_data * sec - len(stream))
+    return blob + data
+
+
+def test_cfb_version4_sector_offsets():
+    """A version-4 OLE2 container (4096-byte sectors) parses to the
+    same rows as the reference's version-3 gisaid.xls (regression:
+    sector offsets were hardcoded to a 512-byte header)."""
+    from octofludb_spark.extract.xls import cfb_stream, parse_xls
+
+    with open(XLS, "rb") as f:
+        v3 = f.read()
+    stream = cfb_stream(v3)
+    v4 = _wrap_cfb_v4(stream)
+    assert cfb_stream(v4) == stream
+    assert parse_xls(v4) == parse_xls(v3)

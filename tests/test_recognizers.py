@@ -198,3 +198,29 @@ def test_date_dtypes():
     from octofludb_spark.functions.dates import parse_date_series
     res = parse_date_series(pd.Series(["1986-05-17", "2011/05", "1990", "x"]))
     assert res["dtype"].tolist() == ["xsd:date", "xsd:gYearMonth", "xsd:gYear", None]
+
+
+def test_run_unique_all_na_column():
+    """An all-NA column of >=128 rows must not crash the dictionary-
+    encoded path (regression: empty factorize uniques were indexed)."""
+    import pandas as pd
+
+    from octofludb_spark.functions import recognizers as R
+
+    s = pd.Series([None] * 200, dtype=object)
+    for recog in (R.GENBANK, R.DATE, R.HOST):
+        res = R.run_unique(recog, s)
+        assert res["clean"].isna().all()
+    # and equivalence with the plain run on a mixed repetitive column
+    s2 = pd.Series((["MN123456", None, "bad"] * 100), dtype=object)
+    a, b = R.run_unique(R.GENBANK, s2), R.GENBANK.run(s2)
+    assert a["clean"].fillna("").tolist() == b["clean"].fillna("").tolist()
+
+
+def test_make_uri_series_all_na():
+    import pandas as pd
+
+    from octofludb_spark.functions.uri import make_uri_series
+
+    out = make_uri_series(pd.Series([None] * 200, dtype=object))
+    assert len(out) == 200 and out.isna().all()

@@ -238,3 +238,15 @@ def test_topk_ivf_recall_vs_brute(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per_q.values())
     assert max(len(v) for v in per_q.values()) <= 3
+
+
+@pytest.mark.spark
+def test_topk_ivf_empty_corpus_schema(spark):
+    """Empty input returns an empty frame with the SAME schema as the
+    scored path (including rank) — callers select on rank."""
+    from octofludb_spark.scale.simsearch import topk_ivf
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = topk_ivf(emb, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos", "rank"]
