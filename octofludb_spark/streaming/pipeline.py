@@ -246,35 +246,53 @@ def _band_rows_fn(n_perm: int, band_size: int, n: int):
     return fn
 
 
-def _neardup_fn(key, pdf_iter, state: GroupState):
-    """Custom stateful operator: each (band, bucket) remembers its
-    member doc_ids; an arriving doc pairs with every remembered member
-    (work ~ bucket occupancy, the LSH premise — never corpus-wide)."""
-    seen: list[int] = list(state.get[0]) if state.exists else []
-    member = set(seen)
-    out_x: list[int] = []
-    out_y: list[int] = []
-    arrived: list[int] = []
-    for pdf in pdf_iter:
-        arrived.extend(int(d) for d in pdf["doc_id"].tolist())
-    for d in sorted(set(arrived)):
-        if d in member:
-            continue  # re-delivery of a known doc pairs with nothing
-        for s in seen:
-            lo, hi = (s, d) if s < d else (d, s)
-            out_x.append(lo)
-            out_y.append(hi)
-        seen.append(d)
-        member.add(d)
-    state.update((seen,))
-    yield pd.DataFrame({"doc_x": pd.Series(out_x, dtype="int64"),
-                        "doc_y": pd.Series(out_y, dtype="int64")})
+def _neardup_fn_factory(ttl_ms: int | None):
+    """Build the stateful bucket operator, optionally with a
+    processing-time TTL: at production scale an append-only bucket
+    membership grows without bound, so state expires ttl_ms after a
+    bucket's last arrival (the dedup horizon) and the bucket restarts
+    cold — exactly FAISS/stream-dedup practice."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"doc_x": pd.Series([], dtype="int64"),
+                                "doc_y": pd.Series([], dtype="int64")})
+            return
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        member = set(seen)
+        out_x: list[int] = []
+        out_y: list[int] = []
+        arrived: list[int] = []
+        for pdf in pdf_iter:
+            arrived.extend(int(d) for d in pdf["doc_id"].tolist())
+        for d in sorted(set(arrived)):
+            if d in member:
+                continue  # re-delivery of a known doc pairs with nothing
+            for s in seen:
+                lo, hi = (s, d) if s < d else (d, s)
+                out_x.append(lo)
+                out_y.append(hi)
+            seen.append(d)
+            member.add(d)
+        state.update((seen,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"doc_x": pd.Series(out_x, dtype="int64"),
+                            "doc_y": pd.Series(out_y, dtype="int64")})
+
+    return fn
+
+
+# default (no TTL) variant — the stream==batch parity tests use this
+_neardup_fn = _neardup_fn_factory(None)
 
 
 def stream_neardup_documents(spark: SparkSession, directory: str,
                              out_dir: str, checkpoint_dir: str,
                              n_perm: int = 8, band_size: int = 2,
-                             n: int = 3, max_files: int = 16):
+                             n: int = 3, max_files: int = 16,
+                             state_ttl_minutes: int | None = None):
     """Streaming NEAR-duplicate candidate detection for a training-data
     ingest: as document files arrive, any pair agreeing on a MinHash
     LSH band surfaces as a candidate pair — across micro-batches and
@@ -286,11 +304,12 @@ def stream_neardup_documents(spark: SparkSession, directory: str,
     self-join (scale/dedup.py minhash_lsh_pairs), partitioned by
     bucket hash; per-doc work is bounded by bucket occupancy.  A pair
     may surface once per agreeing band; a downstream distinct (or the
-    idempotent store merge) collapses repeats.  At production scale
-    the state wants a TTL (GroupStateTimeout) matched to the dedup
-    horizon.  Signatures are bit-identical to the batch path, so the
-    stream's distinct pairs equal the batch candidate pairs
-    (tests/test_streaming.py)."""
+    idempotent store merge) collapses repeats.  ``state_ttl_minutes``
+    bounds state growth at production scale: a bucket's membership
+    expires that long after its last arrival (the dedup horizon) via
+    GroupStateTimeout.ProcessingTimeTimeout.  Signatures are
+    bit-identical to the batch path, so the stream's distinct pairs
+    equal the batch candidate pairs (tests/test_streaming.py)."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -302,14 +321,16 @@ def stream_neardup_documents(spark: SparkSession, directory: str,
     )
     bands = stream.mapInPandas(
         _band_rows_fn(n_perm, band_size, n), _BAND_SCHEMA)
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
     pairs = (
         bands.groupBy("band", "key")
         .applyInPandasWithState(
-            _neardup_fn,
+            _neardup_fn_factory(ttl_ms),
             outputStructType=_PAIR_SCHEMA,
             stateStructType=_NEARDUP_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if ttl_ms else GroupStateTimeout.NoTimeout),
         )
     )
     return (

@@ -179,3 +179,27 @@ def test_stream_neardup_matches_batch_candidates(spark, tmp_path):
     assert got == want
     # the late arrival paired across the restart boundary
     assert any(x in (0, 1, 3) and y == 10 or x == 10 for x, y in got), got
+
+
+def test_stream_neardup_with_ttl_runs(spark, tmp_path):
+    """state_ttl_minutes wires ProcessingTimeTimeout through the
+    stateful operator: within the horizon the pairs still match the
+    no-TTL run (the timeout can't fire inside one availableNow pass)."""
+    from octofludb_spark.streaming.pipeline import stream_neardup_documents
+
+    src = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, base), (1, base + " tonight"), (2, base)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, ttl):
+        out = str(tmp_path / f"pairs_{tag}")
+        q = stream_neardup_documents(
+            spark, src, out, str(tmp_path / f"ck_{tag}"),
+            state_ttl_minutes=ttl).start()
+        q.awaitTermination(120)
+        return set(map(tuple, spark.read.parquet(out)
+                       .select("doc_x", "doc_y").distinct().collect()))
+
+    assert run("ttl", 60) == run("nottl", None) != set()
