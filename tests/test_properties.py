@@ -168,3 +168,36 @@ def test_salted_join_spreads_hub_key(spark):
     left = salted_join(big.unionByName(late), dim, "k", nsalt=8, how="left")
     assert left.count() == 20005
     assert left.where(F.col("v").isNull()).count() == 5
+
+
+@pytest.mark.spark
+def test_shingles_plan_has_no_exchange(spark):
+    """PLANS.md claim, structurally enforced: shingle generation (no
+    DF cap) compiles to ZERO Exchanges — per-doc distinct equals
+    global (doc_id, shingle) distinct, so no shuffle is ever needed."""
+    from octofludb_spark.scale.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(100)],
+        "doc_id long, text string")
+    plan = shingles(docs, max_df=None)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_canonicalize_broadcasts_the_mapping(spark):
+    """PLANS.md claim, structurally enforced: the canonical rewrite
+    joins the (small) mapping via BroadcastHashJoin on both the
+    subject and the object side — the triple relation never shuffles."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+
+    triples = spark.createDataFrame(
+        [(f"s{i}", "p", f"s{(i + 1) % 50}", "uri") for i in range(500)],
+        "subject string, predicate string, object_lex string, object_dtype string")
+    mapping = spark.createDataFrame(
+        [(f"s{i}", "s0") for i in range(50)], "node string, canonical string")
+    out = canonicalize(triples, mapping, use_broadcast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
