@@ -115,3 +115,76 @@ def test_fuzzed_tables_match_reference_pipeline():
         for _ in range(1 + rnd.randint(0, 5)):
             lines.append("\t".join(rnd.choice(cells) for _ in cols))
         _compare("\n".join(lines), "tsv")
+
+
+def test_fuzzed_mixed_goodness_tables_match_reference_pipeline():
+    """Harder fuzz aimed at the column-inference decisions: columns
+    whose match fraction sits near the 0.8 goodness threshold, many
+    date lexical forms, >20-char sequence cells (the 'sequence'
+    goodness mode divides by ALL cells), NA-like strings, and numeric/
+    boolean cells — exactly the conditional paths of tabularTyping."""
+    rnd = random.Random(17)
+    headers = ["seqid", "clade", "strain_name", "subtype", "gl_clade",
+               "segment_subtype", "isolate_id", "notes", "host",
+               "country", "date", "dnaseq", "proseq", "count", "flag"]
+    pools = {
+        "date": ["2020-06-21", "06/21/2020", "2020/06", "2020",
+                 "21-Jun-2020", "not a date", ""],
+        "near_threshold": ["MN123456", "MN654321", "EPI_ISL_5",
+                           "junk", "A/swine/Iowa/X/2020"],
+        "seq": ["ATGGATTACAGATTACAGATTACAA", "GATACA" * 8,
+                "MKVNLLLLAVSLSLAIMSQA", "short", ""],
+        "num": ["42", "3.14", "0", "-7", "true", "False", "NaN"],
+        "word": ["swine", "Human", "Texas", "indonesa", "H1", "alpha",
+                 "1A.1.1", "unknown", "NA", ""],
+    }
+    flat = [c for p in pools.values() for c in p]
+    compared = 0
+    for _ in range(80):
+        ncol = 2 + rnd.randint(0, 5)
+        cols = rnd.sample(headers, ncol)
+        kinds = [rnd.choice(list(pools)) for _ in cols]
+        lines = ["\t".join(cols)]
+        for _ in range(3 + rnd.randint(0, 12)):
+            row = []
+            for kind in kinds:
+                # mostly draw from the column's pool, sometimes cross-
+                # contaminate so per-file goodness straddles 0.8
+                pool = pools[kind] if rnd.random() < 0.85 else flat
+                row.append(rnd.choice(pool))
+            lines.append("\t".join(row))
+        if _compare("\n".join(lines), "tsv") is not None:
+            compared += 1
+    assert compared >= 40  # reference IndexErrors skip some
+
+
+def test_fuzzed_tables_batched_equals_per_file():
+    """The batched tabular path (signature-grouped emission) must
+    equal the per-file recipe on the same fuzzed tables — batching is
+    an execution strategy, never a semantics change."""
+    import numpy as np
+
+    from octofludb_spark.extract.batched import table_triples_batched
+
+    rnd = random.Random(19)
+    headers = ["seqid", "clade", "strain_name", "subtype", "host",
+               "country", "date", "dnaseq", "count"]
+    cells = ["MN123456", "alpha", "A/swine/Iowa/X/2020", "H1N1",
+             "swine", "Texas", "2020-06-21", "06/21/2020",
+             "ATGGATTACAGATTACAGATTACAA", "42", "junk", ""]
+    docs = []
+    for _ in range(25):
+        ncol = 2 + rnd.randint(0, 4)
+        cols = rnd.sample(headers, ncol)
+        lines = ["\t".join(cols)]
+        for _ in range(1 + rnd.randint(0, 8)):
+            lines.append("\t".join(rnd.choice(cells) for _ in cols))
+        docs.append("\n".join(lines))
+
+    batched = table_triples_batched(list(enumerate(docs)))
+    got_by_src = {}
+    for r in batched.itertuples(index=False):
+        got_by_src.setdefault(int(r.src), set()).add((r.s, r.p, r.o))
+    for i, doc in enumerate(docs):
+        per_file = my_triples(table_triples(doc))
+        assert got_by_src.get(i, set()) == per_file, f"doc {i}"
