@@ -266,3 +266,27 @@ def test_store_compact_target_files_per_bucket(spark, tmp_path):
     for bucket_dir in glob.glob(after + "/part_bucket=*"):
         n = len(glob.glob(bucket_dir + "/*.parquet"))
         assert 0 < n <= 4, f"{bucket_dir}: {n} files"
+
+
+def test_resume_skips_committed_extract(spark, tmp_path, monkeypatch):
+    """A killed-after-extract job must resume WITHOUT re-running
+    extraction (north_rule: restart at the last committed snapshot):
+    extraction is poisoned before the resume, so any re-run fails."""
+    from octofludb_spark import build as B
+
+    src = source_table(spark, 30, partitions=2)
+    root = str(tmp_path / "store")
+    store = build_graph(spark, src, root, run_ts="2026-08-16T00:00:00")
+    n_full = store.read(spark, "triples_canonical").count()
+
+    m = store.manifest()
+    m["committed_stages"] = ["extract"]  # simulate dying before link
+    store._commit(m)
+
+    def boom(*a, **k):
+        raise AssertionError("extraction re-ran on resume")
+
+    monkeypatch.setattr(B, "extract_triples", boom)
+    store2 = B.build_graph(spark, src, root, run_ts="2026-08-16T00:00:00")
+    assert store2.read(spark, "triples_canonical").count() == n_full
+    assert store2.stage_done("link") and store2.stage_done("canon")
