@@ -85,7 +85,10 @@ def run_unique(recog: "Recog", s: pd.Series) -> dict:
     is a pure element-wise map, but the regex/munge work is paid per
     distinct value instead of per cell.  Real metadata columns (host,
     country, subtype, segment …) are heavily repetitive, so this is a
-    dictionary-encoded execution of the same classifier.
+    dictionary-encoded execution of the same classifier — the
+    cache-per-distinct-input strategy of "Accelerating Python UDFs in
+    Vectorized Query Execution" (CIDR 2022, PAPERS.md) applied to the
+    recognizer battery.
 
     Falls back to the plain run for short or high-cardinality columns
     (factorize+gather overhead would exceed the savings)."""
