@@ -574,6 +574,51 @@ def text_fingerprints(spark, sf):
     return TX.fingerprints(t(spark, sf, "documents"))
 
 
+_CLEAN_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+ l AS ({_LANGID_SQL}),
+ kept AS (SELECT d.doc_id, d.text, l.lang_pred, q.quality
+          FROM documents d
+          JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.quality >= 0.5 AND l.lang_pred IN ('en', 'und'))
+SELECT arg_min(doc_id, doc_id) AS doc_id,
+       arg_min(lang_pred, doc_id) AS lang,
+       arg_min(quality, doc_id) AS quality,
+       md5(text) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM kept GROUP BY md5(text)
+"""
+
+
+@q("training_corpus_clean", _CLEAN_SQL)
+def training_corpus_clean(spark, sf):
+    """End-to-end corpus-cleaning composition (quality filter ->
+    language filter -> exact-dedup canonical): ONE map-side projection
+    chain before the single digest hash-agg shuffle."""
+    return TX.clean_corpus(t(spark, sf, "documents"),
+                           min_quality=0.5, langs=("en", "und"))
+
+
+@q("stratified_sample_by_lang", f"""
+WITH l AS ({_LANGID_SQL}),
+ s AS (SELECT doc_id, lang_pred,
+              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) AS bucket16
+       FROM l)
+SELECT doc_id, lang_pred AS lang, bucket16
+FROM s
+WHERE bucket16 < (CASE lang_pred WHEN 'en' THEN 0.5
+                                 WHEN 'und' THEN 0.125
+                                 ELSE 0.0 END) * 65536
+""")
+def stratified_sample_by_lang(spark, sf):
+    """Deterministic per-language downsampling: keep iff the first 16
+    bits of md5(doc_id) fall under the language's fraction — a
+    map-side filter, never a shuffle, identical on any engine."""
+    return TX.stratified_sample(t(spark, sf, "documents"),
+                                {"en": 0.5, "und": 0.125}, default=0.0)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary columns; metadata oracle-checked,
 # decode exercised via the deterministic fake in pytest)

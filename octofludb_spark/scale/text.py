@@ -29,9 +29,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
-    quality features + a composite score."""
+    quality features + a composite score.  ``keep`` passes extra
+    columns through (so compositions stay single-projection, no
+    self-join on doc_id)."""
     words = F.split(F.trim("text"), r"\s+")
     n_words = F.size(words)
     n_punct = F.length("text") - F.length(
@@ -41,6 +43,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.filter(words, lambda w: F.lower(w).isin(STOPWORDS["en"]))
     )
     base = docs.select(
+        *keep,
         "doc_id",
         F.length("text").alias("n_chars_seen"),
         n_words.alias("n_words"),
@@ -63,10 +66,11 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return base.withColumn("quality", F.round(score, 2))
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """Stopword-hit language heuristic: argmax of per-language hit
     counts with deterministic tie order en > de > fr > es; 'und' when
-    all zero.  (doc_id, lang_pred)."""
+    all zero.  (doc_id, lang_pred).  ``keep`` passes extra columns
+    through for single-projection compositions."""
     words = F.split(F.lower(F.trim("text")), r"\s+")
 
     def hit_count(sw):
@@ -75,12 +79,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
         return F.size(F.filter(words, lambda w: w.isin(sw)))
 
     hits = {lang: hit_count(sw) for lang, sw in STOPWORDS.items()}
-    d = docs.select("doc_id", *[v.alias(f"h_{k}") for k, v in hits.items()])
+    d = docs.select(*keep, "doc_id",
+                    *[v.alias(f"h_{k}") for k, v in hits.items()])
     best = F.greatest(*[F.col(f"h_{k}") for k in STOPWORDS])
     pred = F.when(best == 0, "und")
     for k in STOPWORDS:  # dict order = tie order
         pred = pred.when(F.col(f"h_{k}") == best, k)
-    return d.select("doc_id", pred.alias("lang_pred"))
+    return d.select(*keep, "doc_id", pred.alias("lang_pred"))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
@@ -90,3 +95,64 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         " ", F.split(F.lower(F.trim("text")), r"\s+")
     )
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def clean_corpus(docs: DataFrame, min_quality: float = 0.5,
+                 langs: tuple = ("en",)) -> DataFrame:
+    """End-to-end training-corpus cleaning (the composition a real
+    data pipeline runs before tokenization): quality scoring ->
+    quality filter -> language ID -> language filter -> exact dedup
+    keeping the canonical (min doc_id) copy.
+
+    Scale shape: everything before the dedup is ONE map-side
+    projection chain (quality and language are per-row expressions;
+    ``keep`` threading avoids any self-join on doc_id), so the only
+    shuffle is the final hash-agg on the content digest — and the
+    filters have already pruned its input.  Output:
+    (doc_id, lang, quality, digest, n_dups)."""
+    scored = quality_scores(docs, keep=("text",)) \
+        .where(F.col("quality") >= min_quality) \
+        .select("doc_id", "text", "quality")
+    tagged = lang_id(scored, keep=("text", "quality")) \
+        .where(F.col("lang_pred").isin(list(langs)))
+    return (
+        tagged.withColumn("digest", F.md5("text"))
+        .groupBy("digest")
+        .agg(
+            F.min(F.struct("doc_id", "lang_pred", "quality")).alias("r"),
+            F.count("*").alias("n_dups"),
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.lang_pred").alias("lang"),
+            F.col("r.quality").alias("quality"),
+            "digest",
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict,
+                      default: float = 0.0) -> DataFrame:
+    """Deterministic per-language downsampling (training-mix
+    rebalancing): a document is kept iff the first 16 bits of
+    md5(doc_id) fall under its language's fraction — reproducible on
+    any engine/cluster, no RNG state, map-side only (language is a
+    per-row expression; the sample is a filter, never a shuffle).
+    Output: (doc_id, lang, bucket16)."""
+    tagged = lang_id(docs)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long")
+    thresh = F.lit(None).cast("double")
+    expr = None
+    for lang, frac in fractions.items():
+        cond = F.col("lang_pred") == lang
+        expr = F.when(cond, F.lit(frac)) if expr is None \
+            else expr.when(cond, F.lit(frac))
+    thresh = expr.otherwise(F.lit(default)) if expr is not None \
+        else F.lit(default)
+    return (
+        tagged.withColumn("bucket16", bucket)
+        .where(F.col("bucket16") < thresh * 65536)
+        .select("doc_id", F.col("lang_pred").alias("lang"), "bucket16")
+    )

@@ -250,3 +250,38 @@ def test_topk_ivf_empty_corpus_schema(spark):
     out = topk_ivf(emb, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cos", "rank"]
+
+
+@pytest.mark.spark
+def test_clean_corpus_single_shuffle_and_semantics(spark):
+    """clean_corpus: quality+language filters are map-side (exactly
+    ONE Exchange — the dedup hash-agg), and the canonical row is the
+    min doc_id of each digest group."""
+    from octofludb_spark.scale.text import clean_corpus
+
+    good = ("the cat and the dog walk to the market in the morning "
+            "and it is a fine day for everyone that is here")
+    rows = [(1, good), (2, good), (3, "x" * 30), (4, good + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(docs, min_quality=0.5, langs=("en",))
+    got = {r.doc_id: (r.lang, r.n_dups) for r in out.collect()}
+    assert got == {1: ("en", 2), 4: ("en", 1)}  # 3 quality-filtered; 2 deduped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # hash-agg partial+final pair only
+
+
+@pytest.mark.spark
+def test_stratified_sample_deterministic_and_mapside(spark):
+    """stratified_sample: pure filter (no Exchange), reproducible, and
+    per-language keep rates track the requested fractions."""
+    from octofludb_spark.scale.text import stratified_sample
+
+    en = "the cat and the dog walk to the market in the morning"
+    docs = spark.createDataFrame(
+        [(i, en) for i in range(2000)], "doc_id long, text string")
+    out = stratified_sample(docs, {"en": 0.25}, default=0.0)
+    n1 = out.count()
+    assert n1 == stratified_sample(docs, {"en": 0.25}).count()  # deterministic
+    assert 0.18 < n1 / 2000 < 0.32  # ~25% of a 2000-doc corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
