@@ -160,7 +160,12 @@ def record_triples(rec: dict, sink, only_influenza_a: bool = True):
         if val is None:
             continue
         if kind == "int":
-            sink.add(gid, NT + term, str(int(val)), DT_INT)
+            # a malformed numeric field must not kill the task (the
+            # reference's rdflib Literal never raises either); skip it
+            try:
+                sink.add(gid, NT + term, str(int(val)), DT_INT)
+            except (TypeError, ValueError):
+                continue
         elif kind == "date":
             td = _typed_date(val)
             if td:

@@ -1008,7 +1008,7 @@ WITH t AS (SELECT subject, predicate, object_lex, object_dtype
  dt AS (SELECT subject sid, object_lex d,
                CAST(substr(object_lex, 1, 4) AS INT) AS year,
                CAST(substr(object_lex, 6, 2) AS INT) AS month,
-               substr(object_lex, 9, 2) AS day
+               CAST(CAST(substr(object_lex, 9, 2) AS INT) AS VARCHAR) AS day
         FROM t WHERE predicate IN ('{_NT}date', '{_NT}collection_date')
           AND object_dtype = 'xsd:date'
           AND CAST(substr(object_lex, 1, 4) AS INT) = 2009

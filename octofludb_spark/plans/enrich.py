@@ -47,7 +47,18 @@ def df_table_triples(df: DataFrame, segment_key: bool = False) -> DataFrame:
     """Re-extract triples from a derived table DataFrame with the
     reference's prep_table semantics (ui.py:838-879): header-named
     columns, column-level type inference; with segment_key the FIRST
-    column is forced to be a segment id (IrregularSegmentTable)."""
+    column is forced to be a segment id (IrregularSegmentTable —
+    prep_table counter-intuitively selects that class when NO
+    segment_key argument is given, ui.py:856-868).
+
+    Inference runs over the WHOLE table (coalesce(1) + concat of the
+    partition's Arrow batches), exactly like the reference's
+    whole-file prep_table — per-batch inference would make column
+    types, and therefore the emitted triples, depend on partitioning.
+    Derived enrich tables are strain-cardinality (orders of magnitude
+    below the corpus), so a single partition is the honest bound; a
+    table that outgrew one executor would need a two-pass global
+    goodness aggregation instead."""
     cols = df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,23 +67,24 @@ def df_table_triples(df: DataFrame, segment_key: bool = False) -> DataFrame:
         from octofludb_spark.extract.recipes import typed
         from octofludb_spark.functions import recognizers as R
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            data = {c: [None if v is None else str(v) for v in pdf[c]]
-                    for c in cols}
-            table: list[TypedColumn] = []
-            names = list(data.keys())
-            if segment_key:
-                table.append(typed(R.IRREGULAR_SEGMENT, data[names[0]]))
-                names = names[1:]
-            table.extend(type_table({k: data[k] for k in names}))
-            out = emit_table(table)
-            yield out.rename(columns={
-                "s": "subject", "p": "predicate",
-                "o": "object_lex", "dt": "object_dtype"})
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        data = {c: [None if v is None else str(v) for v in pdf[c]]
+                for c in cols}
+        table: list[TypedColumn] = []
+        names = list(data.keys())
+        if segment_key:
+            table.append(typed(R.IRREGULAR_SEGMENT, data[names[0]]))
+            names = names[1:]
+        table.extend(type_table({k: data[k] for k in names}))
+        out = emit_table(table)
+        yield out.rename(columns={
+            "s": "subject", "p": "predicate",
+            "o": "object_lex", "dt": "object_dtype"})
 
-    return df.mapInPandas(run, _TRIPLE_SCHEMA)
+    return df.coalesce(1).mapInPandas(run, _TRIPLE_SCHEMA)
 
 
 def stub_classifier(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -131,7 +143,12 @@ def enrich_constellations(spark: SparkSession, store: TripleStore) -> int:
     delete_predicate(spark, store, "constellations")
     v = GraphViews(store.read(spark, "triples"))
     consts = constellations(v).withColumnRenamed("strain", "strain_name")
-    triples = df_table_triples(consts)
+    # reference: prep_table(constellation_table) with NO segment_key
+    # -> IrregularSegmentTable (ui.py:251,856-868): the strain-name
+    # column is a forced match-anything identifier, so a constellation
+    # attaches even to names p_strain cannot parse, and no
+    # strain_name/barcode/state self-triples are emitted
+    triples = df_table_triples(consts, segment_key=True)
     n = triples.persist().count()
     if n:
         store.merge_triples(spark, triples, stage="enrich-constellations")

@@ -479,7 +479,8 @@ def wgs_report(v: GraphViews, year: int, month: int) -> DataFrame:
         "sid", "date",
         F.substring("date", 1, 4).cast("int").alias("year"),
         F.substring("date", 6, 2).cast("int").alias("month"),
-        F.substring("date", 9, 2).alias("day"),
+        # DAY(?date) is an INTEGER in SPARQL: '3', never '03'
+        F.substring("date", 9, 2).cast("int").cast("string").alias("day"),
     ).where((F.col("year") == year) & (F.col("month") == month))
     barcode = v.pred("barcode", s="sid", o="barcode")
     state = v.path2("state", "name", s="sid", o="state")
@@ -532,7 +533,12 @@ def monthly_context(v: GraphViews, min_date: str, max_date: str) -> DataFrame:
     """monthly-context.rq: sequences for recent A0 swine USA strains
     (collection date in [min_date, max_date]) or older strains with a
     full [PVT]{6} constellation after 2015; per (strain, segment,
-    seq)."""
+    seq).
+
+    Only xsd:date-typed (full) dates qualify: the reference FILTER
+    compares ?date against xsd:date literals and applies YEAR(?date)
+    (monthly-context.rq:28-30) — both type-error on gYear/gYearMonth
+    partials, excluding the row (SPARQL error || error = error)."""
     barcode = v.pred("barcode", s="sid", o="barcode").where(
         F.col("barcode").rlike("^A0")
     )
@@ -540,7 +546,8 @@ def monthly_context(v: GraphViews, min_date: str, max_date: str) -> DataFrame:
     swine = v.value("host", "swine", s="sid")
     usa = v.path2("country", "code", s="sid", o="_c").where(
         F.col("_c") == "USA").select("sid").distinct()
-    date = v.pred("date", s="sid", o="date")
+    date = v.pred_typed("date", s="sid", o="date").where(
+        F.col("dt") == "xsd:date").select("sid", "date")
     subtype = v.pred("subtype", s="sid", o="subtype")
     const = v.pred("constellation", s="sid", o="const")
     hs = v.pred("has_segment", s="sid", o="gid")
@@ -660,10 +667,57 @@ def _tag_matched_sids(v: GraphViews) -> DataFrame:
     )
 
 
+def _tag_matched_sid_gids(v: GraphViews) -> DataFrame:
+    """(sid, gid) pairs for get-tagged-segment/-sequence.rq: the
+    seqid-tag branch binds the SAME ?gid as the query body's
+    ``?sid f:has_segment ?gid . ?gid f:seqid ?seqid`` pattern, so a
+    seqid match restricts the report to THAT segment — while the
+    strain_name / isolate_name / barcode branches leave ?gid free
+    (every segment of the matched subject)."""
+    tags = v.pred("query_tag", s="_tid", o="tag").select("tag").distinct()
+    hs = v.pred("has_segment", s="sid", o="gid")
+    by_attr = (
+        v.pred("strain_name", s="sid", o="tag")
+        .unionByName(v.pred("isolate_name", s="sid", o="tag"))
+        .unionByName(v.pred("barcode", s="sid", o="tag"))
+        .join(F.broadcast(tags), "tag")
+        .select("sid").distinct()
+    )
+    attr_pairs = by_attr.join(hs, "sid").select("sid", "gid")
+    seqid_pairs = (
+        hs.join(v.pred("seqid", s="gid", o="tag"), "gid")
+        .join(F.broadcast(tags), "tag")
+        .select("sid", "gid")
+    )
+    return attr_pairs.unionByName(seqid_pairs).distinct()
+
+
+def _ha_clades(v: GraphViews, s: str = "sid") -> DataFrame:
+    """The nested-OPTIONAL HA block shared by get-tagged-strain/
+    -sequence/-isolate.rq: ``?hagid f:gl_clade ?gl_clade`` is REQUIRED
+    inside the OPTIONAL and ``?hagid f:clade ?haclade`` is optional
+    INSIDE it — so haclade may only bind on an HA segment that also
+    carries gl_clade."""
+    hs = v.pred("has_segment", s=s, o="gid")
+    hagid = v.value("segment_name", "HA", s="gid")
+    return (
+        hs.join(hagid, "gid")
+        .join(v.pred("gl_clade", s="gid", o="gl_clade"), "gid")
+        .join(v.pred("clade", s="gid", o="haclade"), "gid", "left")
+        .select(s, "gl_clade", "haclade")
+    )
+
+
 def tagged_strains(v: GraphViews) -> DataFrame:
     """get-tagged-strain.rq: 4-branch UNION matching query-tag values
     against strain_name / isolate_name / barcode / segment seqid, then
-    per-strain aggregation."""
+    per-strain aggregation.
+
+    Reference-faithful quirks: the query SELECTs
+    GROUP_CONCAT(?constellation) and GROUP_CONCAT(?country) but binds
+    ?const and never binds ?country (get-tagged-strain.rq:15-16,40) —
+    both columns are constitutively empty; and ?haclade is nested
+    inside the gl_clade OPTIONAL (get-tagged-strain.rq:49-53)."""
     matched = _tag_matched_sids(v)
     strain = v.pred("strain_name", s="sid", o="strain")
     date = v.pred("date", s="sid", o="date")
@@ -671,22 +725,15 @@ def tagged_strains(v: GraphViews) -> DataFrame:
     iso = v.pred("isolate_id", s="sid", o="isolate")
     host = v.pred("host", s="sid", o="host")
     subtype = v.pred("subtype", s="sid", o="subtype")
-    const = v.pred("constellation", s="sid", o="constellation")
-    country = v.path2("country", "code", s="sid", o="country")
-    hagid = v.value("segment_name", "HA", s="gid")
     nagid = v.value("segment_name", "NA", s="gid")
     hs = v.pred("has_segment", s="sid", o="gid")
-    ha_gl = hs.join(hagid, "gid").join(
-        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("sid", "gl_clade")
-    ha_clade = hs.join(hagid, "gid").join(
-        v.pred("clade", s="gid", o="haclade"), "gid").select("sid", "haclade")
+    ha = _ha_clades(v, s="sid")
     na_clade = hs.join(nagid, "gid").join(
         v.pred("clade", s="gid", o="naclade"), "gid").select("sid", "naclade")
     out = (
         base.join(iso, "sid", "left").join(host, "sid", "left")
-        .join(subtype, "sid", "left").join(const, "sid", "left")
-        .join(country, "sid", "left").join(ha_gl, "sid", "left")
-        .join(ha_clade, "sid", "left").join(na_clade, "sid", "left")
+        .join(subtype, "sid", "left")
+        .join(ha, "sid", "left").join(na_clade, "sid", "left")
     )
     return out.groupBy("strain").agg(
         group_concat("isolate", "isolates"),
@@ -695,8 +742,8 @@ def tagged_strains(v: GraphViews) -> DataFrame:
         group_concat("naclade", "naclades"),
         group_concat("haclade", "haclades"),
         group_concat("gl_clade", "gl_clades"),
-        group_concat("constellation", "constellations"),
-        group_concat("country", "countries"),
+        F.lit("").alias("constellations"),
+        F.lit("").alias("countries"),
         F.min("date").alias("earliest_date"),
     )
 
@@ -797,15 +844,16 @@ def h_sequences(v: GraphViews, subtype_prefix: str = "H1N") -> DataFrame:
 
 def tagged_segments(v: GraphViews) -> DataFrame:
     """get-tagged-segment.rq: per (dna_hash, strain) segment-level
-    report for tag-matched subjects."""
-    matched = _tag_matched_sids(v)
+    report for tag-matched subjects.  A seqid-tag match restricts to
+    the matching segment (shared ?gid, get-tagged-segment.rq:26-32);
+    the other branches cover every segment of the subject."""
+    matched = _tag_matched_sid_gids(v)
     strain = v.pred("strain_name", s="sid", o="strain")
-    hs = v.pred("has_segment", s="sid", o="gid")
     seqid = v.pred("seqid", s="gid", o="_seqid").select("gid").distinct()
     segname = v.pred("segment_name", s="gid", o="segment_name")
     chks = v.pred("chksum", s="gid", o="dna_hash")
     base = (
-        matched.join(strain, "sid").join(hs, "sid")
+        matched.join(strain, "sid")
         .join(seqid, "gid").join(segname, "gid").join(chks, "gid")
     )
     gb = v.pred("genbank_id", s="gid", o="gb", expand=False)
@@ -827,37 +875,35 @@ def tagged_segments(v: GraphViews) -> DataFrame:
 
 def tagged_sequences(v: GraphViews) -> DataFrame:
     """get-tagged-sequence.rq: per (strain, segment_name, seq) with
-    strain-level concats, for tag-matched subjects with sequences."""
-    matched = _tag_matched_sids(v)
+    strain-level concats, for tag-matched subjects with sequences.
+
+    Reference-faithful quirks (get-tagged-sequence.rq): a seqid-tag
+    match restricts to the matching segment (shared ?gid); ?haclade is
+    nested inside the gl_clade OPTIONAL; the SELECT concats unbound
+    ?constellation/?country (binds ?const, never ?country) so both
+    columns are constitutively empty."""
+    matched = _tag_matched_sid_gids(v)
     strain = v.pred("strain_name", s="sid", o="strain")
-    hs = v.pred("has_segment", s="sid", o="gid")
     seqid = v.pred("seqid", s="gid", o="_sq").select("gid").distinct()
     seq = v.pred("dnaseq", s="gid", o="seq")
     segname = v.pred("segment_name", s="gid", o="segment_name")
     date = v.pred("date", s="sid", o="date")
     core = (
-        matched.join(strain, "sid").join(hs, "sid").join(seqid, "gid")
+        matched.join(strain, "sid").join(seqid, "gid")
         .join(seq, "gid").join(segname, "gid").join(date, "sid")
     )
     iso = v.pred("isolate_id", s="sid", o="isolate")
     host = v.pred("host", s="sid", o="host")
     subtype = v.pred("subtype", s="sid", o="subtype")
-    const = v.pred("constellation", s="sid", o="constellation")
-    country = v.path2("country", "code", s="sid", o="country")
-    hagid = v.value("segment_name", "HA", s="gid")
     nagid = v.value("segment_name", "NA", s="gid")
     hs2 = v.pred("has_segment", s="sid", o="gid")
-    ha_gl = hs2.join(hagid, "gid").join(
-        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("sid", "gl_clade")
-    ha_clade = hs2.join(hagid, "gid").join(
-        v.pred("clade", s="gid", o="haclade"), "gid").select("sid", "haclade")
+    ha = _ha_clades(v, s="sid")
     na_clade = hs2.join(nagid, "gid").join(
         v.pred("clade", s="gid", o="naclade"), "gid").select("sid", "naclade")
     out = (
         core.join(iso, "sid", "left").join(host, "sid", "left")
-        .join(subtype, "sid", "left").join(const, "sid", "left")
-        .join(country, "sid", "left").join(ha_gl, "sid", "left")
-        .join(ha_clade, "sid", "left").join(na_clade, "sid", "left")
+        .join(subtype, "sid", "left")
+        .join(ha, "sid", "left").join(na_clade, "sid", "left")
     )
     return out.groupBy("strain", "segment_name", "seq").agg(
         group_concat("isolate", "isolates"),
@@ -866,42 +912,63 @@ def tagged_sequences(v: GraphViews) -> DataFrame:
         group_concat("naclade", "naclades"),
         group_concat("haclade", "haclades"),
         group_concat("gl_clade", "gl_clades"),
-        group_concat("constellation", "constellations"),
-        group_concat("country", "countries"),
+        F.lit("").alias("constellations"),
+        F.lit("").alias("countries"),
         F.min("date").alias("earliest_date"),
     )
 
 
 def tagged_isolates(v: GraphViews) -> DataFrame:
-    """get-tagged-isolate.rq: isolate-level view; isolate entities
-    (lid) join strain entities (sid) through the shared strain_name."""
-    matched = _tag_matched_sids(v)  # matches both lid- and sid-shaped
-    iso = v.pred("isolate_id", s="sid", o="isolate")
-    strain = v.pred("strain_name", s="sid", o="strain")
-    date = v.pred("date", s="sid", o="date")
-    lids = matched.join(iso, "sid").join(strain, "sid").join(date, "sid") \
-        .withColumnRenamed("sid", "lid")
-    host = v.pred("host", s="sid", o="host").withColumnRenamed("sid", "lid")
-    # strain-entity attributes join via the strain NAME
-    sid_by_name = v.pred("strain_name", s="sid2", o="strain")
-    subtype = v.pred("subtype", s="sid2", o="subtype")
-    const = v.pred("constellation", s="sid2", o="constellation")
-    strain_attrs = sid_by_name.join(subtype, "sid2", "left") \
-        .join(const, "sid2", "left").select("strain", "subtype", "constellation")
+    """get-tagged-isolate.rq: isolate-level view.  Its UNION differs
+    from the other variants: tags match ?sid strain_name / barcode OR
+    ?lid isolate_id / segment-seqid (get-tagged-isolate.rq:21-30), and
+    the two entity roles join through the shared strain NAME — a
+    strain/barcode match reaches the isolate via that join.  Quirks as
+    in the other variants: nested haclade OPTIONAL; SELECT concats the
+    never-bound ?constellation/?country, so both columns are
+    constitutively empty."""
+    tags = v.pred("query_tag", s="_tid", o="tag").select("tag").distinct()
+    # sid-side branches -> the set of matched strain NAMES
+    m_sid = (
+        v.pred("strain_name", s="sid", o="tag")
+        .unionByName(v.pred("barcode", s="sid", o="tag"))
+        .join(F.broadcast(tags), "tag").select("sid").distinct()
+    )
+    m_strains = m_sid.join(
+        v.pred("strain_name", s="sid", o="strain"), "sid"
+    ).select("strain").distinct()
+    # lid-side branches -> matched isolate entities directly
     hs = v.pred("has_segment", s="lid", o="gid")
-    hagid = v.value("segment_name", "HA", s="gid")
+    m_lid = (
+        v.pred("isolate_id", s="lid", o="tag")
+        .unionByName(hs.join(v.pred("seqid", s="gid", o="tag"), "gid")
+                     .select("lid", "tag"))
+        .join(F.broadcast(tags), "tag").select("lid").distinct()
+    )
+    iso = v.pred("isolate_id", s="lid", o="isolate")
+    strain_l = v.pred("strain_name", s="lid", o="strain")
+    date = v.pred("date", s="lid", o="date")
+    lids_all = iso.join(strain_l, "lid").join(date, "lid")
+    lids = (
+        lids_all.join(m_lid, "lid")
+        .unionByName(lids_all.join(F.broadcast(m_strains), "strain"))
+        .distinct()
+    )
+    host = v.pred("host", s="lid", o="host")
+    # ?sid f:strain_name ?strain ranges over EVERY entity sharing the
+    # strain name; subtype is OPTIONAL per such sid
+    subtype = (
+        v.pred("strain_name", s="sid2", o="strain")
+        .join(v.pred("subtype", s="sid2", o="subtype"), "sid2")
+        .select("strain", "subtype").distinct()
+    )
     nagid = v.value("segment_name", "NA", s="gid")
-    ha_gl = hs.join(hagid, "gid").join(
-        v.pred("gl_clade", s="gid", o="gl_clade"), "gid").select("lid", "gl_clade")
-    ha_clade = hs.join(hagid, "gid").join(
-        v.pred("clade", s="gid", o="haclade"), "gid").select("lid", "haclade")
+    ha = _ha_clades(v, s="lid")
     na_clade = hs.join(nagid, "gid").join(
         v.pred("clade", s="gid", o="naclade"), "gid").select("lid", "naclade")
-    country = v.path2("country", "code", s="lid", o="country")
     out = (
-        lids.join(host, "lid", "left").join(strain_attrs, "strain", "left")
-        .join(ha_gl, "lid", "left").join(ha_clade, "lid", "left")
-        .join(na_clade, "lid", "left").join(country, "lid", "left")
+        lids.join(host, "lid", "left").join(subtype, "strain", "left")
+        .join(ha, "lid", "left").join(na_clade, "lid", "left")
     )
     return out.groupBy("isolate").agg(
         group_concat("strain", "strains"),
@@ -910,7 +977,7 @@ def tagged_isolates(v: GraphViews) -> DataFrame:
         group_concat("naclade", "naclades"),
         group_concat("haclade", "haclades"),
         group_concat("gl_clade", "gl_clades"),
-        group_concat("constellation", "constellations"),
-        group_concat("country", "countries"),
+        F.lit("").alias("constellations"),
+        F.lit("").alias("countries"),
         F.min("date").alias("earliest_date"),
     )

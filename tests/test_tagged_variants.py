@@ -110,3 +110,107 @@ def test_tagged_max_report(spark):
     assert r.gl_clade == "1A.1.1"
     assert r.host == "swine"
     assert r.date == "2020-06-21"
+
+
+def _graph_with(spark, extra, base=True):
+    from pyspark.sql import Row  # noqa: F401
+    sid, lid = FID + "s1", FID + "l1"
+    ha, na = FID + "mn000001", FID + "epi1"
+    trips = []
+    if base:
+        trips = [
+            (sid, NT + "strain_name", "A/swine/Iowa/X/2020", ""),
+            (sid, NT + "subtype", "H1N1", ""),
+            (sid, NT + "host", "swine", ""),
+            (sid, NT + "date", "2020-06-21", "xsd:date"),
+            (sid, NT + "has_segment", ha, "uri"),
+            (sid, NT + "has_segment", na, "uri"),
+            (lid, NT + "isolate_id", "EPI_ISL_1", ""),
+            (lid, NT + "strain_name", "A/swine/Iowa/X/2020", ""),
+            (lid, NT + "date", "2020-06-21", "xsd:date"),
+            (lid, NT + "host", "swine", ""),
+            (lid, NT + "has_segment", ha, "uri"),
+            (ha, NT + "segment_name", "HA", ""),
+            (ha, NT + "genbank_id", "MN000001", ""),
+            (ha, NT + "dnaseq", "GATACA", ""),
+            (ha, NT + "chksum", "abc123", ""),
+            (ha, NT + "clade", "alpha", ""),
+            (na, NT + "segment_name", "NA", ""),
+            (na, NT + "epi_id", "EPI1", ""),
+            (na, NT + "dnaseq", "CATCAT", ""),
+            (na, NT + "chksum", "def456", ""),
+            (na, NT + "clade", "Classical", ""),
+        ]
+    return GraphViews(spark.createDataFrame(
+        trips + extra, ["subject", "predicate", "object_lex", "object_dtype"]))
+
+
+def test_seqid_tag_restricts_to_matching_segment(spark):
+    """get-tagged-segment/-sequence.rq bind the SAME ?gid in the
+    seqid-tag branch and the query body: a genbank-accession tag
+    returns ONLY that segment, never the strain's other segments."""
+    v = _graph_with(spark, [
+        (FID + "mn000001", NT + "gl_clade", "1A.1.1", ""),
+        (Q + "t", NT + "query_tag", "MN000001", ""),
+    ])
+    segs = tagged_segments(v).collect()
+    assert {r.dna_hash for r in segs} == {"abc123"}  # HA only, no NA row
+    seqs = tagged_sequences(v).collect()
+    assert {r.segment_name for r in seqs} == {"HA"}
+
+
+def test_haclade_requires_gl_clade_on_same_segment(spark):
+    """?haclade is nested INSIDE the gl_clade OPTIONAL
+    (get-tagged-strain.rq:49-53): an HA clade without gl_clade on the
+    same segment must NOT surface."""
+    from octofludb_spark.plans.reports import tagged_strains
+
+    v = _graph_with(spark, [  # base HA has clade=alpha but NO gl_clade
+        (Q + "t", NT + "query_tag", "A/swine/Iowa/X/2020", ""),
+    ])
+    r = tagged_strains(v).collect()[0]
+    assert r.haclades == "" and r.gl_clades == ""
+    v2 = _graph_with(spark, [
+        (FID + "mn000001", NT + "gl_clade", "1A.1.1", ""),
+        (Q + "t", NT + "query_tag", "A/swine/Iowa/X/2020", ""),
+    ])
+    r2 = tagged_strains(v2).collect()[0]
+    assert r2.haclades == "alpha" and r2.gl_clades == "1A.1.1"
+
+
+def test_tagged_constellations_and_countries_constitutively_empty(spark):
+    """The reference SELECTs GROUP_CONCAT(?constellation)/(?country)
+    but binds ?const and never binds ?country (get-tagged-strain.rq,
+    -sequence, -isolate): those cells are ALWAYS empty, even when the
+    graph has constellation/country triples."""
+    from octofludb_spark.plans.reports import tagged_strains
+
+    v = _graph_with(spark, [
+        (FID + "s1", NT + "constellation", "TTTTTT", ""),
+        (FID + "s1", NT + "country", "https://flu-crew.org/geo/country/USA", "uri"),
+        ("https://flu-crew.org/geo/country/USA", NT + "code", "USA", ""),
+        (FID + "mn000001", NT + "gl_clade", "1A.1.1", ""),
+        (Q + "t", NT + "query_tag", "A/swine/Iowa/X/2020", ""),
+    ])
+    for df in (tagged_strains(v), tagged_sequences(v), tagged_isolates(v)):
+        for r in df.collect():
+            assert r.constellations == "" and r.countries == ""
+
+
+def test_isolate_id_tag_matches_isolate_report(spark):
+    """get-tagged-isolate.rq branch 2 matches ?lid f:isolate_id ?tag —
+    tagging an EPI_ISL id (the report's primary use) must return the
+    isolate row; a barcode tag routes through the shared strain."""
+    v = _graph_with(spark, [
+        (FID + "s1", NT + "barcode", "A01234567", ""),
+        (FID + "mn000001", NT + "gl_clade", "1A.1.1", ""),
+        (Q + "t", NT + "query_tag", "EPI_ISL_1", ""),
+    ])
+    rows = tagged_isolates(v).collect()
+    assert len(rows) == 1 and rows[0].isolate == "EPI_ISL_1"
+    v2 = _graph_with(spark, [
+        (FID + "s1", NT + "barcode", "A01234567", ""),
+        (Q + "t", NT + "query_tag", "A01234567", ""),
+    ])
+    rows2 = tagged_isolates(v2).collect()
+    assert len(rows2) == 1 and rows2[0].isolate == "EPI_ISL_1"

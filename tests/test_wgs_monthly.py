@@ -86,3 +86,56 @@ def test_maintenance_deletes(spark, tmp_path):
     clear_query_tags(spark, store)
     preds = {r.predicate for r in store.read(spark, "triples").collect()}
     assert preds == {NT + "host"}
+
+
+def test_wgs_day_is_unpadded_integer(spark):
+    """SPARQL BIND(DAY(?date)) yields an integer: day '3', never '03'
+    (wgs.rq:46)."""
+    sid = FID + "s2"
+    ha, na = FID + "ha2", FID + "na2"
+    trips = [
+        (sid, NT + "strain_name", "A/swine/Iowa/A07654321/2020", ""),
+        (sid, NT + "host", "swine", ""),
+        (sid, NT + "country", WORLD + "USA", "uri"),
+        (WORLD + "USA", NT + "code", "USA", ""),
+        (sid, NT + "date", "2020-06-03", "xsd:date"),
+        (sid, NT + "has_segment", ha, "uri"),
+        (sid, NT + "has_segment", na, "uri"),
+        (ha, NT + "segment_name", "HA", ""),
+        (ha, NT + "genbank_id", "MN000003", ""),
+        (na, NT + "segment_name", "NA", ""),
+        (na, NT + "genbank_id", "MN000004", ""),
+    ]
+    v = GraphViews(spark.createDataFrame(
+        trips, ["subject", "predicate", "object_lex", "object_dtype"]))
+    r = wgs_report(v, year=2020, month=6).collect()[0]
+    assert r.day == "3"
+
+
+def test_monthly_context_excludes_partial_dates(spark):
+    """The reference FILTER compares ?date against xsd:date literals
+    and applies YEAR(?date) (monthly-context.rq:28-30): both
+    type-error on gYear/gYearMonth, so a '2020-06'^^gYearMonth strain
+    is EXCLUDED even though it lexically falls in the window."""
+    sid = FID + "s3"
+    ha, na = FID + "ha3", FID + "na3"
+    trips = [
+        (sid, NT + "strain_name", "A/swine/Iowa/A09999999/2020", ""),
+        (sid, NT + "host", "swine", ""),
+        (sid, NT + "country", WORLD + "USA", "uri"),
+        (WORLD + "USA", NT + "code", "USA", ""),
+        (sid, NT + "barcode", "A09999999", ""),
+        (sid, NT + "date", "2020-06", "xsd:gYearMonth"),
+        (sid, NT + "subtype", "H1N1", ""),
+        (sid, NT + "has_segment", ha, "uri"),
+        (sid, NT + "has_segment", na, "uri"),
+        (ha, NT + "segment_name", "HA", ""),
+        (ha, NT + "clade", "alpha", ""),
+        (ha, NT + "dnaseq", "GATACA", ""),
+        (na, NT + "segment_name", "NA", ""),
+        (na, NT + "clade", "Classical", ""),
+        (na, NT + "dnaseq", "CATCAT", ""),
+    ]
+    v = GraphViews(spark.createDataFrame(
+        trips, ["subject", "predicate", "object_lex", "object_dtype"]))
+    assert monthly_context(v, "2020-01-01", "2020-12-31").count() == 0
