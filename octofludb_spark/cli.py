@@ -83,8 +83,19 @@ def cmd_merge(args) -> int:
     from octofludb_spark.sources.store import TripleStore
 
     spark = _spark(args.cores)
-    content = open(args.file).read()
+    raw = open(args.file, "rb").read()
     lang = _KIND_TO_LANG.get(args.kind, args.kind)
+    # same binary sniff as cmd_prep: a GISAID Excel sheet routes to
+    # the xls-aware recipe lang; text decodes leniently (never a
+    # UnicodeDecodeError on a merge)
+    if lang == "gisaid" and (raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+                             or raw[:2] == b"PK"):
+        import base64
+
+        lang = "gisaid_xls"  # binary sheet rides the corpus as base64
+        content = base64.b64encode(raw).decode()
+    else:
+        content = raw.decode("utf-8", "replace")
     row = pd.DataFrame([{
         "repo": "local", "path": args.file, "commit": "0" * 40,
         "lang": lang, "content": content,
@@ -94,6 +105,13 @@ def cmd_merge(args) -> int:
                                 run_ts=args.run_ts)
     TripleStore(args.store).merge_triples(spark, triples)
     return 0
+
+
+def _arity(name, a, n, usage, conv=str):
+    if len(a) < n:
+        print(f"query {name} needs {n} args: {usage}", file=sys.stderr)
+        sys.exit(2)
+    return [conv(x) for x in a[:n]]
 
 
 def _queries():
@@ -114,8 +132,9 @@ def _queries():
         # the INTENDED get-tagged.rq (the shipped reference query is
         # broken — ?msgid typo / undefined "MS", get-tagged.rq:76-79)
         "tagged-max": lambda v, a: R.tagged_max_report(v),
-        "wgs": lambda v, a: R.wgs_report(v, int(a[0]), int(a[1])),
-        "monthly-context": lambda v, a: R.monthly_context(v, a[0], a[1]),
+        "wgs": lambda v, a: R.wgs_report(v, *_arity("wgs", a, 2, "YEAR MONTH", int)),
+        "monthly-context": lambda v, a: R.monthly_context(
+            v, *_arity("monthly-context", a, 2, "MIN_DATE MAX_DATE")),
     }
 
 
@@ -133,6 +152,10 @@ def _views(spark, store_root, sameas=True):
     df = store.read(spark, table)
     if df is None:
         df = store.read(spark, "triples")
+    if df is None:
+        print(f"no triple store at {store_root} (run `build` first)",
+              file=sys.stderr)
+        sys.exit(1)
     return GraphViews(df)
 
 

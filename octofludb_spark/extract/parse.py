@@ -16,19 +16,36 @@ from __future__ import annotations
 
 import re
 
-_WS = re.compile(r"[\r\n\t ]+")
-_ENTRY_SPLIT = re.compile(r"(?m)^>")
+# the reference's p_seq token regex is [^>\n\r]* with separator
+# [\r\n\t ]+ (classes.py:330-334): the GREEDY token consumes spaces and
+# tabs INSIDE a line, so only line breaks — plus any whitespace run
+# directly after them — vanish from the joined sequence
+_LINE_JOIN = re.compile(r"[\r\n][ \t\r\n]*")
 
 
 def parse_fasta(text: str, sep: str = "|") -> list[list[str]]:
-    """-> list of rows: header fields + [sequence]."""
+    """-> list of rows: header fields + [sequence].
+
+    Faithful to the reference grammar (classes.py:329-337): a header
+    runs '>' to end-of-line and MAY contain '>', but the sequence
+    token regex excludes '>', so ANY '>' after the header line starts
+    a new record — not just line-initial ones; intra-line spaces stay
+    in the sequence.  Text before the first '>' is dropped (the
+    reference's parser dies there; our lenient policy matches the
+    table parsers')."""
     rows: list[list[str]] = []
-    chunks = _ENTRY_SPLIT.split(text)
-    for chunk in chunks[1:]:  # chunk 0 is anything before the first '>'
-        lines = chunk.split("\n")
-        header = lines[0].rstrip("\r")
-        seq = _WS.sub("", "\n".join(lines[1:]))
-        rows.append(header.split(sep) + [seq])
+    pos = text.find(">")
+    while pos != -1:
+        eol = text.find("\n", pos)
+        if eol == -1:
+            header, region, nxt = text[pos + 1:].rstrip("\r"), "", -1
+        else:
+            header = text[pos + 1:eol].rstrip("\r")
+            nxt = text.find(">", eol)
+            region = text[eol + 1:nxt if nxt != -1 else len(text)]
+        rows.append(header.split(sep)
+                    + [_LINE_JOIN.sub("", region.lstrip(" \t\r\n"))])
+        pos = nxt
     return rows
 
 

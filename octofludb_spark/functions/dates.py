@@ -90,8 +90,10 @@ _ALTERNATIVES = [
         rf"(?P<y>{_ANYYEAR})",
     ),
 ]
+# \Z (not $): '$' would also match before a trailing newline, which
+# parse_strict / str.fullmatch semantics reject ('2018\n' is NOT a date)
 _COMPILED = [
-    (n, re.compile(rf"^(?:{rx})$", re.IGNORECASE)) for n, rx in _ALTERNATIVES
+    (n, re.compile(rf"^(?:{rx})\Z", re.IGNORECASE)) for n, rx in _ALTERNATIVES
 ]
 
 
@@ -160,9 +162,12 @@ def parse_date_parts(s: pd.Series) -> pd.DataFrame:
         ms = np.full(n, None, dtype=object)
         ds = np.full(n, None, dtype=object)
         for i, x in enumerate(s):
-            if x is None or not isinstance(x, str):
+            if x is None or (isinstance(x, float) and x != x):
                 continue
-            y, mo, d = _parse_one(x)
+            # stringify non-strings exactly like the vectorized path's
+            # astype(str), so classification can't depend on column
+            # LENGTH crossing the _SMALL_N threshold
+            y, mo, d = _parse_one(x if isinstance(x, str) else str(x))
             ys[i], ms[i], ds[i] = y, mo, d
         return pd.DataFrame({"y": ys, "m": ms, "d": ds}, index=s.index)
     parts = pd.DataFrame(

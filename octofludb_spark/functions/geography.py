@@ -78,13 +78,6 @@ def _tables():
     }
 
 
-def _normalized(s: pd.Series) -> pd.Series:
-    return (
-        s.astype("object").fillna("").astype(str)
-        .str.strip().str.lower().str.replace(" ", "_", regex=False)
-    )
-
-
 def _state_code(x, t) -> str | None:
     if x is None:
         return None

@@ -58,26 +58,6 @@ class Recog:
     def clean(self, s: pd.Series) -> pd.Series:
         return self.run(s)["clean"]
 
-    def goodness(self, s: pd.Series, na_mask: pd.Series) -> float:
-        """Fraction of non-NA cells matching (reference token.py:121-131);
-        sequence tokens also require len>20 and divide by ALL cells
-        (classifier_flucrew.py:433-444)."""
-        live = ~na_mask
-        if self.goodness_mode == "sequence":
-            if len(s) == 0:
-                return 0.0
-            sub = s[live]
-            res = self.run(sub)["clean"]
-            ok = res.notna() & (res != "") & (
-                sub.astype("object").fillna("").astype(str).str.len() > 20
-            )
-            return float(ok.sum()) / len(s)
-        sub = s[live]
-        if len(sub) == 0:
-            return 0.0
-        res = self.run(sub)["clean"]
-        return float(res.notna().sum()) / len(sub)
-
 
 def run_unique(recog: "Recog", s: pd.Series) -> dict:
     """Run ``recog`` once per DISTINCT value and gather results back —
@@ -131,7 +111,9 @@ def _fullmatch(s: pd.Series, pattern: str, case: bool = True) -> pd.Series:
 
 def _regex_recog(pattern: str, munge: str = "", case: bool = True):
     """Build run() for a fullmatch regex; munge in {'', 'upper',
-    'lower', 'strip_underscore_upper'}."""
+    'lower', 'upper_nounderscore'}."""
+    if munge not in ("", "upper", "lower", "upper_nounderscore"):
+        raise ValueError(f"unknown munge {munge!r}")
 
     def run(s: pd.Series) -> pd.DataFrame:
         m = _fullmatch(s, pattern, case=case)
@@ -388,7 +370,6 @@ ALL_CLASSIFIERS: list[Recog] = [
     UNKNOWN,
 ]
 
-BY_NAME = {r.name: r for r in ALL_CLASSIFIERS}
 
 # Fields that always attach to the strain entity
 # (reference: classifier_flucrew.py:167-179).

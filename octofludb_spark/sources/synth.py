@@ -144,7 +144,10 @@ def _ids_doc(r) -> str:
         elif k == 1:
             ids.append(_epi(r))
         elif k == 2:
-            ids.append(f"A0{r.randint(10**6, 10**7)}{r.randint(10)}")
+            # pool-drawn A0 barcode (A0\d{7}): overlaps the barcodes
+            # embedded in strain names so id-list ingestion exercises
+            # cross-document entity linking
+            ids.append(f"A0{1000000 + r.randint(POOL):07d}")
         else:
             ids.append(_strain(r))
     return "\n".join(ids)

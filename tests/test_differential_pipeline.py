@@ -188,3 +188,16 @@ def test_fuzzed_tables_batched_equals_per_file():
     for i, doc in enumerate(docs):
         per_file = my_triples(table_triples(doc))
         assert got_by_src.get(i, set()) == per_file, f"doc {i}"
+
+
+def test_midline_gt_starts_new_fasta_record():
+    """The reference grammar's sequence regex excludes '>', so ANY '>'
+    after the header line starts a new record — not only line-initial
+    ones (classes.py:329-337).  Headers may contain '>'."""
+    cases = [
+        ">h1\nACGT>h2\nGGGG",          # mid-line split
+        ">a>b\nACGT",                   # '>' inside a header
+        ">x\nAC GT\nTT>y|H1N1\nCCCC",  # split after spaced sequence
+    ]
+    for c in cases:
+        _compare(c, "fasta")

@@ -224,3 +224,20 @@ def test_make_uri_series_all_na():
 
     out = make_uri_series(pd.Series([None] * 200, dtype=object))
     assert len(out) == 200 and out.isna().all()
+
+
+def test_date_rejects_trailing_newline():
+    """parse_strict consumes the whole cell: '2018\\n' is NOT a date
+    (regression: '$' matched before the trailing newline).  Both the
+    per-cell and the vectorized path must agree, and non-string cells
+    classify identically regardless of column length."""
+    import pandas as pd
+
+    from octofludb_spark.functions.dates import parse_date_parts
+
+    for n in (4, 600):  # straddle the _SMALL_N vectorization threshold
+        vals = ["2018\n", "2018", 2018, None] * (n // 4)
+        parts = parse_date_parts(pd.Series(vals, dtype=object))
+        assert parts["y"][0] is None          # trailing newline rejected
+        assert parts["y"][1] == "2018"
+        assert parts["y"][2] == "2018"        # int cell stringified
