@@ -18,33 +18,37 @@ import re
 
 # the reference's p_seq token regex is [^>\n\r]* with separator
 # [\r\n\t ]+ (classes.py:330-334): the GREEDY token consumes spaces and
-# tabs INSIDE a line, so only line breaks — plus any whitespace run
+# tabs INSIDE a line, so only line breaks — plus any [ \t\r\n] run
 # directly after them — vanish from the joined sequence
 _LINE_JOIN = re.compile(r"[\r\n][ \t\r\n]*")
+# a header is '>' then [^\n\r]* — terminated by EITHER newline flavor
+_EOL = re.compile(r"[\n\r]")
 
 
 def parse_fasta(text: str, sep: str = "|") -> list[list[str]]:
     """-> list of rows: header fields + [sequence].
 
     Faithful to the reference grammar (classes.py:329-337): a header
-    runs '>' to end-of-line and MAY contain '>', but the sequence
-    token regex excludes '>', so ANY '>' after the header line starts
-    a new record — not just line-initial ones; intra-line spaces stay
-    in the sequence.  Text before the first '>' is dropped (the
+    runs '>' to end-of-line ('\\n' OR a lone '\\r') and MAY contain
+    '>', but the sequence token regex excludes '>', so ANY '>' after
+    the header line starts a new record — not just line-initial ones;
+    intra-line spaces stay in the sequence; the whitespace run after
+    the header is parsec.spaces() (ALL \\s, e.g. also form-feed),
+    hence the bare lstrip.  Text before the first '>' is dropped (the
     reference's parser dies there; our lenient policy matches the
     table parsers')."""
     rows: list[list[str]] = []
     pos = text.find(">")
     while pos != -1:
-        eol = text.find("\n", pos)
-        if eol == -1:
-            header, region, nxt = text[pos + 1:].rstrip("\r"), "", -1
+        m = _EOL.search(text, pos)
+        if m is None:
+            header, region, nxt = text[pos + 1:], "", -1
         else:
-            header = text[pos + 1:eol].rstrip("\r")
-            nxt = text.find(">", eol)
-            region = text[eol + 1:nxt if nxt != -1 else len(text)]
+            header = text[pos + 1:m.start()]
+            nxt = text.find(">", m.start())
+            region = text[m.start():nxt if nxt != -1 else len(text)]
         rows.append(header.split(sep)
-                    + [_LINE_JOIN.sub("", region.lstrip(" \t\r\n"))])
+                    + [_LINE_JOIN.sub("", region.lstrip())])
         pos = nxt
     return rows
 

@@ -201,3 +201,29 @@ def test_midline_gt_starts_new_fasta_record():
     ]
     for c in cases:
         _compare(c, "fasta")
+
+
+def test_fasta_grammar_fuzz_vs_reference():
+    """Property fuzz of the raw FASTA grammar (classes.py:329-337):
+    random documents over an alphabet loaded with the grammar's
+    control characters ('>', '|', every newline flavor, tab, space,
+    form-feed) must emit EXACTLY the reference pipeline's triples.
+    Documents start with '>' (the reference parser dies on leading
+    junk; our leniency there is a documented deviation)."""
+    alphabet = list("ACGT>|hx19/ \t\n\r") + ["\r\n", "\x0c", "--"]
+    rng = random.Random(202608)
+    checked = 0
+    for _ in range(400):
+        body = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 60)))
+        content = ">" + body
+        try:
+            ref = ref_triples(Ragged(content, na_str=[]).connect())
+        except Exception:
+            # the reference grammar itself rejects this document —
+            # nothing to compare (many1/alt backtracking limits)
+            continue
+        got = my_triples(fasta_triples(content))
+        assert got == ref, (content, sorted(got ^ ref)[:6])
+        checked += 1
+    assert checked >= 300  # the grammar accepts nearly everything
