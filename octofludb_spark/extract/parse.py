@@ -54,15 +54,29 @@ def parse_fasta(text: str, sep: str = "|") -> list[list[str]]:
 
 
 def parse_tsv(text: str, delimiter: str = "\t") -> dict[str, list[str | None]]:
-    """-> {column_name: [cells...]}; header from the first line."""
-    lines = [s.rstrip("\r\n") for s in text.split("\n")]
-    while lines and lines[-1] == "":
-        lines.pop()
-    if not lines:
-        return {}
+    """-> {column_name: [cells...]}; header from the first line.
+
+    Byte-faithful to the reference's raw-string table path
+    (classes.py:270-290): every line is FULLY rstripped (trailing
+    tabs/spaces vanish, so the header line alone fixes the table
+    width), trailing empty lines are real one-cell rows (their ''
+    cell is live for column-goodness purposes), cells beyond the
+    header width are dropped, duplicate header names keep the LAST
+    column (dict build order).  One lenient deviation: rows SHORTER
+    than the header fill with None where the reference raises
+    IndexError (classes.py:288).  Trailing empty lines: a one-column
+    table keeps them as live '' cells (the reference does — they count
+    against column goodness); a wider table drops them, because there
+    the reference's raw-string path IndexErrors while its FILE path
+    (readlines) never sees them — lenient reading follows the file
+    path."""
+    lines = [s.rstrip() for s in text.split("\n")]
     rows = [r.split(delimiter) for r in lines]
     header = [c.strip() for c in rows[0]]
     body = rows[1:]
+    if len(header) > 1:
+        while body and body[-1] == [""]:
+            body.pop()
     out: dict[str, list[str | None]] = {}
     for i, name in enumerate(header):
         out[name] = [

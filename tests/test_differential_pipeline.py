@@ -227,3 +227,32 @@ def test_fasta_grammar_fuzz_vs_reference():
         assert got == ref, (content, sorted(got ^ ref)[:6])
         checked += 1
     assert checked >= 300  # the grammar accepts nearly everything
+
+
+def test_tsv_raw_char_fuzz_vs_reference():
+    """Raw-character fuzz of the table reader (classes.py:270-290):
+    per-line rstrip, per-cell strip, interior \\r and spaces, blank
+    lines, whitespace-only cells, and DUPLICATE header names (the
+    reference's dict build keeps the LAST duplicate column) must all
+    match the reference pipeline triple-for-triple.  Reference
+    IndexErrors (trailing-empty-cell rows after rstrip) are skipped —
+    the documented lenient deviation."""
+    rng = random.Random(80217)
+    headers = ["seqid", "clade", "strain_name", "subtype", "clade",
+               " host ", "notes\r", ""]
+    cellchars = list("MN1234 \r") + ["\t? ", "A/swine/Iowa/X/2020",
+                                     "H1N1", "", "  ", "\r", "x\ry"]
+    compared = 0
+    for _ in range(250):
+        ncol = 1 + rng.randrange(4)
+        cols = [rng.choice(headers) for _ in range(ncol)]
+        lines = ["\t".join(cols)]
+        for _ in range(rng.randrange(6)):
+            lines.append("\t".join(
+                "".join(rng.choice(cellchars)
+                        for _ in range(rng.randrange(3)))
+                for _ in range(ncol)))
+        doc = "\n".join(lines) + rng.choice(["", "\n", "\n\n", "\r\n"])
+        if _compare(doc, "tsv") is not None:
+            compared += 1
+    assert compared >= 70  # reference IndexErrors skip the rest
