@@ -256,3 +256,51 @@ def test_tsv_raw_char_fuzz_vs_reference():
         if _compare(doc, "tsv") is not None:
             compared += 1
     assert compared >= 70  # reference IndexErrors skip the rest
+
+
+def test_blast_ivr_raw_char_fuzz_vs_reference():
+    """Raw-character fuzz of the blast outfmt-6 and IVR line readers
+    (recipes.py:21-110): numeric lexical forms (ints rendered as
+    floats, exponents, signs), URI-quoted seqids, the IVR strain
+    regex's first-match-anywhere semantics, unstripped host cells,
+    and \\r\\n endings.  The reference sys.exits on bad arity and
+    raises on unparseable numerics — those documents are skipped,
+    exactly as a reference user's run would die."""
+    rng = random.Random(61803)
+    nums = ["1", "42", "3.14", "-7", "0", "1e-5", "2E3", "007", "1.0"]
+    ids = ["MN123456", "a|b", "x y", "A01234567", "seg/PB2", ""]
+    strains = ["A/swine/Iowa/X/2020", "junk A/x(y)z", "B/Texas/1/99 (H1)",
+               "nope", "C/ D/e", ""]
+    hosts = ["Swine", " human ", "x\ry", ""]
+    checked = {"blast": 0, "ivr": 0}
+    for _ in range(200):
+        kind = rng.choice(["blast", "ivr"])
+        lines = []
+        for _ in range(1 + rng.randrange(3)):
+            if kind == "blast":
+                ints = ["1", "42", "-7", "0", "007", " 8 "]
+                floats = nums + [" 9.5 "]
+                f = [rng.choice(ids), rng.choice(ids), rng.choice(floats)] \
+                    + [rng.choice(ints) for _ in range(7)] \
+                    + [rng.choice(floats), rng.choice(floats)]
+                if rng.random() < 0.1:
+                    f = f[:rng.randrange(1, 12)]  # bad arity -> exits
+            else:
+                f = [rng.choice(ids), rng.choice(hosts), rng.choice(nums),
+                     "H1N1", "USA", "2020-06-21", rng.choice(nums),
+                     rng.choice(strains), "x", "y",
+                     rng.choice(["Complete", " partial ", ""])]
+                if rng.random() < 0.1:
+                    f = f[:rng.randrange(1, 11)]
+            lines.append("\t".join(f))
+        doc = rng.choice(["\n", "\r\n"]).join(lines) \
+            + rng.choice(["", "\n", "\r\n"])
+        try:
+            n = _compare(doc, kind)
+        except BaseException as e:  # SystemExit = reference's own death
+            if isinstance(e, AssertionError):
+                raise
+            continue
+        if n is not None:
+            checked[kind] += 1
+    assert min(checked.values()) >= 40, checked
