@@ -25,11 +25,12 @@ sys.path.insert(1, _REF)
 warnings.filterwarnings("ignore")
 
 from octofludb.classes import Ragged, Table  # noqa: E402
-from octofludb.recipes import mk_blast, mk_influenza_na  # noqa: E402
+from octofludb.recipes import mk_blast, mk_influenza_na, mk_ird  # noqa: E402
 
 from octofludb_spark.extract.recipes import (  # noqa: E402
     blast_triples,
     fasta_triples,
+    ird_triples,
     ivr_triples,
     table_triples,
 )
@@ -63,6 +64,9 @@ def _compare(content, lang):
     elif lang == "ivr":
         ref = ref_triples(mk_influenza_na(io.StringIO(content)))
         got = my_triples(ivr_triples(content))
+    elif lang == "ird":
+        ref = ref_triples(mk_ird(io.StringIO(content)))
+        got = my_triples(ird_triples(content))
     else:
         return None
     assert got == ref, (lang, sorted(got ^ ref)[:6])
@@ -304,3 +308,42 @@ def test_blast_ivr_raw_char_fuzz_vs_reference():
         if n is not None:
             checked[kind] += 1
     assert min(checked.values()) >= 40, checked
+
+
+def test_ird_raw_char_fuzz_vs_reference():
+    """Live differential for the IRD recipe (recipes.py:113-151): the
+    '-N/A-' na sentinel, the host cell's IRD:-prefix strip + lower
+    (no whitespace strip), Country WITHOUT the na sentinel, and the
+    skipped columns, fuzzed at the raw-character level."""
+    rng = random.Random(271828)
+    na = "-N/A-"
+    segs = ["4", "1", "8", na, "x"]
+    gbs = ["MN123456", "K00869", na, "", "junk"]
+    nums = ["1701", "42", na, "3.14", ""]
+    subs = ["H1N1", "mixed,H1N1", na, "H5"]
+    dates = ["2020-06-21", "2020", na, "06/21/2020", "nope"]
+    hosts = ["IRD:Swine", "Human", " swine ", na, "", "IRD:IRD:x"]
+    countries = ["USA", "Viet Nam", na, "indonesa", ""]
+    seasons = ["19-20", na, ""]
+    strains = ["A/swine/Iowa/X/2020", "A/Texas/1/99 (H1N1)", na, "junk", ""]
+    checked = 0
+    for _ in range(120):
+        lines = []
+        for _ in range(1 + rng.randrange(3)):
+            f = [rng.choice(segs), "prot", rng.choice(gbs), "cg",
+                 rng.choice(nums), rng.choice(subs), rng.choice(dates),
+                 rng.choice(hosts), rng.choice(countries), "state",
+                 rng.choice(seasons), rng.choice(strains), "curation"]
+            if rng.random() < 0.1:
+                f = f[:rng.randrange(1, 12)]  # reference sys.exits
+            lines.append("\t".join(f))
+        doc = "\n".join(lines) + rng.choice(["", "\n"])
+        try:
+            n = _compare(doc, "ird")
+        except BaseException as e:
+            if isinstance(e, AssertionError):
+                raise
+            continue
+        if n is not None:
+            checked += 1
+    assert checked >= 60, checked
