@@ -24,7 +24,8 @@ import pandas as pd
 
 from octofludb_spark.extract import emit as E
 from octofludb_spark.extract.infer import GOODNESS_THRESHOLD, _na_mask
-from octofludb_spark.extract.parse import parse_fasta, parse_tsv
+from octofludb_spark.extract.parse import (parse_fasta, parse_tsv,
+                                           split_readlines)
 from octofludb_spark.extract.recipes import (
     _EMPTY,
     _GIS_SEGMENTS,
@@ -159,7 +160,9 @@ def ird_triples_batched(items: Sequence[tuple[int, str]],
     rows: list[list[str]] = []
     src: list[int] = []
     for fi, content in items:
-        for ln in content.split("\n"):
+        # readlines-style: the terminator stays on the last field
+        # (observable in the strain cell of 12-field lines)
+        for ln in split_readlines(content):
             if not ln.strip():
                 continue
             r = ln.split("\t")

@@ -87,3 +87,17 @@ def parse_tsv(text: str, delimiter: str = "\t") -> dict[str, list[str | None]]:
 
 def parse_idlist(text: str) -> list[str]:
     return [line.strip() for line in text.splitlines() if line.strip()]
+
+
+def split_readlines(text: str) -> list[str]:
+    """Emulate ``io.StringIO(text).readlines()``: split on '\\n' only,
+    KEEPING the terminator on each line.  The reference's line recipes
+    tab-split these lines, so the last field of a newline-terminated
+    line carries the '\\n' (and any '\\r') into the token grammar —
+    observable in mk_ird, where the unstripped strain cell then fails
+    to parse (recipes.py:86,118,140)."""
+    parts = text.split("\n")
+    lines = [p + "\n" for p in parts[:-1]]
+    if parts[-1]:
+        lines.append(parts[-1])
+    return lines

@@ -28,7 +28,8 @@ from octofludb_spark.extract.infer import (
     type_ragged,
     type_table,
 )
-from octofludb_spark.extract.parse import parse_fasta, parse_idlist, parse_tsv
+from octofludb_spark.extract.parse import (parse_fasta, parse_idlist,
+    parse_tsv, split_readlines)
 from octofludb_spark.functions import recognizers as R
 from octofludb_spark.functions.uri import (
     DT_DOUBLE,
@@ -183,9 +184,12 @@ def ivr_triples(content: str, taguri=None) -> pd.DataFrame:
 
 
 def ird_triples(content: str, taguri=None) -> pd.DataFrame:
-    """mk_ird (recipes.py:113-151): 15-column IRD layout, NA='-N/A-'."""
+    """mk_ird (recipes.py:113-151): 15-column IRD layout, NA='-N/A-'.
+    Lines split readlines-style: the last field of a newline-terminated
+    line keeps its terminator, which the strain grammar rejects —
+    reference-observable on 12-field lines."""
     na = ("-N/A-",)
-    rows = [ln.split("\t") for ln in content.split("\n") if ln.strip()]
+    rows = [ln.split("\t") for ln in split_readlines(content) if ln.strip()]
     rows = [r for r in rows if len(r) >= 12]
     if not rows:
         return _EMPTY.copy()

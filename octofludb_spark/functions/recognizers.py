@@ -187,7 +187,9 @@ def _subtype_run(s: pd.Series) -> pd.DataFrame:
     HA-host-NA-variant grammar with the A/ prefix dropped."""
     str_s = s.astype("object").fillna("").astype(str)
     mixed = s.notna() & str_s.str.fullmatch("mixed", case=False)
-    core = str_s.str.extract(rf"^{_SUBTYPE_CORE}$", expand=False)
+    # \Z, not $: parse_strict consumes the whole cell, so 'H1N1\n'
+    # must NOT match (same fix as functions/dates.py)
+    core = str_s.str.extract(rf"^{_SUBTYPE_CORE}\Z", expand=False)
     out = core.where(s.notna(), None)
     out = out.where(~mixed, "mixed")
     return _df(out)

@@ -337,7 +337,8 @@ def test_ird_raw_char_fuzz_vs_reference():
             if rng.random() < 0.1:
                 f = f[:rng.randrange(1, 12)]  # reference sys.exits
             lines.append("\t".join(f))
-        doc = "\n".join(lines) + rng.choice(["", "\n"])
+        doc = rng.choice(["\n", "\r\n"]).join(lines) \
+            + rng.choice(["", "\n", "\r\n"])
         try:
             n = _compare(doc, "ird")
         except BaseException as e:
@@ -347,3 +348,19 @@ def test_ird_raw_char_fuzz_vs_reference():
         if n is not None:
             checked += 1
     assert checked >= 60, checked
+
+
+def test_ird_newline_terminated_strain_rejected():
+    """readlines keeps the terminator on the line, so the LAST tab
+    field of a newline-terminated 12-field IRD line carries '\n' into
+    the strain grammar, which rejects it — the row keeps its genbank
+    anchor but loses every strain-anchored triple (regression: we
+    used to strip the newline and emit the full row)."""
+    line = ("4\tprot\tMN123456\tcg\t1701\tH1N1\t2020-06-21\tIRD:Swine"
+            "\tUSA\tstate\t19-20\tB/Texas/1/99 (H1)")
+    full = _compare(line, "ird")                 # unterminated: full row
+    for suffix in ("\n", "\r\n"):
+        n = _compare(line + suffix, "ird")       # parity, strain dropped
+        assert n < full
+        got = my_triples(ird_triples(line + suffix))
+        assert not any("texas" in s for s, _, _ in got)
