@@ -79,12 +79,16 @@ def gisaid_triples_batched(items: Sequence[tuple[int, str]],
             except IndexError:
                 country = None
             for seg in _GIS_SEGMENTS:
+                # an EMPTY Segment_Id cell is processed (['']) — only
+                # a None/missing cell skips, as in the reference's
+                # inner try (recipes.py:189-199)
                 seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
-                if not seg_cell:
+                if seg_cell is None:
                     continue
                 epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
                 gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
-                gbk_ids = gbk_cell.split(",") if gbk_cell else [None]
+                gbk_ids = (gbk_cell.split(",")
+                           if gbk_cell is not None else [None])
                 for epi_id, gbk_id in zip(epi_ids, gbk_ids):
                     ex["isolate"].append(d["Isolate_Id"][i])
                     ex["epi"].append(epi_id)

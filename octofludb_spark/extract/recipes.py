@@ -265,12 +265,16 @@ def gisaid_triples_columns(d: dict, taguri=None) -> pd.DataFrame:
         except IndexError:
             country = None
         for seg in _GIS_SEGMENTS:
+            # the reference's inner try only skips when the cell has
+            # no .split (None / missing); an EMPTY string is processed
+            # — [''] — so a bare INSDC genbank id still anchors the
+            # segment (recipes.py:189-199)
             seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
-            if not seg_cell:
+            if seg_cell is None:
                 continue
             epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
             gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
-            gbk_ids = gbk_cell.split(",") if gbk_cell else [None]
+            gbk_ids = gbk_cell.split(",") if gbk_cell is not None else [None]
             for epi_id, gbk_id in zip(epi_ids, gbk_ids):
                 ex["isolate"].append(d["Isolate_Id"][i])
                 ex["epi"].append(epi_id)

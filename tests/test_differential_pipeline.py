@@ -364,3 +364,52 @@ def test_ird_newline_terminated_strain_rejected():
         assert n < full
         got = my_triples(ird_triples(line + suffix))
         assert not any("texas" in s for s, _, _ in got)
+
+
+def test_gisaid_columns_fuzz_vs_reference():
+    """Live differential for the GISAID recipe (recipes.py:154-234):
+    the reference's mk_gis runs with read_excel monkeypatched to a
+    synthetic sheet; fuzz covers the ' | '-suffix strip on Segment_Id,
+    comma-split zip truncation of unequal epi/genbank lists, EMPTY
+    Segment_Id cells ([''], which a bare INSDC genbank id still
+    anchors — only None/missing skips), the 'Location'.split(' / ')[1]
+    country, and the strain-parse row skip."""
+    import octofludb.recipes as ref_recipes
+    import pandas as _pd
+
+    from octofludb_spark.extract.recipes import gisaid_triples_columns
+
+    rng = random.Random(5150)
+    segs = ("PB2", "PB1", "PA", "HA", "NP", "NA", "MP", "NS")
+    pools = {
+        "Isolate_Id": ["EPI_ISL_123", "EPI_ISL_9", "", "junk"],
+        "Isolate_Name": ["A/swine/Iowa/X/2020", "A/Texas/1/99 (H1N1)",
+                         "B/x/1999 [foo]", "", "garbage", "A/x (a) (b)"],
+        "Host": ["Swine", "Human", "", "ferret"],
+        "Subtype": ["H1N1", "", "mixed", "H5"],
+        "Lineage": ["pdm09", "", "x"],
+        "Location": ["North America / USA / Iowa", "Asia / Viet Nam",
+                     "USA", "", "x / indonesa / y"],
+        "Collection_Date": ["2020-06-21", "2020", "", "junk"],
+        "Submission_Date": ["2020-06-21", "2020", "", "junk"],
+    }
+    epis = ["EPI123456", "EPI1 | stuff", "EPI1|x,EPI2 | y", "", "a,b,c"]
+    gbks = ["MN123456", "MN1,MN2", "", "j"]
+    orig = ref_recipes.pd.read_excel
+    try:
+        for _ in range(80):
+            nrow = 1 + rng.randrange(3)
+            d = {k: [rng.choice(v) for _ in range(nrow)]
+                 for k, v in pools.items()}
+            for seg in segs:
+                d[seg + " Segment_Id"] = [rng.choice(epis)
+                                          for _ in range(nrow)]
+                d[seg + " INSDC_Upload"] = [rng.choice(gbks)
+                                            for _ in range(nrow)]
+            fdf = _pd.DataFrame(d)
+            ref_recipes.pd.read_excel = lambda *a, **k: fdf
+            ref = ref_triples(ref_recipes.mk_gis("fake.xls"))
+            got = my_triples(gisaid_triples_columns(d))
+            assert got == ref, sorted(got ^ ref)[:6]
+    finally:
+        ref_recipes.pd.read_excel = orig
