@@ -62,31 +62,37 @@ def _clade_letter_col(clade: str = "clade"):
     return expr
 
 
-def constellations(v: GraphViews) -> DataFrame:
-    """(strain, constellation): 6-slot string, conflicts -> M -> whole
-    string 'mixed' (formatting.py:70-125)."""
-    rows = segments_query(v).where(F.col("segment").isin(
-        list(_CONST_SLOTS) + ["MP"]
-    ))
+def constellation_from_rows(rows: DataFrame) -> DataFrame:
+    """(strain, segment, clade) rows -> (strain, constellation):
+    6-slot string, per-slot conflicts -> M -> whole string 'mixed'
+    (formatting.py:70-125).  A strain whose rows ALL have
+    out-of-lookup segments still reports '------': the reference
+    creates the slot list BEFORE the segment lookup that skips the
+    row (formatting.py:83-92)."""
     rows = rows.withColumn(
         "segment", F.when(F.col("segment") == "MP", "M").otherwise(F.col("segment"))
     ).withColumn("letter", _clade_letter_col())
-    slots = rows.groupBy("strain").agg(
-        *[
-            F.collect_set(
-                F.when(F.col("segment") == seg, F.col("letter"))
-            ).alias(f"_{seg}")
-            for seg in _CONST_SLOTS
-        ]
+    universe = rows.select("strain").distinct()
+    slots = (
+        rows.where(F.col("segment").isin(_CONST_SLOTS))
+        .groupBy("strain")
+        .agg(
+            *[
+                F.collect_set(
+                    F.when(F.col("segment") == seg, F.col("letter"))
+                ).alias(f"_{seg}")
+                for seg in _CONST_SLOTS
+            ]
+        )
     )
     def slot(seg):
         arr = F.col(f"_{seg}")
         return (
-            F.when(F.size(arr) == 0, "-")
+            F.when(arr.isNull() | (F.size(arr) == 0), "-")
             .when(F.size(arr) == 1, F.element_at(arr, 1))
             .otherwise("M")
         )
-    strung = slots.select(
+    strung = universe.join(slots, "strain", "left").select(
         "strain",
         F.concat(*[slot(seg) for seg in _CONST_SLOTS]).alias("raw"),
     )
@@ -95,6 +101,11 @@ def constellations(v: GraphViews) -> DataFrame:
         F.when(F.col("raw").contains("M"), "mixed")
         .otherwise(F.col("raw")).alias("constellation"),
     )
+
+
+def constellations(v: GraphViews) -> DataFrame:
+    """(strain, constellation) over the segments query."""
+    return constellation_from_rows(segments_query(v))
 
 
 # --------------------------------------------------------------------------

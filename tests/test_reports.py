@@ -193,3 +193,40 @@ def test_quarter_derivation(spark):  # runtests.py:777-781 semantics
     df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
     out = {r.yq for r in quarter_rollup(spark, d).collect()}
     assert out == {"2021Q1", "2021Q4"}
+
+
+def test_constellation_fuzz_vs_reference(spark):
+    """constellation_from_rows fuzz-compared against the reference's
+    own _make_constellations (formatting.py:70-125) — unknown
+    segments (row skipped but the strain still reports '------'),
+    '-like' clades -> X, case-insensitive substring fallback in dict
+    order, per-slot conflicts -> whole string 'mixed'."""
+    import contextlib
+    import io
+    import os
+    import random
+    import sys
+    import warnings
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    sys.path.insert(1, "/root/reference")
+    warnings.filterwarnings("ignore")
+    from octofludb.formatting import _make_constellations
+
+    from octofludb_spark.plans.reports import constellation_from_rows
+
+    rng = random.Random(9091)
+    segs = ["PB2", "PB1", "PA", "NP", "M", "MP", "NS", "HA", "weird", ""]
+    clades = ["pdm", "LAIV", "TRIG", "humanSeasonal", "classicalSwine",
+              "avian", "pdm-like", "xTRIGy", "PDM", "junk", "",
+              "LAIV-Like", "avianlike", "sw.trig"]
+    rows = []
+    for i in range(400):
+        for _ in range(1 + rng.randrange(6)):
+            rows.append((f"s{i}", rng.choice(segs), rng.choice(clades)))
+    with contextlib.redirect_stderr(io.StringIO()):
+        ref = dict(_make_constellations(rows))
+    df = spark.createDataFrame(rows, ["strain", "segment", "clade"])
+    got = {r.strain: r.constellation
+           for r in constellation_from_rows(df).collect()}
+    assert got == ref
