@@ -375,18 +375,28 @@ def masterlist_report(v: GraphViews) -> DataFrame:
     determinism.  Quarter = ceil(month/3) calendar (recipes.py:261-272).
     Uses the one-shuffle entity-pivot plan (row-identical to the
     literal translation, tests/test_masterlist_fast.py)."""
-    q = masterlist_query_fast(v)
+    return masterlist_report_from_query(masterlist_query_fast(v))
+
+
+def masterlist_report_from_query(q: DataFrame) -> DataFrame:
+    """The wide pivot over the masterlist query result — separated so
+    the reference's mk_masterlist can be differential-tested on
+    synthetic query rows."""
 
     def split_nonempty(col):
         return F.filter(F.split(col, r"\+"), lambda x: x != "")
 
+    # quarter_from_date (recipes.py:261-272): split on '-', take the
+    # first two parts verbatim — a single-digit month ('2020-1-5')
+    # still yields 2020Q1; int() failure -> ''
+    _parts = F.split("earliest_date", "-")
+    _month = F.try_element_at(_parts, F.lit(2)).try_cast("int")
     quarter = F.when(
-        F.col("earliest_date").rlike(r"^\d{4}-\d{2}"),
+        (F.size(_parts) >= 2) & _month.isNotNull(),
         F.concat(
-            F.substring("earliest_date", 1, 4),
+            F.element_at(_parts, 1),
             F.lit("Q"),
-            F.ceil(F.substring("earliest_date", 6, 2).cast("int") / 3)
-            .cast("string"),
+            F.ceil(_month / 3).cast("int").cast("string"),
         ),
     ).otherwise("")
     first_sub = F.element_at(F.split("subtypes", r"\+"), 1)

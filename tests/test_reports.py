@@ -230,3 +230,92 @@ def test_constellation_fuzz_vs_reference(spark):
     got = {r.strain: r.constellation
            for r in constellation_from_rows(df).collect()}
     assert got == ref
+
+
+def test_masterlist_fuzz_vs_reference(spark):
+    """masterlist_report_from_query fuzz-compared against the
+    reference's own mk_masterlist (recipes.py:427-507) on synthetic
+    query rows — '+'-joined multi-values, empty cells, the
+    segment-conditional Genbank/clade columns, the H1/H3/N1/N2
+    segment-subtype slots, and quarter_from_date's split-based
+    parsing (single-digit months still yield a quarter).  Cells
+    compare as SETS: the reference preserves first-seen order, this
+    engine sorts for determinism — a documented deviation."""
+    import contextlib
+    import io
+    import os
+    import random
+    import sys
+    import warnings
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    sys.path.insert(1, "/root/reference")
+    warnings.filterwarnings("ignore")
+    from octofludb.recipes import mk_masterlist
+
+    from octofludb_spark.plans.reports import masterlist_report_from_query
+
+    rng = random.Random(4242)
+
+    def plus(pool, lo=0, hi=3):
+        return "+".join(rng.choice(pool)
+                        for _ in range(rng.randrange(lo, hi + 1)))
+
+    pools = dict(
+        gb=["MN123456", "K00869", "", "X1"],
+        segs=["HA", "NA", "PB2", "PB1", "PA", "NP", "M", "NS"],
+        subs=["H1N1", "mixed", "", "H3N2"],
+        dates=["2020-06-21", "2019-01-02", "2020", "", "2021-12-01",
+               "2020-1-5", "junk-7", "2020-"],
+        states=["IA", "TX", "MN", ""],
+        strains=["A/swine/Iowa/X/2020", "A/x/2020", ""],
+        clades=["alpha", "gamma", "1A.1.1", ""],
+        consts=["TTTPPT", "------", "mixed", ""],
+        motifs=["S145K", "", "x"],
+        segsubs=["H1", "H3", "N1", "N2", "", ""],
+    )
+    fields = ["barcode", "genbank_id", "segment", "subtypes",
+              "earliest_date", "states", "strains", "us_clades",
+              "gl_clades", "consts", "segment_subtypes", "h3_motifs",
+              "sa_motifs", "sb_motifs", "ca1_motifs", "ca2_motifs",
+              "cb_motifs"]
+    rows = []
+    for i in range(200):
+        for _ in range(1 + rng.randrange(4)):
+            rows.append({
+                "barcode": f"A0{i:07d}",
+                "genbank_id": rng.choice(pools["gb"]),
+                "segment": rng.choice(pools["segs"]),
+                "subtypes": plus(pools["subs"], 1, 2),
+                "earliest_date": rng.choice(pools["dates"]),
+                "states": plus(pools["states"]),
+                "strains": plus(pools["strains"]),
+                "us_clades": plus(pools["clades"]),
+                "gl_clades": plus(pools["clades"]),
+                "consts": plus(pools["consts"]),
+                "segment_subtypes": plus(pools["segsubs"], 0, 1),
+                **{m: plus(pools["motifs"]) for m in
+                   ("h3_motifs", "sa_motifs", "sb_motifs", "ca1_motifs",
+                    "ca2_motifs", "cb_motifs")},
+            })
+    bindings = [{k: {"value": v} for k, v in r.items()} for r in rows]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mk_masterlist({"results": {"bindings": bindings}})
+    lines = buf.getvalue().splitlines()
+    hdr = lines[0].split("\t")
+    ref = {}
+    for ln in lines[1:]:
+        d = dict(zip(hdr, ln.split("\t")))
+        ref[d["Barcode"]] = {
+            k: frozenset(x for x in v.split(",") if x)
+            for k, v in d.items() if k != "Barcode"}
+    df = spark.createDataFrame([[r[f] for f in fields] for r in rows],
+                               fields)
+    got = {}
+    for r in masterlist_report_from_query(df).collect():
+        d = r.asDict()
+        got[d["Barcode"]] = {
+            k: frozenset(x for x in (v or "").split(",") if x)
+            for k, v in d.items() if k != "Barcode"}
+    assert got == ref
