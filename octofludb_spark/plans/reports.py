@@ -186,7 +186,13 @@ def subtypes_report(v: GraphViews) -> DataFrame:
     """mk_subtypes (recipes.py:338-387): per strain, resolve the
     subtype by the octoFLU > genbank > gisaid priority lattice
     (_get_subtype, recipes.py:291-335).  -> (strain_name, subtype)."""
-    q = subtypes_query(v)
+    return subtypes_report_from_query(subtypes_query(v))
+
+
+def subtypes_report_from_query(q: DataFrame) -> DataFrame:
+    """The per-strain resolution over the subtypes query result —
+    separated so the reference's mk_subtypes can be differential-
+    tested on synthetic query rows."""
     per_strain = (
         q.withColumn("sub1",
                      F.when(~F.col("segment_subtypes").contains("+"),

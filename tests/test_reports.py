@@ -319,3 +319,58 @@ def test_masterlist_fuzz_vs_reference(spark):
             k: frozenset(x for x in (v or "").split(",") if x)
             for k, v in d.items() if k != "Barcode"}
     assert got == ref
+
+
+def test_subtypes_report_fuzz_vs_reference(spark):
+    """subtypes_report_from_query fuzz-compared against the
+    reference's own mk_subtypes (recipes.py:338-387): '+'-joined
+    multi-values, single-valued segment_subtypes gating the HA/NA
+    slots (H\\d+/N\\d+ fullmatch), the priority lattice, and the
+    per-isolate fan-out of the resolved subtype."""
+    import contextlib
+    import io
+    import os
+    import random
+    import sys
+    import warnings
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    sys.path.insert(1, "/root/reference")
+    warnings.filterwarnings("ignore")
+    from octofludb.recipes import mk_subtypes
+
+    from octofludb_spark.plans.reports import subtypes_report_from_query
+
+    rng = random.Random(77)
+
+    def plus(pool, lo=0, hi=3):
+        return "+".join(rng.choice(pool)
+                        for _ in range(rng.randrange(lo, hi + 1)))
+
+    isolates = ["EPI_ISL_1", "EPI_ISL_2", "A01234567", ""]
+    segsubs = ["H1", "H3", "N1", "N2", "h1", "H10", "N", "x", ""]
+    subs = ["H1N1", "mixed", "", "H3N2", "swH1n2", "A(H3N2)"]
+    fields = ["strain_name", "segment_name", "isolates",
+              "segment_subtypes", "gisaid_subtypes", "genbank_subtypes"]
+    rows = []
+    for i in range(250):
+        strain = f"A/x/{i}/2020"
+        for _ in range(1 + rng.randrange(3)):
+            rows.append({
+                "strain_name": strain,
+                "segment_name": rng.choice(["HA", "NA"]),
+                "isolates": plus(isolates),
+                "segment_subtypes": plus(segsubs, 0, 2),
+                "gisaid_subtypes": plus(subs),
+                "genbank_subtypes": plus(subs),
+            })
+    bindings = [{k: {"value": v} for k, v in r.items()} for r in rows]
+    with contextlib.redirect_stderr(io.StringIO()):
+        strain_entries, isolate_entries = mk_subtypes(
+            {"results": {"bindings": bindings}})
+    df = spark.createDataFrame([[r[f] for f in fields] for r in rows],
+                               fields)
+    out = subtypes_report_from_query(df).collect()
+    assert {r.strain_name: r.subtype for r in out} == dict(strain_entries)
+    assert {(i, r.subtype) for r in out
+            for i in r.isolates} == set(isolate_entries)
