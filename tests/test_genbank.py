@@ -99,3 +99,79 @@ def test_genbank_unknown_country_fallback():
     curi = WORLD + "kosovo"
     assert (sid, FT + "country", curi, "uri") in got
     assert (curi, FT + "name", "Kosovo", "") in got
+
+
+def test_genbank_fuzz_vs_reference():
+    """genbank_triples fuzz-compared against the reference's own
+    make_gb_meta_triples (genbank.py:37-187) over synthetic Entrez
+    records: influenza-A organism gate, per-record uid feature nodes,
+    qualifier routing (strain parse fallback, country ':'-prefix
+    strip, gene -> segment_name parse_strict, translation chksum),
+    inferred-literal rendering, and the strain-link block (state /
+    A0-barcode extraction for USA strains, unrecognized-country name
+    triples)."""
+    import contextlib
+    import io
+    import os
+    import random
+    import sys
+    import warnings
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    sys.path.insert(1, "/root/reference")
+    warnings.filterwarnings("ignore")
+    from octofludb.genbank import make_gb_meta_triples
+
+    rng = random.Random(606)
+    strains = ["A/swine/Iowa/A01234567/2020",
+               "A/swine/Iowa/A01234567/2020 (H1N1)", "A/Texas/1/99",
+               "weird strain", "A/x (y) [z]", ""]
+    hosts = ["Sus scrofa", "swine", "Homo sapiens; gender M", ""]
+    countries = ["USA: Iowa", "USA", "Viet Nam", "Kosovo",
+                 "China: Hubei; Wuhan", ""]
+    dates = ["21-Jun-2020", "2020-06-21", "Jun-2020", "2020", "junk", ""]
+    genes = ["PB2", "HA", "4", "NS1", "junk", "M2"]
+    orgs = ["Influenza A virus", "Influenza B virus", "Homo sapiens", ""]
+    devnull = io.StringIO()
+    compared = 0
+    for i in range(400):
+        acc = f"MN{i:06d}"
+        rec = {"GBSeq_primary-accession": acc, "GBSeq_locus": acc}
+        if rng.random() < 0.9:
+            rec["GBSeq_organism"] = rng.choice(orgs)
+        if rng.random() < 0.8:
+            rec["GBSeq_length"] = str(rng.randrange(1, 3000))
+        if rng.random() < 0.3:
+            rec["GBSeq_update-date"] = rng.choice(dates)
+        if rng.random() < 0.7:
+            rec["GBSeq_sequence"] = rng.choice(["gatacagataca", "ATGG", ""])
+        feats = []
+        for _ in range(rng.randrange(3)):
+            quals = []
+            for _ in range(rng.randrange(5)):
+                k = rng.choice(["strain", "host", "country",
+                                "collection_date", "gene", "translation",
+                                "serotype", "isolate", "note"])
+                v = {"strain": rng.choice(strains),
+                     "host": rng.choice(hosts),
+                     "country": rng.choice(countries),
+                     "collection_date": rng.choice(dates),
+                     "gene": rng.choice(genes),
+                     "translation": "MKVNLLLLAVSL", "serotype": "H1N1",
+                     "isolate": "A01234567",
+                     "note": rng.choice(["x", "42", "3.14", "true", ""])}[k]
+                quals.append({"GBQualifier_name": k, "GBQualifier_value": v})
+            feats.append({"GBFeature_key": rng.choice(["source", "gene",
+                                                       "CDS"]),
+                          "GBFeature_location": "1..100",
+                          "GBFeature_quals": quals})
+        rec["GBSeq_feature-table"] = feats
+        with contextlib.redirect_stderr(devnull), \
+                contextlib.redirect_stdout(devnull):
+            ref, _err = make_gb_meta_triples(rec)
+        ref = {(str(s), str(p), str(o)) for s, p, o in ref}
+        got = {(r.s, r.p, r.o) for r in
+               genbank_triples(json.dumps(rec)).itertuples(index=False)}
+        assert got == ref, (rec, sorted(got ^ ref)[:6])
+        compared += 1
+    assert compared == 400
