@@ -358,8 +358,20 @@ STRING = Recog("string", K_PLAIN, _string_run, object_kind="string_dirty")
 INTEGER = Recog("integer", K_PLAIN, _integer_run)
 DOUBLE = Recog("double", K_PLAIN, _double_run)
 BOOLEAN = Recog("float", K_PLAIN, _boolean_run)  # reference typename quirk
+def _irregular_strain_run(s: pd.Series) -> pd.DataFrame:
+    """IrregularStrain matches anything non-NA but inherits
+    StrainToken.munge — spaces become underscores in the CLEAN value
+    (and hence the emitted literal), classifier_flucrew.py:188-189."""
+    return _df(
+        s.astype("object").where(
+            s.isna(), s.astype(str).str.replace(" ", "_", regex=False)
+        )
+    )
+
+
 # recipes.py:510-556: match-anything tokens forcing a group
-IRREGULAR_STRAIN = Recog("strain_id", K_STRAIN, _unknown_run, group="strain")
+IRREGULAR_STRAIN = Recog("strain_id", K_STRAIN, _irregular_strain_run,
+                         group="strain")
 IRREGULAR_SEGMENT = Recog(None, K_SEGMENT, _unknown_run, group="segment")
 
 # The inference chain, in exactly the reference's order
