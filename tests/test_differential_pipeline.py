@@ -413,3 +413,73 @@ def test_gisaid_columns_fuzz_vs_reference():
             assert got == ref, sorted(got ^ ref)[:6]
     finally:
         ref_recipes.pd.read_excel = orig
+
+
+def test_subtype_lattice_fuzz_vs_reference():
+    """The subtype priority lattice (octoFLU > genbank > gisaid,
+    conflicts -> 'mixed') fuzz-compared against the reference's own
+    _get_subtype (recipes.py:291-335) over 20k argument tuples.
+    resolve_subtype is the python spec the Spark expression in
+    subtypes_report is equivalence-tested against."""
+    from octofludb.recipes import _get_subtype
+
+    from octofludb_spark.plans.reports import resolve_subtype
+
+    rng = random.Random(1618)
+    vals = ["H1", "N1", "h1", "N2", "H3", "", "x", "H1N1", "a(H3N2)b",
+            "mixed", " h1n2 ", "swine H1avN2", "H10N7", "junk", "H1 N1",
+            "N", "H", "hxny", "A / H1N1", "pdm", "H1n1v"]
+    for _ in range(20000):
+        args = [[rng.choice(vals) for _ in range(rng.randrange(4))]
+                for _ in range(4)]
+        assert _get_subtype("s", *args) == resolve_subtype(*args), args
+
+
+def test_levels_and_na_str_fuzz_vs_reference():
+    """The two ingestion knobs every recipe threads through —
+    `levels` (emit only these fields) and `na_str` (cell values
+    treated as missing, including values that overlap real content) —
+    fuzz-compared against the reference pipeline."""
+    rng = random.Random(3333)
+    fields = ["A/swine/Iowa/A01234567/2020", "H1N1", "2020-06-21",
+              "EPI_ISL_123", "MN123456", "1A.1.1", "PB2", "Texas",
+              "swine", "NA", "unknown", "", "-N/A-", "x"]
+    level_names = ["strain_name", "subtype", "date", "isolate_id",
+                   "genbank_id", "gl_clade", "segment_name", "state",
+                   "host", "barcode", "unknown"]
+    headers = ["seqid", "clade", "strain_name", "subtype", "host",
+               "country", "date", "notes"]
+    na_pools = [[], ["NA"], ["NA", ""], ["-N/A-", "NA"], ["unknown"],
+                ["", "x"], ["swine"]]
+    checked = 0
+    for _ in range(150):
+        na = rng.choice(na_pools)
+        levels = (set(rng.sample(level_names, rng.randrange(1, 5)))
+                  if rng.random() < 0.7 else None)
+        if rng.random() < 0.5:
+            parts = []
+            for _ in range(1 + rng.randrange(3)):
+                parts.append(">" + "|".join(
+                    rng.choice(fields) for _ in range(1 + rng.randrange(4))))
+                parts.append(rng.choice(["ATGG", "GATACA" * 6]))
+            doc = "\n".join(parts)
+            ref = ref_triples(
+                Ragged(doc, levels=levels, na_str=list(na)).connect())
+            got = my_triples(
+                fasta_triples(doc, levels=levels, na_str=tuple(na)))
+        else:
+            cols = rng.sample(headers, 2 + rng.randrange(3))
+            lines = ["\t".join(cols)]
+            for _ in range(2 + rng.randrange(5)):
+                lines.append("\t".join(rng.choice(fields) for _ in cols))
+            doc = "\n".join(lines)
+            try:
+                ref = ref_triples(
+                    Table(doc, levels=levels, na_str=list(na)).connect())
+            except IndexError:
+                continue
+            got = my_triples(
+                table_triples(doc, levels=levels, na_str=tuple(na)))
+        assert got == ref, (doc, levels, na, sorted(got ^ ref)[:6])
+        checked += 1
+    assert checked >= 100
