@@ -128,7 +128,7 @@ def ivr_triples_batched(items: Sequence[tuple[int, str]],
     rows: list[list[str]] = []
     src: list[int] = []
     for fi, content in items:
-        for ln in content.split("\n"):
+        for ln in split_readlines(content):
             if not ln.strip():
                 continue
             r = ln.split("\t")
@@ -381,7 +381,7 @@ def blast_triples_batched(items: Sequence[tuple[int, str]],
     rows: list[list[str]] = []
     srcs: list[int] = []
     for src_idx, content in items:
-        for ln in content.splitlines():
+        for ln in split_readlines(content):
             if not ln.strip():
                 continue
             r = ln.split("\t")

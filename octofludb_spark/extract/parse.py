@@ -90,12 +90,17 @@ def parse_idlist(text: str) -> list[str]:
 
 
 def split_readlines(text: str) -> list[str]:
-    """Emulate ``io.StringIO(text).readlines()``: split on '\\n' only,
-    KEEPING the terminator on each line.  The reference's line recipes
-    tab-split these lines, so the last field of a newline-terminated
-    line carries the '\\n' (and any '\\r') into the token grammar —
-    observable in mk_ird, where the unstripped strain cell then fails
-    to parse (recipes.py:86,118,140)."""
+    """Emulate ``open(path, 'r').readlines()`` — the ONLY way the
+    reference's line recipes (mk_blast / mk_influenza_na / mk_ird,
+    which take TextIO, never raw strings) ever see data: universal
+    newlines first ('\\r\\n' and lone '\\r' -> '\\n'), then split
+    KEEPING the terminator on each line.  The recipes tab-split these
+    lines, so the last field of a terminated line carries the '\\n'
+    into the token grammar — observable in mk_ird, where the
+    unstripped strain cell then fails to parse (recipes.py:86,118,140).
+    ``io.StringIO(text, newline=None).readlines()`` behaves
+    identically (the differential oracle vehicle)."""
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     parts = text.split("\n")
     lines = [p + "\n" for p in parts[:-1]]
     if parts[-1]:

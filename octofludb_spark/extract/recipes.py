@@ -125,7 +125,7 @@ _BLAST_FIELDS = [
 def blast_triples(content: str, taguri=None) -> pd.DataFrame:
     """mk_blast (recipes.py:21-71): 12-field outfmt-6 rows; hit node
     keyed blast/{qseqid}-{sseqid}-{bitscore}."""
-    rows = [ln.split("\t") for ln in content.splitlines() if ln.strip()]
+    rows = [ln.split("\t") for ln in split_readlines(content) if ln.strip()]
     rows = [r for r in rows if len(r) == 12]
     if not rows:
         return _EMPTY.copy()
@@ -159,7 +159,7 @@ _IVR_STRAIN_PAT = re.compile(r"[ABCD]/[^()\[\]]+")
 def ivr_triples(content: str, taguri=None) -> pd.DataFrame:
     """mk_influenza_na (recipes.py:74-110): fixed 11-column IVR layout;
     strain extracted by regex from column 7."""
-    rows = [ln.split("\t") for ln in content.split("\n") if ln.strip()]
+    rows = [ln.split("\t") for ln in split_readlines(content) if ln.strip()]
     rows = [r for r in rows if len(r) >= 11]
     if not rows:
         return _EMPTY.copy()

@@ -421,16 +421,17 @@ def parse_excel(data: bytes) -> list[list[Optional[str]]]:
 
 
 def excel_columns(data: bytes) -> dict[str, list[Optional[str]]]:
-    """Header-keyed columns, mirroring the reference's
-    Table._parse_excel dict shape (classes.py:262-264): header cells
-    are the column names; cell values pass through strOrNone-style
-    (None for empty)."""
+    """Header-keyed columns for the GISAID path, mirroring mk_gis's
+    read shape (recipes.py:158: pd.read_excel keep_default_na=False):
+    empty and missing cells are EMPTY STRINGS, never None — an empty
+    Segment_Id cell must still be processed (its '' splits to [''],
+    so a bare INSDC genbank id anchors the segment)."""
     rows = parse_excel(data)
     if not rows:
         return {}
     header = [("" if h is None else str(h).strip()) for h in rows[0]]
     return {
-        h: [(None if (len(r) <= i or r[i] is None or r[i] == "") else r[i])
+        h: [("" if (len(r) <= i or r[i] is None) else r[i])
             for r in rows[1:]]
         for i, h in enumerate(header) if h
     }

@@ -200,9 +200,11 @@ def subtypes_report_from_query(q: DataFrame) -> DataFrame:
         .groupBy("strain_name")
         .agg(
             F.flatten(F.collect_list(F.split("isolates", r"\+"))).alias("_iso"),
-            F.collect_set(F.when(F.col("sub1").rlike(r"^H\d+$"), F.col("sub1")))
+            # \z (Java absolute end), not $: re.fullmatch semantics —
+            # 'H1\n' must not vote (same class as the \Z recognizer fix)
+            F.collect_set(F.when(F.col("sub1").rlike(r"^H\d+\z"), F.col("sub1")))
             .alias("_ha_raw"),
-            F.collect_set(F.when(F.col("sub1").rlike(r"^N\d+$"), F.col("sub1")))
+            F.collect_set(F.when(F.col("sub1").rlike(r"^N\d+\z"), F.col("sub1")))
             .alias("_na_raw"),
             F.flatten(F.collect_set(F.split("gisaid_subtypes", r"\+")))
             .alias("_gis_raw"),
@@ -394,9 +396,15 @@ def masterlist_report_from_query(q: DataFrame) -> DataFrame:
 
     # quarter_from_date (recipes.py:261-272): split on '-', take the
     # first two parts verbatim — a single-digit month ('2020-1-5')
-    # still yields 2020Q1; int() failure -> ''
+    # still yields 2020Q1; int() failure -> ''.  Python int() also
+    # trims whitespace and allows digit-group underscores ('1_0' ->
+    # 10); only unbounded/non-ASCII-digit months diverge (-> '').
     _parts = F.split("earliest_date", "-")
-    _month = F.try_element_at(_parts, F.lit(2)).try_cast("int")
+    _month = F.regexp_replace(
+        F.regexp_extract(F.trim(F.try_element_at(_parts, F.lit(2))),
+                         r"^([+-]?\d+(?:_\d+)*)\z", 1),
+        "_", "",
+    ).try_cast("long")
     quarter = F.when(
         (F.size(_parts) >= 2) & _month.isNotNull(),
         F.concat(

@@ -59,13 +59,18 @@ def _compare(content, lang):
             return None
         got = my_triples(table_triples(content))
     elif lang == "blast":
-        ref = ref_triples(mk_blast(io.StringIO(content), tag=None))
+        # newline=None == open(path, 'r'): the line recipes only ever
+        # see files through click.File (universal newlines), so the
+        # oracle models that path
+        ref = ref_triples(mk_blast(io.StringIO(content, newline=None),
+                                   tag=None))
         got = my_triples(blast_triples(content))
     elif lang == "ivr":
-        ref = ref_triples(mk_influenza_na(io.StringIO(content)))
+        ref = ref_triples(mk_influenza_na(io.StringIO(content,
+                                                      newline=None)))
         got = my_triples(ivr_triples(content))
     elif lang == "ird":
-        ref = ref_triples(mk_ird(io.StringIO(content)))
+        ref = ref_triples(mk_ird(io.StringIO(content, newline=None)))
         got = my_triples(ird_triples(content))
     else:
         return None

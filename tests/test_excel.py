@@ -41,8 +41,9 @@ def test_xls_cell_grid():
     assert cols["Isolate_Id"] == [
         "EPI_ISL_393495", "EPI_ISL_393494", "EPI_ISL_393493",
         "EPI_ISL_218508"]
-    # empty cells -> None (strOrNone parity, reference classes.py:264)
-    assert cols["PB2 Segment_Id"][0] is None
+    # empty cells -> '' (mk_gis reads keep_default_na=False,
+    # recipes.py:158 — an empty Segment_Id cell still processes)
+    assert cols["PB2 Segment_Id"][0] == ""
 
 
 def test_xlsx_roundtrip_and_recipe_parity():
