@@ -488,3 +488,75 @@ def test_levels_and_na_str_fuzz_vs_reference():
         assert got == ref, (doc, levels, na, sorted(got ^ ref)[:6])
         checked += 1
     assert checked >= 100
+
+
+def test_include_exclude_fuzz_vs_reference():
+    """--include/--exclude classifier removal (the reference's
+    updateClassifiers pops BOTH sets, classes.py:25-34) fuzz-compared
+    against the reference.  Quirk adjudicated: updateClassifiers
+    mutates the module-level allClassifiers OrderedDict in place, so
+    repeated in-process constructions see a progressively emptied
+    chain — the oracle restores the dict per document to model the
+    real one-invocation-per-process CLI."""
+    import collections
+
+    import octofludb.classifier_flucrew as fc
+
+    from octofludb_spark.extract.infer import chain
+
+    saved = collections.OrderedDict(fc.allClassifiers)
+    rng = random.Random(4444)
+    names = ["strain_name", "subtype", "date", "isolate_id",
+             "genbank_id", "gl_clade", "segment_name", "state", "host",
+             "barcode", "dnaseq", "country", "unknown"]
+    fields = ["A/swine/Iowa/A01234567/2020", "H1N1", "2020-06-21",
+              "EPI_ISL_123", "MN123456", "1A.1.1", "PB2", "Texas",
+              "swine", "ATGGATTACAGATTACAGATTAC", "x", ""]
+    headers = ["seqid", "clade", "strain_name", "subtype", "host",
+               "country", "date", "notes"]
+    checked = 0
+    try:
+        for _ in range(120):
+            inc = set(rng.sample(names, rng.randrange(0, 3)))
+            exc = set(rng.sample(names, rng.randrange(0, 3)))
+            fc.allClassifiers.clear()
+            fc.allClassifiers.update(saved)
+            if rng.random() < 0.5:
+                parts = []
+                for _ in range(1 + rng.randrange(3)):
+                    parts.append(">" + "|".join(
+                        rng.choice(fields)
+                        for _ in range(1 + rng.randrange(4))))
+                    parts.append(rng.choice(["ATGG", "GATACA" * 6]))
+                doc = "\n".join(parts)
+                try:
+                    ref = ref_triples(Ragged(doc, include=set(inc),
+                                             exclude=set(exc),
+                                             na_str=[]).connect())
+                except KeyError:
+                    # a name in BOTH sets double-pops -> the
+                    # reference itself crashes; nothing to compare
+                    continue
+                got = my_triples(
+                    fasta_triples(doc, classifiers=chain(inc, exc)))
+            else:
+                cols = rng.sample(headers, 2 + rng.randrange(3))
+                lines = ["\t".join(cols)]
+                for _ in range(2 + rng.randrange(4)):
+                    lines.append("\t".join(rng.choice(fields)
+                                           for _ in cols))
+                doc = "\n".join(lines)
+                try:
+                    ref = ref_triples(Table(doc, include=set(inc),
+                                            exclude=set(exc),
+                                            na_str=[]).connect())
+                except (IndexError, KeyError):
+                    continue
+                got = my_triples(
+                    table_triples(doc, classifiers=chain(inc, exc)))
+            assert got == ref, (doc, inc, exc, sorted(got ^ ref)[:6])
+            checked += 1
+    finally:
+        fc.allClassifiers.clear()
+        fc.allClassifiers.update(saved)
+    assert checked >= 80
