@@ -29,10 +29,21 @@ PREP_KINDS = ("fasta", "table", "gisaid", "ivr", "ird", "blast", "tag",
 _KIND_TO_LANG = {"table": "tsv", "tag": "ids"}
 
 
+def _csv_set(x):
+    """--include/--exclude/--levels CSV options (reference
+    process_tablelike, ui.py:788-809): '' and absent both mean
+    empty/None)."""
+    if not x:
+        return None
+    return {s.strip() for s in x.split(",")}
+
+
 def cmd_prep(args) -> int:
     import pandas as pd
 
-    from octofludb_spark.extract.recipes import RECIPES, tag_node_triples
+    from octofludb_spark.extract.recipes import (RECIPES, fasta_triples,
+                                                 table_triples,
+                                                 tag_node_triples)
     from octofludb_spark.functions.uri import make_tag_uri
     from octofludb_spark.plans.turtle import triples_to_turtle
 
@@ -45,6 +56,19 @@ def cmd_prep(args) -> int:
         from octofludb_spark.extract.recipes import gisaid_triples_excel
 
         trips = gisaid_triples_excel(raw, taguri=taguri)
+    elif lang in ("fasta", "tsv"):
+        # the tablelike knobs (reference prep fasta/table options,
+        # ui.py:812-931): --include/--exclude prune the classifier
+        # chain, --levels filters emitted fields, --na lists NA cells
+        from octofludb_spark.extract.infer import chain
+
+        inc, exc = _csv_set(args.include), _csv_set(args.exclude)
+        classifiers = chain(inc, exc) if (inc or exc) else None
+        na = tuple((args.na or "").split(",")) if args.na is not None else ()
+        fn = fasta_triples if lang == "fasta" else table_triples
+        trips = fn(raw.decode("utf-8", "replace"),
+                   levels=_csv_set(args.levels), na_str=na,
+                   taguri=taguri, classifiers=classifiers)
     else:
         trips = RECIPES[lang](raw.decode("utf-8", "replace"), taguri=taguri)
     if args.tag:
@@ -255,6 +279,14 @@ def main(argv=None) -> int:
     sp.add_argument("file")
     sp.add_argument("--tag")
     sp.add_argument("--run-ts", dest="run_ts", default=None)
+    sp.add_argument("--include", default=None,
+                    help="only parse with these tokens (CSV)")
+    sp.add_argument("--exclude", default=None,
+                    help="remove these tokens (CSV)")
+    sp.add_argument("--levels", default=None,
+                    help="emit only these fields (CSV)")
+    sp.add_argument("--na", default=None,
+                    help="strings representing missing values (CSV)")
     sp.set_defaults(fn=cmd_prep)
 
     sb = sub.add_parser("build")
