@@ -32,7 +32,7 @@ _KIND_TO_LANG = {"table": "tsv", "tag": "ids"}
 def _csv_set(x):
     """--include/--exclude/--levels CSV options (reference
     process_tablelike, ui.py:788-809): '' and absent both mean
-    empty/None)."""
+    empty/None."""
     if not x:
         return None
     return {s.strip() for s in x.split(",")}

@@ -28,10 +28,7 @@ from octofludb_spark.extract.parse import (parse_fasta, parse_tsv,
                                            split_readlines)
 from octofludb_spark.extract.recipes import (
     _EMPTY,
-    _GIS_SEGMENTS,
-    _EPI_SUFFIX,
     _IVR_STRAIN_PAT,
-    _gis_strain_clean,
     idlist_triples,
     typed,
 )
@@ -59,67 +56,25 @@ def emit_with_src(cols, src_idx: np.ndarray, levels=None,
 
 def gisaid_triples_batched(items: Sequence[tuple[int, str]],
                            taguri=None) -> pd.DataFrame:
-    """mk_gis over MANY sheets at once (recipes.gisaid_triples parity)."""
-    ex: dict[str, list] = {k: [] for k in (
-        "isolate", "epi", "gbk", "strain", "full_strain", "segment",
-        "subtype", "lineage", "host", "country", "cdate", "sdate")}
+    """mk_gis over MANY sheets at once — shares the explode loop and
+    column spec with recipes.gisaid_triples (gisaid_rows/GIS_COLSPEC);
+    only per-row source attribution is added here."""
+    from octofludb_spark.extract.recipes import (GIS_COLSPEC, GIS_EX_KEYS,
+                                                 gisaid_rows)
+
+    ex: dict[str, list] = {k: [] for k in GIS_EX_KEYS}
     src: list[int] = []
     for fi, content in items:
         d = parse_tsv(content)
         if "Isolate_Id" not in d:
             continue
-        n = len(d["Isolate_Id"])
-        for i in range(n):
-            name = d["Isolate_Name"][i] or ""
-            strain_clean = _gis_strain_clean(name)
-            if strain_clean is None:
-                continue
-            try:
-                country = (d.get("Location", [None] * n)[i] or "").split(" / ")[1]
-            except IndexError:
-                country = None
-            for seg in _GIS_SEGMENTS:
-                # an EMPTY Segment_Id cell is processed (['']) — only
-                # a None/missing cell skips, as in the reference's
-                # inner try (recipes.py:189-199)
-                seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
-                if seg_cell is None:
-                    continue
-                epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
-                gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
-                gbk_ids = (gbk_cell.split(",")
-                           if gbk_cell is not None else [None])
-                for epi_id, gbk_id in zip(epi_ids, gbk_ids):
-                    ex["isolate"].append(d["Isolate_Id"][i])
-                    ex["epi"].append(epi_id)
-                    ex["gbk"].append(gbk_id)
-                    ex["strain"].append(strain_clean)
-                    ex["full_strain"].append(name if name != "" else None)
-                    ex["segment"].append(seg)
-                    ex["subtype"].append(d.get("Subtype", [None] * n)[i])
-                    lineage = d.get("Lineage", [None] * n)[i]
-                    ex["lineage"].append(lineage if lineage else None)
-                    ex["host"].append(d.get("Host", [None] * n)[i])
-                    ex["country"].append(country)
-                    ex["cdate"].append(d.get("Collection_Date", [None] * n)[i])
-                    ex["sdate"].append(d.get("Submission_Date", [None] * n)[i])
-                    src.append(fi)
+        for rec in gisaid_rows(d):
+            for k in GIS_EX_KEYS:
+                ex[k].append(rec[k])
+            src.append(fi)
     if not src:
         return EMPTY_WITH_SRC.copy()
-    cols = [
-        _typed_src(R.ISOLATE, ex["isolate"]),
-        _typed_src(R.EPI_SEQID, ex["epi"]),
-        _typed_src(R.GENBANK, ex["gbk"]),
-        _typed_src(R.UNKNOWN, ex["strain"], field="strain_name"),
-        _typed_src(R.UNKNOWN, ex["full_strain"], field="gisaid_strain_name"),
-        _typed_src(R.SEGMENT_NAME, ex["segment"]),
-        _typed_src(R.SUBTYPE, ex["subtype"], field="gisaid_subtype"),
-        _typed_src(R.STRING, ex["lineage"], field="lineage"),
-        _typed_src(R.HOST, ex["host"], field="host"),
-        _typed_src(R.COUNTRY, ex["country"]),
-        _typed_src(R.DATE, ex["cdate"], field="collection_date"),
-        _typed_src(R.DATE, ex["sdate"], field="submission_date"),
-    ]
+    cols = [_typed_src(recog, ex[k], field=f) for recog, k, f in GIS_COLSPEC]
     return emit_with_src(cols, np.asarray(src), taguri=taguri)
 
 

@@ -59,17 +59,15 @@ def parse_tsv(text: str, delimiter: str = "\t") -> dict[str, list[str | None]]:
     Byte-faithful to the reference's raw-string table path
     (classes.py:270-290): every line is FULLY rstripped (trailing
     tabs/spaces vanish, so the header line alone fixes the table
-    width), trailing empty lines are real one-cell rows (their ''
-    cell is live for column-goodness purposes), cells beyond the
-    header width are dropped, duplicate header names keep the LAST
-    column (dict build order).  One lenient deviation: rows SHORTER
-    than the header fill with None where the reference raises
-    IndexError (classes.py:288).  Trailing empty lines: a one-column
-    table keeps them as live '' cells (the reference does — they count
-    against column goodness); a wider table drops them, because there
-    the reference's raw-string path IndexErrors while its FILE path
-    (readlines) never sees them — lenient reading follows the file
-    path."""
+    width), cells beyond the header width are dropped, duplicate
+    header names keep the LAST column (dict build order).  One
+    lenient deviation: rows SHORTER than the header fill with None
+    where the reference raises IndexError (classes.py:288).
+    Trailing empty lines: a one-column table keeps them as live ''
+    cells (the reference does — they count against column goodness);
+    a wider table drops them, because there the reference's
+    raw-string path IndexErrors while its FILE path (readlines)
+    never sees them — lenient reading follows the file path."""
     lines = [s.rstrip() for s in text.split("\n")]
     rows = [r.split(delimiter) for r in lines]
     header = [c.strip() for c in rows[0]]

@@ -29,7 +29,7 @@ from octofludb_spark.extract.infer import (
     type_table,
 )
 from octofludb_spark.extract.parse import (parse_fasta, parse_idlist,
-    parse_tsv, split_readlines)
+                                           parse_tsv, split_readlines)
 from octofludb_spark.functions import recognizers as R
 from octofludb_spark.functions.uri import (
     DT_DOUBLE,
@@ -244,68 +244,83 @@ def gisaid_triples_excel(data: bytes, taguri=None) -> pd.DataFrame:
     return gisaid_triples_columns(excel_columns(data), taguri=taguri)
 
 
-def gisaid_triples_columns(d: dict, taguri=None) -> pd.DataFrame:
-    """mk_gis core over header-keyed columns.  Rows explode per
-    segment x (epi_id, genbank_id) pair; zip truncation of unequal
-    lists is faithful to the reference."""
-    if "Isolate_Id" not in d:
-        return _EMPTY.copy()
+def gisaid_rows(d: dict):
+    """Yield one exploded record dict per row x segment x (epi, gbk)
+    pair — the shared core of the per-file and batched GISAID
+    recipes (mk_gis loop, reference recipes.py:161-221).  Zip
+    truncation of unequal epi/genbank lists is faithful; the
+    reference's inner try only skips a Segment_Id cell with no .split
+    (None / missing) — an EMPTY string is processed ([''], so a bare
+    INSDC genbank id still anchors the segment)."""
     n = len(d["Isolate_Id"])
 
-    ex: dict[str, list] = {k: [] for k in (
-        "isolate", "epi", "gbk", "strain", "full_strain", "segment",
-        "subtype", "lineage", "host", "country", "cdate", "sdate")}
+    def cell(key, i):
+        return d[key][i] if key in d else None
+
     for i in range(n):
         name = d["Isolate_Name"][i] or ""
         strain_clean = _gis_strain_clean(name)
         if strain_clean is None:
             continue  # reference skips the row on strain-parse failure
         try:
-            country = (d.get("Location", [None] * n)[i] or "").split(" / ")[1]
+            country = (cell("Location", i) or "").split(" / ")[1]
         except IndexError:
             country = None
+        lineage = cell("Lineage", i)
+        base = {
+            "isolate": d["Isolate_Id"][i],
+            "strain": strain_clean,
+            "full_strain": name if name != "" else None,
+            "subtype": cell("Subtype", i),
+            "lineage": lineage if lineage else None,
+            "host": cell("Host", i),
+            "country": country,
+            "cdate": cell("Collection_Date", i),
+            "sdate": cell("Submission_Date", i),
+        }
         for seg in _GIS_SEGMENTS:
-            # the reference's inner try only skips when the cell has
-            # no .split (None / missing); an EMPTY string is processed
-            # — [''] — so a bare INSDC genbank id still anchors the
-            # segment (recipes.py:189-199)
-            seg_cell = d.get(f"{seg} Segment_Id", [None] * n)[i]
+            seg_cell = cell(f"{seg} Segment_Id", i)
             if seg_cell is None:
                 continue
             epi_ids = [_EPI_SUFFIX.sub("", x) for x in seg_cell.split(",")]
-            gbk_cell = d.get(f"{seg} INSDC_Upload", [None] * n)[i]
+            gbk_cell = cell(f"{seg} INSDC_Upload", i)
             gbk_ids = gbk_cell.split(",") if gbk_cell is not None else [None]
             for epi_id, gbk_id in zip(epi_ids, gbk_ids):
-                ex["isolate"].append(d["Isolate_Id"][i])
-                ex["epi"].append(epi_id)
-                ex["gbk"].append(gbk_id)
-                ex["strain"].append(strain_clean)
-                ex["full_strain"].append(name if name != "" else None)
-                ex["segment"].append(seg)
-                ex["subtype"].append(d.get("Subtype", [None] * n)[i])
-                lineage = d.get("Lineage", [None] * n)[i]
-                ex["lineage"].append(lineage if lineage else None)
-                ex["host"].append(d.get("Host", [None] * n)[i])
-                ex["country"].append(country)
-                ex["cdate"].append(d.get("Collection_Date", [None] * n)[i])
-                ex["sdate"].append(d.get("Submission_Date", [None] * n)[i])
+                yield {**base, "epi": epi_id, "gbk": gbk_id,
+                       "segment": seg}
+
+
+GIS_EX_KEYS = ("isolate", "epi", "gbk", "strain", "full_strain",
+               "segment", "subtype", "lineage", "host", "country",
+               "cdate", "sdate")
+# (recognizer, exploded key, field) per emitted column
+GIS_COLSPEC = [
+    (R.ISOLATE, "isolate", None),
+    (R.EPI_SEQID, "epi", None),
+    (R.GENBANK, "gbk", None),
+    (R.UNKNOWN, "strain", "strain_name"),
+    (R.UNKNOWN, "full_strain", "gisaid_strain_name"),
+    (R.SEGMENT_NAME, "segment", None),
+    (R.SUBTYPE, "subtype", "gisaid_subtype"),
+    (R.STRING, "lineage", "lineage"),
+    (R.HOST, "host", "host"),
+    (R.COUNTRY, "country", None),
+    (R.DATE, "cdate", "collection_date"),
+    (R.DATE, "sdate", "submission_date"),
+]
+
+
+def gisaid_triples_columns(d: dict, taguri=None) -> pd.DataFrame:
+    """mk_gis core over header-keyed columns (see gisaid_rows)."""
+    if "Isolate_Id" not in d:
+        return _EMPTY.copy()
+    ex: dict[str, list] = {k: [] for k in GIS_EX_KEYS}
+    for rec in gisaid_rows(d):
+        for k in GIS_EX_KEYS:
+            ex[k].append(rec[k])
     if not ex["isolate"]:
         return _EMPTY.copy()
-
-    table = [
-        typed(R.ISOLATE, ex["isolate"]),
-        typed(R.EPI_SEQID, ex["epi"]),
-        typed(R.GENBANK, ex["gbk"]),
-        typed(R.UNKNOWN, ex["strain"], field="strain_name"),
-        typed(R.UNKNOWN, ex["full_strain"], field="gisaid_strain_name"),
-        typed(R.SEGMENT_NAME, ex["segment"]),
-        typed(R.SUBTYPE, ex["subtype"], field="gisaid_subtype"),
-        typed(R.STRING, ex["lineage"], field="lineage"),
-        typed(R.HOST, ex["host"], field="host"),
-        typed(R.COUNTRY, ex["country"]),
-        typed(R.DATE, ex["cdate"], field="collection_date"),
-        typed(R.DATE, ex["sdate"], field="submission_date"),
-    ]
+    table = [typed(recog, ex[k], field=f) for recog, k, f in GIS_COLSPEC]
     return emit_table(table, taguri=taguri)
 
 
