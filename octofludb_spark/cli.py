@@ -227,6 +227,39 @@ def cmd_pull(args) -> int:
     return 0
 
 
+def cmd_fetch(args) -> int:
+    """The reference's `fetch` group (ui.py:1099-1216): `tag` pushes a
+    query-tag over an id list, isolate/strain/segment emit the tagged
+    TSV reports, `sequence` emits FASTA, `clear` drops every
+    query-tag triple."""
+    from octofludb_spark.plans import maintenance as M
+    from octofludb_spark.plans import reports as R
+    from octofludb_spark.plans.formatting import as_fasta_text, as_table_text
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    if args.what == "tag":
+        if not args.file:
+            print("fetch tag needs an id-list FILE", file=sys.stderr)
+            return 2
+        ids = [ln.strip() for ln in open(args.file) if ln.strip()]
+        TripleStore(args.store).merge_triples(
+            spark, M.query_tag_triples(spark, ids))
+        print(f"tagged {len(ids)} identifiers", file=sys.stderr)
+        return 0
+    if args.what == "clear":
+        M.clear_query_tags(spark, TripleStore(args.store))
+        return 0
+    v = _views(spark, args.store)
+    if args.what == "sequence":
+        print(as_fasta_text(R.tagged_sequences(v)))
+    else:
+        fn = {"isolate": R.tagged_isolates, "strain": R.tagged_strains,
+              "segment": R.tagged_segments}[args.what]
+        print(as_table_text(fn(v)))
+    return 0
+
+
 def cmd_delete(args) -> int:
     from octofludb_spark.plans import maintenance as M
     from octofludb_spark.sources.store import TripleStore
@@ -321,6 +354,13 @@ def main(argv=None) -> int:
     spl.add_argument("--run-ts", dest="run_ts", default=None)
     spl.add_argument("--no-classify", action="store_true")
     spl.set_defaults(fn=cmd_pull)
+
+    sf = sub.add_parser("fetch")
+    sf.add_argument("store")
+    sf.add_argument("what", choices=("tag", "isolate", "strain",
+                                     "segment", "sequence", "clear"))
+    sf.add_argument("file", nargs="?", default=None)
+    sf.set_defaults(fn=cmd_fetch)
 
     sd = sub.add_parser("delete")
     sd.add_argument("store")

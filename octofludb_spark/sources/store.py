@@ -123,25 +123,56 @@ class TripleStore:
     def merge_triples(self, spark: SparkSession, df: DataFrame,
                       table: str = "triples", stage: str | None = None) -> str:
         """Idempotent append: union with the current snapshot, dedup on
-        the triple key, commit as a new snapshot."""
+        the triple key, commit as a new snapshot.  A merge into the
+        live ``triples`` table also keeps ``triples_canonical`` in
+        sync: the incoming batch is rewritten through the precomputed
+        alias map and appended there — post-build merges (enrichment
+        rounds, ``merge``/``fetch tag`` CLI) stay visible to queries,
+        which read the canonical view (the reference has one graph)."""
+        incoming = df.select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
         current = self.read(spark, table)
-        if current is not None:
-            df = current.select(*TRIPLE_KEY).unionByName(
-                df.select(*TRIPLE_KEY)
-            ).dropDuplicates(TRIPLE_KEY)
-        else:
-            df = df.select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
-        return self.write(df, table, stage=stage, bucket_by_subject=True)
+        merged = incoming if current is None else (
+            current.select(*TRIPLE_KEY).unionByName(incoming)
+            .dropDuplicates(TRIPLE_KEY)
+        )
+        out = self.write(merged, table, stage=stage, bucket_by_subject=True)
+        if table == "triples":
+            cur_c = self.read(spark, "triples_canonical")
+            if cur_c is not None:
+                from octofludb_spark.ops.canonicalize import (BROADCAST_LIMIT,
+                                                              canonicalize)
+
+                mapping = self.read(spark, "canonical_map")
+                canon_in = incoming if mapping is None else canonicalize(
+                    incoming, mapping.select("node", "canonical"),
+                    use_broadcast=mapping.count() <= BROADCAST_LIMIT,
+                )
+                self.write(
+                    cur_c.select(*TRIPLE_KEY)
+                    .unionByName(canon_in.select(*TRIPLE_KEY))
+                    .dropDuplicates(TRIPLE_KEY),
+                    "triples_canonical", bucket_by_subject=True,
+                )
+        return out
 
     def delete_where(self, spark: SparkSession, condition,
                      table: str = "triples", stage: str | None = None) -> str:
         """Iceberg-style DELETE WHERE via snapshot rewrite (the
-        reference's delete-*.rq ops, SURVEY.md §2.9)."""
+        reference's delete-*.rq ops, SURVEY.md §2.9).  A delete from
+        the live ``triples`` table mirrors onto ``triples_canonical``
+        (every shipped delete condition is predicate/object-shaped, so
+        the same Column applies to both tables)."""
         current = self.read(spark, table)
         if current is None:
             raise ValueError(f"no such table {table}")
-        return self.write(current.where(~condition), table, stage=stage,
-                          bucket_by_subject=True)
+        out = self.write(current.where(~condition), table, stage=stage,
+                         bucket_by_subject=True)
+        if table == "triples":
+            cur_c = self.read(spark, "triples_canonical")
+            if cur_c is not None:
+                self.write(cur_c.where(~condition), "triples_canonical",
+                           bucket_by_subject=True)
+        return out
 
     def read(self, spark: SparkSession, table: str = "triples") -> DataFrame | None:
         m = self.manifest()

@@ -290,3 +290,35 @@ def test_resume_skips_committed_extract(spark, tmp_path, monkeypatch):
     store2 = B.build_graph(spark, src, root, run_ts="2026-08-16T00:00:00")
     assert store2.read(spark, "triples_canonical").count() == n_full
     assert store2.stage_done("link") and store2.stage_done("canon")
+
+
+def test_merge_and_delete_keep_canonical_in_sync(spark, tmp_path):
+    """Post-build merges and deletes must stay visible to queries,
+    which read the canonical view (the reference has ONE graph): a
+    merge into `triples` rewrites the batch through the alias map and
+    appends to `triples_canonical`; a delete mirrors there too."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.plans.maintenance import (clear_query_tags,
+                                                   query_tag_triples)
+    from octofludb_spark.sources.store import TripleStore
+    from octofludb_spark.sources.synth import source_table
+
+    store = build_graph(spark, source_table(spark, 40),
+                        str(tmp_path / "store"), run_ts="2026-01-01T00:00:00")
+    qt = F.col("predicate").endswith("query_tag")
+    assert store.read(spark, "triples_canonical").where(qt).count() == 0
+
+    store.merge_triples(spark, query_tag_triples(spark, ["A0123", "x"]))
+    assert store.read(spark, "triples").where(qt).count() == 2
+    assert store.read(spark, "triples_canonical").where(qt).count() == 2
+
+    # idempotent in both tables
+    store.merge_triples(spark, query_tag_triples(spark, ["A0123", "x"]))
+    assert store.read(spark, "triples_canonical").where(qt).count() == 2
+
+    clear_query_tags(spark, store)
+    assert store.read(spark, "triples").where(qt).count() == 0
+    assert store.read(spark, "triples_canonical").where(qt).count() == 0
