@@ -159,12 +159,23 @@ def _queries():
         "wgs": lambda v, a: R.wgs_report(v, *_arity("wgs", a, 2, "YEAR MONTH", int)),
         "monthly-context": lambda v, a: R.monthly_context(
             v, *_arity("monthly-context", a, 2, "MIN_DATE MAX_DATE")),
+        # report monthly (ui.py:1284-1318): YEAR MONTH -> wgs.rq; the
+        # --context variant derives [year-1, year+1) around the month
+        "monthly": lambda v, a: R.wgs_report(
+            v, *_arity("monthly", a, 2, "YEAR MONTH", int)),
+        "monthly-with-context": lambda v, a: (
+            lambda y, m: R.monthly_context(
+                v, f"{y - 1}-{m:02d}-01", f"{y + 1}-{m:02d}-01")
+        )(*_arity("monthly-with-context", a, 2, "YEAR MONTH", int)),
+        # report quarter (ui.py:1321-1333): currently the masterlist
+        "quarter": lambda v, a: R.masterlist_report(v),
     }
 
 
 QUERY_NAMES = ["masterlist", "subtypes", "constellations", "segments",
                "unclassified", "h1-swine", "h3-swine", "tagged",
-               "tagged-max", "wgs", "monthly-context"]
+               "tagged-max", "wgs", "monthly-context", "monthly",
+               "monthly-with-context", "quarter"]
 
 
 def _views(spark, store_root, sameas=True):
