@@ -115,6 +115,8 @@ class TripleStore:
             writer.write.mode("overwrite").parquet(path)
         m = self.manifest()
         m["tables"][table] = path
+        # a full snapshot supersedes every appended segment
+        m.get("segments", {}).pop(table, None)
         if stage and stage not in m.setdefault("committed_stages", []):
             m["committed_stages"].append(stage)
         self._commit(m)
@@ -122,20 +124,27 @@ class TripleStore:
 
     def merge_triples(self, spark: SparkSession, df: DataFrame,
                       table: str = "triples", stage: str | None = None) -> str:
-        """Idempotent append: union with the current snapshot, dedup on
-        the triple key, commit as a new snapshot.  A merge into the
-        live ``triples`` table also keeps ``triples_canonical`` in
-        sync: the incoming batch is rewritten through the precomputed
-        alias map and appended there — post-build merges (enrichment
-        rounds, ``merge``/``fetch tag`` CLI) stay visible to queries,
-        which read the canonical view (the reference has one graph)."""
+        """Idempotent merge, Iceberg-append style: only the rows NOT
+        already present are written, as a NEW data segment listed in
+        the manifest — the existing store is never rewritten, so a
+        merge costs O(batch), not O(store).  The existence check
+        prunes the scan to the batch's subject buckets and runs as a
+        broadcast semi-join (one map-side pass, no shuffle of the
+        store).  A merge into the live ``triples`` table also keeps
+        ``triples_canonical`` in sync: the batch is rewritten through
+        the precomputed alias map and appended there — post-build
+        merges (enrichment rounds, ``merge``/``fetch tag`` CLI) stay
+        visible to queries, which read the canonical view (the
+        reference has one graph).  ``compact`` folds accreted
+        segments back into one snapshot."""
         incoming = df.select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
         current = self.read(spark, table)
-        merged = incoming if current is None else (
-            current.select(*TRIPLE_KEY).unionByName(incoming)
-            .dropDuplicates(TRIPLE_KEY)
-        )
-        out = self.write(merged, table, stage=stage, bucket_by_subject=True)
+        if current is None:
+            out = self.write(incoming, table, stage=stage,
+                             bucket_by_subject=True)
+        else:
+            out = self._append_segment(spark, incoming, current, table,
+                                       stage=stage)
         if table == "triples":
             cur_c = self.read(spark, "triples_canonical")
             if cur_c is not None:
@@ -146,14 +155,49 @@ class TripleStore:
                 canon_in = incoming if mapping is None else canonicalize(
                     incoming, mapping.select("node", "canonical"),
                     use_broadcast=mapping.count() <= BROADCAST_LIMIT,
-                )
-                self.write(
-                    cur_c.select(*TRIPLE_KEY)
-                    .unionByName(canon_in.select(*TRIPLE_KEY))
-                    .dropDuplicates(TRIPLE_KEY),
-                    "triples_canonical", bucket_by_subject=True,
-                )
+                ).select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+                self._append_segment(spark, canon_in, cur_c,
+                                     "triples_canonical")
         return out
+
+    def _append_segment(self, spark: SparkSession, incoming: DataFrame,
+                        current: DataFrame, table: str,
+                        stage: str | None = None) -> str:
+        """Write ``incoming``'s not-yet-present rows as an appended
+        data segment and commit it to the manifest's segment list."""
+        bucketed = "part_bucket" in current.columns
+        if bucketed:
+            inc_b = incoming.withColumn(
+                "part_bucket",
+                F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)),
+            )
+            buckets = [int(r.part_bucket) for r in
+                       inc_b.select("part_bucket").distinct().collect()]
+            pruned = current.where(F.col("part_bucket").isin(buckets))
+        else:
+            inc_b = incoming
+            pruned = current
+        existing = pruned.join(F.broadcast(incoming), TRIPLE_KEY,
+                               "left_semi").select(*TRIPLE_KEY)
+        new_rows = inc_b.join(F.broadcast(existing), TRIPLE_KEY,
+                              "left_anti").persist()
+        seg_path = None
+        if new_rows.count():
+            seg_path = self._snap_dir(table)
+            if bucketed:
+                (new_rows.repartition("part_bucket")
+                 .write.mode("overwrite").partitionBy("part_bucket")
+                 .parquet(seg_path))
+            else:
+                new_rows.write.mode("overwrite").parquet(seg_path)
+        new_rows.unpersist()
+        m = self.manifest()
+        if seg_path:
+            m.setdefault("segments", {}).setdefault(table, []).append(seg_path)
+        if stage and stage not in m.setdefault("committed_stages", []):
+            m["committed_stages"].append(stage)
+        self._commit(m)
+        return seg_path or m["tables"].get(table, "")
 
     def delete_where(self, spark: SparkSession, condition,
                      table: str = "triples", stage: str | None = None) -> str:
@@ -175,11 +219,21 @@ class TripleStore:
         return out
 
     def read(self, spark: SparkSession, table: str = "triples") -> DataFrame | None:
+        """Current snapshot = the primary snapshot plus any appended
+        merge segments (all listed in the manifest)."""
         m = self.manifest()
         path = m["tables"].get(table)
-        if path is None or not os.path.exists(path):
+        segs = m.get("segments", {}).get(table, [])
+        paths = [p for p in [path, *segs]
+                 if p is not None and os.path.exists(p)]
+        if not paths:
             return None
-        return spark.read.parquet(path)
+        # per-root reads (partition discovery is per-snapshot; a
+        # multi-root read would see conflicting directory structures)
+        df = spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            df = df.unionByName(spark.read.parquet(p))
+        return df
 
     def read_subject(self, spark: SparkSession, subject: str,
                      table: str = "triples") -> DataFrame | None:
@@ -225,9 +279,12 @@ class TripleStore:
         return self.write(out.coalesce(target_files), table)
 
     def vacuum(self) -> None:
-        """Remove snapshot dirs not referenced by the manifest."""
+        """Remove snapshot dirs not referenced by the manifest
+        (primary snapshots AND appended merge segments are live)."""
         m = self.manifest()
         live = set(m["tables"].values())
+        for segs in m.get("segments", {}).values():
+            live.update(segs)
         data = os.path.join(self.root, "data")
         if not os.path.isdir(data):
             return
