@@ -322,3 +322,56 @@ def test_merge_and_delete_keep_canonical_in_sync(spark, tmp_path):
     clear_query_tags(spark, store)
     assert store.read(spark, "triples").where(qt).count() == 0
     assert store.read(spark, "triples_canonical").where(qt).count() == 0
+
+
+def test_merge_appends_segment_without_rewriting_snapshot(spark, tmp_path):
+    """A post-build merge is O(batch), not O(store): the primary
+    snapshot is untouched; only the not-yet-present rows land in a new
+    manifest-listed segment.  Idempotent re-merge appends NOTHING;
+    compact folds segments back into one snapshot and vacuum reclaims
+    the superseded dirs."""
+    import glob
+    import os
+
+    store = TripleStore(str(tmp_path / "st"), n_buckets=4)
+    base = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", "") for i in range(50)],
+        ["subject", "predicate", "object_lex", "object_dtype"])
+    store.merge_triples(spark, base)
+    snap0 = store.manifest()["tables"]["triples"]
+    mtimes0 = {p: os.path.getmtime(p)
+               for p in glob.glob(snap0 + "/**/*.parquet", recursive=True)}
+
+    # merge a half-overlapping batch -> ONE segment with only new rows
+    batch = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", "") for i in range(40, 60)],
+        ["subject", "predicate", "object_lex", "object_dtype"])
+    store.merge_triples(spark, batch)
+    m = store.manifest()
+    assert m["tables"]["triples"] == snap0  # snapshot NOT rewritten
+    segs = m["segments"]["triples"]
+    assert len(segs) == 1
+    seg_rows = spark.read.parquet(segs[0])
+    assert seg_rows.count() == 10  # only s50..s59 are new
+    assert store.read(spark, "triples").count() == 60
+    assert {p: os.path.getmtime(p) for p in
+            glob.glob(snap0 + "/**/*.parquet", recursive=True)} == mtimes0
+
+    # idempotent: re-merging the same batch appends no segment
+    store.merge_triples(spark, batch)
+    assert len(store.manifest()["segments"]["triples"]) == 1
+    assert store.read(spark, "triples").count() == 60
+
+    # point lookup still works across snapshot + segment
+    assert store.read_subject(spark, "s55").count() == 1
+    assert store.read_subject(spark, "s5").count() == 1
+
+    # compact folds everything into one snapshot; vacuum reclaims
+    store.compact(spark)
+    m2 = store.manifest()
+    assert not m2.get("segments", {}).get("triples")
+    assert store.read(spark, "triples").count() == 60
+    store.vacuum()
+    assert not os.path.exists(segs[0])
+    assert not os.path.exists(snap0)
+    assert store.read(spark, "triples").count() == 60
