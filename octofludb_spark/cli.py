@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 
 def _spark(cores=None):
@@ -288,17 +289,42 @@ def cmd_delete(args) -> int:
 
 def cmd_store(args) -> int:
     """Store maintenance: compact small files, vacuum dead snapshots,
-    or a bucket-pruned point lookup (ops surface for a big store)."""
+    inspect the commit log, expire old snapshot versions, read the
+    rows appended since a seq, or a bucket-pruned point lookup (ops
+    surface for a big store)."""
     from octofludb_spark.sources.store import TripleStore
 
     store = TripleStore(args.store)
     if args.op == "vacuum":
         store.vacuum()
         return 0
+    if args.op == "history":
+        for row in store.history():
+            print("\t".join([
+                str(row["seq"]),
+                time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                              time.gmtime(row["committed_at"] or 0)),
+                ",".join(row["committed_stages"]) or "-",
+                ",".join(row["tables"]) or "-",
+            ]))
+        return 0
+    if args.op == "expire":
+        for seq in store.expire_snapshots(keep_last=args.keep_last):
+            print(f"expired seq {seq}")
+        return 0
     if args.op == "lookup" and not args.subject:
         print("store lookup requires --subject <IRI>")
         return 2
     spark = _spark(args.cores)
+    if args.op == "changes":
+        df = store.read_changes(spark, table=args.table, since=args.since)
+        if df is None:
+            return 0
+        for r in df.collect():
+            print("\t".join("" if v is None else str(v)
+                            for v in (r.subject, r.predicate, r.object_lex,
+                                      r.object_dtype)))
+        return 0
     if args.op == "compact":
         store.compact(spark, table=args.table)
         return 0
@@ -381,10 +407,15 @@ def main(argv=None) -> int:
     sd.set_defaults(fn=cmd_delete)
 
     ss = sub.add_parser("store")
-    ss.add_argument("op", choices=["compact", "vacuum", "lookup"])
+    ss.add_argument("op", choices=["compact", "vacuum", "lookup",
+                                   "history", "expire", "changes"])
     ss.add_argument("store")
     ss.add_argument("--table", default="triples_canonical")
     ss.add_argument("--subject", help="IRI for lookup")
+    ss.add_argument("--since", type=int, default=0,
+                    help="manifest seq for changes")
+    ss.add_argument("--keep-last", dest="keep_last", type=int, default=1,
+                    help="retained versions for expire")
     ss.set_defaults(fn=cmd_store)
 
     args = p.parse_args(argv)

@@ -64,10 +64,51 @@ class TripleStore:
         m["seq"] = m.get("seq", 0) + 1
         m["n_buckets"] = self.n_buckets
         m["committed_at"] = time.time()
+        # Iceberg metadata-log protocol: the full manifest is first
+        # written as an immutable versioned file (metadata/vN.json),
+        # THEN the current-pointer swaps atomically.  The retained log
+        # is what makes time travel (read as_of=seq) and incremental
+        # reads (read_changes since=seq) possible; expire_snapshots
+        # trims it.
+        meta_dir = os.path.join(self.root, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, f"v{m['seq']:08d}.json"), "w") as f:
+            json.dump(m, f, indent=1)
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic swap
+
+    def _manifest_at(self, seq: int) -> dict:
+        """The manifest as of commit `seq` (time travel).  Raises if
+        that version has been expired or never existed."""
+        p = os.path.join(self.root, "metadata", f"v{seq:08d}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"no manifest version {seq} (expired or never committed)")
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: one row per retained manifest
+        version with seq / committed_at / committed_stages / tables
+        (Iceberg's snapshot-history metadata table)."""
+        meta_dir = os.path.join(self.root, "metadata")
+        if not os.path.isdir(meta_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(meta_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, name)) as f:
+                m = json.load(f)
+            out.append({
+                "seq": m.get("seq"),
+                "committed_at": m.get("committed_at"),
+                "committed_stages": list(m.get("committed_stages", [])),
+                "tables": sorted(m.get("tables", {})),
+            })
+        return out
 
     def stage_done(self, stage: str) -> bool:
         return stage in self.manifest().get("committed_stages", [])
@@ -92,8 +133,15 @@ class TripleStore:
         across all slots instead of re-concentrating in one task."""
         path = self._snap_dir(table)
         writer = df
+        if "object_dtype" in df.columns:
+            # Store invariant: dtype is NEVER NULL on disk ('' = plain
+            # literal, the emit convention).  A NULL would compare
+            # unequal to '' in the merge presence join and re-append on
+            # every merge.
+            writer = writer.withColumn(
+                "object_dtype", F.coalesce("object_dtype", F.lit("")))
         if bucket_by_subject and "subject" in df.columns:
-            writer = df.withColumn(
+            writer = writer.withColumn(
                 "part_bucket",
                 F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)),
             )
@@ -137,7 +185,15 @@ class TripleStore:
         visible to queries, which read the canonical view (the
         reference has one graph).  ``compact`` folds accreted
         segments back into one snapshot."""
-        incoming = df.select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+        # Normalize NULL dtype to '' (the emit convention) BEFORE the
+        # presence joins: SQL null never equals null, so a NULL-dtype
+        # triple would elude the semi/anti-join and re-append on every
+        # merge — silent duplication under an idempotent contract.
+        incoming = (
+            df.select(*TRIPLE_KEY)
+            .withColumn("object_dtype", F.coalesce("object_dtype", F.lit("")))
+            .dropDuplicates(TRIPLE_KEY)
+        )
         current = self.read(spark, table)
         if current is None:
             out = self.write(incoming, table, stage=stage,
@@ -177,10 +233,21 @@ class TripleStore:
         else:
             inc_b = incoming
             pruned = current
-        existing = pruned.join(F.broadcast(incoming), TRIPLE_KEY,
-                               "left_semi").select(*TRIPLE_KEY)
-        new_rows = inc_b.join(F.broadcast(existing), TRIPLE_KEY,
-                              "left_anti").persist()
+        # Null-safe equi-joins (<=> is still a hash-join key for
+        # Catalyst): a NULL in any key column — e.g. a raw write() of
+        # NULL-dtype triples — must not elude the presence check, or
+        # every merge re-appends those rows forever.
+        def _nsafe(left, right):
+            return [left[k].eqNullSafe(right[k]) for k in TRIPLE_KEY]
+
+        inc_a = incoming.alias("inc")
+        cur_a = pruned.alias("cur")
+        existing = (cur_a.join(F.broadcast(inc_a), _nsafe(cur_a, inc_a),
+                               "left_semi").select(*TRIPLE_KEY))
+        ex_a = existing.alias("ex")
+        incb_a = inc_b.alias("incb")
+        new_rows = incb_a.join(F.broadcast(ex_a), _nsafe(incb_a, ex_a),
+                               "left_anti").persist()
         seg_path = None
         if new_rows.count():
             seg_path = self._snap_dir(table)
@@ -218,10 +285,14 @@ class TripleStore:
                            bucket_by_subject=True)
         return out
 
-    def read(self, spark: SparkSession, table: str = "triples") -> DataFrame | None:
+    def read(self, spark: SparkSession, table: str = "triples",
+             as_of: int | None = None) -> DataFrame | None:
         """Current snapshot = the primary snapshot plus any appended
-        merge segments (all listed in the manifest)."""
-        m = self.manifest()
+        merge segments (all listed in the manifest).  ``as_of=seq``
+        time-travels: the read resolves against the manifest committed
+        at that seq instead (snapshot dirs are immutable and retained
+        until expire_snapshots, so the old view is still complete)."""
+        m = self.manifest() if as_of is None else self._manifest_at(as_of)
         path = m["tables"].get(table)
         segs = m.get("segments", {}).get(table, [])
         paths = [p for p in [path, *segs]
@@ -278,13 +349,96 @@ class TripleStore:
                               files_per_bucket=target_files)
         return self.write(out.coalesce(target_files), table)
 
+    def read_changes(self, spark: SparkSession, table: str = "triples",
+                     since: int = 0,
+                     allow_rewrite_diff: bool = False) -> DataFrame | None:
+        """Incremental read: the rows added to `table` AFTER manifest
+        seq `since` (Iceberg's incremental append scan).  When every
+        commit in (since, now] was an append segment, this reads ONLY
+        the new segment files — O(changes), the path a downstream
+        incremental consumer (enrich round, streaming sink, export)
+        wants at 100 TB.  A snapshot REWRITE in the range (delete /
+        compact / full write) breaks append lineage, exactly like
+        Iceberg's overwrite snapshots: by default that raises, because
+        silently returning a full-table diff would hide an O(store)
+        anti-join behind an "incremental" name; pass
+        allow_rewrite_diff=True to compute it explicitly."""
+        cur = self.manifest()
+        old = self._manifest_at(since) if since else {
+            "tables": {}, "segments": {}}
+        cur_primary = cur["tables"].get(table)
+        old_primary = old["tables"].get(table)
+        old_segs = list(old.get("segments", {}).get(table, []))
+        cur_segs = list(cur.get("segments", {}).get(table, []))
+        if old_primary is None and not old_segs:
+            # table did not exist at `since` — everything is new
+            return self.read(spark, table)
+        if cur_primary == old_primary and cur_segs[:len(old_segs)] == old_segs:
+            new_paths = [p for p in cur_segs[len(old_segs):]
+                         if os.path.exists(p)]
+            if not new_paths:
+                return None
+            df = spark.read.parquet(new_paths[0])
+            for p in new_paths[1:]:
+                df = df.unionByName(spark.read.parquet(p))
+            return df
+        if not allow_rewrite_diff:
+            raise ValueError(
+                f"table {table!r} was rewritten since seq {since} "
+                "(delete/compact/overwrite) — append lineage is broken; "
+                "pass allow_rewrite_diff=True for an anti-join diff")
+        cur_df = self.read(spark, table)
+        if cur_df is None:
+            return None
+        old_df = self.read(spark, table, as_of=since) if since else None
+        if old_df is None:
+            return cur_df
+        key = [c for c in TRIPLE_KEY if c in cur_df.columns] or \
+            [c for c in cur_df.columns if c != "part_bucket"]
+        return cur_df.join(old_df.select(*key), key, "left_anti")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Expire all but the newest `keep_last` manifest versions and
+        delete data dirs no retained version references (Iceberg's
+        expire_snapshots maintenance).  Returns the expired seqs.
+        Time travel / read_changes to an expired seq then raises."""
+        meta_dir = os.path.join(self.root, "metadata")
+        if not os.path.isdir(meta_dir):
+            return []
+        versions = sorted(
+            n for n in os.listdir(meta_dir)
+            if n.startswith("v") and n.endswith(".json"))
+        expired = versions[:-keep_last] if keep_last > 0 else versions
+        out = []
+        for name in expired:
+            os.remove(os.path.join(meta_dir, name))
+            out.append(int(name[1:-5]))
+        self.vacuum()
+        return out
+
+    def _live_paths(self) -> set:
+        """Every data path referenced by the CURRENT manifest or any
+        retained metadata version (they back time travel)."""
+        live = set()
+        manifests = [self.manifest()]
+        meta_dir = os.path.join(self.root, "metadata")
+        if os.path.isdir(meta_dir):
+            for name in os.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    with open(os.path.join(meta_dir, name)) as f:
+                        manifests.append(json.load(f))
+        for m in manifests:
+            live.update(m.get("tables", {}).values())
+            for segs in m.get("segments", {}).values():
+                live.update(segs)
+        return live
+
     def vacuum(self) -> None:
-        """Remove snapshot dirs not referenced by the manifest
-        (primary snapshots AND appended merge segments are live)."""
-        m = self.manifest()
-        live = set(m["tables"].values())
-        for segs in m.get("segments", {}).values():
-            live.update(segs)
+        """Remove snapshot dirs not referenced by the current manifest
+        or any retained metadata version (primary snapshots AND
+        appended merge segments are live; retained versions keep their
+        dirs alive for time travel until expire_snapshots)."""
+        live = self._live_paths()
         data = os.path.join(self.root, "data")
         if not os.path.isdir(data):
             return

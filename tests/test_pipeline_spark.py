@@ -366,12 +366,16 @@ def test_merge_appends_segment_without_rewriting_snapshot(spark, tmp_path):
     assert store.read_subject(spark, "s55").count() == 1
     assert store.read_subject(spark, "s5").count() == 1
 
-    # compact folds everything into one snapshot; vacuum reclaims
+    # compact folds everything into one snapshot; expiring the old
+    # metadata versions (which hold the superseded dirs alive for time
+    # travel) lets vacuum reclaim them
     store.compact(spark)
     m2 = store.manifest()
     assert not m2.get("segments", {}).get("triples")
     assert store.read(spark, "triples").count() == 60
     store.vacuum()
+    assert os.path.exists(snap0)  # retained: old versions still read it
+    store.expire_snapshots(keep_last=1)
     assert not os.path.exists(segs[0])
     assert not os.path.exists(snap0)
     assert store.read(spark, "triples").count() == 60
