@@ -287,6 +287,58 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_init(args) -> int:
+    """Reference `init` (ui.py:120-160): create an empty database.
+    Here: the store root plus a committed empty manifest, so every
+    later build/merge/upload appends to the commit log."""
+    from octofludb_spark.sources.store import TripleStore
+
+    m = TripleStore(args.store).init()
+    print(f"initialized {args.store} at seq {m['seq']}", file=sys.stderr)
+    return 0
+
+
+def cmd_upload(args) -> int:
+    """Reference `upload` (ui.py:555-580): load one or more turtle
+    files into the db.  Each file parses in its own executor task;
+    the merge is idempotent (re-uploading adds nothing)."""
+    from octofludb_spark.plans.turtle import read_turtle
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    store = TripleStore(args.store)
+    store.merge_triples(spark, read_turtle(spark, args.files))
+    n = store.read(spark, "triples").count()
+    print(f"uploaded {len(args.files)} file(s); {n} triples total",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Reference `classify` (ui.py:473-516): run octoFLU over a fasta
+    file and print the 4-column classification table.  Needs an
+    octoFLU checkout (--octoflu-dir); the checkout's configured
+    reference set is used."""
+    import subprocess
+
+    from octofludb_spark.sources.external import (
+        parse_octoflu_output,
+        subprocess_octoflu_runner,
+    )
+
+    runner = subprocess_octoflu_runner(args.octoflu_dir)
+    try:
+        table = runner(args.file)
+    except (OSError, subprocess.CalledProcessError) as e:
+        print(f"octoFLU run failed: {e}", file=sys.stderr)
+        return 1
+    pdf = parse_octoflu_output(table)
+    print("seqid\tsegment_subtype\tclade\tgl_clade")
+    for row in pdf.itertuples(index=False):
+        print("\t".join(str(v) for v in row))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact small files, vacuum dead snapshots,
     inspect the commit log, expire old snapshot versions, read the
@@ -405,6 +457,21 @@ def main(argv=None) -> int:
                                      "us_clades", "gl_clades", "motifs",
                                      "query-tags"])
     sd.set_defaults(fn=cmd_delete)
+
+    si = sub.add_parser("init")
+    si.add_argument("store")
+    si.set_defaults(fn=cmd_init)
+
+    su = sub.add_parser("upload")
+    su.add_argument("store")
+    su.add_argument("files", nargs="+")
+    su.set_defaults(fn=cmd_upload)
+
+    sc = sub.add_parser("classify")
+    sc.add_argument("file")
+    sc.add_argument("--octoflu-dir", dest="octoflu_dir", required=True,
+                    help="path to an octoFLU checkout (octoFLU.sh)")
+    sc.set_defaults(fn=cmd_classify)
 
     ss = sub.add_parser("store")
     ss.add_argument("op", choices=["compact", "vacuum", "lookup",

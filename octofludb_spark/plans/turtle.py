@@ -16,6 +16,7 @@ from __future__ import annotations
 import pandas as pd
 
 from octofludb_spark.functions.uri import (
+    DT_PLAIN,
     DT_URI,
     NCOUNTRY,
     NI,
@@ -116,34 +117,70 @@ def triples_to_turtle(pdf: pd.DataFrame) -> str:
     return "\n".join(out).rstrip() + "\n"
 
 
-def parse_turtle(text: str) -> set[tuple[str, str, str]]:
-    """Minimal turtle reader for golden-file comparison: handles the
-    prefix/';'/','-grouped shape this sink and rdflib emit.  Returns
-    (subject, predicate, object-token) string triples with prefixes
-    expanded."""
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def turtle_to_triples(text: str):
+    """Dtype-preserving turtle reader — the `upload` source path
+    (reference ui.py:555-580 loads .ttl files into the db).  Handles
+    the prefix/';'/','-grouped shape this sink and rdflib emit.
+    Returns a list of (subject, predicate, object_lex, object_dtype)
+    rows following the store conventions: DT_URI for IRI objects, ''
+    for plain literals, short ``xsd:*`` tags for typed literals
+    (rdflib's bare integer/double/boolean tokens included)."""
     import re
 
     prefixes: dict[str, str] = {}
-    triples: set[tuple[str, str, str]] = set()
+    rows: list[tuple[str, str, str, str]] = []
     # join logical statements: accumulate until '.', honoring strings
     text = re.sub(r"#[^\n\"]*$", "", text, flags=re.M)
     token_re = re.compile(
-        r'"(?:[^"\\]|\\.)*"(?:\^\^[\w:]+)?|<[^>]*>|[^\s,;]+|[,;]'
+        r'"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[\w:]+))?|<[^>]*>|[^\s,;]+|[,;]'
     )
+    int_re = re.compile(r"[+-]?\d+\Z")
+    dec_re = re.compile(r"[+-]?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?\Z"
+                        r"|[+-]?\d+[eE][+-]?\d+\Z")
 
-    def expand(tok: str) -> str:
+    def expand_iri(tok: str) -> str:
         if tok.startswith("<") and tok.endswith(">"):
             return tok[1:-1]
-        if tok.startswith('"'):
-            m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
-            lex = m.group(1).replace('\\"', '"').replace("\\n", "\n") \
-                .replace("\\t", "\t").replace("\\\\", "\\")
-            return lex
         if ":" in tok:
             pfx, local = tok.split(":", 1)
             if pfx in prefixes:
                 return prefixes[pfx] + local
         return tok
+
+    def unescape(lex: str) -> str:
+        return lex.replace("\\\\", "\x00").replace('\\"', '"') \
+            .replace("\\n", "\n").replace("\\r", "\r") \
+            .replace("\\t", "\t").replace("\x00", "\\")
+
+    def obj_row(tok: str) -> tuple[str, str]:
+        """(object_lex, object_dtype) for an object token."""
+        if tok.startswith('"'):
+            m = re.match(r'"((?:[^"\\]|\\.)*)"(?:\^\^(.+))?\Z', tok)
+            lex = unescape(m.group(1))
+            dt_tok = m.group(2)
+            if not dt_tok:
+                return lex, DT_PLAIN
+            dt = expand_iri(dt_tok) if (
+                dt_tok.startswith("<") or dt_tok.split(":", 1)[0] in prefixes
+            ) else dt_tok
+            if dt.startswith(_XSD_NS):
+                dt = "xsd:" + dt[len(_XSD_NS):]
+            return lex, dt
+        if tok.startswith("<") or (
+            ":" in tok and tok.split(":", 1)[0] in prefixes
+        ):
+            return expand_iri(tok), DT_URI
+        # rdflib shorthand literals (turtle spec numeric/boolean forms)
+        if tok in ("true", "false"):
+            return tok, "xsd:boolean"
+        if int_re.match(tok):
+            return tok, "xsd:integer"
+        if dec_re.match(tok):
+            return tok, "xsd:double"
+        return tok, DT_PLAIN
 
     stmt: list[str] = []
     for line in text.splitlines():
@@ -162,7 +199,7 @@ def parse_turtle(text: str) -> set[tuple[str, str, str]]:
             toks = token_re.findall(full.rstrip(" ."))
             if not toks:
                 continue
-            subj = expand(toks[0])
+            subj = expand_iri(toks[0])
             k = 1
             pred = None
             while k < len(toks):
@@ -175,9 +212,47 @@ def parse_turtle(text: str) -> set[tuple[str, str, str]]:
                     k += 1
                     continue
                 if pred is None:
-                    pred = (OWL_SAMEAS if tok == "owl:sameAs" else expand(tok))
+                    pred = (OWL_SAMEAS if tok == "owl:sameAs"
+                            else expand_iri(tok))
                     k += 1
                     continue
-                triples.add((subj, pred, expand(tok)))
+                lex, dt = obj_row(tok)
+                rows.append((subj, pred, lex, dt))
                 k += 1
-    return triples
+    return rows
+
+
+def turtle_to_frame(text: str) -> pd.DataFrame:
+    """turtle_to_triples as a (subject, predicate, object_lex,
+    object_dtype) pandas frame, ready for TripleStore.merge_triples."""
+    return pd.DataFrame(
+        turtle_to_triples(text),
+        columns=["subject", "predicate", "object_lex", "object_dtype"],
+    )
+
+
+def read_turtle(spark, paths):
+    """Distributed turtle source for `upload` (reference ui.py:555-580
+    loads .ttl files driver-side, file at a time; here each file
+    parses in its own executor task — one wholetext row per file, the
+    same reader, Arrow-batched out).  Returns a (subject, predicate,
+    object_lex, object_dtype) DataFrame."""
+    src = spark.read.text(list(paths), wholetext=True)
+
+    def parse(batches):
+        for pdf in batches:
+            for text in pdf["value"]:
+                yield turtle_to_frame(text)
+
+    return src.mapInPandas(
+        parse,
+        "subject string, predicate string, object_lex string, "
+        "object_dtype string",
+    )
+
+
+def parse_turtle(text: str) -> set[tuple[str, str, str]]:
+    """Minimal turtle reader for golden-file comparison: returns the
+    (subject, predicate, object-lex-or-IRI) triple SET with prefixes
+    expanded (dtype dropped — byte-format-insensitive comparison)."""
+    return {(s, p, o) for (s, p, o, _dt) in turtle_to_triples(text)}

@@ -110,6 +110,14 @@ class TripleStore:
             })
         return out
 
+    def init(self) -> dict:
+        """Commit an empty manifest if none exists (the reference's
+        `octofludb init` creates an empty repo, ui.py:120-160) so
+        later build/merge/upload commits append to a seq-1 log."""
+        if not os.path.exists(self._manifest_path()):
+            self._commit(self.manifest())
+        return self.manifest()
+
     def stage_done(self, stage: str) -> bool:
         return stage in self.manifest().get("committed_stages", [])
 
@@ -203,17 +211,23 @@ class TripleStore:
                                        stage=stage)
         if table == "triples":
             cur_c = self.read(spark, "triples_canonical")
-            if cur_c is not None:
-                from octofludb_spark.ops.canonicalize import (BROADCAST_LIMIT,
-                                                              canonicalize)
+            from octofludb_spark.ops.canonicalize import (BROADCAST_LIMIT,
+                                                          canonicalize)
 
-                mapping = self.read(spark, "canonical_map")
-                canon_in = incoming if mapping is None else canonicalize(
-                    incoming, mapping.select("node", "canonical"),
-                    use_broadcast=mapping.count() <= BROADCAST_LIMIT,
-                ).select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+            mapping = self.read(spark, "canonical_map")
+            canon_in = incoming if mapping is None else canonicalize(
+                incoming, mapping.select("node", "canonical"),
+                use_broadcast=mapping.count() <= BROADCAST_LIMIT,
+            ).select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
+            if cur_c is not None:
                 self._append_segment(spark, canon_in, cur_c,
                                      "triples_canonical")
+            else:
+                # upload-only store (init + upload, no build yet):
+                # queries read the canonical view, so create it now —
+                # a later build() write() replaces it wholesale.
+                self.write(canon_in, "triples_canonical",
+                           bucket_by_subject=True)
         return out
 
     def _append_segment(self, spark: SparkSession, incoming: DataFrame,
