@@ -196,11 +196,39 @@ def _views(spark, store_root, sameas=True):
 
 
 def cmd_query(args) -> int:
+    """`query <store> <name|file.rq> [args]` — a shipped named plan,
+    or an arbitrary SPARQL file compiled to a DataFrame plan
+    (reference ui.py:458-471 submits any .rq; plans/sparql.py).
+    Positional args on a .rq substitute __MACRO__ placeholders in
+    KEY=VALUE form."""
+    import os
+
     from octofludb_spark.plans.formatting import as_fasta_text, as_table_text
 
     spark = _spark(args.cores)
-    v = _views(spark, args.store, sameas=not args.no_sameas)
-    df = _queries()[args.name](v, args.args)
+    if args.name.endswith(".rq") or os.path.sep in args.name:
+        from octofludb_spark.plans.sparql import sparql_to_df
+        from octofludb_spark.sources.store import TripleStore
+
+        store = TripleStore(args.store)
+        macros = dict(a.split("=", 1) for a in args.args if "=" in a)
+        raw = store.read(spark, "triples")
+        if raw is None:
+            print("empty store", file=sys.stderr)
+            return 1
+        canon = (None if args.no_sameas
+                 else store.read(spark, "triples_canonical"))
+        df = sparql_to_df(spark, open(args.name).read(), raw,
+                          triples_canonical=canon, macros=macros)
+    else:
+        qs = _queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; one of "
+                  f"{', '.join(QUERY_NAMES)} or a .rq file path",
+                  file=sys.stderr)
+            return 2
+        v = _views(spark, args.store, sameas=not args.no_sameas)
+        df = qs[args.name](v, args.args)
     if args.fasta:
         print(as_fasta_text(df))
     else:
@@ -429,7 +457,9 @@ def main(argv=None) -> int:
 
     sq = sub.add_parser("query")
     sq.add_argument("store")
-    sq.add_argument("name", choices=QUERY_NAMES)
+    sq.add_argument("name", metavar="name|file.rq",
+                    help=f"one of {', '.join(QUERY_NAMES)} or a SPARQL "
+                         "file path")
     sq.add_argument("args", nargs="*")
     sq.add_argument("--fasta", action="store_true")
     sq.add_argument("--no-sameas", action="store_true",

@@ -1,0 +1,733 @@
+"""SPARQL-subset compiler: the reference's `query FILE.rq` surface
+(ui.py:458-471 submits an arbitrary SPARQL file) compiled to DataFrame
+plans over the triple relation.
+
+Scope = the grammar the reference's 22 shipped .rq files use (PREFIX,
+SELECT [DISTINCT] with GROUP_CONCAT/MIN/MAX/COUNT/SUM/AVG projections,
+FROM onto:disable-sameAs, basic graph patterns with ';'/',' and
+property paths p1/p2, OPTIONAL, UNION, BIND, FILTER with
+=/!=/</>/<=/>=, ||/&&/!, REGEX, BOUND, YEAR/MONTH/DAY, FILTER
+[NOT] EXISTS, MINUS, GROUP BY, ORDER BY, LIMIT) — enough that a
+reference user can run their own .rq files unchanged.
+
+Semantics notes (SPARQL algebra, GraphDB-compatible):
+  * elements compose left-to-right: Join for patterns/UNION/BIND,
+    LeftJoin for OPTIONAL; FILTERs collect and apply at group end
+    (so a FILTER may reference a var bound by a LATER optional,
+    e.g. monthly-context.rq:31 BOUND(?const)).
+  * join compatibility: a var bound on only one side matches anything
+    (SPARQL's unbound-compatible rule).  Vars that can be null
+    (OPTIONAL / partial-UNION bindings) join with a null-tolerant
+    residual on top of the never-null equi keys, so the plan stays a
+    hash join on the required keys (scale: no nested loop as long as
+    one shared var is never-null — true for every shipped query).
+  * predicate scans expand through the subPropertyOf closure
+    (views.SUBPROP), mirroring GraphDB's owl-horst inference over
+    schema.ttl.
+  * REGEX is partial-match (rlike).  YEAR/MONTH/DAY of a non-date
+    lexical (partial dates, gYear) is NULL => FILTER BOUND drops it,
+    exactly like the reference engine's type error.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octofludb_spark.functions.uri import NT, OWL_SAMEAS
+from octofludb_spark.plans.views import SUBPROP
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+      "(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>\s]*>|\w*:\w+))?  # string [^^dtype]
+    | <[^<>"{}|^`\s]*>                                 # IRI (IRIREF: no ws)
+    | [?$]\w+                                          # variable
+    | [+-]?\d+\.\d+(?:[eE][+-]?\d+)?                   # decimal
+    | [+-]?\d+(?:[eE][+-]?\d+)?                        # integer
+    | [A-Za-z_][\w-]*:[\w.%-]*                         # prefixed name
+    | [A-Za-z_]\w*                                     # keyword / bare name
+    | \|\||&&|!=|<=|>=                                 # 2-char operators
+    | [{}();,./=<>!*]                                  # punctuation
+    """,
+    re.X,
+)
+
+_COMMENT = re.compile(r'#[^\n"]*$', re.M)
+
+
+def tokenize(text: str) -> list[str]:
+    # strip comments only when the '#' is outside a quoted string or an
+    # IRI (<...#...> fragments are not comments): blank both spans,
+    # find the comment start, cut from the original line
+    out = []
+    for line in text.splitlines():
+        scrub = re.sub(r'"(?:[^"\\]|\\.)*"|<[^<>"{}|^`\s]*>',
+                       lambda m: " " * len(m.group()), line)
+        cut = scrub.find("#")
+        out.append(line[:cut] if cut >= 0 else line)
+    return _TOKEN.findall("\n".join(out))
+
+
+# --------------------------------------------------------------------------
+# parser -> AST (tuples)
+# --------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "UNION", "FILTER", "MINUS",
+    "BIND", "AS", "GROUP", "ORDER", "BY", "ASC", "DESC", "LIMIT", "OFFSET",
+    "PREFIX", "FROM", "NOT", "EXISTS", "BOUND", "REGEX", "A",
+}
+_AGG_FUNCS = {"GROUP_CONCAT", "COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE"}
+_SCALAR_FUNCS = {"YEAR", "MONTH", "DAY", "STR", "UCASE", "LCASE", "STRLEN"}
+
+
+class SparqlError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers ---------------------------------------------------
+    def peek(self, k: int = 0) -> str | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def kw(self, k: int = 0) -> str:
+        t = self.peek(k)
+        return t.upper() if t and re.fullmatch(r"[A-Za-z_]\w*", t) else ""
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t.upper() != tok.upper():
+            raise SparqlError(f"expected {tok!r}, got {t!r}")
+
+    def opt(self, tok: str) -> bool:
+        if self.peek() and self.peek().upper() == tok.upper():
+            self.i += 1
+            return True
+        return False
+
+    # -- terms -----------------------------------------------------------
+    def iri(self, tok: str) -> str:
+        if tok.startswith("<"):
+            return tok[1:-1]
+        pfx, local = tok.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def term(self, tok: str):
+        if tok[0] in "?$":
+            return ("var", tok[1:])
+        if tok.startswith('"'):
+            m = re.match(r'"((?:[^"\\]|\\.)*)"(?:\^\^(.+))?\Z', tok)
+            lex = m.group(1).replace('\\"', '"')
+            dt = m.group(2) or ""
+            if dt and not dt.startswith("<") and ":" in dt:
+                pass  # keep short form (xsd:date) — store convention
+            elif dt.startswith("<"):
+                dt = dt[1:-1]
+            return ("lit", lex, dt)
+        if re.fullmatch(r"[+-]?\d+", tok):
+            return ("num", int(tok))
+        if re.fullmatch(r"[+-]?\d[\d.eE+-]*", tok):
+            return ("num", float(tok))
+        if tok.startswith("<") or ":" in tok:
+            return ("iri", self.iri(tok))
+        raise SparqlError(f"cannot parse term {tok!r}")
+
+    # -- query -----------------------------------------------------------
+    def parse_query(self) -> dict:
+        while self.kw() == "PREFIX":
+            self.next()
+            pname = self.next()
+            if not pname.endswith(":"):
+                # tokenizer yields 'pfx:' as a prefixed-name token
+                pname = pname.split(":", 1)[0] + ":"
+            iri_tok = self.next()
+            self.prefixes[pname[:-1]] = iri_tok[1:-1]
+        self.expect("SELECT")
+        distinct = self.opt("DISTINCT")
+        projections = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated SELECT")
+            if t[0] in "?$":
+                projections.append(("var", self.next()[1:]))
+            elif t == "(":
+                projections.append(self.parse_agg_projection())
+            else:
+                break
+        disable_sameas = False
+        while self.kw() == "FROM":
+            self.next()
+            src = self.next()
+            if "disable-sameAs" in src:
+                disable_sameas = True
+        self.expect("WHERE")
+        where = self.parse_ggp()
+        group_by: list[str] = []
+        order_by: list[tuple[str, bool]] = []
+        limit = None
+        while self.peek() is not None:
+            k = self.kw()
+            if k == "GROUP":
+                self.next()
+                self.expect("BY")
+                while self.peek() and self.peek()[0] in "?$":
+                    group_by.append(self.next()[1:])
+            elif k == "ORDER":
+                self.next()
+                self.expect("BY")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    if self.kw() in ("ASC", "DESC"):
+                        desc = self.kw() == "DESC"
+                        self.next()
+                        self.expect("(")
+                        order_by.append((self.next()[1:], desc))
+                        self.expect(")")
+                    elif t[0] in "?$":
+                        order_by.append((self.next()[1:], False))
+                    else:
+                        break
+            elif k == "LIMIT":
+                self.next()
+                limit = int(self.next())
+            elif k == "OFFSET":
+                self.next()
+                self.next()  # parsed, ignored (not used by shipped queries)
+            else:
+                raise SparqlError(f"unexpected trailing token {self.peek()!r}")
+        return {
+            "distinct": distinct,
+            "projections": projections,
+            "disable_sameas": disable_sameas,
+            "where": where,
+            "group_by": group_by,
+            "order_by": order_by,
+            "limit": limit,
+        }
+
+    def parse_agg_projection(self):
+        """'(' EXPR AS ?alias ')' — aggregate or scalar projection."""
+        self.expect("(")
+        fn = self.kw()
+        if fn not in _AGG_FUNCS:
+            raise SparqlError(f"unsupported projection function {fn!r}")
+        self.next()
+        self.expect("(")
+        distinct = self.opt("DISTINCT")
+        arg_tok = self.next()
+        if arg_tok == "*":  # COUNT(*)
+            arg = ("star",)
+        else:
+            arg = self.term(arg_tok)
+        sep = "+"
+        if self.opt(";"):
+            sepkw = self.next()  # SEPARATOR
+            if sepkw.upper() != "SEPARATOR":
+                raise SparqlError(f"expected SEPARATOR, got {sepkw!r}")
+            self.expect("=")
+            sep_tok = self.next()
+            sep = self.term(sep_tok)[1]
+        self.expect(")")
+        self.expect("AS")
+        alias = self.next()
+        if alias[0] not in "?$":
+            raise SparqlError(f"expected ?alias, got {alias!r}")
+        self.expect(")")
+        return ("agg", fn, distinct, arg, sep, alias[1:])
+
+    # -- group graph pattern --------------------------------------------
+    def parse_ggp(self) -> list:
+        self.expect("{")
+        elements: list = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated group")
+            if t == "}":
+                self.next()
+                return elements
+            k = self.kw()
+            if k == "OPTIONAL":
+                self.next()
+                elements.append(("optional", self.parse_ggp()))
+            elif k == "MINUS":
+                self.next()
+                elements.append(("minus", self.parse_ggp()))
+            elif k == "FILTER":
+                self.next()
+                if self.kw() == "NOT" and self.kw(1) == "EXISTS":
+                    self.next()
+                    self.next()
+                    elements.append(("not_exists", self.parse_ggp()))
+                elif self.kw() == "EXISTS":
+                    self.next()
+                    elements.append(("exists", self.parse_ggp()))
+                elif self.peek() == "(":
+                    elements.append(("filter", self.parse_expr_parens()))
+                else:
+                    # FILTER BuiltInCall without parens: FILTER REGEX(..),
+                    # FILTER BOUND(?x)
+                    elements.append(("filter", self.parse_unary()))
+            elif k == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self.parse_or_expr()
+                self.expect("AS")
+                var = self.next()
+                self.expect(")")
+                elements.append(("bind", expr, var[1:]))
+            elif t == "{":
+                branches = [self.parse_ggp()]
+                while self.kw() == "UNION":
+                    self.next()
+                    branches.append(self.parse_ggp())
+                elements.append(("union", branches))
+            else:
+                elements.extend(self.parse_triples_block())
+            self.opt(".")
+            while self.opt("."):
+                pass
+        return elements
+
+    def parse_triples_block(self) -> list:
+        """subject pred-object list with ';'/',' continuation and
+        property paths.  Stops before '.', '}', or a keyword."""
+        out = []
+        subj = self.term(self.next())
+        while True:
+            # verb: IRI or path iri/iri/...
+            vt = self.next()
+            if vt.upper() == "A":
+                path = [("iri", "http://www.w3.org/1999/02/22-rdf-syntax"
+                               "-ns#type")]
+            else:
+                path = [self.term(vt)]
+            while self.peek() == "/":
+                self.next()
+                path.append(self.term(self.next()))
+            while True:
+                obj = self.term(self.next())
+                out.append(("triple", subj, path, obj))
+                if not self.opt(","):
+                    break
+            if not self.opt(";"):
+                return out
+            # a ';' may dangle before '.' or '}' (turtle style)
+            if self.peek() in (".", "}", None):
+                return out
+
+    # -- expressions -----------------------------------------------------
+    def parse_expr_parens(self):
+        self.expect("(")
+        e = self.parse_or_expr()
+        self.expect(")")
+        return e
+
+    def parse_or_expr(self):
+        e = self.parse_and_expr()
+        while self.peek() == "||":
+            self.next()
+            e = ("or", e, self.parse_and_expr())
+        return e
+
+    def parse_and_expr(self):
+        e = self.parse_cmp_expr()
+        while self.peek() == "&&":
+            self.next()
+            e = ("and", e, self.parse_cmp_expr())
+        return e
+
+    def parse_cmp_expr(self):
+        e = self.parse_unary()
+        t = self.peek()
+        if t in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return ("cmp", t, e, self.parse_unary())
+        return e
+
+    def parse_unary(self):
+        t = self.peek()
+        if t == "!":
+            self.next()
+            return ("not", self.parse_unary())
+        if t == "(":
+            return self.parse_expr_parens()
+        k = self.kw()
+        if k == "REGEX":
+            self.next()
+            self.expect("(")
+            arg = self.parse_or_expr()
+            self.expect(",")
+            pat = self.term(self.next())
+            if self.opt(","):
+                self.next()  # flags — ignored ('i' unused in shipped files)
+            self.expect(")")
+            return ("regex", arg, pat[1])
+        if k == "BOUND":
+            self.next()
+            self.expect("(")
+            var = self.next()
+            self.expect(")")
+            return ("bound", var[1:])
+        if k in _SCALAR_FUNCS:
+            self.next()
+            self.expect("(")
+            arg = self.parse_or_expr()
+            self.expect(")")
+            return ("func", k, arg)
+        return self.term(self.next())
+
+
+def parse_sparql(text: str, macros: dict[str, str] | None = None) -> dict:
+    for k, v in (macros or {}).items():
+        text = text.replace(k, str(v))
+    return _Parser(tokenize(text)).parse_query()
+
+
+# --------------------------------------------------------------------------
+# compiler -> DataFrame
+# --------------------------------------------------------------------------
+
+
+class _Group:
+    """Compilation state for one group graph pattern: the current
+    solution DataFrame, which vars may be null, and deferred filters."""
+
+    def __init__(self, triples: DataFrame):
+        self.triples = triples
+        self.df: DataFrame | None = None
+        self.maybe_null: set[str] = set()
+        self.filters: list = []
+
+
+def _pred_condition(path_iri: str):
+    """Predicate scan condition with subPropertyOf closure expansion
+    (views.pred semantics)."""
+    if path_iri.startswith(NT):
+        local = path_iri[len(NT):]
+        names = SUBPROP.get(local)
+        if names:
+            return F.col("predicate").isin([NT + n for n in names])
+    return F.col("predicate") == path_iri
+
+
+def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
+    """One triple pattern (with an optional property path) as a
+    predicate-filtered scan chain.  Returns (df, var-columns)."""
+    steps = []
+    cur_s = subj
+    for k, p in enumerate(path):
+        if p[0] != "iri":
+            raise SparqlError("variable predicates are not supported")
+        cur_o = obj if k == len(path) - 1 else ("var", f"__mid{id(path)}_{k}")
+        steps.append((cur_s, p[1], cur_o))
+        cur_s = cur_o
+    df = None
+    for (s, p_iri, o) in steps:
+        pred = OWL_SAMEAS if p_iri.endswith("sameAs") else p_iri
+        scan = triples.where(_pred_condition(pred))
+        cols = []
+        if s[0] == "var":
+            cols.append(F.col("subject").alias(s[1]))
+        else:
+            scan = scan.where(F.col("subject") == s[1])
+        if o[0] == "var":
+            cols.append(F.col("object_lex").alias(o[1]))
+        elif o[0] == "iri":
+            scan = scan.where(F.col("object_lex") == o[1])
+        else:  # literal / num
+            scan = scan.where(F.col("object_lex") == str(o[1]))
+        if not cols:
+            cols = [F.lit(1).alias(f"__hit{id(steps)}")]
+        step_df = scan.select(*cols)
+        if df is None:
+            df = step_df
+        else:
+            shared = set(df.columns) & set(step_df.columns)
+            df = df.join(step_df, on=list(shared))
+    # drop path intermediates and marker columns
+    keep = [c for c in df.columns if not c.startswith("__mid")]
+    df = df.select(*keep) if keep else df
+    var_cols = {c for c in df.columns if not c.startswith("__hit")}
+    return df, var_cols
+
+
+def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
+                 right_nulls: set, how: str = "inner") -> tuple[DataFrame, set]:
+    """SPARQL compatibility join: equi on never-null shared vars,
+    null-tolerant residual on maybe-null shared vars, bindings merged
+    with coalesce.  `how` in (inner, left, left_anti)."""
+    shared = [c for c in left.columns if c in right.columns]
+    if not shared:
+        if how == "inner":
+            return left.crossJoin(right), left_nulls | right_nulls
+        if how == "left":
+            # LeftJoin with no shared vars: every row pairs (or survives
+            # alone if right is empty) — crossJoin covers the shipped
+            # queries (right nonempty)
+            return left.crossJoin(right), left_nulls | right_nulls
+        raise SparqlError("NOT EXISTS/MINUS with no shared variables")
+    L = left.alias("L")
+    R = right.alias("R")
+    conds = []
+    for v in shared:
+        if v in left_nulls or v in right_nulls:
+            conds.append(
+                L[v].isNull() | R[v].isNull() | (L[v] == R[v]))
+        else:
+            conds.append(L[v] == R[v])
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    if how == "left_anti":
+        return L.join(R, cond, "left_anti"), left_nulls
+    joined = L.join(R, cond, how)
+    cols = []
+    out_nulls = set()
+    for v in left.columns:
+        if v in shared:
+            cols.append(F.coalesce(L[v], R[v]).alias(v))
+            if (v in left_nulls) and (v in right_nulls or how == "left"):
+                out_nulls.add(v)
+        else:
+            cols.append(L[v])
+            if v in left_nulls:
+                out_nulls.add(v)
+    for v in right.columns:
+        if v not in shared:
+            cols.append(R[v])
+            if v in right_nulls or how == "left":
+                out_nulls.add(v)
+    return joined.select(*cols), out_nulls
+
+
+def _compile_expr(expr, df: DataFrame):
+    kind = expr[0]
+    if kind == "var":
+        if expr[1] not in df.columns:
+            raise SparqlError(f"filter references unbound var ?{expr[1]}")
+        return F.col(expr[1])
+    if kind == "lit":
+        return F.lit(expr[1])
+    if kind == "num":
+        return F.lit(expr[1])
+    if kind == "or":
+        return _compile_expr(expr[1], df) | _compile_expr(expr[2], df)
+    if kind == "and":
+        return _compile_expr(expr[1], df) & _compile_expr(expr[2], df)
+    if kind == "not":
+        return ~_compile_expr(expr[1], df)
+    if kind == "cmp":
+        op, a, b = expr[1], expr[2], expr[3]
+        ca, cb = _compile_expr(a, df), _compile_expr(b, df)
+        out = {
+            "=": ca == cb, "!=": ca != cb, "<": ca < cb,
+            ">": ca > cb, "<=": ca <= cb, ">=": ca >= cb,
+        }[op]
+        # comparing against an xsd:date-typed literal: a non-date
+        # lexical on the other side (partial dates, gYear) is a SPARQL
+        # type error => the row drops, not a lexicographic near-miss.
+        # NB: Spark's cast('2012' AS DATE) is lenient (-> 2012-01-01),
+        # so the guard is on the full ISO lexical, not castability.
+        for lit_side, other in ((a, cb), (b, ca)):
+            if lit_side[0] == "lit" and lit_side[2] == "xsd:date":
+                out = out & other.rlike(r"^\d{4}-\d{2}-\d{2}")
+        return out
+    if kind == "regex":
+        return _compile_expr(expr[1], df).rlike(expr[2])
+    if kind == "bound":
+        if expr[1] not in df.columns:
+            return F.lit(False)
+        return F.col(expr[1]).isNotNull()
+    if kind == "func":
+        fn, arg = expr[1], _compile_expr(expr[2], df)
+        if fn in ("YEAR", "MONTH", "DAY"):
+            # YEAR/MONTH/DAY of a partial date (gYear/gYearMonth) is a
+            # SPARQL type error => unbound.  Spark's date cast is
+            # lenient ('2012' -> 2012-01-01), so gate on the full ISO
+            # lexical before casting.
+            d = F.when(arg.rlike(r"^\d{4}-\d{2}-\d{2}"),
+                       arg.try_cast("date"))
+            return {"YEAR": F.year(d), "MONTH": F.month(d),
+                    "DAY": F.dayofmonth(d)}[fn]
+        if fn == "STR":
+            return arg.cast("string")
+        if fn == "UCASE":
+            return F.upper(arg)
+        if fn == "LCASE":
+            return F.lower(arg)
+        if fn == "STRLEN":
+            return F.length(arg)
+    raise SparqlError(f"unsupported expression {expr!r}")
+
+
+def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
+    g = _Group(triples)
+
+    def join_in(df, nulls, how="inner"):
+        if g.df is None:
+            g.df, g.maybe_null = df, set(nulls)
+        else:
+            g.df, g.maybe_null = _compat_join(
+                g.df, g.maybe_null, df, nulls, how=how)
+
+    for el in elements:
+        kind = el[0]
+        if kind == "triple":
+            df, _vars = _scan(triples, el[1], el[2], el[3])
+            join_in(df, set())
+        elif kind == "optional":
+            sub, sub_nulls = _compile_group(el[1], triples)
+            if g.df is None:
+                # LeftJoin(unit, P) = P when P is nonempty (algebra);
+                # the empty-P unit row is not representable and unused
+                # by the shipped queries
+                g.df, g.maybe_null = sub, set(sub_nulls)
+            else:
+                join_in(sub, sub_nulls, how="left")
+        elif kind == "union":
+            branches = [_compile_group(b, triples) for b in el[1]]
+            all_cols: list[str] = []
+            for bdf, _n in branches:
+                for c in bdf.columns:
+                    if c not in all_cols:
+                        all_cols.append(c)
+            nulls: set[str] = set()
+            udf = None
+            for bdf, bn in branches:
+                missing = [c for c in all_cols if c not in bdf.columns]
+                nulls |= bn | set(missing)
+                aligned = bdf.select(
+                    *[F.col(c) if c in bdf.columns
+                      else F.lit(None).cast("string").alias(c)
+                      for c in all_cols])
+                udf = aligned if udf is None else udf.unionByName(aligned)
+            join_in(udf, nulls)
+        elif kind == "bind":
+            if g.df is None:
+                raise SparqlError("BIND before any pattern")
+            g.df = g.df.withColumn(el[2], _compile_expr(el[1], g.df))
+            g.maybe_null.add(el[2])  # e.g. MONTH() of a partial date
+        elif kind in ("filter", "not_exists", "exists", "minus"):
+            g.filters.append(el)
+        else:
+            raise SparqlError(f"unsupported element {kind!r}")
+
+    if g.df is None:
+        raise SparqlError("empty group pattern")
+
+    # group-end: FILTERs apply to the completed group solution
+    for el in g.filters:
+        kind = el[0]
+        if kind == "filter":
+            g.df = g.df.where(_compile_expr(el[1], g.df))
+        elif kind in ("not_exists", "minus"):
+            sub, sub_nulls = _compile_group(el[1], triples)
+            shared = sorted(set(g.df.columns) & set(sub.columns))
+            if not shared and kind == "minus":
+                continue  # MINUS with disjoint domains removes nothing
+            g.df, _ = _compat_join(g.df, g.maybe_null,
+                                   sub.select(*shared), sub_nulls,
+                                   how="left_anti")
+        elif kind == "exists":
+            sub, _sub_nulls = _compile_group(el[1], triples)
+            shared = sorted(set(g.df.columns) & set(sub.columns))
+            if not shared:
+                raise SparqlError("EXISTS with no shared variables")
+            g.df = g.df.join(sub.select(*shared), on=shared,
+                             how="left_semi")
+    return g.df, g.maybe_null
+
+
+def _agg_column(proj, df: DataFrame):
+    _tag, fn, distinct, arg, sep, alias = proj
+    if arg[0] == "star":
+        return F.count(F.lit(1)).alias(alias)
+    if arg[0] != "var":
+        raise SparqlError("aggregate over a non-variable is unsupported")
+    if arg[1] not in df.columns:
+        # aggregating a never-bound var (get-tagged-strain.rq projects
+        # ?constellation / ?country which the WHERE never binds):
+        # GROUP_CONCAT over nothing is "", other aggregates are unbound
+        if fn == "GROUP_CONCAT":
+            return F.lit("").alias(alias)
+        if fn == "COUNT":
+            return F.lit(0).alias(alias)
+        return F.lit(None).cast("string").alias(alias)
+    col = F.col(arg[1])
+    if fn == "GROUP_CONCAT":
+        # deterministic: sort_array over the collected values (A1
+        # semantics, views.group_concat)
+        arr = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.concat_ws(sep, F.sort_array(arr)).alias(alias)
+    agg = {"COUNT": F.count, "MIN": F.min, "MAX": F.max, "SUM": F.sum,
+           "AVG": F.avg, "SAMPLE": F.first}[fn]
+    if fn == "COUNT" and distinct:
+        return F.countDistinct(col).alias(alias)
+    return agg(col).alias(alias)
+
+
+def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
+    """Compile a parsed SELECT query over a (subject, predicate,
+    object_lex, object_dtype) triple DataFrame."""
+    df, _nulls = _compile_group(ast["where"], triples)
+    projections = ast["projections"]
+    group_by = ast["group_by"]
+    has_agg = any(p[0] == "agg" for p in projections)
+    if group_by or has_agg:
+        keys = group_by or []
+        aggs = [_agg_column(p, df) for p in projections if p[0] == "agg"]
+        bare = [p[1] for p in projections if p[0] == "var"]
+        for v in bare:
+            if v not in keys:
+                raise SparqlError(
+                    f"?{v} is projected but neither grouped nor aggregated")
+        grouped = df.groupBy(*keys).agg(*aggs) if aggs else \
+            df.select(*keys).dropDuplicates()
+        order = [p[5] if p[0] == "agg" else p[1] for p in projections]
+        df = grouped.select(*order)
+    else:
+        df = df.select(*[p[1] for p in projections])
+    if ast["distinct"]:
+        df = df.dropDuplicates()
+    for var, desc in ast["order_by"]:
+        df = df.orderBy(F.col(var).desc() if desc else F.col(var))
+    if ast["limit"] is not None:
+        df = df.limit(ast["limit"])
+    return df
+
+
+def sparql_to_df(spark, text: str, triples_raw: DataFrame,
+                 triples_canonical: DataFrame | None = None,
+                 macros: dict[str, str] | None = None) -> DataFrame:
+    """Parse + compile a SPARQL file.  FROM onto:disable-sameAs picks
+    the raw triple table; otherwise the canonical (sameAs-resolved)
+    view — the reference's default GraphDB behavior."""
+    ast = parse_sparql(text, macros=macros)
+    if ast["disable_sameas"] or triples_canonical is None:
+        return compile_sparql(ast, triples_raw)
+    return compile_sparql(ast, triples_canonical)

@@ -1,0 +1,413 @@
+"""SPARQL-subset compiler (plans/sparql.py): parse smoke over every
+shipped reference .rq file, unit semantics on a tiny graph, and
+differential equivalence against the hand-built named plans on a real
+built store — compiled reference queries must produce the same rows
+as the plans that were validated against the reference pipeline."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from octofludb_spark.plans.sparql import (
+    SparqlError,
+    compile_sparql,
+    parse_sparql,
+)
+
+RQ_DIR = "/root/reference/octofludb/data"
+NT = "https://flu-crew.org/term/"
+FID = "https://flu-crew.org/id/"
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        [(s, NT + p if "://" not in p else p, o, dt)
+         for (s, p, o, dt) in rows],
+        "subject string, predicate string, object_lex string, "
+        "object_dtype string",
+    )
+
+
+def _run(spark, triples, text, macros=None):
+    ast = parse_sparql(text, macros=macros)
+    return compile_sparql(ast, triples)
+
+
+# -------------------------------------------------------------------------
+# parse smoke: every shipped SELECT query parses
+# -------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(RQ_DIR), reason="reference not present")
+def test_parse_all_shipped_select_queries():
+    parsed = 0
+    for path in sorted(glob.glob(os.path.join(RQ_DIR, "*.rq"))):
+        if path.endswith("get-tagged.rq"):
+            continue  # genuinely invalid SPARQL (bare `?haid as HA`
+            # projections, get-tagged.rq:16-23) — the reference ships
+            # it broken; the intended report is `query tagged-max`
+        text = open(path).read()
+        if "SELECT" not in text.upper():
+            continue  # delete-*.rq / clear-query-tags.rq are updates
+        macros = {"__YEAR__": "2018", "__MONTH__": "3",
+                  "__MIN_DATE__": "2017-01-01", "__MAX_DATE__": "2019-01-01"}
+        ast = parse_sparql(text, macros=macros)
+        assert ast["projections"], path
+        parsed += 1
+    assert parsed >= 15  # 16 SELECT files ship with the reference
+
+
+# -------------------------------------------------------------------------
+# unit semantics on a tiny graph
+# -------------------------------------------------------------------------
+
+TINY = [
+    ("s1", "strain_name", "A/swine/Iowa/A01", ""),
+    ("s1", "host", "swine", ""),
+    ("s1", "date", "2018-03-05", "xsd:date"),
+    ("s1", "has_segment", "g1", "uri"),
+    ("s2", "strain_name", "A/duck/Texas/77", ""),
+    ("s2", "host", "duck", ""),
+    ("s2", "date", "2016", "xsd:gYear"),
+    ("s2", "has_segment", "g2", "uri"),
+    ("g1", "segment_name", "HA", ""),
+    ("g1", "clade", "1A.1", ""),
+    ("g2", "segment_name", "NA", ""),
+    ("s1", "subtype", "H1N1", ""),
+]
+
+PFX = f"PREFIX f: <{NT}>\n"
+
+
+def test_bgp_join_and_literal_object(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain WHERE {
+          ?sid f:host "swine" .
+          ?sid f:strain_name ?strain .
+        }""")
+    assert [r.strain for r in df.collect()] == ["A/swine/Iowa/A01"]
+
+
+def test_optional_yields_null(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain ?clade WHERE {
+          ?sid f:strain_name ?strain .
+          ?sid f:has_segment ?gid .
+          OPTIONAL { ?gid f:clade ?clade . }
+        }""")
+    got = {(r.strain, r.clade) for r in df.collect()}
+    assert got == {("A/swine/Iowa/A01", "1A.1"), ("A/duck/Texas/77", None)}
+
+
+def test_union_branches(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT DISTINCT ?sid WHERE {
+          { ?sid f:host "duck" . } UNION { ?sid f:subtype ?st . }
+        }""")
+    assert {r.sid for r in df.collect()} == {"s1", "s2"}
+
+
+def test_filter_regex_and_not_exists(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain WHERE {
+          ?sid f:strain_name ?strain .
+          FILTER REGEX(?strain, "^A/") .
+          FILTER NOT EXISTS { ?sid f:subtype ?st . }
+        }""")
+    assert [r.strain for r in df.collect()] == ["A/duck/Texas/77"]
+
+
+def test_property_path_and_group_concat(spark):
+    rows = TINY + [("s1", "state", "st_ia", "uri"), ("st_ia", "abbr", "IA", "")]
+    df = _run(spark, _t(spark, rows), PFX + """
+        SELECT ?strain
+               (GROUP_CONCAT(DISTINCT ?abbr; separator="+") as ?states)
+        WHERE {
+          ?sid f:strain_name ?strain .
+          ?sid f:state/f:abbr ?abbr .
+        } GROUP BY ?strain""")
+    assert [(r.strain, r.states) for r in df.collect()] == \
+        [("A/swine/Iowa/A01", "IA")]
+
+
+def test_bind_year_month_and_typed_date_guard(spark):
+    # s2's date is a gYear: YEAR() of it is null => BOUND filter drops;
+    # the xsd:date-typed comparison also drops it (SPARQL type error)
+    df = _run(spark, _t(spark, TINY), PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?strain ?year WHERE {
+          ?sid f:strain_name ?strain .
+          ?sid f:date ?date .
+          BIND(YEAR(?date) as ?year) .
+          FILTER BOUND(?year) .
+          FILTER (?date > "2017-01-01"^^xsd:date) .
+        }""")
+    assert [(r.strain, r.year) for r in df.collect()] == \
+        [("A/swine/Iowa/A01", 2018)]
+
+
+def test_filter_before_optional_sees_later_binding(spark):
+    # monthly-context.rq shape: the FILTER references ?clade which only
+    # binds in a LATER OPTIONAL — group-end filter semantics
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain WHERE {
+          ?sid f:strain_name ?strain .
+          FILTER (BOUND(?clade) || REGEX(?strain, "duck")) .
+          ?sid f:has_segment ?gid .
+          OPTIONAL { ?gid f:clade ?clade . }
+        }""")
+    assert {r.strain for r in df.collect()} == \
+        {"A/swine/Iowa/A01", "A/duck/Texas/77"}
+
+
+def test_minus_shared_var(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid WHERE {
+          ?sid f:has_segment ?gid .
+          MINUS { ?sid f:subtype ?st . }
+        }""")
+    assert [r.sid for r in df.collect()] == ["s2"]
+
+
+def test_subproperty_closure_expansion(spark):
+    # f:seqid expands to genbank_id/epi_id (schema.ttl subPropertyOf)
+    rows = TINY + [("g1", "genbank_id", "KX12345", "")]
+    df = _run(spark, _t(spark, rows), PFX + """
+        SELECT ?acc WHERE { ?gid f:seqid ?acc . }""")
+    assert [r.acc for r in df.collect()] == ["KX12345"]
+
+
+def test_union_partial_var_then_join_compat(spark):
+    # get-tagged-segment.rq shape: one UNION branch binds ?gid, others
+    # leave it unbound; a later pattern joins ?gid — unbound must stay
+    # compatible (match anything), not null-key-drop
+    rows = TINY + [("s1", "barcode", "A01", "")]
+    df = _run(spark, _t(spark, rows), PFX + """
+        SELECT DISTINCT ?sid ?seg WHERE {
+          { ?sid f:barcode "A01" . }
+          UNION
+          { ?sid f:has_segment ?gid . ?gid f:segment_name "NA" . }
+          ?sid f:has_segment ?gid .
+          ?gid f:segment_name ?seg .
+        }""")
+    got = {(r.sid, r.seg) for r in df.collect()}
+    assert got == {("s1", "HA"), ("s2", "NA")}
+
+
+def test_unbound_filter_var_raises(spark):
+    with pytest.raises(SparqlError, match="unbound var"):
+        _run(spark, _t(spark, TINY), PFX + """
+            SELECT ?s WHERE { ?s f:host ?h . FILTER (?nope = "x") . }""")
+
+
+# -------------------------------------------------------------------------
+# differential: compiled reference .rq == hand-built named plan
+# -------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.plans.views import GraphViews
+    from octofludb_spark.sources.synth import source_table
+
+    from octofludb_spark.plans.enrich import (
+        enrich_classifications,
+        enrich_constellations,
+        enrich_subtypes,
+    )
+
+    root = str(tmp_path_factory.mktemp("sparql") / "store")
+    # 600 docs: enough corpus density that some strain passes monthly-
+    # context.rq's full gauntlet (barcode+swine+USA+date+subtype+HA+NA
+    # with clades on both)
+    store = build_graph(spark, source_table(spark, 600, partitions=8),
+                        root, run_ts="t")
+    # the pull DAG's enrichment rounds add clades/constellations/
+    # subtypes — monthly-context.rq REQUIRES ha/na clades (inner join)
+    enrich_classifications(spark, store)
+    enrich_constellations(spark, store)
+    enrich_subtypes(spark, store)
+    raw = store.read(spark, "triples")
+    return store, raw, GraphViews(raw)
+
+
+def _rq(name):
+    return open(os.path.join(RQ_DIR, name)).read()
+
+
+def _rows(df):
+    return {tuple("" if v is None else str(v) for v in r) for r in df.collect()}
+
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(RQ_DIR),
+                               reason="reference not present")
+
+
+@needs_ref
+def test_rq_all_acc_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import all_accessions
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("all-acc.rq"))
+    want = all_accessions(v)
+    assert _rows(got), "fixture produced no accessions"
+    assert _rows(got) == _rows(want.select(*want.columns))
+
+
+@needs_ref
+def test_rq_segments_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import segments_query
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("segments.rq"))
+    want = segments_query(v).select("strain", "segment", "clade")
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_subtypes_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import subtypes_query
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("subtypes.rq")).select(
+        "strain_name", "segment_name", "isolates", "segment_subtypes",
+        "gisaid_subtypes", "genbank_subtypes")
+    want = subtypes_query(v).select(
+        "strain_name", "segment_name", "isolates", "segment_subtypes",
+        "gisaid_subtypes", "genbank_subtypes")
+    assert _rows(got), "fixture produced no subtype rows"
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_h1_sequences_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import h_sequences
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("get-h1-sequences.rq"))
+    want = h_sequences(v, "H1N").select("seqid", "seq")
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_unclassified_swine_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import unclassified_swine
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("fetch-unclassified-swine.rq"))
+    want = unclassified_swine(v).select("seqid", "seq")
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_masterlist_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import masterlist_query
+
+    _store, raw, v = built
+    want = masterlist_query(v)
+    got = _run(spark, raw, _rq("masterlist.rq")).select(*want.columns)
+    assert _rows(got), "fixture produced no masterlist rows"
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_wgs_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import wgs_report
+
+    _store, raw, v = built
+    # pick a (year, month) that exists in the fixture
+    y_m = (
+        v.pred_typed("date", s="sid", o="d")
+        .where(F.col("dt") == "xsd:date")
+        .select(F.substring("d", 1, 4).cast("int").alias("y"),
+                F.substring("d", 6, 2).cast("int").alias("m"))
+        .groupBy("y", "m").count().orderBy(F.desc("count")).first()
+    )
+    year, month = int(y_m.y), int(y_m.m)
+    want = wgs_report(v, year, month)
+    got = _run(spark, raw, _rq("wgs.rq"),
+               macros={"__YEAR__": year, "__MONTH__": month})
+    got = got.select(*want.columns)
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_monthly_context_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import monthly_context
+
+    _store, raw, v = built
+    lo, hi = "2000-01-01", "2100-01-01"
+    want = monthly_context(v, lo, hi)
+    got = _run(spark, raw, _rq("monthly-context.rq"),
+               macros={"__MIN_DATE__": lo, "__MAX_DATE__": hi})
+    got = got.select(*want.columns)
+    assert _rows(got), "fixture produced no monthly-context rows"
+    assert _rows(got) == _rows(want)
+
+
+@pytest.fixture(scope="module")
+def tagged(spark, built):
+    """Tag two strain names and one segment seqid (hits 3 of the 4
+    UNION branches) and return the re-read store view."""
+    from octofludb_spark.plans import maintenance as M
+    from octofludb_spark.plans.views import GraphViews
+
+    store, raw, v = built
+    # tag strains whose segments carry a chksum+seqid (the segment
+    # report requires both), plus one raw genbank accession
+    chk = (
+        v.pred("strain_name", s="sid", o="strain")
+        .join(v.pred("has_segment", s="sid", o="gid"), "sid")
+        .join(v.pred("chksum", s="gid", o="_c"), "gid")
+        .join(v.pred("seqid", s="gid", o="acc"), "gid")
+    )
+    strains = [r.strain for r in
+               chk.select("strain").distinct().limit(2).collect()]
+    gb = [r.acc for r in chk.select("acc").distinct().limit(1).collect()]
+    ids = strains + gb
+    assert len(ids) >= 2
+    store.merge_triples(spark, M.query_tag_triples(spark, ids))
+    raw2 = store.read(spark, "triples")
+    return raw2, GraphViews(raw2)
+
+
+@needs_ref
+def test_rq_tagged_segment_matches_plan(spark, tagged):
+    from octofludb_spark.plans.reports import tagged_segments
+
+    raw2, v2 = tagged
+    want = tagged_segments(v2)
+    got = _run(spark, raw2, _rq("get-tagged-segment.rq")).select(*want.columns)
+    assert _rows(got), "no tag-matched segments in fixture"
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_tagged_strain_matches_plan(spark, tagged):
+    from octofludb_spark.plans.reports import tagged_strains
+
+    raw2, v2 = tagged
+    want = tagged_strains(v2)
+    got = _run(spark, raw2, _rq("get-tagged-strain.rq")).select(*want.columns)
+    assert _rows(got), "no tag-matched strains in fixture"
+    assert _rows(got) == _rows(want)
+
+
+def test_cli_query_rq_file(spark, built, tmp_path, capsys):
+    """`query <store> file.rq` end-to-end through the CLI."""
+    from octofludb_spark import cli
+
+    store, _raw, _v = built
+    rq = str(tmp_path / "acc.rq")
+    with open(rq, "w") as f:
+        f.write(
+            "PREFIX f: <https://flu-crew.org/term/>\n"
+            "PREFIX onto: <http://www.ontotext.com/>\n"
+            "SELECT DISTINCT ?acc FROM onto:disable-sameAs WHERE {\n"
+            "  ?gid f:genbank_id ?acc . ?gid f:dnaseq ?seq .\n"
+            "}\n")
+    assert cli.main(["query", store.root, rq]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "acc"
+    assert len(out) > 1
