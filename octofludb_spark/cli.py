@@ -315,6 +315,21 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Reference `update` (ui.py:538-552): run a SPARQL DELETE/WHERE
+    file against the store (the named delete ops remain under
+    `delete`; this runs arbitrary .rq update files)."""
+    from octofludb_spark.plans.sparql import sparql_update
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    macros = dict(a.split("=", 1) for a in args.args if "=" in a)
+    n = sparql_update(spark, TripleStore(args.store),
+                      open(args.file).read(), macros=macros)
+    print(f"deleted {n} triples", file=sys.stderr)
+    return 0
+
+
 def cmd_init(args) -> int:
     """Reference `init` (ui.py:120-160): create an empty database.
     Here: the store root plus a committed empty manifest, so every
@@ -487,6 +502,12 @@ def main(argv=None) -> int:
                                      "us_clades", "gl_clades", "motifs",
                                      "query-tags"])
     sd.set_defaults(fn=cmd_delete)
+
+    su2 = sub.add_parser("update")
+    su2.add_argument("store")
+    su2.add_argument("file")
+    su2.add_argument("args", nargs="*", help="KEY=VALUE macro substitutions")
+    su2.set_defaults(fn=cmd_update)
 
     si = sub.add_parser("init")
     si.add_argument("store")

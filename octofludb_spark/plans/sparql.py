@@ -441,16 +441,21 @@ def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
     steps = []
     cur_s = subj
     for k, p in enumerate(path):
-        if p[0] != "iri":
-            raise SparqlError("variable predicates are not supported")
+        if p[0] == "var" and len(path) > 1:
+            raise SparqlError("variable predicates in property paths "
+                              "are not supported")
         cur_o = obj if k == len(path) - 1 else ("var", f"__mid{id(path)}_{k}")
-        steps.append((cur_s, p[1], cur_o))
+        steps.append((cur_s, p, cur_o))
         cur_s = cur_o
     df = None
-    for (s, p_iri, o) in steps:
-        pred = OWL_SAMEAS if p_iri.endswith("sameAs") else p_iri
-        scan = triples.where(_pred_condition(pred))
+    for (s, p, o) in steps:
         cols = []
+        if p[0] == "var":
+            scan = triples  # ?s ?p ?o — full scan, predicate projected
+            cols.append(F.col("predicate").alias(p[1]))
+        else:
+            pred = OWL_SAMEAS if p[1].endswith("sameAs") else p[1]
+            scan = triples.where(_pred_condition(pred))
         if s[0] == "var":
             cols.append(F.col("subject").alias(s[1]))
         else:
@@ -719,6 +724,83 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
     if ast["limit"] is not None:
         df = df.limit(ast["limit"])
     return df
+
+
+def parse_sparql_update(text: str,
+                        macros: dict[str, str] | None = None) -> dict:
+    """Parse a DELETE { templates } WHERE { patterns } update (the
+    reference's `update FILE.rq` surface, ui.py:538-552; the 7 shipped
+    update files are all delete-shaped)."""
+    for k, v in (macros or {}).items():
+        text = text.replace(k, str(v))
+    p = _Parser(tokenize(text))
+    while p.kw() == "PREFIX":
+        p.next()
+        pname = p.next()
+        if not pname.endswith(":"):
+            pname = pname.split(":", 1)[0] + ":"
+        iri_tok = p.next()
+        p.prefixes[pname[:-1]] = iri_tok[1:-1]
+    if p.kw() == "INSERT":
+        raise SparqlError("INSERT updates are not supported — use the "
+                          "upload/merge path for additions")
+    p.expect("DELETE")
+    templates = [el for el in p.parse_ggp() if el[0] == "triple"]
+    if not templates:
+        raise SparqlError("DELETE with no template triples")
+    p.expect("WHERE")
+    where = p.parse_ggp()
+    return {"templates": templates, "where": where}
+
+
+def compile_update_rows(ast: dict, triples: DataFrame) -> DataFrame:
+    """The (subject, predicate, object_lex) rows a DELETE/WHERE update
+    removes: solve WHERE, instantiate each template against every
+    solution."""
+    sol, _nulls = _compile_group(ast["where"], triples)
+    outs = []
+    for (_tag, s, path, o) in ast["templates"]:
+        if len(path) != 1:
+            raise SparqlError("property paths in DELETE templates are "
+                              "not supported")
+        p = path[0]
+
+        def term_col(t):
+            if t[0] == "var":
+                if t[1] not in sol.columns:
+                    raise SparqlError(
+                        f"template var ?{t[1]} is not bound by WHERE")
+                return F.col(t[1])
+            if t[0] == "iri":
+                return F.lit(t[1])
+            return F.lit(str(t[1]))
+
+        outs.append(sol.select(
+            term_col(s).alias("subject"),
+            term_col(p).alias("predicate"),
+            term_col(o).alias("object_lex"),
+        ))
+    df = outs[0]
+    for extra in outs[1:]:
+        df = df.unionByName(extra)
+    return df.dropDuplicates()
+
+
+def sparql_update(spark, store, text: str,
+                  macros: dict[str, str] | None = None) -> int:
+    """Run a DELETE/WHERE update file against a TripleStore: solves the
+    WHERE over the raw triples, instantiates the delete templates, and
+    removes the rows (canonical view mirrored).  Returns rows deleted."""
+    ast = parse_sparql_update(text, macros=macros)
+    raw = store.read(spark, "triples")
+    if raw is None:
+        return 0
+    rows = compile_update_rows(ast, raw).persist()
+    n = rows.count()
+    if n:
+        store.delete_rows(spark, rows, stage=None)
+    rows.unpersist()
+    return n
 
 
 def sparql_to_df(spark, text: str, triples_raw: DataFrame,

@@ -299,6 +299,44 @@ class TripleStore:
                            bucket_by_subject=True)
         return out
 
+    def delete_rows(self, spark: SparkSession, rows: DataFrame,
+                    table: str = "triples", stage: str | None = None) -> str:
+        """SPARQL-UPDATE-style row deletion: remove every triple whose
+        (subject, predicate, object_lex) matches a row (all dtypes of
+        a matching lexical are the pattern's solutions, so the 3-key
+        is exact DELETE WHERE semantics).  A delete from the live
+        ``triples`` table mirrors onto ``triples_canonical`` through
+        the alias map, same policy as delete_where."""
+        key3 = ["subject", "predicate", "object_lex"]
+        dels = rows.select(*key3).dropDuplicates()
+        current = self.read(spark, table)
+        if current is None:
+            raise ValueError(f"no such table {table}")
+        # recover dtypes for the matched rows BEFORE the rewrite — the
+        # canonical mirror rewrites uri objects through the alias map,
+        # which needs the real object_dtype
+        matched = (current.join(F.broadcast(dels), key3, "left_semi")
+                   .select(*TRIPLE_KEY).dropDuplicates())
+        remaining = current.join(F.broadcast(dels), key3, "left_anti")
+        out = self.write(remaining, table, stage=stage,
+                         bucket_by_subject=True)
+        if table == "triples":
+            cur_c = self.read(spark, "triples_canonical")
+            if cur_c is not None:
+                from octofludb_spark.ops.canonicalize import (BROADCAST_LIMIT,
+                                                              canonicalize)
+
+                mapping = self.read(spark, "canonical_map")
+                cdels = dels if mapping is None else canonicalize(
+                    matched,
+                    mapping.select("node", "canonical"),
+                    use_broadcast=mapping.count() <= BROADCAST_LIMIT,
+                ).select(*key3).dropDuplicates()
+                self.write(
+                    cur_c.join(F.broadcast(cdels), key3, "left_anti"),
+                    "triples_canonical", bucket_by_subject=True)
+        return out
+
     def read(self, spark: SparkSession, table: str = "triples",
              as_of: int | None = None) -> DataFrame | None:
         """Current snapshot = the primary snapshot plus any appended

@@ -411,3 +411,82 @@ def test_cli_query_rq_file(spark, built, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "acc"
     assert len(out) > 1
+
+
+# -------------------------------------------------------------------------
+# SPARQL UPDATE (DELETE/WHERE): the reference's update FILE.rq surface
+# -------------------------------------------------------------------------
+
+@needs_ref
+def test_sparql_update_delete_files(spark, tmp_path):
+    """Run the shipped delete-*.rq / clear-query-tags.rq files through
+    sparql_update on a real store: exact template semantics, canonical
+    mirror kept in sync."""
+    import pandas as pd
+
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.plans import maintenance as M
+    from octofludb_spark.plans.sparql import sparql_update
+    from octofludb_spark.sources.synth import source_table
+
+    FT = "https://flu-crew.org/term/"
+    store = build_graph(spark, source_table(spark, 60, partitions=4),
+                        str(tmp_path / "st"), run_ts="t")
+    extra = spark.createDataFrame(pd.DataFrame({
+        "subject": ["g_m", "g_m", "g_m", "s_x"],
+        "predicate": [FT + "genbank_id", FT + "h3_motif",
+                      FT + "description", FT + "subtype"],
+        "object_lex": ["KX999", "MOTIFVAL", "MOTIFVAL", "H9N9"],
+        "object_dtype": ["", "", "", ""],
+    }))
+    store.merge_triples(spark, extra)
+    raw = store.read(spark, "triples")
+
+    # delete-motifs.rq: DELETE { ?s ?p ?motif } — removes the motif
+    # triple AND the same-valued description triple (the reference
+    # query's any-predicate template), but NOT the genbank_id
+    n = sparql_update(spark, store,
+                      open(os.path.join(RQ_DIR, "delete-motifs.rq")).read())
+    assert n == 2
+    after = store.read(spark, "triples").where(F.col("subject") == "g_m")
+    assert {r.predicate for r in after.collect()} == {FT + "genbank_id"}
+
+    # delete-subtypes.rq: every f:subtype triple goes, raw + canonical
+    assert store.read(spark, "triples").where(
+        F.col("predicate") == FT + "subtype").count() > 0
+    sparql_update(spark, store,
+                  open(os.path.join(RQ_DIR, "delete-subtypes.rq")).read())
+    for table in ("triples", "triples_canonical"):
+        assert store.read(spark, table).where(
+            F.col("predicate") == FT + "subtype").count() == 0
+
+    # clear-query-tags.rq round-trip
+    store.merge_triples(spark, M.query_tag_triples(spark, ["KX999"]))
+    qt = F.col("predicate") == FT + "query_tag"
+    assert store.read(spark, "triples").where(qt).count() == 1
+    n = sparql_update(spark, store,
+                      open(os.path.join(RQ_DIR,
+                                        "clear-query-tags.rq")).read())
+    assert n == 1
+    assert store.read(spark, "triples").where(qt).count() == 0
+
+
+@needs_ref
+def test_cli_update_rq_file(spark, tmp_path, capsys):
+    from octofludb_spark import cli
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.sources.synth import source_table
+
+    store = build_graph(spark, source_table(spark, 40, partitions=2),
+                        str(tmp_path / "st"), run_ts="t")
+    rq = os.path.join(RQ_DIR, "delete-constellations.rq")
+    assert cli.main(["update", store.root, rq]) == 0
+    assert "deleted" in capsys.readouterr().err
+
+
+def test_update_insert_rejected(spark):
+    from octofludb_spark.plans.sparql import parse_sparql_update
+
+    with pytest.raises(SparqlError, match="INSERT"):
+        parse_sparql_update(
+            "INSERT { ?s <urn:p> 1 . } WHERE { ?s <urn:q> ?o . }")
