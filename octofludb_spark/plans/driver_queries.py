@@ -1099,6 +1099,26 @@ def kg_wgs_report(spark, sf):
     return wgs_report(GraphViews(triples), 2009, 6)
 
 
+@q("sparql_compile_wgs", _WGS_SQL)
+def sparql_compile_wgs(spark, sf):
+    """The SPARQL-subset compiler under the cross-engine gate: the
+    reference's OWN wgs.rq file, COMPILED to a DataFrame plan
+    (plans/sparql.py) — not hand-translated — over the staged KG
+    triples.  Same DuckDB oracle as kg_wgs_report, so the compiled
+    plan's values are hash-checked against an independent relational
+    recomputation."""
+    from octofludb_spark.plans.sparql import sparql_to_df
+
+    triples, _ = _stage_kg(spark)
+    text = open("/root/reference/octofludb/data/wgs.rq").read()
+    df = sparql_to_df(spark, text, triples,
+                      macros={"__YEAR__": 2009, "__MONTH__": 6})
+    return df.select(
+        "strain", "host", "year", "month", "barcode", "subtype", "day",
+        "country", "state", "source", "h_genbank", "n_genbank", "const",
+        "ha_clade", "na_clade", "ha_gl_clade")
+
+
 @q("kg_subtype_report", _SUBTYPE_SQL)
 def kg_subtype_report(spark, sf):
     """Subtype priority-lattice report (A6) over the built graph.

@@ -592,6 +592,8 @@ def _compile_expr(expr, df: DataFrame):
 
 def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
     g = _Group(triples)
+    pending: list = []  # leading OPTIONALs, deferred until a required
+    # element binds the group (see below)
 
     def join_in(df, nulls, how="inner"):
         if g.df is None:
@@ -599,6 +601,10 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
         else:
             g.df, g.maybe_null = _compat_join(
                 g.df, g.maybe_null, df, nulls, how=how)
+        while g.df is not None and pending:
+            sub, sub_nulls = pending.pop(0)
+            g.df, g.maybe_null = _compat_join(
+                g.df, g.maybe_null, sub, sub_nulls, how="left")
 
     for el in elements:
         kind = el[0]
@@ -608,10 +614,15 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
         elif kind == "optional":
             sub, sub_nulls = _compile_group(el[1], triples)
             if g.df is None:
-                # LeftJoin(unit, P) = P when P is nonempty (algebra);
-                # the empty-P unit row is not representable and unused
-                # by the shipped queries
-                g.df, g.maybe_null = sub, set(sub_nulls)
+                # A leading OPTIONAL under strict SPARQL algebra is
+                # LeftJoin(unit, P) = P — which makes it effectively
+                # REQUIRED once later patterns join it (the classic
+                # leading-OPTIONAL trap; wgs.rq:28 opens with
+                # OPTIONAL barcode).  The reference's own report
+                # plans treat it as a left join of the group's
+                # required core, which is the author intent — defer
+                # it until the group has a required binding.
+                pending.append((sub, set(sub_nulls)))
             else:
                 join_in(sub, sub_nulls, how="left")
         elif kind == "union":
@@ -642,6 +653,13 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
         else:
             raise SparqlError(f"unsupported element {kind!r}")
 
+    if g.df is None and pending:
+        # group of only OPTIONALs: fold them left-to-right
+        g.df, g.maybe_null = pending.pop(0)
+        while pending:
+            sub, sub_nulls = pending.pop(0)
+            g.df, g.maybe_null = _compat_join(
+                g.df, g.maybe_null, sub, sub_nulls, how="left")
     if g.df is None:
         raise SparqlError("empty group pattern")
 
