@@ -315,6 +315,28 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_construct(args) -> int:
+    """Reference `construct` (ui.py:517-535): run a SPARQL CONSTRUCT
+    file and print the produced triples as turtle."""
+    from octofludb_spark.plans.sparql import (
+        compile_construct,
+        parse_sparql_construct,
+    )
+    from octofludb_spark.plans.turtle import triples_to_turtle
+    from octofludb_spark.sources.store import TripleStore
+
+    spark = _spark(args.cores)
+    macros = dict(a.split("=", 1) for a in args.args if "=" in a)
+    raw = TripleStore(args.store).read(spark, "triples")
+    if raw is None:
+        print("empty store", file=sys.stderr)
+        return 1
+    ast = parse_sparql_construct(open(args.file).read(), macros=macros)
+    out = compile_construct(ast, raw).toPandas()
+    sys.stdout.write(triples_to_turtle(out))
+    return 0
+
+
 def cmd_update(args) -> int:
     """Reference `update` (ui.py:538-552): run a SPARQL DELETE/WHERE
     file against the store (the named delete ops remain under
@@ -502,6 +524,12 @@ def main(argv=None) -> int:
                                      "us_clades", "gl_clades", "motifs",
                                      "query-tags"])
     sd.set_defaults(fn=cmd_delete)
+
+    sco = sub.add_parser("construct")
+    sco.add_argument("store")
+    sco.add_argument("file")
+    sco.add_argument("args", nargs="*", help="KEY=VALUE macro substitutions")
+    sco.set_defaults(fn=cmd_construct)
 
     su2 = sub.add_parser("update")
     su2.add_argument("store")

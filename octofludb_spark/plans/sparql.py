@@ -821,6 +821,95 @@ def sparql_update(spark, store, text: str,
     return n
 
 
+def _where_var_kinds(elements: list) -> set:
+    """Vars that bind IRIs by construction: any var appearing in a
+    subject or predicate position of the WHERE pattern tree."""
+    uri_vars: set = set()
+
+    def walk(els):
+        for el in els:
+            if el[0] == "triple":
+                if el[1][0] == "var":
+                    uri_vars.add(el[1][1])
+                for p in el[2]:
+                    if p[0] == "var":
+                        uri_vars.add(p[1])
+            elif el[0] in ("optional", "not_exists", "exists", "minus"):
+                walk(el[1])
+            elif el[0] == "union":
+                for b in el[1]:
+                    walk(b)
+    walk(elements)
+    return uri_vars
+
+
+def parse_sparql_construct(text: str,
+                           macros: dict[str, str] | None = None) -> dict:
+    """CONSTRUCT { templates } WHERE { patterns } (the reference's
+    `construct FILE.rq` surface, ui.py:517-535)."""
+    for k, v in (macros or {}).items():
+        text = text.replace(k, str(v))
+    p = _Parser(tokenize(text))
+    while p.kw() == "PREFIX":
+        p.next()
+        pname = p.next()
+        if not pname.endswith(":"):
+            pname = pname.split(":", 1)[0] + ":"
+        iri_tok = p.next()
+        p.prefixes[pname[:-1]] = iri_tok[1:-1]
+    p.expect("CONSTRUCT")
+    templates = [el for el in p.parse_ggp() if el[0] == "triple"]
+    if not templates:
+        raise SparqlError("CONSTRUCT with no template triples")
+    p.expect("WHERE")
+    where = p.parse_ggp()
+    return {"templates": templates, "where": where}
+
+
+def compile_construct(ast: dict, triples: DataFrame) -> DataFrame:
+    """CONSTRUCT -> a (subject, predicate, object_lex, object_dtype)
+    triple DataFrame, mergeable/serializable like any extraction
+    output.  Object dtype: 'uri' for IRI terms and for vars that bind
+    IRIs by construction (subject/predicate position in WHERE), ''
+    otherwise (the WHERE solution carries lexicals only)."""
+    sol, _nulls = _compile_group(ast["where"], triples)
+    uri_vars = _where_var_kinds(ast["where"])
+    outs = []
+    for (_tag, s, path, o) in ast["templates"]:
+        if len(path) != 1:
+            raise SparqlError("property paths in CONSTRUCT templates "
+                              "are not supported")
+        p = path[0]
+
+        def term_col(t):
+            if t[0] == "var":
+                if t[1] not in sol.columns:
+                    raise SparqlError(
+                        f"template var ?{t[1]} is not bound by WHERE")
+                return F.col(t[1])
+            if t[0] == "iri":
+                return F.lit(t[1])
+            return F.lit(str(t[1]))
+
+        if o[0] == "iri" or (o[0] == "var" and o[1] in uri_vars):
+            dt = F.lit("uri")
+        elif o[0] == "lit" and o[2]:
+            dt = F.lit(o[2])
+        else:
+            dt = F.lit("")
+        outs.append(sol.select(
+            term_col(s).alias("subject"),
+            term_col(p).alias("predicate"),
+            term_col(o).alias("object_lex"),
+            dt.alias("object_dtype"),
+        ).where(F.col("subject").isNotNull()
+                & F.col("object_lex").isNotNull()))
+    df = outs[0]
+    for extra in outs[1:]:
+        df = df.unionByName(extra)
+    return df.dropDuplicates()
+
+
 def sparql_to_df(spark, text: str, triples_raw: DataFrame,
                  triples_canonical: DataFrame | None = None,
                  macros: dict[str, str] | None = None) -> DataFrame:

@@ -490,3 +490,88 @@ def test_update_insert_rejected(spark):
     with pytest.raises(SparqlError, match="INSERT"):
         parse_sparql_update(
             "INSERT { ?s <urn:p> 1 . } WHERE { ?s <urn:q> ?o . }")
+
+
+# -------------------------------------------------------------------------
+# CONSTRUCT
+# -------------------------------------------------------------------------
+
+def test_construct_produces_triples(spark):
+    from octofludb_spark.plans.sparql import (
+        compile_construct,
+        parse_sparql_construct,
+    )
+
+    ast = parse_sparql_construct(PFX + """
+        CONSTRUCT { ?sid f:derived_clade ?clade . }
+        WHERE {
+          ?sid f:has_segment ?gid .
+          ?gid f:clade ?clade .
+        }""")
+    out = compile_construct(ast, _t(spark, TINY))
+    rows = {(r.subject, r.predicate, r.object_lex, r.object_dtype)
+            for r in out.collect()}
+    assert rows == {("s1", NT + "derived_clade", "1A.1", "")}
+
+
+def test_construct_uri_object_dtype(spark):
+    # the object var binds subjects elsewhere in WHERE => emitted as uri
+    from octofludb_spark.plans.sparql import (
+        compile_construct,
+        parse_sparql_construct,
+    )
+
+    ast = parse_sparql_construct(PFX + """
+        CONSTRUCT { ?gid f:part_of ?sid . }
+        WHERE { ?sid f:has_segment ?gid . ?gid f:segment_name "HA" . }""")
+    out = compile_construct(ast, _t(spark, TINY))
+    rows = {(r.subject, r.object_lex, r.object_dtype) for r in out.collect()}
+    assert rows == {("g1", "s1", "uri")}
+
+
+def test_cli_construct_rq_file(spark, tmp_path, capsys):
+    from octofludb_spark import cli
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.sources.synth import source_table
+
+    store = build_graph(spark, source_table(spark, 40, partitions=2),
+                        str(tmp_path / "st"), run_ts="t")
+    rq = str(tmp_path / "c.rq")
+    with open(rq, "w") as f:
+        f.write(
+            "PREFIX f: <https://flu-crew.org/term/>\n"
+            "CONSTRUCT { ?sid f:is_strain \"yes\" . }\n"
+            "WHERE { ?sid f:strain_name ?n . }\n")
+    assert cli.main(["construct", store.root, rq]) == 0
+    out = capsys.readouterr().out
+    assert 'f:is_strain "yes"' in out
+
+
+# -------------------------------------------------------------------------
+# physical-plan audit: compiled queries must stay hash-joinable
+# -------------------------------------------------------------------------
+
+@needs_ref
+def test_compiled_plans_have_no_nested_loop_joins(spark, built):
+    """The unbound-compatibility residual must ride on equi hash keys,
+    never degrade to BroadcastNestedLoopJoin/CartesianProduct — at
+    100 TB a nested-loop self-join of the triple relation is fatal."""
+    _store, raw, _v = built
+    for name in ("get-tagged-segment.rq", "masterlist.rq",
+                 "get-tagged-strain.rq", "subtypes.rq"):
+        df = _run(spark, raw, _rq(name))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+@needs_ref
+def test_compiled_scan_pushes_predicate_filter(spark, built):
+    """Each triple-pattern scan filters on `predicate` at the parquet
+    source (PushedFilters), so a pattern reads one predicate's rows,
+    not the whole relation."""
+    _store, raw, _v = built
+    df = _run(spark, raw, PFX + """
+        SELECT ?s ?o WHERE { ?s f:strain_name ?o . }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "predicate" in plan
