@@ -590,6 +590,152 @@ def _compile_expr(expr, df: DataFrame):
     raise SparqlError(f"unsupported expression {expr!r}")
 
 
+def _closure_iris(path_iri: str) -> list[str]:
+    if path_iri.startswith(NT):
+        names = SUBPROP.get(path_iri[len(NT):])
+        if names:
+            return [NT + n for n in names]
+    return [path_iri]
+
+
+_DUP_INSENSITIVE = {"MIN", "MAX"}  # + GROUP_CONCAT/COUNT when DISTINCT
+
+
+def _agg_dup_insensitive(p) -> bool:
+    _tag, fn, distinct, _arg, _sep, _alias = p
+    return fn in _DUP_INSENSITIVE or (
+        fn in ("GROUP_CONCAT", "COUNT") and distinct)
+
+
+def _count_var_uses(elements: list, uses: dict) -> None:
+    """var name -> occurrence count across the whole pattern tree."""
+    def expr_vars(e):
+        k = e[0]
+        if k in ("var", "bound"):
+            uses[e[1]] = uses.get(e[1], 0) + 1
+        elif k in ("or", "and"):
+            expr_vars(e[1])
+            expr_vars(e[2])
+        elif k == "not":
+            expr_vars(e[1])
+        elif k == "cmp":
+            expr_vars(e[2])
+            expr_vars(e[3])
+        elif k == "regex":
+            expr_vars(e[1])
+        elif k == "func":
+            expr_vars(e[2])
+
+    for el in elements:
+        if el[0] == "triple":
+            for t in (el[1], *el[2], el[3]):
+                if t[0] == "var":
+                    uses[t[1]] = uses.get(t[1], 0) + 1
+        elif el[0] in ("optional", "not_exists", "exists", "minus"):
+            _count_var_uses(el[1], uses)
+        elif el[0] == "union":
+            for b in el[1]:
+                _count_var_uses(b, uses)
+        elif el[0] == "filter":
+            expr_vars(el[1])
+        elif el[0] == "bind":
+            expr_vars(el[1])
+            uses[el[2]] = uses.get(el[2], 0) + 1
+
+
+def _star_pivot_rewrite(ast: dict) -> tuple[list, set]:
+    """Rewrite star-shaped attribute patterns into ONE pivot scan per
+    subject var (the masterlist_query_fast plan, generalized): when a
+    query projects only duplicate-insensitive aggregates, every
+    top-level pattern ``?x <p> ?v`` (required or single-pattern
+    OPTIONAL) whose ?v is used ONLY in such aggregates collapses into
+    a per-?x collect_set column of a single predicate-IN scan.  A
+    15-predicate report star compiles to one shuffle instead of 15.
+
+    Multiplicity safety: removing the row-multiplying joins is exact
+    because every projected aggregate ignores duplicates, bare
+    projections are group keys, and ?v appears nowhere else (no
+    filters, no joins).  Returns (rewritten elements, array-var set)."""
+    projections = ast["projections"]
+    aggs = [p for p in projections if p[0] == "agg"]
+    if not aggs or not all(_agg_dup_insensitive(p) for p in aggs):
+        return ast["where"], set()
+    uses: dict = {}
+    _count_var_uses(ast["where"], uses)
+    banned = set(ast["group_by"]) | {v for v, _d in ast["order_by"]} | {
+        p[1] for p in projections if p[0] == "var"}
+    agg_vars = {p[3][1] for p in aggs if p[3][0] == "var"}
+
+    def candidate(el):
+        """-> (x, closure, v, required) or None."""
+        required = el[0] == "triple"
+        t = el if required else (
+            el[1][0] if el[0] == "optional" and len(el[1]) == 1
+            and el[1][0][0] == "triple" else None)
+        if t is None:
+            return None
+        s, path, o = t[1], t[2], t[3]
+        if (s[0] != "var" or o[0] != "var" or len(path) != 1
+                or path[0][0] != "iri"):
+            return None
+        v = o[1]
+        if (v == s[1] or uses.get(v, 0) != 1 or v in banned
+                or v not in agg_vars):
+            return None
+        return (s[1], _closure_iris(path[0][1]), v, required)
+
+    by_subject: dict = {}
+    for i, el in enumerate(ast["where"]):
+        c = candidate(el)
+        if c:
+            by_subject.setdefault(c[0], []).append((i, c))
+    out = list(ast["where"])
+    array_vars: set = set()
+    for x, cands in by_subject.items():
+        if len(cands) < 2:
+            continue
+        # closures must not overlap (predicate -> var must be unique)
+        seen: set = set()
+        ok = []
+        for i, (xv, closure, v, req) in cands:
+            if seen & set(closure):
+                continue
+            seen |= set(closure)
+            ok.append((i, (xv, closure, v, req)))
+        if len(ok) < 2:
+            continue
+        first = ok[0][0]
+        specs = [c for _i, c in ok]
+        out[first] = ("prebuilt", x, specs)
+        for i, _c in ok[1:]:
+            out[i] = None
+        array_vars |= {v for (_x, _cl, v, _r) in specs}
+    return [el for el in out if el is not None], array_vars
+
+
+def _build_pivot(triples: DataFrame, x: str, specs: list) -> tuple[
+        DataFrame, set, bool]:
+    """One scan over all star predicates, grouped per subject into
+    collect_set array columns; required attrs filter on nonempty."""
+    all_iris = sorted({i for (_x, cl, _v, _r) in specs for i in cl})
+    base = triples.where(F.col("predicate").isin(all_iris)).select(
+        F.col("subject").alias(x), "predicate", "object_lex")
+    agg_cols = [
+        F.collect_set(
+            F.when(F.col("predicate").isin(cl), F.col("object_lex"))
+        ).alias(v)
+        for (_x, cl, v, _r) in specs
+    ]
+    df = base.groupBy(x).agg(*agg_cols)
+    any_required = False
+    for (_x, _cl, v, req) in specs:
+        if req:
+            df = df.where(F.size(F.col(v)) > 0)
+            any_required = True
+    nulls = {v for (_x, _cl, v, req) in specs if not req}
+    return df, nulls, any_required
+
+
 def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
     g = _Group(triples)
     pending: list = []  # leading OPTIONALs, deferred until a required
@@ -611,6 +757,14 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
         if kind == "triple":
             df, _vars = _scan(triples, el[1], el[2], el[3])
             join_in(df, set())
+        elif kind == "prebuilt":
+            df, nulls, any_required = _build_pivot(triples, el[1], el[2])
+            if any_required:
+                join_in(df, nulls)
+            elif g.df is None:
+                pending.append((df, set(nulls)))
+            else:
+                join_in(df, nulls, how="left")
         elif kind == "optional":
             sub, sub_nulls = _compile_group(el[1], triples)
             if g.df is None:
@@ -686,12 +840,26 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
     return g.df, g.maybe_null
 
 
-def _agg_column(proj, df: DataFrame):
+def _agg_column(proj, df: DataFrame, array_vars: set = frozenset()):
     _tag, fn, distinct, arg, sep, alias = proj
     if arg[0] == "star":
         return F.count(F.lit(1)).alias(alias)
     if arg[0] != "var":
         raise SparqlError("aggregate over a non-variable is unsupported")
+    if arg[1] in array_vars:
+        # star-pivot column: the var is a per-subject collect_set array
+        # (rewrite fires only for duplicate-insensitive aggregates)
+        col = F.col(arg[1])
+        merged = F.array_distinct(F.flatten(F.collect_list(col)))
+        if fn == "GROUP_CONCAT":
+            return F.concat_ws(sep, F.sort_array(merged)).alias(alias)
+        if fn == "MIN":
+            return F.min(F.array_min(col)).alias(alias)
+        if fn == "MAX":
+            return F.max(F.array_max(col)).alias(alias)
+        if fn == "COUNT":
+            return F.size(merged).alias(alias)
+        raise SparqlError(f"unexpected pivot aggregate {fn}")
     if arg[1] not in df.columns:
         # aggregating a never-bound var (get-tagged-strain.rq projects
         # ?constellation / ?country which the WHERE never binds):
@@ -716,14 +884,18 @@ def _agg_column(proj, df: DataFrame):
 
 def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
     """Compile a parsed SELECT query over a (subject, predicate,
-    object_lex, object_dtype) triple DataFrame."""
-    df, _nulls = _compile_group(ast["where"], triples)
+    object_lex, object_dtype) triple DataFrame.  Star-shaped
+    aggregate-only attribute patterns compile through a single pivot
+    scan per subject var (see _star_pivot_rewrite)."""
+    where, array_vars = _star_pivot_rewrite(ast)
+    df, _nulls = _compile_group(where, triples)
     projections = ast["projections"]
     group_by = ast["group_by"]
     has_agg = any(p[0] == "agg" for p in projections)
     if group_by or has_agg:
         keys = group_by or []
-        aggs = [_agg_column(p, df) for p in projections if p[0] == "agg"]
+        aggs = [_agg_column(p, df, array_vars)
+                for p in projections if p[0] == "agg"]
         bare = [p[1] for p in projections if p[0] == "var"]
         for v in bare:
             if v not in keys:
