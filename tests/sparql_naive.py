@@ -1,0 +1,273 @@
+"""Independent naive SPARQL evaluator — the fuzz oracle for
+plans/sparql.py.  Evaluates the SAME parsed AST over a list of
+(s, p, o) triples with textbook solution-mapping semantics:
+compatibility joins over binding dicts, left joins for OPTIONAL,
+group-end filters, error-as-drop for type errors.  Deliberately
+shares no code with the compiler beyond the parser."""
+
+from __future__ import annotations
+
+import re
+
+from octofludb_spark.functions.uri import NT, OWL_SAMEAS
+from octofludb_spark.plans.views import SUBPROP
+
+_FULL_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+
+class EvalError(Exception):
+    """SPARQL expression type error — the row is dropped."""
+
+
+def _closure(p_iri):
+    if p_iri.startswith(NT):
+        names = SUBPROP.get(p_iri[len(NT):])
+        if names:
+            return {NT + n for n in names}
+    if p_iri.endswith("sameAs"):
+        return {OWL_SAMEAS}
+    return {p_iri}
+
+
+def _compatible(a: dict, b: dict) -> bool:
+    return all(a[k] == b[k] for k in a.keys() & b.keys())
+
+
+def _join(left: list, right: list) -> list:
+    return [{**a, **b} for a in left for b in right if _compatible(a, b)]
+
+
+def _left_join(left: list, right: list) -> list:
+    out = []
+    for a in left:
+        matches = [{**a, **b} for b in right if _compatible(a, b)]
+        out.extend(matches if matches else [a])
+    return out
+
+
+def _scan(triples, s, path, o):
+    """Solutions of one pattern (paths chain through fresh vars)."""
+    sols = [dict()]
+    cur_s = s
+    for k, p in enumerate(path):
+        cur_o = o if k == len(path) - 1 else ("var", f"__m{id(path)}_{k}")
+        step = []
+        preds = None if p[0] == "var" else _closure(p[1])
+        for (ts, tp, to) in triples:
+            if preds is not None and tp not in preds:
+                continue
+            b = {}
+            if cur_s[0] == "var":
+                b[cur_s[1]] = ts
+            elif ts != cur_s[1]:
+                continue
+            if p[0] == "var":
+                b[p[1]] = tp
+            if cur_o[0] == "var":
+                b[cur_o[1]] = to
+            elif to != (cur_o[1] if cur_o[0] == "iri" else str(cur_o[1])):
+                continue
+            step.append(b)
+        sols = _join(sols, step)
+        cur_s = cur_o
+    # drop path intermediates
+    return [{k: v for k, v in m.items() if not k.startswith("__m")}
+            for m in sols]
+
+
+def _eval_expr(e, b: dict):
+    k = e[0]
+    if k == "var":
+        if e[1] not in b or b[e[1]] is None:
+            raise EvalError(f"unbound ?{e[1]}")
+        return b[e[1]]
+    if k == "lit":
+        return e[1]
+    if k == "num":
+        return e[1]
+    if k == "bound":
+        return e[1] in b and b[e[1]] is not None
+    if k == "or":
+        # SPARQL logical-or: error || true = true, error || false = error
+        try:
+            a = bool(_eval_expr(e[1], b))
+        except EvalError:
+            a = None
+        try:
+            c = bool(_eval_expr(e[2], b))
+        except EvalError:
+            c = None
+        if a is True or c is True:
+            return True
+        if a is None or c is None:
+            raise EvalError("or")
+        return False
+    if k == "and":
+        try:
+            a = bool(_eval_expr(e[1], b))
+        except EvalError:
+            a = None
+        try:
+            c = bool(_eval_expr(e[2], b))
+        except EvalError:
+            c = None
+        if a is False or c is False:
+            return False
+        if a is None or c is None:
+            raise EvalError("and")
+        return True
+    if k == "not":
+        return not _eval_expr(e[1], b)
+    if k == "regex":
+        return re.search(e[2], str(_eval_expr(e[1], b))) is not None
+    if k == "cmp":
+        op, ea, eb = e[1], e[2], e[3]
+        va, vb = _eval_expr(ea, b), _eval_expr(eb, b)
+        for lit_side, other in ((ea, vb), (eb, va)):
+            if lit_side[0] == "lit" and lit_side[2] == "xsd:date" \
+                    and not _FULL_DATE.match(str(other)):
+                raise EvalError("date type error")
+        if isinstance(va, (int, float)) or isinstance(vb, (int, float)):
+            try:
+                va, vb = float(va), float(vb)
+            except (TypeError, ValueError):
+                raise EvalError("numeric cast")
+        return {"=": va == vb, "!=": va != vb, "<": va < vb,
+                ">": va > vb, "<=": va <= vb, ">=": va >= vb}[op]
+    if k == "func":
+        fn = e[1]
+        v = str(_eval_expr(e[2], b))
+        if fn in ("YEAR", "MONTH", "DAY"):
+            if not _FULL_DATE.match(v):
+                raise EvalError("partial date")
+            part = {"YEAR": v[0:4], "MONTH": v[5:7], "DAY": v[8:10]}[fn]
+            return int(part)
+        if fn == "STR":
+            return v
+        if fn == "UCASE":
+            return v.upper()
+        if fn == "LCASE":
+            return v.lower()
+        if fn == "STRLEN":
+            return len(v)
+    raise EvalError(f"unsupported {e!r}")
+
+
+def _eval_group(elements, triples) -> list:
+    sols: list | None = None
+    pending: list = []
+    filters: list = []
+
+    def merge(new, how="inner"):
+        nonlocal sols, pending
+        if sols is None:
+            sols = new
+        else:
+            sols = _join(sols, new) if how == "inner" else \
+                _left_join(sols, new)
+        while pending:
+            sols = _left_join(sols, pending.pop(0))
+
+    for el in elements:
+        k = el[0]
+        if k == "triple":
+            merge(_scan(triples, el[1], el[2], el[3]))
+        elif k == "optional":
+            sub = _eval_group(el[1], triples)
+            if sols is None:
+                pending.append(sub)
+            else:
+                merge(sub, how="left")
+        elif k == "union":
+            branches = []
+            for bch in el[1]:
+                branches.extend(_eval_group(bch, triples))
+            merge(branches)
+        elif k == "bind":
+            if sols is None:
+                raise ValueError("BIND before any pattern")
+            out = []
+            for b in sols:
+                try:
+                    out.append({**b, el[2]: _eval_expr(el[1], b)})
+                except EvalError:
+                    out.append(dict(b))  # var stays unbound
+            sols = out
+        elif k in ("filter", "not_exists", "exists", "minus"):
+            filters.append(el)
+    if sols is None and pending:
+        sols = pending.pop(0)
+        while pending:
+            sols = _left_join(sols, pending.pop(0))
+    if sols is None:
+        raise ValueError("empty group")
+
+    for el in filters:
+        k = el[0]
+        if k == "filter":
+            kept = []
+            for b in sols:
+                try:
+                    if _eval_expr(el[1], b):
+                        kept.append(b)
+                except EvalError:
+                    pass
+            sols = kept
+        elif k in ("not_exists", "minus"):
+            sub = _eval_group(el[1], triples)
+            if k == "minus":
+                sols = [b for b in sols
+                        if not any(_compatible(b, s) and b.keys() & s.keys()
+                                   for s in sub)]
+            else:
+                sols = [b for b in sols
+                        if not any(_compatible(b, s) for s in sub)]
+        elif k == "exists":
+            sub = _eval_group(el[1], triples)
+            sols = [b for b in sols if any(_compatible(b, s) for s in sub)]
+    return sols
+
+
+def evaluate(ast: dict, triples: list) -> set:
+    """-> set of projected tuples (None for unbound), matching the
+    engine's deterministic GROUP_CONCAT (sorted distinct)."""
+    sols = _eval_group(ast["where"], triples)
+    projections = ast["projections"]
+    group_by = ast["group_by"]
+    has_agg = any(p[0] == "agg" for p in projections)
+
+    def key_of(b):
+        return tuple(b.get(k) for k in group_by)
+
+    if group_by or has_agg:
+        groups: dict = {}
+        for b in sols:
+            groups.setdefault(key_of(b), []).append(b)
+        out = set()
+        for key, members in groups.items():
+            row = []
+            for p in projections:
+                if p[0] == "var":
+                    row.append(key[group_by.index(p[1])])
+                    continue
+                _tag, fn, distinct, arg, sep, _alias = p
+                vals = [m[arg[1]] for m in members
+                        if arg[0] == "var" and m.get(arg[1]) is not None]
+                if fn == "GROUP_CONCAT":
+                    vs = sorted(set(vals)) if distinct else sorted(vals)
+                    row.append(sep.join(str(v) for v in vs))
+                elif fn == "MIN":
+                    row.append(min(vals) if vals else None)
+                elif fn == "MAX":
+                    row.append(max(vals) if vals else None)
+                elif fn == "COUNT":
+                    if arg[0] == "star":
+                        row.append(len(members))
+                    else:
+                        row.append(len(set(vals)) if distinct else len(vals))
+                else:
+                    raise ValueError(f"agg {fn}")
+            out.add(tuple(row))
+        return out
+    rows = {tuple(b.get(p[1]) for p in projections) for b in sols}
+    return rows

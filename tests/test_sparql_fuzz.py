@@ -1,0 +1,117 @@
+"""Differential fuzz: the SPARQL compiler vs an independent naive
+solution-mapping evaluator (tests/sparql_naive.py) on random graphs
+and random queries from the supported grammar.  Every seed compares
+full result SETS — any compat-join, pivot-rewrite, filter-scope, or
+aggregation bug shows up as a set mismatch."""
+
+import os
+import random
+
+import pytest
+
+from octofludb_spark.plans.sparql import compile_sparql, parse_sparql
+from tests.sparql_naive import evaluate
+
+NT = "https://flu-crew.org/term/"
+PFX = f"PREFIX f: <{NT}>\n"
+
+SUBJECTS = ["s0", "s1", "s2", "s3"]
+GIDS = ["g0", "g1", "g2"]
+PREDS = ["pp0", "pp1", "pp2"]
+VALUES = ["a", "b", "HA", "swine"]
+DATES = ["2016-03-05", "2019-11-30", "2016", "2021-01-02"]
+
+
+def _graph(rng):
+    rows = []
+    for s in SUBJECTS:
+        for g in GIDS:
+            if rng.random() < 0.5:
+                rows.append((s, "link", g))
+        for p in PREDS:
+            for _ in range(rng.randint(0, 2)):
+                rows.append((s, p, rng.choice(VALUES)))
+        if rng.random() < 0.8:
+            rows.append((s, "dt", rng.choice(DATES)))
+    for g in GIDS:
+        for p in PREDS:
+            if rng.random() < 0.6:
+                rows.append((g, p, rng.choice(VALUES)))
+    return sorted(set(rows))
+
+
+def _query(rng):
+    """Random query text over vars ?x ?y with optional group/aggs."""
+    body = []
+    used_vars = []
+    # core pattern on ?x
+    p0 = rng.choice(PREDS)
+    body.append(f"?x f:{p0} ?v0 .")
+    used_vars.append("v0")
+    if rng.random() < 0.7:
+        body.append("?x f:link ?y .")
+        p1 = rng.choice(PREDS)
+        pat = f"?y f:{p1} ?v1 ."
+        if rng.random() < 0.5:
+            pat = "OPTIONAL { " + pat + " }"
+        body.append(pat)
+        used_vars.append("v1")
+    if rng.random() < 0.5:
+        pat = "?x f:dt ?d ."
+        if rng.random() < 0.3:
+            pat = "OPTIONAL { " + pat + " }"
+        body.append(pat)
+        used_vars.append("d")
+    if rng.random() < 0.4:
+        body.append('{ ?x f:%s "HA" . } UNION { ?x f:%s "swine" . }'
+                    % (rng.choice(PREDS), rng.choice(PREDS)))
+    # filters
+    if rng.random() < 0.4:
+        v = rng.choice(used_vars)
+        kind = rng.randrange(4)
+        if kind == 0:
+            body.append(f'FILTER REGEX(?{v}, "[aH]") .')
+        elif kind == 1:
+            body.append(f'FILTER (?{v} = "{rng.choice(VALUES)}") .')
+        elif kind == 2:
+            body.append(f"FILTER BOUND(?{v}) .")
+        elif kind == 3 and "d" in used_vars:
+            body.append("FILTER (YEAR(?d) > 2015) .")
+    if rng.random() < 0.3:
+        body.append('FILTER NOT EXISTS { ?x f:%s "b" . }' % rng.choice(PREDS))
+
+    grouped = rng.random() < 0.5
+    if grouped:
+        aggs = ['(GROUP_CONCAT(DISTINCT ?v0; separator="+") as ?c0)']
+        if "v1" in used_vars:
+            aggs.append('(MIN(?v1) as ?m1)')
+        if "d" in used_vars and rng.random() < 0.5:
+            aggs.append('(COUNT(DISTINCT ?d) as ?nd)')
+        sel = "SELECT ?x " + " ".join(aggs)
+        tail = " GROUP BY ?x"
+    else:
+        sel = "SELECT DISTINCT ?x " + " ".join(f"?{v}" for v in used_vars)
+        tail = ""
+    return PFX + sel + " WHERE {\n  " + "\n  ".join(body) + "\n}" + tail
+
+
+def _norm(rows):
+    return {tuple(None if v is None else str(v) for v in r) for r in rows}
+
+
+@pytest.mark.parametrize(
+    "seed", range(int(os.environ.get("SPARQL_FUZZ_SEEDS", "40"))))
+def test_fuzz_compiler_vs_naive(spark, seed):
+    rng = random.Random(seed)
+    rows = _graph(rng)
+    text = _query(rng)
+    ast = parse_sparql(text)
+    triples = [(s, NT + p, o) for (s, p, o) in rows]
+    want = _norm(evaluate(ast, triples))
+    df = spark.createDataFrame(
+        [(s, p, o, "") for (s, p, o) in triples],
+        "subject string, predicate string, object_lex string, "
+        "object_dtype string")
+    got = _norm(tuple(r) for r in compile_sparql(ast, df).collect())
+    assert got == want, f"seed {seed}\n{text}\nonly-spark: " \
+        f"{sorted(got - want)[:3]}\nonly-naive: {sorted(want - got)[:3]}"
