@@ -65,6 +65,24 @@ def _query(rng):
     if rng.random() < 0.4:
         body.append('{ ?x f:%s "HA" . } UNION { ?x f:%s "swine" . }'
                     % (rng.choice(PREDS), rng.choice(PREDS)))
+    if rng.random() < 0.3:
+        # partial-var UNION: branch 1 binds ?z, branch 2 leaves it
+        # unbound; the later ?z pattern exercises the unbound-compat
+        # join (null-tolerant residual)
+        body.append('{ ?x f:link ?z . } UNION { ?x f:%s "a" . }'
+                    % rng.choice(PREDS))
+        body.append(f"?x f:link ?z . ?z f:{rng.choice(PREDS)} ?w .")
+        used_vars.append("w")
+    if rng.random() < 0.3:
+        # nested OPTIONAL (get-tagged-strain.rq:49-53 shape)
+        body.append(
+            "OPTIONAL { ?x f:link ?n . OPTIONAL { ?n f:%s ?nv . } }"
+            % rng.choice(PREDS))
+        used_vars.append("nv")
+    if rng.random() < 0.3:
+        # property path through the link node
+        body.append(f"?x f:link/f:{rng.choice(PREDS)} ?pv .")
+        used_vars.append("pv")
     # filters
     if rng.random() < 0.4:
         v = rng.choice(used_vars)
