@@ -85,6 +85,8 @@ _KEYWORDS = {
 }
 _AGG_FUNCS = {"GROUP_CONCAT", "COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE"}
 _SCALAR_FUNCS = {"YEAR", "MONTH", "DAY", "STR", "UCASE", "LCASE", "STRLEN"}
+_NARY_FUNCS = {"CONCAT", "IF", "COALESCE", "SUBSTR", "STRAFTER",
+               "STRBEFORE", "STRSTARTS", "CONTAINS", "STRENDS"}
 
 
 class SparqlError(ValueError):
@@ -300,6 +302,9 @@ class _Parser:
                 var = self.next()
                 self.expect(")")
                 elements.append(("bind", expr, var[1:]))
+            elif k == "VALUES":
+                self.next()
+                elements.append(self.parse_values())
             elif t == "{":
                 branches = [self.parse_ggp()]
                 while self.kw() == "UNION":
@@ -339,6 +344,44 @@ class _Parser:
             # a ';' may dangle before '.' or '}' (turtle style)
             if self.peek() in (".", "}", None):
                 return out
+
+    def parse_values(self):
+        """VALUES ?v { t1 t2 ... } | VALUES (?v1 ?v2) { (a b) (c d) }.
+        UNDEF leaves the slot unbound."""
+        single = self.peek()[0] in "?$"
+        if single:
+            vars_ = [self.next()[1:]]
+        else:
+            self.expect("(")
+            vars_ = []
+            while self.peek() != ")":
+                vars_.append(self.next()[1:])
+            self.next()
+        self.expect("{")
+        rows = []
+        while self.peek() != "}":
+            if single:
+                rows.append((self._values_term(),))
+            else:
+                self.expect("(")
+                row = []
+                while self.peek() != ")":
+                    row.append(self._values_term())
+                self.next()
+                if len(row) != len(vars_):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+        self.next()
+        return ("values", vars_, rows)
+
+    def _values_term(self):
+        tok = self.next()
+        if tok.upper() == "UNDEF":
+            return None
+        t = self.term(tok)
+        if t[0] == "var":
+            raise SparqlError("variables are not data in VALUES")
+        return str(t[1])
 
     # -- expressions -----------------------------------------------------
     def parse_expr_parens(self):
@@ -393,12 +436,16 @@ class _Parser:
             var = self.next()
             self.expect(")")
             return ("bound", var[1:])
-        if k in _SCALAR_FUNCS:
+        if k in _SCALAR_FUNCS or k in _NARY_FUNCS:
             self.next()
             self.expect("(")
-            arg = self.parse_or_expr()
+            args = [self.parse_or_expr()]
+            while self.opt(","):
+                args.append(self.parse_or_expr())
             self.expect(")")
-            return ("func", k, arg)
+            if k in _SCALAR_FUNCS:
+                return ("func", k, args[0])
+            return ("nfunc", k, args)
         return self.term(self.next())
 
 
@@ -587,6 +634,32 @@ def _compile_expr(expr, df: DataFrame):
             return F.lower(arg)
         if fn == "STRLEN":
             return F.length(arg)
+    if kind == "nfunc":
+        fn, args = expr[1], [_compile_expr(a, df) for a in expr[2]]
+        if fn == "CONCAT":
+            return F.concat(*[a.cast("string") for a in args])
+        if fn == "IF":
+            return F.when(args[0], args[1]).otherwise(args[2])
+        if fn == "COALESCE":
+            return F.coalesce(*args)
+        if fn == "SUBSTR":
+            s = args[0].cast("string")
+            ln = args[2] if len(args) > 2 else F.length(s)
+            return s.substr(args[1], ln)
+        if fn in ("STRAFTER", "STRBEFORE"):
+            s, sep = args[0].cast("string"), args[1].cast("string")
+            pos = F.instr(s, sep)
+            if fn == "STRAFTER":
+                hit = s.substr(pos + F.length(sep), F.length(s))
+            else:
+                hit = s.substr(F.lit(1), pos - 1)
+            return F.when(pos > 0, hit).otherwise("")
+        if fn == "STRSTARTS":
+            return args[0].startswith(args[1])
+        if fn == "CONTAINS":
+            return args[0].contains(args[1])
+        if fn == "STRENDS":
+            return args[0].endswith(args[1])
     raise SparqlError(f"unsupported expression {expr!r}")
 
 
@@ -625,6 +698,9 @@ def _count_var_uses(elements: list, uses: dict) -> None:
             expr_vars(e[1])
         elif k == "func":
             expr_vars(e[2])
+        elif k == "nfunc":
+            for a in e[2]:
+                expr_vars(a)
 
     for el in elements:
         if el[0] == "triple":
@@ -641,6 +717,9 @@ def _count_var_uses(elements: list, uses: dict) -> None:
         elif el[0] == "bind":
             expr_vars(el[1])
             uses[el[2]] = uses.get(el[2], 0) + 1
+        elif el[0] == "values":
+            for v in el[1]:
+                uses[v] = uses.get(v, 0) + 1
 
 
 def _star_pivot_rewrite(ast: dict) -> tuple[list, set]:
@@ -797,6 +876,15 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
                       for c in all_cols])
                 udf = aligned if udf is None else udf.unionByName(aligned)
             join_in(udf, nulls)
+        elif kind == "values":
+            vars_, rows = el[1], el[2]
+            spark = triples.sparkSession
+            vdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                ", ".join(f"`{v}` string" for v in vars_))
+            nulls = {v for i, v in enumerate(vars_)
+                     if any(r[i] is None for r in rows)}
+            join_in(F.broadcast(vdf), nulls)
         elif kind == "bind":
             if g.df is None:
                 raise SparqlError("BIND before any pattern")

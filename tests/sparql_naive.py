@@ -150,6 +150,39 @@ def _eval_expr(e, b: dict):
             return v.lower()
         if fn == "STRLEN":
             return len(v)
+    if k == "nfunc":
+        fn, exprs = e[1], e[2]
+        if fn == "COALESCE":
+            for a in exprs:
+                try:
+                    return _eval_expr(a, b)
+                except EvalError:
+                    continue
+            raise EvalError("coalesce all unbound")
+        if fn == "IF":
+            return _eval_expr(exprs[1] if _eval_expr(exprs[0], b)
+                              else exprs[2], b)
+        args = [_eval_expr(a, b) for a in exprs]
+        if fn == "CONCAT":
+            return "".join(str(a) for a in args)
+        if fn == "SUBSTR":
+            s, start = str(args[0]), int(args[1])
+            ln = int(args[2]) if len(args) > 2 else len(s)
+            return s[start - 1:start - 1 + ln]
+        if fn == "STRAFTER":
+            s, sep = str(args[0]), str(args[1])
+            i = s.find(sep)
+            return s[i + len(sep):] if i >= 0 else ""
+        if fn == "STRBEFORE":
+            s, sep = str(args[0]), str(args[1])
+            i = s.find(sep)
+            return s[:i] if i >= 0 else ""
+        if fn == "STRSTARTS":
+            return str(args[0]).startswith(str(args[1]))
+        if fn == "CONTAINS":
+            return str(args[1]) in str(args[0])
+        if fn == "STRENDS":
+            return str(args[0]).endswith(str(args[1]))
     raise EvalError(f"unsupported {e!r}")
 
 
@@ -183,6 +216,10 @@ def _eval_group(elements, triples) -> list:
             for bch in el[1]:
                 branches.extend(_eval_group(bch, triples))
             merge(branches)
+        elif k == "values":
+            vrows = [{v: val for v, val in zip(el[1], row)
+                      if val is not None} for row in el[2]]
+            merge(vrows)
         elif k == "bind":
             if sols is None:
                 raise ValueError("BIND before any pattern")

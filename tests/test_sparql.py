@@ -637,3 +637,52 @@ def test_pivot_rewrite_same_answer(spark):
             F2.min("date").alias("earliest"))
         .select("strain", "hosts", "earliest").collect())}
     assert got == want and got
+
+
+# -------------------------------------------------------------------------
+# VALUES + n-ary builtins
+# -------------------------------------------------------------------------
+
+def test_values_single_var(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid ?host WHERE {
+          VALUES ?host { "swine" "duck" }
+          ?sid f:host ?host .
+        }""")
+    assert {(r.sid, r.host) for r in df.collect()} == \
+        {("s1", "swine"), ("s2", "duck")}
+
+
+def test_values_multi_var_with_undef(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid ?host ?seg WHERE {
+          ?sid f:host ?host .
+          ?sid f:has_segment ?gid .
+          ?gid f:segment_name ?seg .
+          VALUES (?host ?seg) { ("swine" "HA") ("duck" UNDEF) }
+        }""")
+    assert {(r.sid, r.host, r.seg) for r in df.collect()} == \
+        {("s1", "swine", "HA"), ("s2", "duck", "NA")}
+
+
+def test_nary_builtins(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid ?tag ?after WHERE {
+          ?sid f:strain_name ?n .
+          FILTER STRSTARTS(?n, "A/swine") .
+          BIND(CONCAT("strain:", ?n) as ?tag) .
+          BIND(STRAFTER(?n, "A/swine/") as ?after) .
+        }""")
+    rows = [(r.sid, r.tag, r.after) for r in df.collect()]
+    assert rows == [("s1", "strain:A/swine/Iowa/A01", "Iowa/A01")]
+
+
+def test_substr_and_strbefore(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?y ?state WHERE {
+          ?sid f:date ?d .
+          FILTER CONTAINS(?d, "-") .
+          BIND(SUBSTR(?d, 1, 4) as ?y) .
+          BIND(STRBEFORE(?d, "-") as ?state) .
+        }""")
+    assert [(r.y, r.state) for r in df.collect()] == [("2018", "2018")]

@@ -97,6 +97,21 @@ def _query(rng):
             body.append("FILTER (YEAR(?d) > 2015) .")
     if rng.random() < 0.3:
         body.append('FILTER NOT EXISTS { ?x f:%s "b" . }' % rng.choice(PREDS))
+    if rng.random() < 0.3:
+        vals = rng.sample(VALUES + ["zz"], rng.randint(1, 3))
+        body.append("VALUES ?v0 { %s }" %
+                    " ".join(f'"{v}"' for v in vals))
+    if rng.random() < 0.3:
+        kind = rng.randrange(3)
+        if kind == 0:
+            body.append('FILTER STRSTARTS(?v0, "%s") .'
+                        % rng.choice(["a", "H", "s"]))
+        elif kind == 1:
+            body.append('FILTER CONTAINS(?v0, "%s") .'
+                        % rng.choice(["a", "w", "A"]))
+        else:
+            body.append('BIND(CONCAT(?v0, "-", ?x) as ?cc) .')
+            used_vars.append("cc")
 
     grouped = rng.random() < 0.5
     if grouped:
