@@ -189,6 +189,7 @@ class _Parser:
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         limit = None
+        offset = 0
         while self.peek() is not None:
             k = self.kw()
             if k == "GROUP":
@@ -218,7 +219,7 @@ class _Parser:
                 limit = int(self.next())
             elif k == "OFFSET":
                 self.next()
-                self.next()  # parsed, ignored (not used by shipped queries)
+                offset = int(self.next())
             else:
                 raise SparqlError(f"unexpected trailing token {self.peek()!r}")
         return {
@@ -229,6 +230,7 @@ class _Parser:
             "group_by": group_by,
             "order_by": order_by,
             "limit": limit,
+            "offset": offset,
         }
 
     def parse_agg_projection(self):
@@ -999,6 +1001,8 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
         df = df.dropDuplicates()
     for var, desc in ast["order_by"]:
         df = df.orderBy(F.col(var).desc() if desc else F.col(var))
+    if ast.get("offset"):
+        df = df.offset(ast["offset"])
     if ast["limit"] is not None:
         df = df.limit(ast["limit"])
     return df

@@ -686,3 +686,10 @@ def test_substr_and_strbefore(spark):
           BIND(STRBEFORE(?d, "-") as ?state) .
         }""")
     assert [(r.y, r.state) for r in df.collect()] == [("2018", "2018")]
+
+
+def test_order_limit_offset(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain WHERE { ?sid f:strain_name ?strain . }
+        ORDER BY ?strain LIMIT 1 OFFSET 1""")
+    assert [r.strain for r in df.collect()] == ["A/swine/Iowa/A01"]
