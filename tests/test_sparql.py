@@ -394,6 +394,51 @@ def test_rq_tagged_strain_matches_plan(spark, tagged):
     assert _rows(got) == _rows(want)
 
 
+@needs_ref
+def test_rq_tagged_isolate_matches_plan(spark, tagged):
+    from octofludb_spark.plans.reports import tagged_isolates
+
+    raw2, v2 = tagged
+    want = tagged_isolates(v2)
+    got = _run(spark, raw2, _rq("get-tagged-isolate.rq")).select(*want.columns)
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_tagged_sequence_matches_plan(spark, tagged):
+    from octofludb_spark.plans.reports import tagged_sequences
+
+    raw2, v2 = tagged
+    want = tagged_sequences(v2)
+    got = _run(spark, raw2, _rq("get-tagged-sequence.rq")).select(*want.columns)
+    assert _rows(got), "no tag-matched sequences in fixture"
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+def test_rq_h3_sequences_matches_plan(spark, built):
+    from octofludb_spark.plans.reports import h_sequences
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq("get-h3-sequences.rq"))
+    want = h_sequences(v, "H3N").select("seqid", "seq")
+    assert _rows(got), "fixture produced no H3N sequences"
+    assert _rows(got) == _rows(want)
+
+
+@needs_ref
+@pytest.mark.parametrize("rq,ha", [("get-h1-swine.rq", "H1"),
+                                   ("get-h3-swine.rq", "H3")])
+def test_rq_h_swine_matches_plan(spark, built, rq, ha):
+    from octofludb_spark.plans.reports import h_swine_sequences
+
+    _store, raw, v = built
+    got = _run(spark, raw, _rq(rq))
+    want = h_swine_sequences(v, ha).select("gb", "seq")
+    assert _rows(got), f"fixture produced no {ha} swine sequences"
+    assert _rows(got) == _rows(want)
+
+
 def test_cli_query_rq_file(spark, built, tmp_path, capsys):
     """`query <store> file.rq` end-to-end through the CLI."""
     from octofludb_spark import cli
