@@ -67,3 +67,63 @@ def build_graph(
                     bucket_by_subject=True)
 
     return store
+
+
+def incremental_update(
+    spark: SparkSession,
+    source: DataFrame,
+    store_root: str,
+    tag: Optional[str] = None,
+    run_ts: Optional[str] = None,
+    batch_id: Optional[str] = None,
+) -> TripleStore:
+    """Fold a NEW batch of source records into an already-built store
+    at O(batch + affected) cost — never O(store):
+
+      1. extract + lineage append (map-side, no store read at all)
+      2. idempotent triple append (presence semi-join pruned to the
+         batch's subject buckets)
+      3. incremental entity linking (ops/incremental.py): only the
+         components touched by the batch's sameAs edges recompute
+      4. canonical-view repair: rows of merged components are
+         equality-DELETED (merge-on-read, O(touched)) and re-appended
+         rewritten; the batch itself joins through the updated map
+
+    Equivalence contract (property-tested): after any sequence of
+    incremental updates, ``triples_canonical`` equals what a full
+    ``build_graph`` over the concatenated corpus would produce.
+
+    Each step commits with a ``incr:{batch_id}:{step}`` stage marker,
+    so a killed update resumes at the first uncommitted step — pass a
+    stable ``batch_id`` to get exactly-once semantics across retries
+    (defaults to tag or run_ts when present).
+
+    Requires a built store (falls back to ``build_graph`` when the
+    extract stage never ran)."""
+    from octofludb_spark.ops.incremental import sync_canonical
+
+    store = TripleStore(store_root)
+    if not store.stage_done("extract"):
+        return build_graph(spark, source, store_root, tag=tag,
+                           run_ts=run_ts)
+    bid = batch_id or tag or run_ts or "adhoc"
+
+    def done(step: str) -> bool:
+        return store.stage_done(f"incr:{bid}:{step}")
+
+    def mark(step: str) -> str:
+        return f"incr:{bid}:{step}"
+
+    raw = extract_triples(source, tag=tag, run_ts=run_ts)
+    batch = dedup_triples(raw).persist()
+    try:
+        if not done("lineage"):
+            store.append_rows(lineage_metrics(raw), "lineage_metrics",
+                              stage=mark("lineage"))
+        if not done("triples"):
+            store.merge_rows(spark, batch, "triples",
+                             stage=mark("triples"))
+        sync_canonical(spark, store, batch, done=done, mark=mark)
+    finally:
+        batch.unpersist()
+    return store

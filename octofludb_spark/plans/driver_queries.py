@@ -1132,3 +1132,44 @@ def kg_subtype_report(spark, sf):
     out = subtypes_report(GraphViews(triples))
     return out.select("strain_name", "subtype",
                       F.concat_ws("+", F.sort_array("isolates")).alias("isolates"))
+
+
+@q("kg_incremental_build", f"""
+WITH t AS (SELECT subject, predicate, object_lex, object_dtype
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ m AS (SELECT node, canonical
+       FROM read_parquet('{_STAGED}/kg_canon_map.parquet/*.parquet')),
+ r AS (SELECT COALESCE(ms.canonical, t.subject) AS subject,
+              t.predicate,
+              CASE WHEN t.object_dtype = 'uri' AND mo.canonical IS NOT NULL
+                   THEN mo.canonical ELSE t.object_lex END AS object_lex,
+              t.object_dtype
+       FROM t LEFT JOIN m ms ON t.subject = ms.node
+              LEFT JOIN m mo ON t.object_lex = mo.node)
+SELECT DISTINCT subject, predicate, object_lex, object_dtype FROM r
+""")
+def kg_incremental_build(spark, sf):
+    """Incremental ingestion end-to-end (build.incremental_update): the
+    gate corpus is split in two, batch A full-builds a store, batch B
+    folds in INCREMENTALLY — merge-on-read deletes, O(affected)
+    component re-linking, presence-checked appends.  The returned
+    canonical view must match the SAME DuckDB oracle as
+    kg_canonical_triples (the full-corpus canonical rewrite): the
+    strongest equivalence a gate can state — incremental == batch,
+    cross-engine."""
+    import shutil
+
+    from octofludb_spark.build import build_graph, incremental_update
+    from octofludb_spark.sources.store import TRIPLE_KEY
+
+    _stage_kg(spark, with_map=True)  # ensure the oracle's staged files
+    source = _kg_source(spark)
+    part_a = source.where(F.xxhash64("path") % 3 != 0)
+    part_b = source.where(F.xxhash64("path") % 3 == 0)
+    root = os.path.join(_STAGED, "incr_store")
+    shutil.rmtree(root, ignore_errors=True)
+    build_graph(spark, part_a, root, run_ts="2026-01-01T00:00:00")
+    store = incremental_update(spark, part_b, root,
+                               run_ts="2026-01-01T00:00:00",
+                               batch_id="gate-b")
+    return store.read(spark, "triples_canonical").select(*TRIPLE_KEY)

@@ -13,6 +13,10 @@ Guarantees, matching what the pipeline needs from Iceberg:
   * idempotent merge: append = union + dropDuplicates into a NEW
     snapshot (reference semantics: uploading the same data twice adds
     nothing, README.md:96).
+  * merge-on-read equality deletes: ``delete_rows_mor`` writes an
+    O(deletes) delete segment instead of rewriting the snapshot
+    (Iceberg v2 equality-delete files); ``read`` anti-joins the live
+    delete rows, ``compact`` folds them back into a clean snapshot.
   * layout for pruning: data is hash-bucketed by subject
     (``part_bucket = pmod(xxhash64(subject), n_buckets)``) and written
     partitionBy(part_bucket), so point lookups and co-located
@@ -171,8 +175,10 @@ class TripleStore:
             writer.write.mode("overwrite").parquet(path)
         m = self.manifest()
         m["tables"][table] = path
-        # a full snapshot supersedes every appended segment
+        # a full snapshot supersedes every appended segment and every
+        # pending equality delete
         m.get("segments", {}).pop(table, None)
+        m.get("deletes", {}).pop(table, None)
         if stage and stage not in m.setdefault("committed_stages", []):
             m["committed_stages"].append(stage)
         self._commit(m)
@@ -202,33 +208,37 @@ class TripleStore:
             .withColumn("object_dtype", F.coalesce("object_dtype", F.lit("")))
             .dropDuplicates(TRIPLE_KEY)
         )
+        out = self.merge_rows(spark, incoming, table, stage=stage)
+        if table == "triples":
+            # Keep the canonical view in sync — including INCREMENTAL
+            # entity linking when the batch carries new owl:sameAs
+            # edges into a built store (GraphDB re-infers sameAs on
+            # every upload, octofludb-config.ttl:29; before this the
+            # new links were appended but never merged components).
+            # Upload-only stores (no build yet) mirror verbatim; a
+            # later build_graph links globally.
+            from octofludb_spark.ops.incremental import sync_canonical
+
+            sync_canonical(spark, self, incoming)
+        return out
+
+    def merge_rows(self, spark: SparkSession, df: DataFrame, table: str,
+                   stage: str | None = None) -> str:
+        """Idempotent presence-checked append of triple rows into any
+        triple-shaped table — ``merge_triples`` minus the canonical
+        mirroring (the incremental build syncs the canonical view
+        itself, with the UPDATED alias map)."""
+        incoming = (
+            df.select(*TRIPLE_KEY)
+            .withColumn("object_dtype", F.coalesce("object_dtype", F.lit("")))
+            .dropDuplicates(TRIPLE_KEY)
+        )
         current = self.read(spark, table)
         if current is None:
-            out = self.write(incoming, table, stage=stage,
-                             bucket_by_subject=True)
-        else:
-            out = self._append_segment(spark, incoming, current, table,
-                                       stage=stage)
-        if table == "triples":
-            cur_c = self.read(spark, "triples_canonical")
-            from octofludb_spark.ops.canonicalize import (BROADCAST_LIMIT,
-                                                          canonicalize)
-
-            mapping = self.read(spark, "canonical_map")
-            canon_in = incoming if mapping is None else canonicalize(
-                incoming, mapping.select("node", "canonical"),
-                use_broadcast=mapping.count() <= BROADCAST_LIMIT,
-            ).select(*TRIPLE_KEY).dropDuplicates(TRIPLE_KEY)
-            if cur_c is not None:
-                self._append_segment(spark, canon_in, cur_c,
-                                     "triples_canonical")
-            else:
-                # upload-only store (init + upload, no build yet):
-                # queries read the canonical view, so create it now —
-                # a later build() write() replaces it wholesale.
-                self.write(canon_in, "triples_canonical",
-                           bucket_by_subject=True)
-        return out
+            return self.write(incoming, table, stage=stage,
+                              bucket_by_subject=True)
+        return self._append_segment(spark, incoming, current, table,
+                                    stage=stage)
 
     def _append_segment(self, spark: SparkSession, incoming: DataFrame,
                         current: DataFrame, table: str,
@@ -337,6 +347,67 @@ class TripleStore:
                     "triples_canonical", bucket_by_subject=True)
         return out
 
+    def delete_rows_mor(self, spark: SparkSession, rows: DataFrame,
+                        table: str = "triples",
+                        stage: str | None = None) -> str | None:
+        """Merge-on-read equality delete (Iceberg v2 delete files):
+        write the doomed rows as an O(deletes) delete segment and list
+        it in the manifest — the data snapshot is NOT rewritten.
+        ``read`` anti-joins live delete rows; ``compact`` folds them
+        into a clean snapshot.  This is the 100 TB path for the
+        incremental component-merge rewrite, where a batch touches a
+        few thousand canonical triples of a petabyte store.
+
+        Low-level: no canonical-view mirroring (callers updating the
+        live ``triples`` table should use delete_rows / delete_where,
+        which keep both views in sync)."""
+        dels = rows.select(*[c for c in TRIPLE_KEY if c in rows.columns])
+        dels = dels.dropDuplicates()
+        if "object_dtype" in dels.columns:
+            dels = dels.withColumn(
+                "object_dtype", F.coalesce("object_dtype", F.lit("")))
+        if dels.isEmpty():
+            if stage:
+                m = self.manifest()
+                if stage not in m.setdefault("committed_stages", []):
+                    m["committed_stages"].append(stage)
+                    self._commit(m)
+            return None
+        seg = self._snap_dir(table)
+        dels.write.mode("overwrite").parquet(seg)
+        m = self.manifest()
+        # Iceberg sequence-number semantics: the delete applies only to
+        # data committed BEFORE it (the current primary + the first
+        # n_segs segments).  A row re-appended later must NOT be eaten
+        # by an older delete.
+        m.setdefault("deletes", {}).setdefault(table, []).append({
+            "path": seg,
+            "n_segs": len(m.get("segments", {}).get(table, [])),
+        })
+        if stage and stage not in m.setdefault("committed_stages", []):
+            m["committed_stages"].append(stage)
+        self._commit(m)
+        return seg
+
+    def append_rows(self, df: DataFrame, table: str,
+                    stage: str | None = None) -> str:
+        """Append rows as a new data segment with NO presence check —
+        for run-keyed tables (lineage/metrics rows are per-batch facts,
+        not set members; appending the same batch twice is a caller
+        bug, not a merge).  O(batch): the existing table is not read."""
+        seg = self._snap_dir(table)
+        df.write.mode("overwrite").parquet(seg)
+        m = self.manifest()
+        if table not in m["tables"] and not m.get(
+                "segments", {}).get(table):
+            m["tables"][table] = seg
+        else:
+            m.setdefault("segments", {}).setdefault(table, []).append(seg)
+        if stage and stage not in m.setdefault("committed_stages", []):
+            m["committed_stages"].append(stage)
+        self._commit(m)
+        return seg
+
     def read(self, spark: SparkSession, table: str = "triples",
              as_of: int | None = None) -> DataFrame | None:
         """Current snapshot = the primary snapshot plus any appended
@@ -346,15 +417,40 @@ class TripleStore:
         until expire_snapshots, so the old view is still complete)."""
         m = self.manifest() if as_of is None else self._manifest_at(as_of)
         path = m["tables"].get(table)
-        segs = m.get("segments", {}).get(table, [])
-        paths = [p for p in [path, *segs]
-                 if p is not None and os.path.exists(p)]
-        if not paths:
-            return None
-        # per-root reads (partition discovery is per-snapshot; a
-        # multi-root read would see conflicting directory structures)
-        df = spark.read.parquet(paths[0])
-        for p in paths[1:]:
+        segs = [p for p in m.get("segments", {}).get(table, [])
+                if os.path.exists(p)]
+        dels = [d for d in m.get("deletes", {}).get(table, [])
+                if os.path.exists(d["path"])]
+        if path is None or not os.path.exists(path):
+            if not segs:
+                return None
+            path, segs = segs[0], segs[1:]
+            dels = [{**d, "n_segs": d["n_segs"] - 1} for d in dels]
+
+        def _apply_delete(df: DataFrame, dpath: str) -> DataFrame:
+            # merge-on-read: subtract the equality-delete rows.  The
+            # delete set is O(changes) until compaction, so it
+            # broadcasts; the big side never shuffles.
+            ddf = spark.read.parquet(dpath)
+            key = [c for c in TRIPLE_KEY if c in df.columns]
+            d_a, t_a = ddf.alias("d"), df.alias("t")
+            return t_a.join(F.broadcast(d_a),
+                           [t_a[k].eqNullSafe(d_a[k]) for k in key],
+                           "left_anti")
+
+        # Fold data segments and delete segments in commit order
+        # (per-root reads: partition discovery is per-snapshot).  Each
+        # delete applies only to data committed before it, so a row
+        # re-appended after a delete of it survives.
+        df = spark.read.parquet(path)
+        idx = 0
+        for d in dels:
+            upto = min(max(d["n_segs"], 0), len(segs))
+            for p in segs[idx:upto]:
+                df = df.unionByName(spark.read.parquet(p))
+            idx = max(idx, upto)
+            df = _apply_delete(df, d["path"])
+        for p in segs[idx:]:
             df = df.unionByName(spark.read.parquet(p))
         return df
 
@@ -422,10 +518,14 @@ class TripleStore:
         old_primary = old["tables"].get(table)
         old_segs = list(old.get("segments", {}).get(table, []))
         cur_segs = list(cur.get("segments", {}).get(table, []))
+        old_dels = list(old.get("deletes", {}).get(table, []))
+        cur_dels = list(cur.get("deletes", {}).get(table, []))
         if old_primary is None and not old_segs:
             # table did not exist at `since` — everything is new
             return self.read(spark, table)
-        if cur_primary == old_primary and cur_segs[:len(old_segs)] == old_segs:
+        if (cur_primary == old_primary
+                and cur_segs[:len(old_segs)] == old_segs
+                and cur_dels == old_dels):
             new_paths = [p for p in cur_segs[len(old_segs):]
                          if os.path.exists(p)]
             if not new_paths:
@@ -483,6 +583,8 @@ class TripleStore:
             live.update(m.get("tables", {}).values())
             for segs in m.get("segments", {}).values():
                 live.update(segs)
+            for dels in m.get("deletes", {}).values():
+                live.update(d["path"] for d in dels)
         return live
 
     def vacuum(self) -> None:
