@@ -84,7 +84,7 @@ def cmd_prep(args) -> int:
 
 
 def cmd_build(args) -> int:
-    from octofludb_spark.build import build_graph
+    from octofludb_spark.build import build_graph, incremental_update
     from octofludb_spark.sources.synth import source_table
 
     spark = _spark(args.cores)
@@ -92,8 +92,15 @@ def cmd_build(args) -> int:
         src = spark.read.parquet(args.source)
     else:
         src = source_table(spark, args.docs)
-    store = build_graph(spark, src, args.store, tag=args.tag,
-                        run_ts=args.run_ts)
+    if getattr(args, "incremental", False):
+        # fold the batch into the existing store at O(batch + affected);
+        # falls back to a full build when the store is unbuilt
+        store = incremental_update(spark, src, args.store, tag=args.tag,
+                                   run_ts=args.run_ts,
+                                   batch_id=args.batch_id)
+    else:
+        store = build_graph(spark, src, args.store, tag=args.tag,
+                            run_ts=args.run_ts)
     n = store.read(spark, "triples_canonical").count()
     print(f"built {args.store}: {n} canonical triples", file=sys.stderr)
     return 0
@@ -482,6 +489,10 @@ def main(argv=None) -> int:
     sb.add_argument("--source")
     sb.add_argument("--tag")
     sb.add_argument("--run-ts", dest="run_ts", default=None)
+    sb.add_argument("--incremental", action="store_true",
+                    help="fold the batch into an existing store "
+                         "(O(batch + affected); resumable per --batch-id)")
+    sb.add_argument("--batch-id", dest="batch_id", default=None)
     sb.set_defaults(fn=cmd_build)
 
     sm = sub.add_parser("merge")

@@ -319,6 +319,25 @@ def test_incremental_update_is_idempotent(spark, tmp_path, split_corpora):
     assert _canon_set(spark, s) == before
 
 
+def test_cli_build_incremental(spark, tmp_path, split_corpora):
+    """`build --incremental` folds a parquet batch into the store."""
+    from octofludb_spark import cli
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.sources.store import TripleStore
+
+    full, part_a, part_b = split_corpora
+    root = str(tmp_path / "cli_store")
+    build_graph(spark, part_a, root, run_ts="2026-01-01T00:00:00")
+    bpath = str(tmp_path / "batch_b.parquet")
+    part_b.write.parquet(bpath)
+    assert cli.main(["build", root, "--source", bpath,
+                     "--incremental", "--batch-id", "b1"]) == 0
+    s_full = build_graph(spark, full, str(tmp_path / "cli_full"),
+                         run_ts="2026-01-01T00:00:00")
+    got = _canon_set(spark, TripleStore(root))
+    assert got == _canon_set(spark, s_full)
+
+
 def test_incremental_update_into_unbuilt_store_falls_back(spark, tmp_path,
                                                           split_corpora):
     from octofludb_spark.build import build_graph, incremental_update
