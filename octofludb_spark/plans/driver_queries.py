@@ -1119,6 +1119,33 @@ def sparql_compile_wgs(spark, sf):
         "ha_clade", "na_clade", "ha_gl_clade")
 
 
+@q("sparql_path_closure", f"""
+WITH RECURSIVE cl(place, container) AS (
+  SELECT subject, object_lex
+  FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+  WHERE predicate = '{_NT}locatedIn'
+  UNION
+  SELECT cl.place, t.object_lex
+  FROM cl JOIN read_parquet('{_STAGED}/kg_triples.parquet/*.parquet') t
+    ON cl.container = t.subject AND t.predicate = '{_NT}locatedIn'
+)
+SELECT DISTINCT place, container FROM cl
+""")
+def sparql_path_closure(spark, sf):
+    """SPARQL property-path transitive closure (`f:locatedIn+`,
+    geography.ttl:7 declares it owl:TransitiveProperty) compiled to a
+    semi-naive iterative DataFrame join — hash-checked against an
+    independent DuckDB WITH RECURSIVE closure over the same staged
+    triple bytes."""
+    from octofludb_spark.plans.sparql import sparql_to_df
+
+    triples, _ = _stage_kg(spark)
+    text = ("PREFIX f: <https://flu-crew.org/term/>\n"
+            "SELECT DISTINCT ?place ?container WHERE {\n"
+            "  ?place f:locatedIn+ ?container .\n}")
+    return sparql_to_df(spark, text, triples)
+
+
 @q("kg_subtype_report", _SUBTYPE_SQL)
 def kg_subtype_report(spark, sf):
     """Subtype priority-lattice report (A6) over the built graph.

@@ -53,7 +53,8 @@ _TOKEN = re.compile(
     | [A-Za-z_][\w-]*:[\w.%-]*                         # prefixed name
     | [A-Za-z_]\w*                                     # keyword / bare name
     | \|\||&&|!=|<=|>=                                 # 2-char operators
-    | [{}();,./=<>!*]                                  # punctuation
+    | [{}();,./=<>!*+?^|]                              # punctuation (incl.
+                                                       # path ops + * ? ^ |)
     """,
     re.X,
 )
@@ -320,22 +321,56 @@ class _Parser:
                 pass
         return elements
 
+    def _path_primary(self):
+        """IRI (or 'a') inside a property path."""
+        t = self.next()
+        if t.upper() == "A":
+            return ("iri",
+                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        return self.term(t)
+
+    def parse_path_step(self) -> tuple:
+        """One path step: [^] (iri | '(' iri ('|' iri)* ')') [+ * ?].
+
+        A plain un-modified single IRI or variable keeps the bare term
+        shape (the common fast path); anything decorated becomes
+        ('pstep', [iri-terms], modifier, inverted)."""
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        if self.peek() == "(":
+            self.next()
+            alts = [self._path_primary()]
+            while self.opt("|"):
+                alts.append(self._path_primary())
+            self.expect(")")
+        else:
+            alts = [self._path_primary()]
+        mod = None
+        if self.peek() in ("+", "*", "?"):
+            mod = self.next()
+        if not inv and mod is None and len(alts) == 1:
+            return alts[0]
+        for t in alts:
+            if t[0] != "iri":
+                raise SparqlError(
+                    "only IRIs may appear in decorated property paths")
+        return ("pstep", alts, mod, inv)
+
     def parse_triples_block(self) -> list:
         """subject pred-object list with ';'/',' continuation and
         property paths.  Stops before '.', '}', or a keyword."""
         out = []
         subj = self.term(self.next())
         while True:
-            # verb: IRI or path iri/iri/...
-            vt = self.next()
-            if vt.upper() == "A":
-                path = [("iri", "http://www.w3.org/1999/02/22-rdf-syntax"
-                               "-ns#type")]
-            else:
-                path = [self.term(vt)]
+            # verb: property path — steps chained with '/', each step
+            # optionally inverted (^), alternated ((p1|p2)), and/or
+            # modified (+ * ?)
+            path = [self.parse_path_step()]
             while self.peek() == "/":
                 self.next()
-                path.append(self.term(self.next()))
+                path.append(self.parse_path_step())
             while True:
                 obj = self.term(self.next())
                 out.append(("triple", subj, path, obj))
@@ -484,6 +519,71 @@ def _pred_condition(path_iri: str):
     return F.col("predicate") == path_iri
 
 
+_PATH_MAX_HOPS = 25
+
+
+def _transitive_pairs(pairs: DataFrame) -> DataFrame:
+    """Transitive closure of a (_ps, _po) edge frame — semi-naive
+    iteration (each round joins only the NEW frontier against the base
+    edges, so converged vertices stop costing shuffles), localCheckpoint
+    per round to truncate lineage.  Converges in diameter hops; 25 is
+    far beyond any real property hierarchy and bounds adversarial
+    input."""
+    base = pairs.distinct().localCheckpoint()
+    res, frontier = base, base
+    for _ in range(_PATH_MAX_HOPS):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f._po") == F.col("b._ps"))
+            .select(F.col("f._ps").alias("_ps"), F.col("b._po").alias("_po"))
+            .distinct()
+        )
+        new = nxt.join(res, ["_ps", "_po"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            return res
+        res = res.unionByName(new).localCheckpoint()
+        frontier = new
+    raise SparqlError(f"property-path closure exceeded {_PATH_MAX_HOPS} hops")
+
+
+def _pstep_pairs(triples: DataFrame, p, s, o) -> DataFrame:
+    """(_ps, _po) pairs for one decorated path step ('pstep', alts,
+    mod, inv).  Alternatives keep bag semantics (one row per matching
+    triple); + * ? are set-valued per the SPARQL spec (ALP/ZeroOrOne
+    are defined duplicate-free).  Zero-length paths (* ?) bind every
+    term of the graph plus the pattern's own constant endpoints."""
+    _tag, alts, mod, inv = p
+    iris: list[str] = []
+    for t in alts:
+        iri = OWL_SAMEAS if t[1].endswith("sameAs") else t[1]
+        iris.extend(_closure_iris(iri))
+    uniq = sorted(set(iris))
+    cond = (F.col("predicate") == uniq[0]) if len(uniq) == 1 \
+        else F.col("predicate").isin(uniq)
+    pairs = triples.where(cond).select(
+        F.col("subject").alias("_ps"), F.col("object_lex").alias("_po"))
+    if inv:
+        pairs = pairs.select(F.col("_po").alias("_ps"),
+                             F.col("_ps").alias("_po"))
+    if mod in ("+", "*"):
+        pairs = _transitive_pairs(pairs)
+    if mod in ("*", "?"):
+        spark = triples.sparkSession
+        zero = (
+            triples.select(F.col("subject").alias("_ps"))
+            .unionByName(triples.select(F.col("object_lex").alias("_ps")))
+        )
+        consts = [t[1] if t[0] == "iri" else str(t[1])
+                  for t in (s, o) if t[0] != "var"]
+        if consts:
+            zero = zero.unionByName(
+                spark.createDataFrame([(c,) for c in consts],
+                                      "_ps string"))
+        pairs = pairs.unionByName(
+            zero.select("_ps", F.col("_ps").alias("_po"))).distinct()
+    return pairs
+
+
 def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
     """One triple pattern (with an optional property path) as a
     predicate-filtered scan chain.  Returns (df, var-columns)."""
@@ -499,25 +599,37 @@ def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
     df = None
     for (s, p, o) in steps:
         cols = []
-        if p[0] == "var":
-            scan = triples  # ?s ?p ?o — full scan, predicate projected
-            cols.append(F.col("predicate").alias(p[1]))
+        if p[0] == "pstep":
+            pairs = _pstep_pairs(triples, p, s, o)
+        elif p[0] == "var":
+            # ?s ?p ?o — full scan, predicate projected
+            pairs = triples.select(F.col("subject").alias("_ps"),
+                                   F.col("object_lex").alias("_po"),
+                                   F.col("predicate").alias(p[1]))
+            cols.append(F.col(p[1]))
         else:
             pred = OWL_SAMEAS if p[1].endswith("sameAs") else p[1]
-            scan = triples.where(_pred_condition(pred))
-        if s[0] == "var":
-            cols.append(F.col("subject").alias(s[1]))
+            pairs = triples.where(_pred_condition(pred)).select(
+                F.col("subject").alias("_ps"),
+                F.col("object_lex").alias("_po"))
+        if s[0] == "var" and o[0] == "var" and s[1] == o[1]:
+            # ?x path ?x — one binding column, endpoints equal
+            pairs = pairs.where(F.col("_ps") == F.col("_po"))
+            cols.append(F.col("_ps").alias(s[1]))
         else:
-            scan = scan.where(F.col("subject") == s[1])
-        if o[0] == "var":
-            cols.append(F.col("object_lex").alias(o[1]))
-        elif o[0] == "iri":
-            scan = scan.where(F.col("object_lex") == o[1])
-        else:  # literal / num
-            scan = scan.where(F.col("object_lex") == str(o[1]))
+            if s[0] == "var":
+                cols.append(F.col("_ps").alias(s[1]))
+            else:
+                pairs = pairs.where(F.col("_ps") == s[1])
+            if o[0] == "var":
+                cols.append(F.col("_po").alias(o[1]))
+            elif o[0] == "iri":
+                pairs = pairs.where(F.col("_po") == o[1])
+            else:  # literal / num
+                pairs = pairs.where(F.col("_po") == str(o[1]))
         if not cols:
             cols = [F.lit(1).alias(f"__hit{id(steps)}")]
-        step_df = scan.select(*cols)
+        step_df = pairs.select(*cols)
         if df is None:
             df = step_df
         else:

@@ -45,6 +45,37 @@ def _left_join(left: list, right: list) -> list:
     return out
 
 
+def _pstep_pairs(triples, p, cur_s, cur_o):
+    """(s, o) pairs of one decorated path step — textbook version of
+    the compiler's _pstep_pairs: alternatives keep bags, + * ? are
+    set-valued, zero-length binds every graph term plus the pattern's
+    constant endpoints."""
+    _tag, alts, mod, inv = p
+    preds = set()
+    for t in alts:
+        preds |= _closure(t[1])
+    base = [(ts, to) for (ts, tp, to) in triples if tp in preds]
+    if inv:
+        base = [(b, a) for (a, b) in base]
+    pairs = list(base)
+    if mod in ("+", "*"):
+        closed = set(base)
+        changed = True
+        while changed:
+            add = {(a, d) for (a, b) in closed for (c, d) in base
+                   if b == c} - closed
+            changed = bool(add)
+            closed |= add
+        pairs = sorted(closed)
+    if mod in ("*", "?"):
+        terms = {t for (ts, _, to) in triples for t in (ts, to)}
+        for e in (cur_s, cur_o):
+            if e[0] != "var":
+                terms.add(e[1] if e[0] == "iri" else str(e[1]))
+        pairs = sorted(set(pairs) | {(t, t) for t in terms})
+    return pairs
+
+
 def _scan(triples, s, path, o):
     """Solutions of one pattern (paths chain through fresh vars)."""
     sols = [dict()]
@@ -52,10 +83,14 @@ def _scan(triples, s, path, o):
     for k, p in enumerate(path):
         cur_o = o if k == len(path) - 1 else ("var", f"__m{id(path)}_{k}")
         step = []
-        preds = None if p[0] == "var" else _closure(p[1])
-        for (ts, tp, to) in triples:
-            if preds is not None and tp not in preds:
-                continue
+        if p[0] == "pstep":
+            rows = [(a, None, b) for (a, b) in
+                    _pstep_pairs(triples, p, cur_s, cur_o)]
+        else:
+            preds = None if p[0] == "var" else _closure(p[1])
+            rows = [(ts, tp, to) for (ts, tp, to) in triples
+                    if preds is None or tp in preds]
+        for (ts, tp, to) in rows:
             b = {}
             if cur_s[0] == "var":
                 b[cur_s[1]] = ts
@@ -66,6 +101,9 @@ def _scan(triples, s, path, o):
             if cur_o[0] == "var":
                 b[cur_o[1]] = to
             elif to != (cur_o[1] if cur_o[0] == "iri" else str(cur_o[1])):
+                continue
+            if (cur_s[0] == "var" and cur_o[0] == "var"
+                    and cur_s[1] == cur_o[1] and ts != to):
                 continue
             step.append(b)
         sols = _join(sols, step)

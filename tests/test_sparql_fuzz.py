@@ -83,6 +83,24 @@ def _query(rng):
         # property path through the link node
         body.append(f"?x f:link/f:{rng.choice(PREDS)} ?pv .")
         used_vars.append("pv")
+    if rng.random() < 0.4:
+        # decorated path step: inverse / alternation / closure / opt
+        kind = rng.randrange(5)
+        if kind == 0:
+            body.append(f"?x ^f:{rng.choice(PREDS)} ?iv .")
+            used_vars.append("iv")
+        elif kind == 1:
+            body.append(f"?x (f:{rng.choice(PREDS)}|f:dt) ?av .")
+            used_vars.append("av")
+        elif kind == 2:
+            body.append("?x f:link+ ?tv .")
+            used_vars.append("tv")
+        elif kind == 3:
+            body.append("?x f:link? ?zv .")
+            used_vars.append("zv")
+        else:
+            body.append(f"?x ^f:link/f:{rng.choice(PREDS)} ?bv .")
+            used_vars.append("bv")
     # filters
     if rng.random() < 0.4:
         v = rng.choice(used_vars)
