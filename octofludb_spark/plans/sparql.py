@@ -166,6 +166,10 @@ class _Parser:
                 pname = pname.split(":", 1)[0] + ":"
             iri_tok = self.next()
             self.prefixes[pname[:-1]] = iri_tok[1:-1]
+        if self.kw() == "ASK":
+            return self._parse_ask()
+        if self.kw() == "DESCRIBE":
+            return self._parse_describe()
         self.expect("SELECT")
         distinct = self.opt("DISTINCT")
         projections = []
@@ -177,6 +181,9 @@ class _Parser:
                 projections.append(("var", self.next()[1:]))
             elif t == "(":
                 projections.append(self.parse_agg_projection())
+            elif t == "*":
+                self.next()
+                projections.append(("star",))
             else:
                 break
         disable_sameas = False
@@ -224,6 +231,7 @@ class _Parser:
             else:
                 raise SparqlError(f"unexpected trailing token {self.peek()!r}")
         return {
+            "form": "select",
             "distinct": distinct,
             "projections": projections,
             "disable_sameas": disable_sameas,
@@ -233,6 +241,61 @@ class _Parser:
             "limit": limit,
             "offset": offset,
         }
+
+    def _from_clauses(self) -> bool:
+        disable_sameas = False
+        while self.kw() == "FROM":
+            self.next()
+            src = self.next()
+            if "disable-sameAs" in src:
+                disable_sameas = True
+        return disable_sameas
+
+    def _parse_ask(self) -> dict:
+        """ASK [FROM ...] [WHERE] { patterns } -> one boolean row."""
+        self.expect("ASK")
+        disable_sameas = self._from_clauses()
+        if self.kw() == "WHERE":
+            self.next()
+        where = self.parse_ggp()
+        if self.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {self.peek()!r}")
+        return {"form": "ask", "where": where,
+                "disable_sameas": disable_sameas}
+
+    def _parse_describe(self) -> dict:
+        """DESCRIBE (?var | <iri>)+ [FROM ...] [WHERE { patterns }] ->
+        every triple whose subject is a described resource (concise
+        bounded description; the store has no blank nodes, so depth-1
+        subject match IS the CBD)."""
+        self.expect("DESCRIBE")
+        terms = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t[0] in "?$":
+                terms.append(("var", self.next()[1:]))
+            elif t.startswith("<") or (":" in t and self.kw() not in
+                                       ("WHERE", "FROM")):
+                terms.append(self.term(self.next()))
+            else:
+                break
+        if not terms:
+            raise SparqlError("DESCRIBE with no resource terms")
+        disable_sameas = self._from_clauses()
+        where: list = []
+        if self.kw() == "WHERE":
+            self.next()
+            where = self.parse_ggp()
+        if self.peek() is not None:
+            raise SparqlError(f"unexpected trailing token {self.peek()!r}")
+        for t in terms:
+            if t[0] == "var" and not where:
+                raise SparqlError(f"DESCRIBE ?{t[1]} needs a WHERE "
+                                  "pattern to bind it")
+        return {"form": "describe", "terms": terms, "where": where,
+                "disable_sameas": disable_sameas}
 
     def parse_agg_projection(self):
         """'(' EXPR AS ?alias ')' — aggregate or scalar projection."""
@@ -330,15 +393,25 @@ class _Parser:
         return self.term(t)
 
     def parse_path_step(self) -> tuple:
-        """One path step: [^] (iri | '(' iri ('|' iri)* ')') [+ * ?].
+        """One path step: [^] (iri | '!' negated-set |
+        '(' iri ('|' iri)* ')') [+ * ?].
 
         A plain un-modified single IRI or variable keeps the bare term
         shape (the common fast path); anything decorated becomes
-        ('pstep', [iri-terms], modifier, inverted)."""
+        ('pstep', [iri-terms], modifier, inverted) or, for a negated
+        property set, ('npstep', fwd-iris, rev-iris, modifier,
+        inverted)."""
         inv = False
         if self.peek() == "^":
             self.next()
             inv = True
+        if self.peek() == "!":
+            self.next()
+            fwd, rev = self._parse_negated_set()
+            mod = None
+            if self.peek() in ("+", "*", "?"):
+                mod = self.next()
+            return ("npstep", fwd, rev, mod, inv)
         if self.peek() == "(":
             self.next()
             alts = [self._path_primary()]
@@ -357,6 +430,29 @@ class _Parser:
                 raise SparqlError(
                     "only IRIs may appear in decorated property paths")
         return ("pstep", alts, mod, inv)
+
+    def _parse_negated_set(self) -> tuple[list, list]:
+        """'!' PathNegatedPropertySet: a single (possibly ^-inverted)
+        IRI or a parenthesized |-list.  Returns (forward-iris,
+        reverse-iris)."""
+        fwd: list[str] = []
+        rev: list[str] = []
+
+        def one():
+            if self.opt("^"):
+                rev.append(self._path_primary()[1])
+            else:
+                fwd.append(self._path_primary()[1])
+
+        if self.peek() == "(":
+            self.next()
+            one()
+            while self.opt("|"):
+                one()
+            self.expect(")")
+        else:
+            one()
+        return fwd, rev
 
     def parse_triples_block(self) -> list:
         """subject pred-object list with ';'/',' continuation and
@@ -546,22 +642,23 @@ def _transitive_pairs(pairs: DataFrame) -> DataFrame:
     raise SparqlError(f"property-path closure exceeded {_PATH_MAX_HOPS} hops")
 
 
-def _pstep_pairs(triples: DataFrame, p, s, o) -> DataFrame:
-    """(_ps, _po) pairs for one decorated path step ('pstep', alts,
-    mod, inv).  Alternatives keep bag semantics (one row per matching
-    triple); + * ? are set-valued per the SPARQL spec (ALP/ZeroOrOne
-    are defined duplicate-free).  Zero-length paths (* ?) bind every
-    term of the graph plus the pattern's own constant endpoints."""
-    _tag, alts, mod, inv = p
-    iris: list[str] = []
-    for t in alts:
-        iri = OWL_SAMEAS if t[1].endswith("sameAs") else t[1]
-        iris.extend(_closure_iris(iri))
-    uniq = sorted(set(iris))
-    cond = (F.col("predicate") == uniq[0]) if len(uniq) == 1 \
-        else F.col("predicate").isin(uniq)
-    pairs = triples.where(cond).select(
-        F.col("subject").alias("_ps"), F.col("object_lex").alias("_po"))
+def _closure_set(iris) -> list[str]:
+    """Expand each IRI through sameAs-normalization + the
+    subPropertyOf closure; sorted distinct."""
+    out: list[str] = []
+    for i in iris:
+        iri = OWL_SAMEAS if i.endswith("sameAs") else i
+        out.extend(_closure_iris(iri))
+    return sorted(set(out))
+
+
+def _apply_path_decorations(pairs: DataFrame, triples: DataFrame,
+                            mod, inv: bool, s, o) -> DataFrame:
+    """Inverse / closure / zero-length semantics shared by decorated
+    path steps.  + * ? are set-valued per the SPARQL spec (ALP and
+    ZeroOrOnePath are defined duplicate-free).  Zero-length paths bind
+    every term of the graph plus the pattern's own constant
+    endpoints."""
     if inv:
         pairs = pairs.select(F.col("_po").alias("_ps"),
                              F.col("_ps").alias("_po"))
@@ -584,6 +681,47 @@ def _pstep_pairs(triples: DataFrame, p, s, o) -> DataFrame:
     return pairs
 
 
+def _pstep_pairs(triples: DataFrame, p, s, o) -> DataFrame:
+    """(_ps, _po) pairs for one decorated path step ('pstep', alts,
+    mod, inv).  Alternatives keep bag semantics (one row per matching
+    triple)."""
+    _tag, alts, mod, inv = p
+    uniq = _closure_set(t[1] for t in alts)
+    cond = (F.col("predicate") == uniq[0]) if len(uniq) == 1 \
+        else F.col("predicate").isin(uniq)
+    pairs = triples.where(cond).select(
+        F.col("subject").alias("_ps"), F.col("object_lex").alias("_po"))
+    return _apply_path_decorations(pairs, triples, mod, inv, s, o)
+
+
+def _npstep_pairs(triples: DataFrame, p, s, o) -> DataFrame:
+    """(_ps, _po) pairs for a negated property set ('npstep', fwd,
+    rev, mod, inv): forward triples whose predicate is NOT in the
+    forward exclusion set, unioned with reversed triples whose
+    predicate is NOT in the reverse (^-marked) exclusion set — the
+    SPARQL 1.1 NegatedPropertySet translation.  Exclusions expand
+    through the same subPropertyOf closure positive scans use, so
+    !f:p and f:p partition the graph consistently."""
+    _tag, fwd, rev, mod, inv = p
+    parts = []
+    if fwd or not rev:
+        ex = _closure_set(fwd)
+        scan = triples.where(~F.col("predicate").isin(ex)) if ex \
+            else triples
+        parts.append(scan.select(F.col("subject").alias("_ps"),
+                                 F.col("object_lex").alias("_po")))
+    if rev:
+        ex = _closure_set(rev)
+        scan = triples.where(~F.col("predicate").isin(ex)) if ex \
+            else triples
+        parts.append(scan.select(F.col("object_lex").alias("_ps"),
+                                 F.col("subject").alias("_po")))
+    pairs = parts[0]
+    for extra in parts[1:]:
+        pairs = pairs.unionByName(extra)
+    return _apply_path_decorations(pairs, triples, mod, inv, s, o)
+
+
 def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
     """One triple pattern (with an optional property path) as a
     predicate-filtered scan chain.  Returns (df, var-columns)."""
@@ -601,6 +739,8 @@ def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
         cols = []
         if p[0] == "pstep":
             pairs = _pstep_pairs(triples, p, s, o)
+        elif p[0] == "npstep":
+            pairs = _npstep_pairs(triples, p, s, o)
         elif p[0] == "var":
             # ?s ?p ?o — full scan, predicate projected
             pairs = triples.select(F.col("subject").alias("_ps"),
@@ -1084,14 +1224,62 @@ def _agg_column(proj, df: DataFrame, array_vars: set = frozenset()):
     return agg(col).alias(alias)
 
 
+def _compile_ask(ast: dict, triples: DataFrame) -> DataFrame:
+    """ASK -> one row, column `ask` boolean.  limit(1) bounds the work
+    (AQE cancels remaining partitions once a row is found); the global
+    aggregate turns zero rows into `false`."""
+    sol, _nulls = _compile_group(ast["where"], triples)
+    return sol.limit(1).groupBy().agg(
+        (F.count(F.lit(1)) > F.lit(0)).alias("ask"))
+
+
+def _compile_describe(ast: dict, triples: DataFrame) -> DataFrame:
+    """DESCRIBE -> the triple rows whose subject is a described
+    resource: distinct described IRIs (var bindings and/or literal
+    IRIs) semi-joined against the subject column — one semi join, no
+    collect; AQE broadcasts the (typically tiny) described set."""
+    spark = triples.sparkSession
+    frames = []
+    consts = [t[1] for t in ast["terms"] if t[0] != "var"]
+    if consts:
+        frames.append(spark.createDataFrame(
+            [(c,) for c in consts], "_described string"))
+    var_terms = [t[1] for t in ast["terms"] if t[0] == "var"]
+    if var_terms:
+        sol, _nulls = _compile_group(ast["where"], triples)
+        for v in var_terms:
+            if v not in sol.columns:
+                raise SparqlError(f"DESCRIBE ?{v} is not bound by WHERE")
+            frames.append(sol.select(F.col(v).alias("_described"))
+                          .where(F.col(v).isNotNull()))
+    subjects = frames[0]
+    for extra in frames[1:]:
+        subjects = subjects.unionByName(extra)
+    return triples.join(
+        subjects.distinct(),
+        triples["subject"] == F.col("_described"), "left_semi")
+
+
 def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
-    """Compile a parsed SELECT query over a (subject, predicate,
-    object_lex, object_dtype) triple DataFrame.  Star-shaped
-    aggregate-only attribute patterns compile through a single pivot
-    scan per subject var (see _star_pivot_rewrite)."""
+    """Compile a parsed query (SELECT / ASK / DESCRIBE) over a
+    (subject, predicate, object_lex, object_dtype) triple DataFrame.
+    Star-shaped aggregate-only attribute patterns compile through a
+    single pivot scan per subject var (see _star_pivot_rewrite)."""
+    form = ast.get("form", "select")
+    if form == "ask":
+        return _compile_ask(ast, triples)
+    if form == "describe":
+        return _compile_describe(ast, triples)
     where, array_vars = _star_pivot_rewrite(ast)
     df, _nulls = _compile_group(where, triples)
     projections = ast["projections"]
+    if any(p[0] == "star" for p in projections):
+        if len(projections) != 1:
+            raise SparqlError("SELECT * cannot mix with other projections")
+        if ast["group_by"]:
+            raise SparqlError("SELECT * with GROUP BY is not valid SPARQL")
+        projections = [("var", c) for c in df.columns
+                       if not c.startswith("__")]
     group_by = ast["group_by"]
     has_agg = any(p[0] == "agg" for p in projections)
     if group_by or has_agg:

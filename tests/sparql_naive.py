@@ -47,14 +47,29 @@ def _left_join(left: list, right: list) -> list:
 
 def _pstep_pairs(triples, p, cur_s, cur_o):
     """(s, o) pairs of one decorated path step — textbook version of
-    the compiler's _pstep_pairs: alternatives keep bags, + * ? are
-    set-valued, zero-length binds every graph term plus the pattern's
-    constant endpoints."""
-    _tag, alts, mod, inv = p
-    preds = set()
-    for t in alts:
-        preds |= _closure(t[1])
-    base = [(ts, to) for (ts, tp, to) in triples if tp in preds]
+    the compiler's _pstep_pairs/_npstep_pairs: alternatives keep bags,
+    + * ? are set-valued, zero-length binds every graph term plus the
+    pattern's constant endpoints; negated sets match predicates NOT in
+    the (closure-expanded) exclusion sets."""
+    if p[0] == "npstep":
+        _tag, fwd, rev, mod, inv = p
+        base = []
+        if fwd or not rev:
+            ex = set()
+            for i in fwd:
+                ex |= _closure(i)
+            base += [(ts, to) for (ts, tp, to) in triples if tp not in ex]
+        if rev:
+            ex = set()
+            for i in rev:
+                ex |= _closure(i)
+            base += [(to, ts) for (ts, tp, to) in triples if tp not in ex]
+    else:
+        _tag, alts, mod, inv = p
+        preds = set()
+        for t in alts:
+            preds |= _closure(t[1])
+        base = [(ts, to) for (ts, tp, to) in triples if tp in preds]
     if inv:
         base = [(b, a) for (a, b) in base]
     pairs = list(base)
@@ -83,7 +98,7 @@ def _scan(triples, s, path, o):
     for k, p in enumerate(path):
         cur_o = o if k == len(path) - 1 else ("var", f"__m{id(path)}_{k}")
         step = []
-        if p[0] == "pstep":
+        if p[0] in ("pstep", "npstep"):
             rows = [(a, None, b) for (a, b) in
                     _pstep_pairs(triples, p, cur_s, cur_o)]
         else:

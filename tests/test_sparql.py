@@ -738,3 +738,91 @@ def test_order_limit_offset(spark):
         SELECT ?strain WHERE { ?sid f:strain_name ?strain . }
         ORDER BY ?strain LIMIT 1 OFFSET 1""")
     assert [r.strain for r in df.collect()] == ["A/swine/Iowa/A01"]
+
+
+# -------------------------------------------------------------------------
+# query forms: ASK / DESCRIBE / SELECT * ; decorated property paths
+# -------------------------------------------------------------------------
+
+def test_ask_true_and_false(spark):
+    t = _t(spark, TINY)
+    yes = _run(spark, t, PFX + 'ASK { ?sid f:host "swine" . }')
+    assert [r.ask for r in yes.collect()] == [True]
+    no = _run(spark, t, PFX + 'ASK WHERE { ?sid f:host "emu" . }')
+    assert [r.ask for r in no.collect()] == [False]
+
+
+def test_ask_with_filter(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        ASK { ?sid f:date ?d . FILTER (YEAR(?d) > 2017) . }""")
+    assert [r.ask for r in df.collect()] == [True]
+
+
+def test_describe_iri_and_var(spark):
+    t = _t(spark, TINY)
+    by_iri = _run(spark, t, f"DESCRIBE <g1>")
+    assert {(r.subject, r.predicate.split("/")[-1], r.object_lex)
+            for r in by_iri.collect()} == {
+        ("g1", "segment_name", "HA"), ("g1", "clade", "1A.1")}
+    by_var = _run(spark, t, PFX + """
+        DESCRIBE ?gid WHERE { ?sid f:host "duck" .
+                              ?sid f:has_segment ?gid . }""")
+    assert {(r.subject, r.object_lex) for r in by_var.collect()} == {
+        ("g2", "NA")}
+
+
+def test_describe_var_without_where_rejected():
+    with pytest.raises(SparqlError):
+        parse_sparql("DESCRIBE ?x")
+
+
+def test_select_star(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT * WHERE {
+          ?sid f:host "swine" . ?sid f:strain_name ?strain . }""")
+    assert sorted(df.columns) == ["sid", "strain"]
+    assert [(r.sid, r.strain) for r in df.collect()] == [
+        ("s1", "A/swine/Iowa/A01")]
+
+
+def test_path_inverse_and_alternation(spark):
+    t = _t(spark, TINY)
+    inv = _run(spark, t, PFX + """
+        SELECT ?sid WHERE { ?gid ^f:has_segment ?sid .
+                            ?gid f:segment_name "HA" . }""")
+    assert [r.sid for r in inv.collect()] == ["s1"]
+    alt = _run(spark, t, PFX + """
+        SELECT DISTINCT ?v WHERE { ?sid (f:host|f:subtype) ?v . }""")
+    assert {r.v for r in alt.collect()} == {"swine", "duck", "H1N1"}
+
+
+def test_path_transitive_closure(spark):
+    chain = _t(spark, [
+        ("a", "locatedIn", "b", "uri"),
+        ("b", "locatedIn", "c", "uri"),
+        ("c", "locatedIn", "d", "uri"),
+        ("x", "name", "X", ""),
+    ])
+    plus = _run(spark, chain, PFX + """
+        SELECT ?o WHERE { <a> f:locatedIn+ ?o . }""")
+    assert {r.o for r in plus.collect()} == {"b", "c", "d"}
+    opt = _run(spark, chain, PFX + """
+        SELECT ?o WHERE { <a> f:locatedIn? ?o . }""")
+    assert {r.o for r in opt.collect()} == {"a", "b"}
+
+
+def test_negated_property_set(spark):
+    t = _t(spark, TINY)
+    simple = _run(spark, t, PFX + """
+        SELECT DISTINCT ?v WHERE { <s1> !f:has_segment ?v . }""")
+    assert {r.v for r in simple.collect()} == {
+        "A/swine/Iowa/A01", "swine", "2018-03-05", "H1N1"}
+    grouped = _run(spark, t, PFX + """
+        SELECT DISTINCT ?v WHERE {
+          <s1> !(f:has_segment|f:strain_name|f:date) ?v . }""")
+    assert {r.v for r in grouped.collect()} == {"swine", "H1N1"}
+    reverse = _run(spark, t, PFX + """
+        SELECT DISTINCT ?s WHERE { <g1> !(f:clade|^f:has_segment) ?s . }""")
+    # forward: g1's non-clade edges (segment_name->HA); reverse: none
+    # besides has_segment which is excluded
+    assert {r.s for r in reverse.collect()} == {"HA"}

@@ -85,7 +85,7 @@ def _query(rng):
         used_vars.append("pv")
     if rng.random() < 0.4:
         # decorated path step: inverse / alternation / closure / opt
-        kind = rng.randrange(5)
+        kind = rng.randrange(7)
         if kind == 0:
             body.append(f"?x ^f:{rng.choice(PREDS)} ?iv .")
             used_vars.append("iv")
@@ -98,9 +98,15 @@ def _query(rng):
         elif kind == 3:
             body.append("?x f:link? ?zv .")
             used_vars.append("zv")
-        else:
+        elif kind == 4:
             body.append(f"?x ^f:link/f:{rng.choice(PREDS)} ?bv .")
             used_vars.append("bv")
+        elif kind == 5:
+            body.append(f"?x !(f:{rng.choice(PREDS)}|f:dt) ?ng .")
+            used_vars.append("ng")
+        else:
+            body.append(f"?x !(f:dt|^f:{rng.choice(PREDS)}) ?nr .")
+            used_vars.append("nr")
     # filters
     if rng.random() < 0.4:
         v = rng.choice(used_vars)
