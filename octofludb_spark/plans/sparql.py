@@ -8,7 +8,12 @@ FROM onto:disable-sameAs, basic graph patterns with ';'/',' and
 property paths p1/p2, OPTIONAL, UNION, BIND, FILTER with
 =/!=/</>/<=/>=, ||/&&/!, REGEX, BOUND, YEAR/MONTH/DAY, FILTER
 [NOT] EXISTS, MINUS, GROUP BY, ORDER BY, LIMIT) — enough that a
-reference user can run their own .rq files unchanged.
+reference user can run their own .rq files unchanged — plus the
+SPARQL 1.1 features a GraphDB user would also reach for: ASK,
+DESCRIBE, CONSTRUCT, SELECT *, VALUES, OFFSET, HAVING (with
+aggregate calls), subqueries ({ SELECT ... }), decorated property
+paths (^ inverse, (p1|p2) alternation, + * ? closures via semi-naive
+iteration) and negated property sets (!p, !(p1|^p2)).
 
 Semantics notes (SPARQL algebra, GraphDB-compatible):
   * elements compose left-to-right: Join for patterns/UNION/BIND,
@@ -195,16 +200,25 @@ class _Parser:
         self.expect("WHERE")
         where = self.parse_ggp()
         group_by: list[str] = []
+        having: list = []
         order_by: list[tuple[str, bool]] = []
         limit = None
         offset = 0
-        while self.peek() is not None:
+        # '}' terminates a subquery's solution modifiers
+        while self.peek() is not None and self.peek() != "}":
             k = self.kw()
             if k == "GROUP":
                 self.next()
                 self.expect("BY")
                 while self.peek() and self.peek()[0] in "?$":
                     group_by.append(self.next()[1:])
+            elif k == "HAVING":
+                self.next()
+                if self.peek() == "(":
+                    while self.peek() == "(":
+                        having.append(self.parse_expr_parens())
+                else:
+                    having.append(self.parse_unary())
             elif k == "ORDER":
                 self.next()
                 self.expect("BY")
@@ -237,6 +251,7 @@ class _Parser:
             "disable_sameas": disable_sameas,
             "where": where,
             "group_by": group_by,
+            "having": having,
             "order_by": order_by,
             "limit": limit,
             "offset": offset,
@@ -297,12 +312,13 @@ class _Parser:
         return {"form": "describe", "terms": terms, "where": where,
                 "disable_sameas": disable_sameas}
 
-    def parse_agg_projection(self):
-        """'(' EXPR AS ?alias ')' — aggregate or scalar projection."""
-        self.expect("(")
+    def _parse_agg_call(self) -> tuple:
+        """FN '(' [DISTINCT] arg [; SEPARATOR = "s"] ')' — the shared
+        body of aggregate projections and HAVING aggregate calls.
+        Returns (fn, distinct, arg, sep)."""
         fn = self.kw()
         if fn not in _AGG_FUNCS:
-            raise SparqlError(f"unsupported projection function {fn!r}")
+            raise SparqlError(f"unsupported aggregate function {fn!r}")
         self.next()
         self.expect("(")
         distinct = self.opt("DISTINCT")
@@ -320,6 +336,12 @@ class _Parser:
             sep_tok = self.next()
             sep = self.term(sep_tok)[1]
         self.expect(")")
+        return fn, distinct, arg, sep
+
+    def parse_agg_projection(self):
+        """'(' EXPR AS ?alias ')' — aggregate or scalar projection."""
+        self.expect("(")
+        fn, distinct, arg, sep = self._parse_agg_call()
         self.expect("AS")
         alias = self.next()
         if alias[0] not in "?$":
@@ -372,11 +394,19 @@ class _Parser:
                 self.next()
                 elements.append(self.parse_values())
             elif t == "{":
-                branches = [self.parse_ggp()]
-                while self.kw() == "UNION":
+                if self.kw(1) == "SELECT":
+                    # SPARQL 1.1 subquery: { SELECT ... } joins its
+                    # projected bindings into the enclosing group
                     self.next()
-                    branches.append(self.parse_ggp())
-                elements.append(("union", branches))
+                    sub = self.parse_query()
+                    self.expect("}")
+                    elements.append(("subquery", sub))
+                else:
+                    branches = [self.parse_ggp()]
+                    while self.kw() == "UNION":
+                        self.next()
+                        branches.append(self.parse_ggp())
+                    elements.append(("union", branches))
             else:
                 elements.extend(self.parse_triples_block())
             self.opt(".")
@@ -569,6 +599,11 @@ class _Parser:
             var = self.next()
             self.expect(")")
             return ("bound", var[1:])
+        if k in _AGG_FUNCS:
+            # aggregate call inside an expression — only valid in
+            # HAVING; the compiler rejects it anywhere else
+            fn, distinct, arg, sep = self._parse_agg_call()
+            return ("aggcall", fn, distinct, arg, sep)
         if k in _SCALAR_FUNCS or k in _NARY_FUNCS:
             self.next()
             self.expect("(")
@@ -974,6 +1009,13 @@ def _count_var_uses(elements: list, uses: dict) -> None:
         elif el[0] == "values":
             for v in el[1]:
                 uses[v] = uses.get(v, 0) + 1
+        elif el[0] == "subquery":
+            # only its projected vars are visible to the outer group
+            for p in el[1].get("projections", []):
+                if p[0] == "var":
+                    uses[p[1]] = uses.get(p[1], 0) + 1
+                elif p[0] == "agg":
+                    uses[p[5]] = uses.get(p[5], 0) + 1
 
 
 def _star_pivot_rewrite(ast: dict) -> tuple[list, set]:
@@ -992,6 +1034,24 @@ def _star_pivot_rewrite(ast: dict) -> tuple[list, set]:
     projections = ast["projections"]
     aggs = [p for p in projections if p[0] == "agg"]
     if not aggs or not all(_agg_dup_insensitive(p) for p in aggs):
+        return ast["where"], set()
+    if ast.get("having"):
+        # HAVING aggregates may be duplicate-sensitive (COUNT(?v)) and
+        # reference vars the use-count below doesn't attribute — skip
+        return ast["where"], set()
+
+    def star_subquery(els):
+        return any(
+            (el[0] == "subquery"
+             and (any(p[0] == "star" for p in el[1].get("projections", []))
+                  or star_subquery(el[1].get("where", []))))
+            or (el[0] in ("optional", "not_exists", "exists", "minus")
+                and star_subquery(el[1]))
+            or (el[0] == "union" and any(star_subquery(b) for b in el[1]))
+            for el in els)
+    if star_subquery(ast["where"]):
+        # a SELECT * subquery's visible vars aren't enumerable before
+        # compilation — the use-count analysis can't be trusted
         return ast["where"], set()
     uses: dict = {}
     _count_var_uses(ast["where"], uses)
@@ -1139,6 +1199,9 @@ def _compile_group(elements: list, triples: DataFrame) -> tuple[DataFrame, set]:
             nulls = {v for i, v in enumerate(vars_)
                      if any(r[i] is None for r in rows)}
             join_in(F.broadcast(vdf), nulls)
+        elif kind == "subquery":
+            sub_df, sub_nulls = _compile_select(el[1], triples)
+            join_in(sub_df, sub_nulls)
         elif kind == "bind":
             if g.df is None:
                 raise SparqlError("BIND before any pattern")
@@ -1260,6 +1323,21 @@ def _compile_describe(ast: dict, triples: DataFrame) -> DataFrame:
         triples["subject"] == F.col("_described"), "left_semi")
 
 
+def _rewrite_having(expr, hidden: list):
+    """Replace each ('aggcall', fn, distinct, arg, sep) node in a
+    HAVING expression with a var reference to a hidden aggregate
+    column (appended to `hidden` as a projection tuple)."""
+    if isinstance(expr, tuple):
+        if expr[0] == "aggcall":
+            alias = f"__hav{len(hidden)}"
+            hidden.append(("agg", expr[1], expr[2], expr[3], expr[4], alias))
+            return ("var", alias)
+        return tuple(_rewrite_having(x, hidden) for x in expr)
+    if isinstance(expr, list):
+        return [_rewrite_having(x, hidden) for x in expr]
+    return expr
+
+
 def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
     """Compile a parsed query (SELECT / ASK / DESCRIBE) over a
     (subject, predicate, object_lex, object_dtype) triple DataFrame.
@@ -1270,8 +1348,17 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
         return _compile_ask(ast, triples)
     if form == "describe":
         return _compile_describe(ast, triples)
+    df, _nulls = _compile_select(ast, triples)
+    return df
+
+
+def _compile_select(ast: dict, triples: DataFrame) -> tuple[DataFrame, set]:
+    """SELECT -> (DataFrame, maybe-null projected vars).  The null set
+    feeds subquery joins (a subquery's bindings join into the
+    enclosing group with the same null-tolerant compatibility rules as
+    OPTIONAL output)."""
     where, array_vars = _star_pivot_rewrite(ast)
-    df, _nulls = _compile_group(where, triples)
+    df, inner_nulls = _compile_group(where, triples)
     projections = ast["projections"]
     if any(p[0] == "star" for p in projections):
         if len(projections) != 1:
@@ -1281,11 +1368,15 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
         projections = [("var", c) for c in df.columns
                        if not c.startswith("__")]
     group_by = ast["group_by"]
+    havings = ast.get("having") or []
     has_agg = any(p[0] == "agg" for p in projections)
+    nulls: set = set()
     if group_by or has_agg:
         keys = group_by or []
+        hidden: list = []
+        hav_exprs = [_rewrite_having(h, hidden) for h in havings]
         aggs = [_agg_column(p, df, array_vars)
-                for p in projections if p[0] == "agg"]
+                for p in projections + hidden if p[0] == "agg"]
         bare = [p[1] for p in projections if p[0] == "var"]
         for v in bare:
             if v not in keys:
@@ -1293,10 +1384,22 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
                     f"?{v} is projected but neither grouped nor aggregated")
         grouped = df.groupBy(*keys).agg(*aggs) if aggs else \
             df.select(*keys).dropDuplicates()
+        for he in hav_exprs:
+            grouped = grouped.where(_compile_expr(he, grouped))
         order = [p[5] if p[0] == "agg" else p[1] for p in projections]
         df = grouped.select(*order)
+        for p in projections:
+            if p[0] == "var":
+                if p[1] in inner_nulls:
+                    nulls.add(p[1])
+            elif p[1] != "COUNT" and p[3][0] == "var" \
+                    and p[3][1] in inner_nulls:
+                nulls.add(p[5])  # aggregate over a maybe-null var
+    elif havings:
+        raise SparqlError("HAVING without GROUP BY or aggregates")
     else:
         df = df.select(*[p[1] for p in projections])
+        nulls = {p[1] for p in projections if p[1] in inner_nulls}
     if ast["distinct"]:
         df = df.dropDuplicates()
     for var, desc in ast["order_by"]:
@@ -1305,7 +1408,7 @@ def compile_sparql(ast: dict, triples: DataFrame) -> DataFrame:
         df = df.offset(ast["offset"])
     if ast["limit"] is not None:
         df = df.limit(ast["limit"])
-    return df
+    return df, nulls
 
 
 def parse_sparql_update(text: str,

@@ -283,6 +283,10 @@ def _eval_group(elements, triples) -> list:
                 except EvalError:
                     out.append(dict(b))  # var stays unbound
             sols = out
+        elif k == "subquery":
+            sub_rows = _eval_select(el[1], triples)
+            merge([{k2: v for k2, v in r.items() if v is not None}
+                   for r in sub_rows])
         elif k in ("filter", "not_exists", "exists", "minus"):
             filters.append(el)
     if sols is None and pending:
@@ -318,46 +322,79 @@ def _eval_group(elements, triples) -> list:
     return sols
 
 
-def evaluate(ast: dict, triples: list) -> set:
-    """-> set of projected tuples (None for unbound), matching the
-    engine's deterministic GROUP_CONCAT (sorted distinct)."""
+def _agg_value(fn, distinct, arg, sep, members):
+    """One aggregate over a group's member bindings."""
+    if fn == "COUNT" and arg[0] == "star":
+        return len(members)
+    vals = [m[arg[1]] for m in members
+            if arg[0] == "var" and m.get(arg[1]) is not None]
+    if fn == "COUNT":
+        return len(set(vals)) if distinct else len(vals)
+    if fn == "GROUP_CONCAT":
+        vs = sorted(set(vals)) if distinct else sorted(vals)
+        return sep.join(str(v) for v in vs)
+    if fn == "MIN":
+        return min(vals) if vals else None
+    if fn == "MAX":
+        return max(vals) if vals else None
+    raise ValueError(f"agg {fn}")
+
+
+def _eval_having(expr, brow: dict, members: list) -> bool:
+    """HAVING condition over one group: aggcall nodes evaluate against
+    the member bindings, everything else against the group-key row."""
+    def subst(e):
+        if isinstance(e, tuple):
+            if e[0] == "aggcall":
+                v = _agg_value(e[1], e[2], e[3], e[4], members)
+                if v is None:
+                    return ("var", "__never_bound")
+                return ("num", v) if isinstance(v, (int, float)) \
+                    else ("lit", v, None)
+            return tuple(subst(x) for x in e)
+        if isinstance(e, list):
+            return [subst(x) for x in e]
+        return e
+    try:
+        return bool(_eval_expr(subst(expr), brow))
+    except EvalError:
+        return False
+
+
+def _eval_select(ast: dict, triples: list) -> list:
+    """SELECT -> list of {projected-name: value} rows (bag)."""
     sols = _eval_group(ast["where"], triples)
     projections = ast["projections"]
     group_by = ast["group_by"]
+    havings = ast.get("having") or []
     has_agg = any(p[0] == "agg" for p in projections)
-
-    def key_of(b):
-        return tuple(b.get(k) for k in group_by)
-
     if group_by or has_agg:
         groups: dict = {}
         for b in sols:
-            groups.setdefault(key_of(b), []).append(b)
-        out = set()
+            groups.setdefault(tuple(b.get(k) for k in group_by),
+                              []).append(b)
+        out = []
         for key, members in groups.items():
-            row = []
+            brow = {k: v for k, v in zip(group_by, key) if v is not None}
+            if not all(_eval_having(h, brow, members) for h in havings):
+                continue
+            row = {}
             for p in projections:
                 if p[0] == "var":
-                    row.append(key[group_by.index(p[1])])
-                    continue
-                _tag, fn, distinct, arg, sep, _alias = p
-                vals = [m[arg[1]] for m in members
-                        if arg[0] == "var" and m.get(arg[1]) is not None]
-                if fn == "GROUP_CONCAT":
-                    vs = sorted(set(vals)) if distinct else sorted(vals)
-                    row.append(sep.join(str(v) for v in vs))
-                elif fn == "MIN":
-                    row.append(min(vals) if vals else None)
-                elif fn == "MAX":
-                    row.append(max(vals) if vals else None)
-                elif fn == "COUNT":
-                    if arg[0] == "star":
-                        row.append(len(members))
-                    else:
-                        row.append(len(set(vals)) if distinct else len(vals))
+                    row[p[1]] = key[group_by.index(p[1])]
                 else:
-                    raise ValueError(f"agg {fn}")
-            out.add(tuple(row))
+                    _tag, fn, distinct, arg, sep, alias = p
+                    row[alias] = _agg_value(fn, distinct, arg, sep, members)
+            out.append(row)
         return out
-    rows = {tuple(b.get(p[1]) for p in projections) for b in sols}
-    return rows
+    if havings:
+        raise ValueError("HAVING without grouping")
+    return [{p[1]: b.get(p[1]) for p in projections} for b in sols]
+
+
+def evaluate(ast: dict, triples: list) -> set:
+    """-> set of projected tuples (None for unbound), matching the
+    engine's deterministic GROUP_CONCAT (sorted distinct)."""
+    rows = _eval_select(ast, triples)
+    names = [p[5] if p[0] == "agg" else p[1] for p in ast["projections"]]
+    return {tuple(r.get(n) for n in names) for r in rows}

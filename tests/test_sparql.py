@@ -826,3 +826,40 @@ def test_negated_property_set(spark):
     # forward: g1's non-clade edges (segment_name->HA); reverse: none
     # besides has_segment which is excluded
     assert {r.s for r in reverse.collect()} == {"HA"}
+
+
+def test_having_count(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid (COUNT(?v) as ?n) WHERE { ?sid !f:none ?v . }
+        GROUP BY ?sid HAVING (COUNT(?v) > 2)""")
+    got = {(r.sid, r.n) for r in df.collect()}
+    assert got == {("s1", 5), ("s2", 4)}
+
+
+def test_having_min_and_key_ref(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid (MIN(?v) as ?m) WHERE { ?sid f:host ?v . }
+        GROUP BY ?sid HAVING (MIN(?v) = "duck")""")
+    assert [(r.sid, r.m) for r in df.collect()] == [("s2", "duck")]
+
+
+def test_subquery_join(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?strain ?seg WHERE {
+          ?sid f:strain_name ?strain .
+          { SELECT ?sid (MIN(?sn) as ?seg) WHERE {
+              ?sid f:has_segment ?gid . ?gid f:segment_name ?sn . }
+            GROUP BY ?sid }
+        }""")
+    got = {(r.strain, r.seg) for r in df.collect()}
+    assert got == {("A/swine/Iowa/A01", "HA"), ("A/duck/Texas/77", "NA")}
+
+
+def test_subquery_scoping_shadows_inner_var(spark):
+    # inner ?v is local to the subquery; the outer ?v binds host only
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT DISTINCT ?v WHERE {
+          ?sid f:host ?v .
+          { SELECT ?sid WHERE { ?sid f:subtype ?v . } }
+        }""")
+    assert {r.v for r in df.collect()} == {"swine"}

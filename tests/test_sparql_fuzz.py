@@ -126,6 +126,14 @@ def _query(rng):
         body.append("VALUES ?v0 { %s }" %
                     " ".join(f'"{v}"' for v in vals))
     if rng.random() < 0.3:
+        # subquery: inner ?v0 shadows the outer core var (scoping
+        # test — only the projected ?x / aggregate are visible)
+        agg = rng.choice(["MAX", "MIN"])
+        body.append("{ SELECT ?x (%s(?v0) as ?sq) WHERE "
+                    "{ ?x f:%s ?v0 . } GROUP BY ?x }"
+                    % (agg, rng.choice(PREDS)))
+        used_vars.append("sq")
+    if rng.random() < 0.3:
         kind = rng.randrange(3)
         if kind == 0:
             body.append('FILTER STRSTARTS(?v0, "%s") .'
@@ -146,6 +154,14 @@ def _query(rng):
             aggs.append('(COUNT(DISTINCT ?d) as ?nd)')
         sel = "SELECT ?x " + " ".join(aggs)
         tail = " GROUP BY ?x"
+        if rng.random() < 0.5:
+            hk = rng.randrange(3)
+            if hk == 0:
+                tail += f" HAVING (COUNT(?v0) > {rng.randint(1, 3)})"
+            elif hk == 1:
+                tail += " HAVING (COUNT(DISTINCT ?v0) >= 2)"
+            else:
+                tail += ' HAVING (MIN(?v0) != "a")'
     else:
         sel = "SELECT DISTINCT ?x " + " ".join(f"?{v}" for v in used_vars)
         tail = ""
