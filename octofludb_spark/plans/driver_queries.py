@@ -1146,6 +1146,41 @@ def sparql_path_closure(spark, sf):
     return sparql_to_df(spark, text, triples)
 
 
+@q("sparql_having_subquery", f"""
+WITH segs AS (
+  SELECT subject AS sid, COUNT(object_lex) AS n_segments
+  FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+  WHERE predicate = '{_NT}has_segment'
+  GROUP BY subject
+  HAVING COUNT(object_lex) > 1
+),
+names AS (
+  SELECT subject AS sid, object_lex AS strain
+  FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+  WHERE predicate = '{_NT}strain_name'
+)
+SELECT DISTINCT n.strain, s.n_segments
+FROM segs s JOIN names n USING (sid)
+""")
+def sparql_having_subquery(spark, sf):
+    """SPARQL 1.1 HAVING + subquery compiled to DataFrame plans: the
+    aggregate-call HAVING rewrites into the same groupBy (one
+    shuffle), the subquery's bindings hash-join into the outer
+    pattern.  Hash-checked against an independent DuckDB CTE
+    recomputation over identical staged bytes."""
+    from octofludb_spark.plans.sparql import sparql_to_df
+
+    triples, _ = _stage_kg(spark)
+    text = ("PREFIX f: <https://flu-crew.org/term/>\n"
+            "SELECT DISTINCT ?strain ?n_segments WHERE {\n"
+            "  ?sid f:strain_name ?strain .\n"
+            "  { SELECT ?sid (COUNT(?gid) as ?n_segments) WHERE {\n"
+            "      ?sid f:has_segment ?gid . }\n"
+            "    GROUP BY ?sid HAVING (COUNT(?gid) > 1) }\n"
+            "}")
+    return sparql_to_df(spark, text, triples)
+
+
 @q("kg_subtype_report", _SUBTYPE_SQL)
 def kg_subtype_report(spark, sf):
     """Subtype priority-lattice report (A6) over the built graph.

@@ -58,8 +58,9 @@ _TOKEN = re.compile(
     | [A-Za-z_][\w-]*:[\w.%-]*                         # prefixed name
     | [A-Za-z_]\w*                                     # keyword / bare name
     | \|\||&&|!=|<=|>=                                 # 2-char operators
-    | [{}();,./=<>!*+?^|]                              # punctuation (incl.
-                                                       # path ops + * ? ^ |)
+    | [{}();,./=<>!*+?^|-]                             # punctuation (incl.
+                                                       # path ops + * ? ^ |
+                                                       # and arithmetic -)
     """,
     re.X,
 )
@@ -568,11 +569,53 @@ class _Parser:
         return e
 
     def parse_cmp_expr(self):
-        e = self.parse_unary()
+        e = self.parse_add_expr()
         t = self.peek()
         if t in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
-            return ("cmp", t, e, self.parse_unary())
+            return ("cmp", t, e, self.parse_add_expr())
+        if self.kw() == "IN" or (self.kw() == "NOT" and self.kw(1) == "IN"):
+            # desugar per the SPARQL spec: IN = chained '=' with ||,
+            # NOT IN = chained '!=' with && — error semantics follow
+            # from the existing ||/&& rules
+            neg = self.kw() == "NOT"
+            if neg:
+                self.next()
+            self.next()
+            self.expect("(")
+            items = [self.term(self.next())]
+            while self.opt(","):
+                items.append(self.term(self.next()))
+            self.expect(")")
+            op = "!=" if neg else "="
+            out = ("cmp", op, e, items[0])
+            for it in items[1:]:
+                out = ("and" if neg else "or", out, ("cmp", op, e, it))
+            return out
+        return e
+
+    def parse_add_expr(self):
+        e = self.parse_mul_expr()
+        while True:
+            t = self.peek()
+            if t in ("+", "-"):
+                self.next()
+                e = ("arith", t, e, self.parse_mul_expr())
+            elif t and re.fullmatch(r"[+-]\d[\d.eE+-]*", t):
+                # signed-number token glued to the previous operand
+                # (?x-1 tokenizes as ?x, -1) — implicit addition, per
+                # the SPARQL AdditiveExpression grammar note
+                self.next()
+                num = float(t) if any(c in t for c in ".eE") else int(t)
+                e = ("arith", "+", e, ("num", num))
+            else:
+                return e
+
+    def parse_mul_expr(self):
+        e = self.parse_unary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            e = ("arith", op, e, self.parse_unary())
         return e
 
     def parse_unary(self):
@@ -898,6 +941,21 @@ def _compile_expr(expr, df: DataFrame):
             if lit_side[0] == "lit" and lit_side[2] == "xsd:date":
                 out = out & other.rlike(r"^\d{4}-\d{2}-\d{2}")
         return out
+    if kind == "arith":
+        # SPARQL numeric ops over lexical storage: operands promote to
+        # double via try_cast (a non-numeric lexical -> NULL -> the row
+        # drops, SPARQL's error-as-drop); x/0 is a type error per the
+        # spec's integer semantics -> NULL, not Infinity
+        op = expr[1]
+        ca = _compile_expr(expr[2], df).try_cast("double")
+        cb = _compile_expr(expr[3], df).try_cast("double")
+        if op == "+":
+            return ca + cb
+        if op == "-":
+            return ca - cb
+        if op == "*":
+            return ca * cb
+        return F.when(cb != 0, ca / cb)
     if kind == "regex":
         return _compile_expr(expr[1], df).rlike(expr[2])
     if kind == "bound":
@@ -980,7 +1038,7 @@ def _count_var_uses(elements: list, uses: dict) -> None:
             expr_vars(e[2])
         elif k == "not":
             expr_vars(e[1])
-        elif k == "cmp":
+        elif k in ("cmp", "arith"):
             expr_vars(e[2])
             expr_vars(e[3])
         elif k == "regex":

@@ -171,6 +171,22 @@ def _eval_expr(e, b: dict):
         return True
     if k == "not":
         return not _eval_expr(e[1], b)
+    if k == "arith":
+        op = e[1]
+        try:
+            va = float(_eval_expr(e[2], b))
+            vb = float(_eval_expr(e[3], b))
+        except (TypeError, ValueError):
+            raise EvalError("numeric cast")
+        if op == "+":
+            return va + vb
+        if op == "-":
+            return va - vb
+        if op == "*":
+            return va * vb
+        if vb == 0:
+            raise EvalError("division by zero")
+        return va / vb
     if k == "regex":
         return re.search(e[2], str(_eval_expr(e[1], b))) is not None
     if k == "cmp":

@@ -863,3 +863,37 @@ def test_subquery_scoping_shadows_inner_var(spark):
           { SELECT ?sid WHERE { ?sid f:subtype ?v . } }
         }""")
     assert {r.v for r in df.collect()} == {"swine"}
+
+
+def test_arithmetic_and_in(spark):
+    t = _t(spark, TINY)
+    df = _run(spark, t, PFX + """
+        SELECT ?sid ?y2 WHERE {
+          ?sid f:date ?d . FILTER (YEAR(?d) + 1 > 2018) .
+          BIND(YEAR(?d) * 2 as ?y2) .
+        }""")
+    assert [(r.sid, r.y2) for r in df.collect()] == [("s1", 4036.0)]
+    inq = _run(spark, t, PFX + """
+        SELECT ?sid WHERE {
+          ?sid f:host ?h . FILTER (?h IN ("swine", "emu")) . }""")
+    assert [r.sid for r in inq.collect()] == ["s1"]
+    notin = _run(spark, t, PFX + """
+        SELECT ?sid WHERE {
+          ?sid f:host ?h . FILTER (?h NOT IN ("swine", "emu")) . }""")
+    assert [r.sid for r in notin.collect()] == ["s2"]
+
+
+def test_arithmetic_division_by_zero_drops(spark):
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid WHERE {
+          ?sid f:date ?d .
+          FILTER (YEAR(?d) / (YEAR(?d) - YEAR(?d)) > 0) . }""")
+    assert df.count() == 0
+
+
+def test_signed_number_glue(spark):
+    # '?x-1' tokenizes as ?x, -1 — implicit addition per the grammar
+    df = _run(spark, _t(spark, TINY), PFX + """
+        SELECT ?sid WHERE {
+          ?sid f:date ?d . FILTER (YEAR(?d)-3 = 2015) . }""")
+    assert [r.sid for r in df.collect()] == ["s1"]

@@ -120,6 +120,18 @@ def _query(rng):
         elif kind == 3 and "d" in used_vars:
             body.append("FILTER (YEAR(?d) > 2015) .")
     if rng.random() < 0.3:
+        kind = rng.randrange(3)
+        if kind == 0 and "d" in used_vars:
+            body.append(f"FILTER (YEAR(?d) * 2 - 1 > {rng.randint(4000, 4040)}) .")
+        elif kind == 1:
+            vals = rng.sample(VALUES + ["zz"], rng.randint(1, 3))
+            neg = "NOT IN" if rng.random() < 0.5 else "IN"
+            body.append("FILTER (?v0 %s (%s)) ."
+                        % (neg, ", ".join(f'"{v}"' for v in vals)))
+        elif "d" in used_vars:
+            body.append("BIND(YEAR(?d) / 4 as ?dq) .")
+            used_vars.append("dq")
+    if rng.random() < 0.3:
         body.append('FILTER NOT EXISTS { ?x f:%s "b" . }' % rng.choice(PREDS))
     if rng.random() < 0.3:
         vals = rng.sample(VALUES + ["zz"], rng.randint(1, 3))
