@@ -411,6 +411,44 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Materialized-report maintenance (plans/incremental_reports.py):
+    `report materialize <store>` full-computes the masterlist into the
+    store; `report refresh <store>` folds triple changes since the
+    base snapshot in at O(changes + affected barcodes); `report show
+    <store>` prints the materialized table.  The reference recomputes
+    per query (ui.py:1276-1334) — this is the 100 TB path."""
+    from octofludb_spark.plans.incremental_reports import (
+        MASTERLIST_TABLE,
+        masterlist_materialize,
+        masterlist_refresh,
+    )
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(args.store)
+    spark = _spark(args.cores)
+    table = "triples" if args.no_sameas else "triples_canonical"
+    if args.op == "materialize":
+        n = masterlist_materialize(spark, store, table=table)
+        print(f"materialized {MASTERLIST_TABLE}: {n} rows", file=sys.stderr)
+        return 0
+    if args.op == "refresh":
+        res = masterlist_refresh(spark, store, table=table)
+        print(f"refresh mode={res['mode']} "
+              f"affected_barcodes={res['affected_barcodes']} "
+              f"rows_appended={res['rows_appended']}", file=sys.stderr)
+        return 0
+    from octofludb_spark.plans.formatting import as_table_text
+
+    df = store.read(spark, MASTERLIST_TABLE)
+    if df is None:
+        print(f"no materialized report (run `report materialize` first)",
+              file=sys.stderr)
+        return 1
+    print(as_table_text(df.drop("part_bucket")))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact small files, vacuum dead snapshots,
     inspect the commit log, expire old snapshot versions, read the
@@ -562,6 +600,12 @@ def main(argv=None) -> int:
     sc.add_argument("--octoflu-dir", dest="octoflu_dir", required=True,
                     help="path to an octoFLU checkout (octoFLU.sh)")
     sc.set_defaults(fn=cmd_classify)
+
+    sr = sub.add_parser("report")
+    sr.add_argument("op", choices=["materialize", "refresh", "show"])
+    sr.add_argument("store")
+    sr.add_argument("--no-sameas", dest="no_sameas", action="store_true")
+    sr.set_defaults(fn=cmd_report)
 
     ss = sub.add_parser("store")
     ss.add_argument("op", choices=["compact", "vacuum", "lookup",

@@ -1196,6 +1196,44 @@ def kg_subtype_report(spark, sf):
                       F.concat_ws("+", F.sort_array("isolates")).alias("isolates"))
 
 
+@q("kg_incremental_report", _MASTERLIST_SQL)
+def kg_incremental_report(spark, sf):
+    """Materialized-report maintenance end-to-end: batch A full-builds
+    a store and MATERIALIZES the masterlist; batch B folds in
+    incrementally; the materialized table is then REFRESHED at
+    O(changes + affected barcodes) — a CDC changelog scan, a
+    Barcode-keyed equality-delete segment and an O(affected) append
+    (plans/incremental_reports.py).  The result must equal the SAME
+    full-corpus DuckDB masterlist oracle as masterlist_wide: the
+    incremental == batch equivalence, report edition, cross-engine.
+    Raises if the refresh silently fell back to a full recompute, so
+    a green row really did exercise the incremental path."""
+    import shutil
+
+    from octofludb_spark.build import build_graph, incremental_update
+    from octofludb_spark.plans.incremental_reports import (
+        MASTERLIST_TABLE,
+        masterlist_materialize,
+        masterlist_refresh,
+    )
+
+    _stage_kg(spark)  # ensure the oracle's staged files
+    source = _kg_source(spark)
+    part_a = source.where(F.xxhash64("path") % 3 != 0)
+    part_b = source.where(F.xxhash64("path") % 3 == 0)
+    root = os.path.join(_STAGED, "incr_report_store")
+    shutil.rmtree(root, ignore_errors=True)
+    store = build_graph(spark, part_a, root, run_ts="2026-01-01T00:00:00")
+    masterlist_materialize(spark, store, table="triples")
+    incremental_update(spark, part_b, root,
+                       run_ts="2026-01-01T00:00:00", batch_id="gate-b")
+    res = masterlist_refresh(spark, store, table="triples")
+    if res["mode"] != "incremental":
+        raise RuntimeError(f"refresh fell back to {res['mode']!r} — "
+                           "the incremental path was not exercised")
+    return store.read(spark, MASTERLIST_TABLE).drop("part_bucket")
+
+
 @q("kg_incremental_build", f"""
 WITH t AS (SELECT subject, predicate, object_lex, object_dtype
            FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),

@@ -360,9 +360,16 @@ class TripleStore:
 
         Low-level: no canonical-view mirroring (callers updating the
         live ``triples`` table should use delete_rows / delete_where,
-        which keep both views in sync)."""
-        dels = rows.select(*[c for c in TRIPLE_KEY if c in rows.columns])
-        dels = dels.dropDuplicates()
+        which keep both views in sync).
+
+        Equality key = the delete rows' own columns (Iceberg equality
+        delete files carry their equality_ids): triple-shaped rows key
+        on TRIPLE_KEY as before; a non-triple materialized table (e.g.
+        a report keyed by Barcode) deletes by whatever key columns the
+        caller passes."""
+        key = [c for c in TRIPLE_KEY if c in rows.columns] \
+            or list(rows.columns)
+        dels = rows.select(*key).dropDuplicates()
         if "object_dtype" in dels.columns:
             dels = dels.withColumn(
                 "object_dtype", F.coalesce("object_dtype", F.lit("")))
@@ -394,7 +401,21 @@ class TripleStore:
         """Append rows as a new data segment with NO presence check —
         for run-keyed tables (lineage/metrics rows are per-batch facts,
         not set members; appending the same batch twice is a caller
-        bug, not a merge).  O(batch): the existing table is not read."""
+        bug, not a merge).  O(batch): the existing table is not read.
+
+        Writer consistency: appending to a subject-bucketed table
+        stamps the same pmod(xxhash64(subject)) bucket column the
+        primary snapshot carries, so readers can union and
+        bucket-prune uniformly (only the primary's parquet FOOTER is
+        touched — the data is not read)."""
+        primary = self.manifest()["tables"].get(table)
+        if (primary and "subject" in df.columns
+                and "part_bucket" not in df.columns):
+            pcols = df.sparkSession.read.parquet(primary).columns
+            if "part_bucket" in pcols:
+                df = df.withColumn(
+                    "part_bucket",
+                    F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)))
         seg = self._snap_dir(table)
         df.write.mode("overwrite").parquet(seg)
         m = self.manifest()
@@ -430,9 +451,14 @@ class TripleStore:
         def _apply_delete(df: DataFrame, dpath: str) -> DataFrame:
             # merge-on-read: subtract the equality-delete rows.  The
             # delete set is O(changes) until compaction, so it
-            # broadcasts; the big side never shuffles.
+            # broadcasts; the big side never shuffles.  The delete
+            # file's own columns are its equality ids (Iceberg v2).
             ddf = spark.read.parquet(dpath)
-            key = [c for c in TRIPLE_KEY if c in df.columns]
+            key = [c for c in ddf.columns if c in df.columns]
+            if not key:
+                raise ValueError(
+                    f"delete segment {dpath} shares no columns with "
+                    f"table data")
             d_a, t_a = ddf.alias("d"), df.alias("t")
             return t_a.join(F.broadcast(d_a),
                            [t_a[k].eqNullSafe(d_a[k]) for k in key],
@@ -548,6 +574,53 @@ class TripleStore:
         key = [c for c in TRIPLE_KEY if c in cur_df.columns] or \
             [c for c in cur_df.columns if c != "part_bucket"]
         return cur_df.join(old_df.select(*key), key, "left_anti")
+
+    def read_changelog(self, spark: SparkSession, table: str = "triples",
+                       since: int = 0) -> DataFrame | None:
+        """CDC scan (Iceberg changelog): every row INSERTED or DELETED
+        in `table` after manifest seq `since`, with a `_change_type`
+        column ('insert' | 'delete').  O(changes): reads only the new
+        data segments and the new equality-delete files — never the
+        table.  Unlike read_changes, merge-on-read deletes do NOT
+        break lineage (the delete files ARE the changelog); a snapshot
+        REWRITE still raises, because a rewritten table has no
+        row-level changelog to read."""
+        cur = self.manifest()
+        old = self._manifest_at(since) if since else {
+            "tables": {}, "segments": {}}
+        cur_primary = cur["tables"].get(table)
+        old_primary = old["tables"].get(table)
+        old_segs = list(old.get("segments", {}).get(table, []))
+        cur_segs = list(cur.get("segments", {}).get(table, []))
+        old_dels = [d["path"] for d in old.get("deletes", {})
+                    .get(table, [])]
+        cur_dels = [d["path"] for d in cur.get("deletes", {})
+                    .get(table, [])]
+        if old_primary is None and not old_segs:
+            df = self.read(spark, table)
+            return None if df is None else df.withColumn(
+                "_change_type", F.lit("insert"))
+        if (cur_primary != old_primary
+                or cur_segs[:len(old_segs)] != old_segs
+                or cur_dels[:len(old_dels)] != old_dels):
+            raise ValueError(
+                f"table {table!r} was rewritten since seq {since} "
+                "(compact/overwrite) — no row-level changelog exists")
+        frames = []
+        for p in cur_segs[len(old_segs):]:
+            if os.path.exists(p):
+                frames.append(spark.read.parquet(p).withColumn(
+                    "_change_type", F.lit("insert")))
+        for p in cur_dels[len(old_dels):]:
+            if os.path.exists(p):
+                frames.append(spark.read.parquet(p).withColumn(
+                    "_change_type", F.lit("delete")))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Expire all but the newest `keep_last` manifest versions and
