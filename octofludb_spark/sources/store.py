@@ -170,6 +170,16 @@ class TripleStore:
                 )
             else:
                 writer = writer.repartition("part_bucket")
+            # Sort each task's rows by (predicate, subject) before the
+            # parquet write: predicate runs give every row group a
+            # tight min/max predicate stat, so the dominant access
+            # pattern (GraphViews predicate scans, PushedFilters
+            # EqualTo(predicate)) SKIPS the row groups of every other
+            # predicate instead of decoding them.  Map-side only — no
+            # extra shuffle.
+            writer = writer.sortWithinPartitions(
+                "part_bucket", "predicate", "subject") \
+                if "predicate" in df.columns else writer
             writer.write.mode("overwrite").partitionBy("part_bucket").parquet(path)
         else:
             writer.write.mode("overwrite").parquet(path)
@@ -277,6 +287,8 @@ class TripleStore:
             seg_path = self._snap_dir(table)
             if bucketed:
                 (new_rows.repartition("part_bucket")
+                 .sortWithinPartitions("part_bucket", "predicate",
+                                       "subject")
                  .write.mode("overwrite").partitionBy("part_bucket")
                  .parquet(seg_path))
             else:

@@ -74,6 +74,47 @@ def stream_extract_to_store(stream: DataFrame, store_root: str,
     )
 
 
+def stream_ingest_with_report(stream: DataFrame, store_root: str,
+                              checkpoint_dir: str,
+                              run_ts: Optional[str] = None,
+                              refresh_log: Optional[list] = None):
+    """Streaming ingestion that keeps the materialized masterlist
+    CURRENT: each micro-batch runs the full incremental KG update
+    (extract + link + canonicalize at O(batch + affected),
+    build.py incremental_update) and then folds the resulting triple
+    changes into the materialized report via the store changelog
+    (plans/incremental_reports.py) — O(changes + affected barcodes),
+    never a per-batch report recompute.
+
+    The first batch full-builds store + report; every later batch is
+    incremental end-to-end.  Both halves are idempotent under
+    micro-batch replay (batch-id stage markers; base-seq noop), so the
+    stream keeps exactly-once REPORT semantics across failures too.
+
+    foreachBatch runs on the driver, so `refresh_log` (if given) is
+    appended one `masterlist_refresh` result dict per micro-batch —
+    callers can assert the incremental path was really exercised."""
+    from octofludb_spark.build import incremental_update
+    from octofludb_spark.plans.incremental_reports import masterlist_refresh
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store = incremental_update(
+            spark, batch_df, store_root,
+            run_ts=run_ts, batch_id=f"stream-{batch_id}")
+        res = masterlist_refresh(spark, store, table="triples_canonical")
+        if refresh_log is not None:
+            refresh_log.append(res)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation (late data beyond the
