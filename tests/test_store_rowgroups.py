@@ -76,6 +76,48 @@ def test_merge_segment_sorts_by_predicate(spark, tmp_path):
     _assert_predicate_runs(store.root)
 
 
+def test_small_rowgroups_give_disjoint_predicate_ranges(spark, tmp_path):
+    """With row groups forced small (parquet.block.size), the sorted
+    layout yields multi-row-group files whose per-row-group predicate
+    [min,max] ranges are tight runs: for any single predicate, most
+    row groups are PRUNABLE by footer stats alone.  This measures the
+    skip fraction the 100 TB claim rests on instead of assuming it."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "4096")
+    try:
+        store = TripleStore(str(tmp_path / "store"), n_buckets=2)
+        store.write(_triples(spark, 20000), "triples",
+                    bucket_by_subject=True)
+    finally:
+        if old is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old)
+
+    total = prunable = 0
+    multi_rg_files = 0
+    target = PREDS[len(PREDS) // 2]
+    for f in _data_files(store.root):
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        idx = names.index("predicate")
+        n_rg = pf.metadata.num_row_groups
+        if n_rg > 1:
+            multi_rg_files += 1
+        for rg in range(n_rg):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            total += 1
+            if not (st.min <= target <= st.max):
+                prunable += 1
+    assert multi_rg_files >= 1, "block.size override produced no multi-row-group files"
+    assert total >= 8
+    # 8 interleaved predicates: an unsorted layout prunes ~0 row
+    # groups; sorted runs should let a single-predicate scan skip the
+    # clear majority
+    assert prunable / total >= 0.5, (prunable, total)
+
+
 def test_predicate_less_table_still_writes(spark, tmp_path):
     store = TripleStore(str(tmp_path / "store"), n_buckets=4)
     df = spark.createDataFrame(
