@@ -391,6 +391,40 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.2)
 
 
+_CONTAM_SQL = """
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') AS text
+  FROM documents WHERE doc_id % 41 = 0),
+ w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+ sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ bw AS (SELECT bench_id, string_split(text, ' ') AS ws FROM bench),
+ bidx AS (SELECT bench_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM bw WHERE len(ws) >= 3),
+ bsh AS (SELECT DISTINCT bench_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM bidx)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits,
+       MIN(b.bench_id) AS first_bench_id
+FROM sh s JOIN bsh b ON s.shingle = b.shingle
+GROUP BY s.doc_id
+"""
+
+
+@q("decontaminate_benchmark", _CONTAM_SQL)
+def decontaminate_benchmark(spark, sf):
+    """Benchmark decontamination: a deterministic 'benchmark suite'
+    (the first 30 words of every 41st document — excerpts quoted from
+    the corpus, the classic contamination shape) is checked against
+    ALL documents by shared 3-grams.  Non-vacuous by construction:
+    every excerpted source doc contaminates itself, near-dups ride
+    along.  Corpus side map-side, benchmark side broadcast."""
+    d = t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
+    )
+    return D.contaminated_docs(d, bench)
+
+
 _SIMHASH_SQL = """
 WITH w AS (
   SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),

@@ -312,3 +312,31 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_x", "doc_y", "hamming")
     )
+
+
+def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
+                      n: int = 3) -> DataFrame:
+    """Benchmark decontamination: which training documents share at
+    least one n-gram with an eval/benchmark suite — (doc_id, n_hits,
+    first_bench_id).  ``benchmark`` is (bench_id, text).
+
+    Scale shape: a benchmark suite is tiny next to a training corpus
+    (10^5-10^6 eval items vs 10^9+ docs), so its distinct shingle set
+    is BROADCAST — the corpus shingles are generated map-side
+    (explode over a JVM transform, no Python) and stream through a
+    BroadcastHashJoin; only matching rows reach the single hash-agg
+    shuffle on doc_id.  The corpus is never shuffled un-matched, and
+    nothing is O(n²).  If a benchmark ever outgrows the broadcast
+    limit, drop the F.broadcast hint and let AQE pick the join."""
+    doc_sh = shingles(docs, n=n)
+    bench_sh = shingles(
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n=n
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hits"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )

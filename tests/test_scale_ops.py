@@ -285,3 +285,29 @@ def test_stratified_sample_deterministic_and_mapside(spark):
     assert 0.18 < n1 / 2000 < 0.32  # ~25% of a 2000-doc corpus
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_contaminated_docs_semantics_and_broadcast(spark):
+    """Decontamination flags exactly the documents sharing an n-gram
+    with the benchmark: the excerpt's source doc, its verbatim copy,
+    and a doc quoting the excerpt mid-text — never the unrelated doc.
+    The benchmark side must broadcast (corpus never shuffles
+    un-matched)."""
+    from octofludb_spark.scale.dedup import contaminated_docs
+
+    quote = "alpha beta gamma delta"
+    rows = [
+        (1, quote + " tail one two three"),
+        (2, quote + " tail one two three"),          # verbatim copy
+        (3, "intro words then " + quote + " outro"),  # mid-text quote
+        (4, "totally unrelated content with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, quote)],
+                                  "bench_id long, text string")
+    out = contaminated_docs(docs, bench, n=3)
+    got = {r.doc_id: (r.n_hits, r.first_bench_id) for r in out.collect()}
+    # "alpha beta gamma" and "beta gamma delta" = 2 shared 3-grams
+    assert got == {1: (2, 100), 2: (2, 100), 3: (2, 100)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
