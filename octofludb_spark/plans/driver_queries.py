@@ -391,6 +391,49 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.2)
 
 
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events),
+ f AS (
+  SELECT user_id, ts,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+ s AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+  FROM f)
+SELECT user_id, sess_idx, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM s GROUP BY user_id, sess_idx
+"""
+
+
+@q("event_sessionize", _SESSION_SQL)
+def event_sessionize(spark, sf):
+    """Batch gaps-and-islands sessionization (30-min event-time gap)
+    over the events table: window lag -> flag -> running sum -> one
+    agg, a single user_id shuffle (see streaming/pipeline.py
+    sessionize_batch).  Timestamps emitted as microsecond strings so
+    both engines render identically."""
+    from octofludb_spark.streaming.pipeline import sessionize_batch
+
+    s = sessionize_batch(t(spark, sf, "events"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "user_id",
+        F.col("sess_idx").cast("long").alias("sess_idx"),
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+    )
+
+
 _CONTAM_SQL = """
 WITH bench AS (
   SELECT doc_id AS bench_id,

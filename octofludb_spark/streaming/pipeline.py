@@ -201,6 +201,44 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_batch(events: DataFrame,
+                     gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Event-time gap sessionization over a BATCH events table — the
+    exact-semantics twin of the streaming applyInPandasWithState
+    operator above, expressed as gaps-and-islands window functions:
+    lag -> gap flag -> running sum = session index -> hash agg.
+
+    Scale shape: ONE shuffle total.  The window and the aggregation
+    both cluster on user_id, and HashPartitioning(user_id) satisfies
+    the agg's ClusteredDistribution(user_id, sess_idx), so Catalyst
+    reuses the window's exchange for the groupBy — all JVM window
+    evaluation, no Python.  Session boundaries at tied timestamps are
+    order-independent (a tied row's gap is 0)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval arithmetic: works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # and is timezone-independent (no epoch conversion)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flag = F.when(
+        gap.isNull() | (gap > F.expr(f"INTERVAL {int(gap_s)} SECOND")), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        events.withColumn("new_sess", flag)
+        .withColumn("sess_idx", F.sum("new_sess").over(run))
+        .drop("new_sess")
+    )
+    return (
+        sess.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 def stream_dedup_documents(spark: SparkSession, directory: str,
                            out_dir: str, checkpoint_dir: str,
                            max_files: int = 16):
