@@ -529,6 +529,55 @@ def cosine_pairs(spark, sf):
     return S.cosine_pairs(t(spark, sf, "embeddings"), threshold=0.35)
 
 
+def _lsh_planes_values(n_planes: int, dim: int = 64) -> str:
+    """The md5-derived hyperplane constants as SQL VALUES rows, so the
+    DuckDB oracle reproduces the EXACT bucketing (repr() round-trips
+    doubles losslessly)."""
+    from octofludb_spark.scale.simsearch import _hyperplane
+
+    rows = []
+    for p in range(n_planes):
+        vals = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        rows.append(f"({p}, [{vals}])")
+    return ",\n    ".join(rows)
+
+
+_COSLSH_SQL = f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+    {_lsh_planes_values(16)}) AS v(plane, hp)),
+ bits AS (
+  SELECT e.vec_id, p.plane,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * p.hp[i])) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p),
+ keys AS (
+  SELECT vec_id, plane // 4 AS band,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane) AS bkey
+  FROM bits GROUP BY 1, 2),
+ cand AS (
+  SELECT DISTINCT x.vec_id AS vec_x, y.vec_id AS vec_y
+  FROM keys x JOIN keys y ON x.band = y.band AND x.bkey = y.bkey
+   AND x.vec_id < y.vec_id)
+SELECT c.vec_x, c.vec_y, {{cos}} AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_x
+JOIN embeddings b ON b.vec_id = c.vec_y
+WHERE {{cos}} >= 0.35
+""".format(cos=_COS_EXPR)
+
+
+@q("cosine_pairs_lsh", _COSLSH_SQL)
+def cosine_pairs_lsh(spark, sf):
+    """Banded hyperplane LSH near-dup pairs (4 bands x 4 planes) with
+    exact verify over candidates only — the SCALE path for embedding
+    near-dup; cosine_pairs stays the labeled exact baseline.  The
+    oracle reproduces the bucketing from the same hyperplane
+    constants, so this is a full value-hash gate, not rows-only."""
+    return S.cosine_pairs_lsh(t(spark, sf, "embeddings"), threshold=0.35)
+
+
 @q("ann_topk_brute", f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_EXPR} AS cos

@@ -313,3 +313,57 @@ def _topk_by_bucket(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                     n_bands: int = 4, band_planes: int = 4,
+                     dim: int = 64) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane LSH
+    candidates + exact cosine verify over the candidates ONLY —
+    (vec_x, vec_y, cos), a deterministic subset of cosine_pairs.
+
+    Scale shape (the cosine twin of minhash_lsh_pairs /
+    simhash_near_pairs): n_bands × band_planes hyperplane sign bits
+    per vector (JVM fold, one projection); vectors agreeing on ALL
+    bits of ANY band become candidates via per-(band, key) bucket
+    joins — work ∝ bucket sizes, never O(n²); the exact re-score
+    joins embeddings back onto the candidate ids, so full vectors
+    are never carried through the bucket join.  Recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^band_planes)^n_bands — raise n_bands for
+    recall, band_planes for precision; size band_planes ~
+    adaptive_n_planes(n) to hold bucket occupancy flat as the corpus
+    grows."""
+    total = n_bands * band_planes
+    bits = _bucket_bits(emb, total, dim).select("vec_id", "bits")
+    bands = bits.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("", *[
+                    F.element_at("bits", b * band_planes + j + 1)
+                    for j in range(band_planes)
+                ]).alias("key"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_x"),
+                F.col("y.vec_id").alias("vec_y"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_x"),
+                   F.col("embedding").alias("ea"),
+                   _norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_y"),
+                   F.col("embedding").alias("eb"),
+                   _norm(F.col("embedding")).alias("nb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_x").join(b, "vec_y")
+        .select("vec_x", "vec_y", F.round(cos, 5).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -311,3 +311,28 @@ def test_contaminated_docs_semantics_and_broadcast(spark):
     assert got == {1: (2, 100), 2: (2, 100), 3: (2, 100)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_pairs_lsh_subset_and_recall(spark):
+    """Banded hyperplane LSH near-dup: verified candidates are a
+    subset of the exact pair set, recall at the gate threshold is in
+    line with the banding formula (deterministic — md5 hyperplanes,
+    fixed corpus), and more bands mean more recall."""
+    from octofludb_spark.scale.simsearch import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = _emb(spark)
+    exact = {(r.vec_x, r.vec_y) for r in
+             cosine_pairs(emb, threshold=0.35).collect()}
+    lsh = {(r.vec_x, r.vec_y) for r in
+           cosine_pairs_lsh(emb, threshold=0.35).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    # 4 bands x 4 planes at cos 0.35 (theta ~69.5 deg) predicts
+    # ~0.47 any-band recall; the fixed corpus measures 0.50
+    assert len(lsh) / len(exact) >= 0.45
+    more = {(r.vec_x, r.vec_y) for r in
+            cosine_pairs_lsh(emb, threshold=0.35, n_bands=8).collect()}
+    assert more <= exact and len(more) >= len(lsh)
