@@ -691,6 +691,40 @@ def text_lang_id(spark, sf):
     return TX.lang_id(t(spark, sf, "documents"))
 
 
+_QUANT_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT l.lang_pred AS lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99
+FROM ({_LANGID_SQL}) l JOIN tk USING (doc_id)
+GROUP BY l.lang_pred
+"""
+
+
+@q("text_length_quantiles", _QUANT_SQL)
+def text_length_quantiles(spark, sf):
+    """Exact interpolated token-count percentiles per predicted
+    language — the length-distribution monitor of a training-data
+    pipeline.  Exact `percentile` here for the cross-engine gate; at
+    100 TB swap in `approx_percentile` (t-digest sketch, one pass,
+    mergeable partials) — same plan shape, bounded state."""
+    d = t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long"))
+    langs = TX.lang_id(d, keep=("n_tokens",))  # one projection, no join
+    return (
+        langs.groupBy(F.col("lang_pred").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
 @q("text_fingerprints", r"""
 SELECT doc_id,
        md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint
