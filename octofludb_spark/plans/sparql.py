@@ -91,9 +91,10 @@ _KEYWORDS = {
     "PREFIX", "FROM", "NOT", "EXISTS", "BOUND", "REGEX", "A",
 }
 _AGG_FUNCS = {"GROUP_CONCAT", "COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE"}
-_SCALAR_FUNCS = {"YEAR", "MONTH", "DAY", "STR", "UCASE", "LCASE", "STRLEN"}
+_SCALAR_FUNCS = {"YEAR", "MONTH", "DAY", "STR", "UCASE", "LCASE", "STRLEN",
+                 "ABS", "CEIL", "FLOOR", "ROUND", "MD5", "SHA1", "SHA256"}
 _NARY_FUNCS = {"CONCAT", "IF", "COALESCE", "SUBSTR", "STRAFTER",
-               "STRBEFORE", "STRSTARTS", "CONTAINS", "STRENDS"}
+               "STRBEFORE", "STRSTARTS", "CONTAINS", "STRENDS", "REPLACE"}
 
 
 class SparqlError(ValueError):
@@ -981,6 +982,28 @@ def _compile_expr(expr, df: DataFrame):
             return F.lower(arg)
         if fn == "STRLEN":
             return F.length(arg)
+        if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            # numeric builtins promote via try_cast like 'arith': a
+            # non-numeric lexical is a SPARQL type error => NULL =>
+            # the row drops.  Results stay double so the lexical form
+            # matches the arithmetic path ('6.0', not '6').  ROUND
+            # follows the SPARQL rule (ties toward +inf: ROUND(-2.5)
+            # = -2), NOT Java HALF_UP or Python banker's — floor(x +
+            # 0.5) is that rule exactly, in every engine.
+            v = arg.try_cast("double")
+            if fn == "ABS":
+                return F.abs(v)
+            if fn == "CEIL":
+                return F.ceil(v).cast("double")
+            if fn == "FLOOR":
+                return F.floor(v).cast("double")
+            return F.floor(v + F.lit(0.5)).cast("double")
+        if fn == "MD5":
+            return F.md5(arg.cast("string"))
+        if fn == "SHA1":
+            return F.sha1(arg.cast("string"))
+        if fn == "SHA256":
+            return F.sha2(arg.cast("string"), 256)
     if kind == "nfunc":
         fn, args = expr[1], [_compile_expr(a, df) for a in expr[2]]
         if fn == "CONCAT":
@@ -1007,6 +1030,16 @@ def _compile_expr(expr, df: DataFrame):
             return args[0].contains(args[1])
         if fn == "STRENDS":
             return args[0].endswith(args[1])
+        if fn == "REPLACE":
+            # regex replace; pattern/replacement must be literals and
+            # group references ($1) are NOT supported — Java and
+            # Python disagree on their syntax, so the compiler only
+            # guarantees literal replacements
+            pat, rep = expr[2][1], expr[2][2]
+            if pat[0] != "lit" or rep[0] != "lit":
+                raise SparqlError(
+                    "REPLACE requires literal pattern/replacement")
+            return F.regexp_replace(args[0].cast("string"), pat[1], rep[1])
     raise SparqlError(f"unsupported expression {expr!r}")
 
 

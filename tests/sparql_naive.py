@@ -219,6 +219,27 @@ def _eval_expr(e, b: dict):
             return v.lower()
         if fn == "STRLEN":
             return len(v)
+        if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            import math
+
+            try:
+                x = float(v)
+            except (TypeError, ValueError):
+                raise EvalError("numeric cast")
+            if fn == "ABS":
+                return abs(x)
+            if fn == "CEIL":
+                return float(math.ceil(x))
+            if fn == "FLOOR":
+                return float(math.floor(x))
+            # SPARQL ROUND: ties toward +inf (ROUND(-2.5) = -2)
+            return float(math.floor(x + 0.5))
+        if fn in ("MD5", "SHA1", "SHA256"):
+            import hashlib
+
+            h = {"MD5": hashlib.md5, "SHA1": hashlib.sha1,
+                 "SHA256": hashlib.sha256}[fn]
+            return h(v.encode()).hexdigest()
     if k == "nfunc":
         fn, exprs = e[1], e[2]
         if fn == "COALESCE":
@@ -252,6 +273,8 @@ def _eval_expr(e, b: dict):
             return str(args[1]) in str(args[0])
         if fn == "STRENDS":
             return str(args[0]).endswith(str(args[1]))
+        if fn == "REPLACE":
+            return re.sub(str(args[1]), str(args[2]), str(args[0]))
     raise EvalError(f"unsupported {e!r}")
 
 

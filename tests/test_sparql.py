@@ -897,3 +897,41 @@ def test_signed_number_glue(spark):
         SELECT ?sid WHERE {
           ?sid f:date ?d . FILTER (YEAR(?d)-3 = 2015) . }""")
     assert [r.sid for r in df.collect()] == ["s1"]
+
+
+def test_numeric_hash_replace_builtins(spark):
+    """ABS/CEIL/FLOOR/ROUND (SPARQL tie rule: toward +inf), MD5/SHA256,
+    REPLACE — pinned values, plus type-error-drops for non-numerics."""
+    import hashlib
+
+    rows = [
+        ("s1", "val", "-2.5", ""),
+        ("s2", "val", "2.3", ""),
+        ("s3", "val", "duck", ""),  # non-numeric: numeric builtins drop
+    ]
+    df = _run(spark, _t(spark, rows), PFX + """
+SELECT ?x ?r ?c ?f ?a WHERE {
+  ?x f:val ?v .
+  BIND(ROUND(?v) as ?r) .
+  BIND(CEIL(?v) as ?c) .
+  BIND(FLOOR(?v) as ?f) .
+  BIND(ABS(?v) as ?a) .
+  FILTER BOUND(?r) .
+}""")
+    got = {r.x: (r.r, r.c, r.f, r.a) for r in df.collect()}
+    assert got == {
+        "s1": (-2.0, -2.0, -3.0, 2.5),  # ROUND(-2.5) = -2, not -3
+        "s2": (2.0, 3.0, 2.0, 2.3),
+    }
+
+    df2 = _run(spark, _t(spark, rows), PFX + """
+SELECT ?x ?h ?s ?p WHERE {
+  ?x f:val ?v .
+  BIND(MD5(?v) as ?h) .
+  BIND(SHA256(?v) as ?s) .
+  BIND(REPLACE(?v, "[0-9]", "#") as ?p) .
+}""")
+    got2 = {r.x: (r.h, r.s, r.p) for r in df2.collect()}
+    assert got2["s3"] == (hashlib.md5(b"duck").hexdigest(),
+                          hashlib.sha256(b"duck").hexdigest(), "duck")
+    assert got2["s2"][2] == "#.#"

@@ -157,6 +157,25 @@ def _query(rng):
             body.append('BIND(CONCAT(?v0, "-", ?x) as ?cc) .')
             used_vars.append("cc")
 
+    if rng.random() < 0.3:
+        # numeric / hash / replace builtins
+        kind = rng.randrange(5)
+        if kind == 0 and "d" in used_vars:
+            body.append("BIND(ABS(YEAR(?d) - 2018) as ?ab) .")
+            used_vars.append("ab")
+        elif kind == 1 and "d" in used_vars:
+            body.append("BIND(FLOOR(YEAR(?d) / 4) as ?fl) .")
+            used_vars.append("fl")
+        elif kind == 2 and "d" in used_vars:
+            body.append(
+                f"FILTER (ROUND(YEAR(?d) / 7) >= {rng.randint(287, 289)}) .")
+        elif kind == 3:
+            body.append("BIND(MD5(?v0) as ?hh) .")
+            used_vars.append("hh")
+        else:
+            body.append('BIND(REPLACE(?v0, "[aH]", "_") as ?rp) .')
+            used_vars.append("rp")
+
     grouped = rng.random() < 0.5
     if grouped:
         aggs = ['(GROUP_CONCAT(DISTINCT ?v0; separator="+") as ?c0)']
