@@ -725,6 +725,76 @@ def text_length_quantiles(spark, sf):
     )
 
 
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.'
+              || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE ' nophone' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS text_clean
+FROM aug
+"""
+
+
+@q("pii_scrub", _PII_SQL)
+def pii_scrub(spark, sf):
+    """PII redaction gate.  The synthetic corpus is word soup with no
+    PII, so both engines first splice DETERMINISTIC doc_id-derived
+    emails / IPv4s / phones (plus phone-less decoys) — the gate then
+    proves real extraction+redaction with counts > 0, not 0=0."""
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"), F.lit("@example."),
+        F.when(did % 2 == 0, "com").otherwise("org"),
+        F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0."),
+        (did % 100).cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit(" nophone")),
+    )
+    return TX.pii_scrub(d.withColumn("text", aug))
+
+
+_REP_SQL = """
+WITH wx AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+ wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+ top AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 5) AS top_word_frac
+         FROM wc GROUP BY 1),
+ g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ dup AS (SELECT doc_id,
+   CASE WHEN len(ws) - 1 <= 0 THEN 0.0
+        ELSE ROUND(1 - len(list_distinct(list_transform(
+               range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) * 1.0
+               / (len(ws) - 1), 5) END AS dup_2gram_frac
+   FROM g)
+SELECT t.doc_id, t.top_word_frac, d.dup_2gram_frac
+FROM top t JOIN dup d USING (doc_id)
+"""
+
+
+@q("text_repetition", _REP_SQL)
+def text_repetition(spark, sf):
+    """Gopher-style intra-document repetition signals."""
+    return TX.repetition_scores(t(spark, sf, "documents"))
+
+
 @q("text_fingerprints", r"""
 SELECT doc_id,
        md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint

@@ -156,3 +156,62 @@ def stratified_sample(docs: DataFrame, fractions: dict,
         .where(F.col("bucket16") < thresh * 65536)
         .select("doc_id", F.col("lang_pred").alias("lang"), "bucket16")
     )
+
+
+# PII patterns (RE2-safe: no backrefs/lookaround, run on both engines)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d[\d-]{7,}\d"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction for a training corpus: (doc_id, n_emails, n_ips,
+    n_phones, text_clean) with emails/IPv4s/phone numbers replaced by
+    type tags.  Pure map-side regexp chain (JVM codegen, zero
+    shuffles); the patterns avoid backreferences and lookaround so
+    RE2-based engines (the DuckDB oracle; Hyperscan prefilters) run
+    the SAME grammar.  Redaction order matters and is fixed:
+    email -> ip -> phone (an email's host must not be half-eaten by
+    the phone rule first)."""
+    txt = F.col("text")
+    counts = [
+        F.size(F.regexp_extract_all(txt, F.lit(p), 0)).cast("long").alias(n)
+        for p, n in ((PII_EMAIL, "n_emails"), (PII_IPV4, "n_ips"),
+                     (PII_PHONE, "n_phones"))
+    ]
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return docs.select("doc_id", *counts, clean.alias("text_clean"))
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition (the Gopher-rule quality family):
+    (doc_id, top_word_frac, dup_2gram_frac).
+
+    * top_word_frac — most-frequent-word share of all words: explode
+      -> (doc_id, word) count (shuffle 1, map-side partial agg) ->
+      per-doc max/sum (shuffle 2; both keyed on doc-granular keys so
+      AQE coalesces tiny partitions).
+    * dup_2gram_frac — 1 - distinct/total bigrams, computed ENTIRELY
+      map-side from the word array (array_distinct over a transform);
+      docs under 2 words score 0.0.
+    """
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    exploded = words.select("doc_id", F.explode("w").alias("word"))
+    wc = exploded.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    top = wc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 5).alias("top_word_frac"))
+    n2 = F.size("w") - 1
+    grams = F.array_distinct(F.transform(
+        F.slice("w", 1, F.greatest(n2, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at("w", (i + 2).cast("int"))),
+    ))
+    dup = words.select(
+        "doc_id",
+        F.when(n2 <= 0, F.lit(0.0)).otherwise(
+            F.round(1 - F.size(grams) / n2, 5)).alias("dup_2gram_frac"),
+    )
+    return top.join(dup, "doc_id")

@@ -336,3 +336,41 @@ def test_cosine_pairs_lsh_subset_and_recall(spark):
     more = {(r.vec_x, r.vec_y) for r in
             cosine_pairs_lsh(emb, threshold=0.35, n_bands=8).collect()}
     assert more <= exact and len(more) >= len(lsh)
+
+
+def test_pii_scrub_counts_and_order(spark):
+    """Email is redacted BEFORE the ip/phone rules can half-eat it;
+    counts reflect the raw text; non-PII text is untouched."""
+    from octofludb_spark.scale.text import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com now"),
+        (2, "server at 10.1.2.3 and 192.168.0.1 up"),
+        (3, "call +1-555-123-4567 today"),
+        (4, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].text_clean) == (1, "mail <EMAIL> now")
+    assert (got[2].n_ips, got[2].text_clean) == (2, "server at <IP> and <IP> up")
+    assert (got[3].n_phones, got[3].text_clean) == (1, "call <PHONE> today")
+    assert got[4].text_clean == "nothing sensitive here"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+
+
+def test_repetition_scores_pinned(spark):
+    from octofludb_spark.scale.text import repetition_scores
+
+    rows = [
+        (1, "a a a b"),        # top word 3/4; bigrams [a a, a a, a b] -> 2 distinct of 3
+        (2, "x y z w"),        # all unique: top 1/4, no dup bigrams
+        (3, "solo"),           # 1 word: dup_2gram_frac defined 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top_word_frac, r.dup_2gram_frac)
+           for r in repetition_scores(docs).collect()}
+    assert got == {
+        1: (0.75, round(1 - 2 / 3, 5)),
+        2: (0.25, 0.0),
+        3: (1.0, 0.0),
+    }
