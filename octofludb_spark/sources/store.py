@@ -41,6 +41,15 @@ MANIFEST = "manifest.json"
 TRIPLE_KEY = ["subject", "predicate", "object_lex", "object_dtype"]
 
 
+class StoreCommitConflict(RuntimeError):
+    """Another writer committed since this mutation read the manifest.
+
+    The Iceberg optimistic-concurrency contract: a commit is only
+    valid against the snapshot it was computed from; on conflict the
+    caller re-reads and re-applies (or fails loudly) — it must never
+    silently clobber the other writer's commit (lost update)."""
+
+
 class TripleStore:
     def __init__(self, root: str, n_buckets: int | None = None):
         self.root = root
@@ -65,6 +74,21 @@ class TripleStore:
             return json.load(f)
 
     def _commit(self, m: dict) -> None:
+        # Optimistic CAS (Iceberg catalog commit): `m` still carries
+        # the seq it was READ at; if the on-disk manifest has moved
+        # past it, a concurrent writer won the race — raise instead of
+        # silently clobbering its tables/segments lists.  Checked
+        # BEFORE the versioned metadata file is written so a losing
+        # commit leaves no trace in the log.  (A real catalog runs
+        # this compare-and-swap transactionally; the remaining
+        # microsecond window here is the POSIX approximation for the
+        # single-driver-per-store deployments this sandbox runs.)
+        base = m.get("seq", 0)
+        current = self.manifest().get("seq", 0)
+        if current != base:
+            raise StoreCommitConflict(
+                f"manifest moved from seq {base} to {current} during "
+                "this mutation; re-read and re-apply")
         m["seq"] = m.get("seq", 0) + 1
         m["n_buckets"] = self.n_buckets
         m["committed_at"] = time.time()

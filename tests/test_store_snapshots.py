@@ -168,3 +168,30 @@ def test_vacuum_keeps_time_travel_alive(spark, store):
     # vacuum must NOT delete a dir a retained metadata version references
     assert os.path.exists(v1_path)
     assert store.read(spark, as_of=v1).count() == 1
+
+
+def test_commit_conflict_rejects_lost_update(spark, store):
+    """Optimistic concurrency: a commit computed against a stale
+    manifest must raise (never clobber the interleaved writer's
+    commit), and the losing attempt must leave no metadata version."""
+    from octofludb_spark.sources.store import StoreCommitConflict
+
+    store.write(_triples(spark, [("s1", "p", "a")]), "triples",
+                bucket_by_subject=True)
+    stale = store.manifest()          # writer A reads ...
+    store.merge_triples(spark, _triples(spark, [("s2", "p", "b")]))  # B wins
+    seq_after_b = store.manifest()["seq"]
+    stale["tables"]["bogus"] = "/nowhere"
+    import pytest as _pytest
+
+    with _pytest.raises(StoreCommitConflict):
+        store._commit(stale)          # ... and A's commit is rejected
+    m = store.manifest()
+    assert m["seq"] == seq_after_b and "bogus" not in m["tables"]
+    assert [h["seq"] for h in store.history()] == sorted(
+        h["seq"] for h in store.history())
+    # a clean retry starting from the CURRENT manifest succeeds
+    fresh = store.manifest()
+    fresh["tables"]["extra"] = fresh["tables"]["triples"]
+    store._commit(fresh)
+    assert store.manifest()["tables"]["extra"]
