@@ -795,6 +795,31 @@ def text_repetition(spark, sf):
     return TX.repetition_scores(t(spark, sf, "documents"))
 
 
+_CHUNK_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ c AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) <= 64 THEN 1
+             ELSE CAST(ceil((len(ws) - 64) * 1.0 / 48) AS INT) + 1
+        END AS nc
+       FROM w),
+ e AS (SELECT doc_id, ws, CAST(UNNEST(range(nc)) AS BIGINT) AS chunk_id
+       FROM c)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+FROM e
+"""
+
+
+@q("text_chunks", _CHUNK_SQL)
+def text_chunks(spark, sf):
+    """Overlapping 64-token windows every 48 tokens (map-side
+    sequence/transform/explode — chunking parallelism == scan
+    parallelism)."""
+    return TX.chunk_documents(t(spark, sf, "documents"),
+                              window=64, stride=48)
+
+
 @q("text_fingerprints", r"""
 SELECT doc_id,
        md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint

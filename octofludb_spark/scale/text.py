@@ -215,3 +215,36 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             F.round(1 - F.size(grams) / n2, 5)).alias("dup_2gram_frac"),
     )
     return top.join(dup, "doc_id")
+
+
+def chunk_documents(docs: DataFrame, window: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Fixed-window chunking with overlap — the packing precursor for
+    LM training data: (doc_id, chunk_id, n_tokens, chunk_text), word
+    windows of `window` tokens starting every `stride` (the final
+    chunk may be short; every token is covered).
+
+    Entirely map-side: chunk starts come from a per-row `sequence` +
+    `transform` + `explode` — no shuffle, no Python, output rows ∝
+    input tokens / stride.  At 100 TB this is the shape you want:
+    chunking parallelism equals scan parallelism."""
+    w = F.split("text", " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(stride)).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(w, i * stride + 1, window).alias("toks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )

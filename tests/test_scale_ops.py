@@ -374,3 +374,32 @@ def test_repetition_scores_pinned(spark):
         2: (0.25, 0.0),
         3: (1.0, 0.0),
     }
+
+
+def test_chunk_documents_coverage_and_mapside(spark):
+    """Every token lands in >= 1 chunk, consecutive chunks overlap by
+    window - stride, the final chunk may be short, 1-chunk short docs
+    pass through — and the plan has NO exchange (chunking parallelism
+    equals scan parallelism)."""
+    from octofludb_spark.scale.text import chunk_documents
+
+    long_words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, "tiny doc")], "doc_id long, text string")
+    out = chunk_documents(docs, window=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): (4, "w0 w1 w2 w3"),
+        (1, 1): (4, "w3 w4 w5 w6"),
+        (1, 2): (4, "w6 w7 w8 w9"),
+        (2, 0): (2, "tiny doc"),
+    }
+    # coverage: the union of chunk tokens is the document
+    covered = set()
+    for (d, _c), (_n, txt) in rows.items():
+        if d == 1:
+            covered.update(txt.split(" "))
+    assert covered == set(long_words.split(" "))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
