@@ -236,6 +236,11 @@ def cmd_query(args) -> int:
             return 2
         v = _views(spark, args.store, sameas=not args.no_sameas)
         df = qs[args.name](v, args.args)
+    if args.explain:
+        # plan audit surface: formatted physical plan (scan pushdowns,
+        # exchanges, codegen spans) without executing the query
+        df.explain(mode="formatted")
+        return 0
     if args.fasta:
         print(as_fasta_text(df))
     else:
@@ -474,6 +479,31 @@ def cmd_store(args) -> int:
         for seq in store.expire_snapshots(keep_last=args.keep_last):
             print(f"expired seq {seq}")
         return 0
+    if args.op == "stats":
+        # footer-only scan: row counts come from parquet metadata, no
+        # Spark session and no data read — usable on a huge store
+        import glob as _glob
+        import os
+
+        import pyarrow.parquet as _pq
+
+        m = store.manifest()
+        print("table\trows\tfiles\tbytes\tsegments\tpending_deletes")
+        for table in sorted(m.get("tables", {})):
+            paths = [m["tables"][table]]
+            segs = m.get("segments", {}).get(table, [])
+            dels = m.get("deletes", {}).get(table, [])
+            paths += list(segs)
+            rows = files = size = 0
+            for p in paths:
+                for f in _glob.glob(os.path.join(p, "**", "*.parquet"),
+                                    recursive=True):
+                    rows += _pq.ParquetFile(f).metadata.num_rows
+                    files += 1
+                    size += os.path.getsize(f)
+            print(f"{table}\t{rows}\t{files}\t{size}\t{len(segs)}"
+                  f"\t{len(dels)}")
+        return 0
     if args.op == "lookup" and not args.subject:
         print("store lookup requires --subject <IRI>")
         return 2
@@ -548,6 +578,9 @@ def main(argv=None) -> int:
                          "file path")
     sq.add_argument("args", nargs="*")
     sq.add_argument("--fasta", action="store_true")
+    sq.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead "
+                         "of executing")
     sq.add_argument("--no-sameas", action="store_true",
                     help="FROM onto:disable-sameAs analog")
     sq.set_defaults(fn=cmd_query)
@@ -609,7 +642,8 @@ def main(argv=None) -> int:
 
     ss = sub.add_parser("store")
     ss.add_argument("op", choices=["compact", "vacuum", "lookup",
-                                   "history", "expire", "changes"])
+                                   "history", "expire", "changes",
+                                   "stats"])
     ss.add_argument("store")
     ss.add_argument("--table", default="triples_canonical")
     ss.add_argument("--subject", help="IRI for lookup")

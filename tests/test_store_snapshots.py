@@ -195,3 +195,40 @@ def test_commit_conflict_rejects_lost_update(spark, store):
     fresh["tables"]["extra"] = fresh["tables"]["triples"]
     store._commit(fresh)
     assert store.manifest()["tables"]["extra"]
+
+
+def test_cli_stats_footer_only(spark, store, capsys):
+    """`store stats` reports rows/files/bytes/segments/deletes per
+    table from parquet FOOTERS alone (no Spark session, no data
+    read), and counts appended segments and pending MOR deletes."""
+    from octofludb_spark import cli
+
+    store.write(_triples(spark, [("s1", "p", "a"), ("s2", "p", "b")]),
+                "triples", bucket_by_subject=True)
+    store.merge_triples(spark, _triples(spark, [("s3", "p", "c")]))
+    store.delete_rows_mor(spark, _triples(spark, [("s1", "p", "a")]),
+                          table="triples")
+
+    assert cli.main(["store", "stats", store.root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("table\trows")
+    row = {ln.split("\t")[0]: ln.split("\t") for ln in out[1:]}["triples"]
+    # rows counts RAW footer rows (3 data rows; the MOR delete applies
+    # at read time), 1 appended segment, 1 pending delete file
+    assert (row[1], row[4], row[5]) == ("3", "1", "1")
+    assert int(row[2]) >= 2 and int(row[3]) > 0
+
+
+def test_cli_query_explain(spark, tmp_path, capsys):
+    """`query --explain` prints the formatted physical plan (scan
+    pushdown visible) and does not execute the query."""
+    from octofludb_spark import cli
+    from octofludb_spark.build import build_graph
+    from octofludb_spark.sources.synth import source_pandas
+
+    root = str(tmp_path / "store")
+    build_graph(spark, spark.createDataFrame(source_pandas(12)), root,
+                run_ts="2026-01-01T00:00:00")
+    assert cli.main(["query", root, "masterlist", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
