@@ -1,0 +1,72 @@
+"""As-of (nearest-prior) join — an operator Spark's DataFrame API
+lacks natively, built scale-first.
+
+The naive formulation (join on key + ts range, window over the pair
+space) explodes: every left row matches ALL prior right rows before
+the per-pair rank prunes them.  The scalable shape is the classic
+union-and-carry:
+
+  1. tag both sides and UNION them (map-side, no join),
+  2. one shuffle: window partitioned by the key, ordered by
+     (ts, side) with the right side sorting FIRST at equal ts
+     (inclusive `right.ts <= left.ts` semantics),
+  3. carry each right value forward with last(..., ignorenulls=True)
+     over rows unbounded-preceding..current,
+  4. keep the left rows.
+
+Cost: ONE exchange on the key, zero pair blowup — each row is touched
+once.  This is the plan an MPP engine's native ASOF JOIN lowers to,
+which is also how it is oracle-checked: DuckDB's built-in ASOF LEFT
+JOIN must produce identical rows.
+
+Determinism: duplicate right rows on (key, ts) would make the carried
+value order-dependent, so callers must dedup the right side to one
+row per (key, ts) first (the driver gate aggregates with max()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+              ts: str = "ts", suffix: str = "_r") -> DataFrame:
+    """Left as-of join: every left row gains the right row with the
+    greatest ``right.ts <= left.ts`` for the same ``on`` key (or NULLs
+    if none).  Right value columns are suffixed; the matched right
+    timestamp is ``ts + suffix``."""
+    vals = [c for c in right.columns if c not in (on, ts)]
+    l_tag = left.select(
+        *left.columns,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in vals],
+        F.lit(None).cast(right.schema[ts].dataType).alias(ts + suffix),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(c + suffix) for c in vals],
+        F.col(ts).alias(ts + suffix),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on, ts)],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        "_side",
+        *[F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+          for c in vals],
+        F.last(ts + suffix, ignorenulls=True).over(w).alias(ts + suffix),
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

@@ -434,6 +434,47 @@ def event_sessionize(spark, sf):
     )
 
 
+_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+ r AS (
+  SELECT user_id, ts, MAX(value) AS sv FROM events
+  WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       ROUND(l.value, 2) AS value,
+       ROUND(r.sv, 2) AS signup_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@q("event_asof_join", _ASOF_SQL)
+def event_asof_join(spark, sf):
+    """As-of join: every purchase gains the latest prior (or
+    simultaneous) signup's value per user.  The Spark plan is the
+    union-and-carry single-shuffle operator (ops/asof.py); the oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN — two independent formulations
+    of the semantics."""
+    from octofludb_spark.ops.asof import asof_join
+
+    ev = t(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = (ev.where(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("sv")))
+    j = asof_join(left, right, on="user_id", ts="ts", suffix="_r")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.round("value", 2).alias("value"),
+        F.round("sv_r", 2).alias("signup_value"),
+        F.date_format("ts_r", fmt).alias("signup_ts"),
+    )
+
+
 _CONTAM_SQL = """
 WITH bench AS (
   SELECT doc_id AS bench_id,

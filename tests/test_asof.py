@@ -1,0 +1,48 @@
+"""As-of join (ops/asof.py): pinned semantics (inclusive <=, latest
+prior wins, unmatched -> NULLs) and the single-shuffle plan shape.
+Cross-engine differential vs DuckDB's native ASOF LEFT JOIN runs in
+the driver gate `event_asof_join`."""
+
+import datetime as dt
+
+import pytest
+
+from octofludb_spark.ops.asof import asof_join
+
+pytestmark = pytest.mark.spark
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10), 9.0), (101, 1, _ts(30), 8.0),
+         (102, 1, _ts(5), 7.0), (103, 2, _ts(50), 6.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(20), 2.0), (3, _ts(0), 9.9)],
+        "user_id long, ts timestamp_ntz, sv double")
+    out = asof_join(left, right)
+    got = {r.event_id: (r.sv_r, r.ts_r) for r in out.collect()}
+    assert got == {
+        100: (1.0, _ts(10)),   # inclusive: equal ts matches
+        101: (2.0, _ts(20)),   # latest prior wins
+        102: (None, None),     # before any right row
+        103: (None, None),     # user with no right rows at all
+    }
+    # left row count preserved (left-join semantics)
+    assert out.count() == 4
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(1), 1.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 2.0)], "user_id long, ts timestamp_ntz, sv double")
+    plan = asof_join(left, right)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan  # union-and-carry, never a pair join
