@@ -70,3 +70,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         F.last(ts + suffix, ignorenulls=True).over(w).alias(ts + suffix),
     )
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join_window(probes: DataFrame, events: DataFrame,
+                      window_s: int = 300, on: str = "user_id",
+                      ts: str = "ts") -> DataFrame:
+    """Range (interval) self-join at scale: for every probe row, all
+    `events` rows of the same key within ±window_s seconds —
+    (probe_id, event_id) pairs.
+
+    The naive plan is a per-key cross join filtered by BETWEEN (the
+    pair space explodes on active keys).  Scale shape: bin timestamps
+    into window-sized buckets; a probe explodes into its bucket ±1,
+    events keep their single bucket, the equi-join on (key, bucket)
+    bounds candidates to ~3 buckets per probe, and the exact interval
+    filter runs on candidates only.  Any pair within the window is
+    within one bucket of each other, so banding is COMPLETE (no
+    recall loss), and each pair joins at most once (only the probe
+    side explodes).  Bucketing uses an epoch that only needs to be
+    self-consistent; the final filter is interval arithmetic —
+    timezone-free and TIMESTAMP_NTZ-safe."""
+    w_us = F.lit(int(window_s) * 1_000_000)
+    bucket = lambda col: F.floor(
+        F.unix_micros(col.cast("timestamp")) / w_us)
+    p = probes.select(
+        F.col("event_id").alias("probe_id"),
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_ta"),
+        F.explode(F.array(
+            bucket(F.col(ts)) - 1, bucket(F.col(ts)),
+            bucket(F.col(ts)) + 1)).alias("_b"),
+    )
+    e = events.select(
+        F.col("event_id"),
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_tb"),
+        bucket(F.col(ts)).alias("_b"),
+    )
+    iv = F.expr(f"INTERVAL {int(window_s)} SECOND")
+    return (
+        p.join(e, ["_k", "_b"])
+        .where((F.col("_tb") >= F.col("_ta") - iv)
+               & (F.col("_tb") <= F.col("_ta") + iv)
+               & (F.col("event_id") != F.col("probe_id")))
+        .select("probe_id", "event_id")
+    )

@@ -475,6 +475,30 @@ def event_asof_join(spark, sf):
     )
 
 
+_RANGE_SQL = """
+SELECT a.event_id AS probe_id, b.event_id AS event_id
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts + INTERVAL 30 MINUTE
+ AND b.event_id != a.event_id
+"""
+
+
+@q("event_range_join", _RANGE_SQL)
+def event_range_join(spark, sf):
+    """Range join: every error event paired with the same user's
+    events within ±30 minutes.  Spark plan is the bucket-banded
+    candidate join (ops/asof.py range_join_window — complete, no
+    recall loss); the oracle is the naive BETWEEN join, fine at
+    oracle scale."""
+    from octofludb_spark.ops.asof import range_join_window
+
+    ev = t(spark, sf, "events")
+    probes = ev.where(F.col("event_type") == "error")
+    return range_join_window(probes, ev, window_s=1800)
+
+
 _CONTAM_SQL = """
 WITH bench AS (
   SELECT doc_id AS bench_id,

@@ -46,3 +46,32 @@ def test_asof_single_shuffle(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan  # union-and-carry, never a pair join
+
+
+def test_range_join_banding_complete(spark):
+    """Bucket-banded range join equals the naive BETWEEN join on a
+    corpus engineered to straddle bucket boundaries, and each pair
+    appears exactly once."""
+    from octofludb_spark.ops.asof import range_join_window
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for m in (0, 4, 5, 6, 9, 11, 29, 30, 31, 59):
+            rows.append((eid, u, _ts(m)))
+            eid += 1
+    ev = spark.createDataFrame(rows,
+                               "event_id long, user_id long, ts timestamp_ntz")
+    probes = ev
+    got = {(r.probe_id, r.event_id) for r in
+           range_join_window(probes, ev, window_s=300).collect()}
+    rows_py = {r[0]: (r[1], r[2]) for r in rows}
+    want = {
+        (a, b)
+        for a, (ua, ta) in rows_py.items()
+        for b, (ub, tb) in rows_py.items()
+        if a != b and ua == ub and abs((ta - tb).total_seconds()) <= 300
+    }
+    assert got == want
+    out = range_join_window(probes, ev, window_s=300)
+    assert out.count() == out.distinct().count()  # no double-joins
