@@ -1055,6 +1055,36 @@ def kg_lineage_metrics(spark, sf):
     return lineage_metrics(_stage_kg_raw(spark))
 
 
+@q("kg_degree_stats", f"""
+WITH deg AS (
+  SELECT predicate, subject, COUNT(*) AS d
+  FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+  GROUP BY predicate, subject)
+SELECT predicate,
+       CAST(SUM(d) AS BIGINT) AS n_triples,
+       COUNT(*) AS n_subjects,
+       CAST(MAX(d) AS BIGINT) AS max_out_degree,
+       ROUND(SUM(d) * 1.0 / COUNT(*), 5) AS avg_out_degree
+FROM deg GROUP BY predicate
+""")
+def kg_degree_stats(spark, sf):
+    """Per-predicate out-degree statistics over the built graph — the
+    operational skew detector: max_out_degree >> avg_out_degree names
+    the hub entities (H1N1-style subtype nodes, north_star) that the
+    store's whole-triple file-slot salting and the salted
+    canonicalize join exist to absorb.  Two doc-keyed aggregations;
+    the (predicate, subject) partial agg is map-side combined."""
+    triples, _ = _stage_kg(spark)
+    deg = (triples.groupBy("predicate", "subject")
+           .agg(F.count("*").alias("d")))
+    return deg.groupBy("predicate").agg(
+        F.sum("d").cast("long").alias("n_triples"),
+        F.count("*").alias("n_subjects"),
+        F.max("d").cast("long").alias("max_out_degree"),
+        F.round(F.sum("d") / F.count("*"), 5).alias("avg_out_degree"),
+    )
+
+
 @q("kg_extract_triples", f"""
 SELECT DISTINCT subject, predicate, object_lex, object_dtype
 FROM read_parquet('{_STAGED}/kg_raw.parquet/*.parquet')
