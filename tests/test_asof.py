@@ -75,3 +75,23 @@ def test_range_join_banding_complete(spark):
     assert got == want
     out = range_join_window(probes, ev, window_s=300)
     assert out.count() == out.distinct().count()  # no double-joins
+
+
+def test_asof_and_range_empty_sides(spark):
+    """Empty right side -> all-NULL carries (left rows preserved);
+    empty probe side -> empty range join.  Schema stays stable."""
+    from octofludb_spark.ops.asof import asof_join, range_join_window
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(1), 1.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+    right = spark.createDataFrame(
+        [], "user_id long, ts timestamp_ntz, sv double")
+    out = asof_join(left, right).collect()
+    assert len(out) == 1 and out[0].sv_r is None and out[0].ts_r is None
+
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(1))], "event_id long, user_id long, ts timestamp_ntz")
+    empty = ev.where("event_id < 0")
+    rj = range_join_window(empty, ev, window_s=60)
+    assert rj.columns == ["probe_id", "event_id"] and rj.count() == 0
