@@ -918,6 +918,27 @@ def text_chunks(spark, sf):
                               window=64, stride=48)
 
 
+_ULM_SQL = """
+WITH wx AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+ tot AS (SELECT COUNT(*) AS n FROM wx),
+ lm AS (
+  SELECT w, log2(COUNT(*) * 1.0 / (SELECT n FROM tot)) AS lp
+  FROM wx GROUP BY w)
+SELECT wx.doc_id, COUNT(*) AS n_words, ROUND(AVG(lm.lp), 4) AS mean_logprob
+FROM wx JOIN lm USING (w)
+GROUP BY wx.doc_id
+"""
+
+
+@q("text_unigram_logprob", _ULM_SQL)
+def text_unigram_logprob(spark, sf):
+    """Unigram-LM quality score (CCNet-style perplexity filter,
+    unigram approximation): corpus word distribution broadcast, one
+    doc-keyed mean of log2 P(w)."""
+    return TX.unigram_logprob(t(spark, sf, "documents"))
+
+
 @q("text_fingerprints", r"""
 SELECT doc_id,
        md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint

@@ -248,3 +248,28 @@ def chunk_documents(docs: DataFrame, window: int = 64,
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-LM quality signal (the unigram approximation of CCNet's
+    perplexity filter): (doc_id, n_words, mean_logprob) where
+    mean_logprob = mean over the doc's words of log2 P(w), P estimated
+    from the corpus itself.
+
+    Scale shape: one (word) count aggregation builds the LM (vocab is
+    tiny next to the corpus — Zipf — and broadcasts); the per-doc
+    score is then the exploded words joined BROADCAST against the LM
+    and one doc-keyed agg.  Two shuffles total, both with map-side
+    partial combine; the corpus is never self-joined."""
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    total = words.count()
+    lm = (words.groupBy("w").agg(F.count("*").alias("c"))
+          .select("w", (F.log2(F.col("c") / F.lit(float(total)))).alias("lp")))
+    return (
+        words.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+    )

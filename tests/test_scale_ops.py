@@ -426,3 +426,26 @@ def test_quantize_embeddings_roundtrip(spark):
     plan = quantize_embeddings(emb)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_unigram_logprob_semantics(spark):
+    """A doc of corpus-frequent words scores higher (less negative)
+    than a doc of hapax words; probabilities come from the corpus
+    itself and every word is covered."""
+    import math
+
+    from octofludb_spark.scale.text import unigram_logprob
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "zyx qwv jkl mno"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert got[1].n_words == 4 and got[2].n_words == 4
+    # corpus: 8 words; 'the' x3 -> log2(3/8), others 1/8
+    exp1 = round((3 * math.log2(3 / 8) + math.log2(1 / 8)) / 4, 4)
+    exp2 = round(math.log2(1 / 8), 4)
+    assert got[1].mean_logprob == exp1
+    assert got[2].mean_logprob == exp2
+    assert got[1].mean_logprob > got[2].mean_logprob
