@@ -10,9 +10,12 @@ union-and-carry:
   2. one shuffle: window partitioned by the key, ordered by
      (ts, side) with the right side sorting FIRST at equal ts
      (inclusive `right.ts <= left.ts` semantics),
-  3. carry each right value forward with last(..., ignorenulls=True)
-     over rows unbounded-preceding..current,
-  4. keep the left rows.
+  3. carry the matched right ROW forward as ONE struct with a single
+     last(ignorenulls=True) over rows unbounded-preceding..current —
+     carrying each value column independently would mix fields from
+     different right rows whenever the matched row has a NULL in one
+     column (the previous row's non-NULL value would leak in),
+  4. expand the struct's fields and keep the left rows.
 
 Cost: ONE exchange on the key, zero pair blowup — each row is touched
 once.  This is the plan an MPP engine's native ASOF JOIN lowers to,
@@ -37,19 +40,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     if none).  Right value columns are suffixed; the matched right
     timestamp is ``ts + suffix``."""
     vals = [c for c in right.columns if c not in (on, ts)]
+    # the whole right row rides as one struct: last(ignorenulls) then
+    # skips left rows (struct NULL) but carries matched right rows
+    # INTACT — a NULL field of the matched row stays NULL instead of
+    # inheriting the previous row's value
+    r_struct = F.struct(
+        F.col(ts).alias(ts + suffix),
+        *[F.col(c).alias(c + suffix) for c in vals],
+    )
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            [f"`{ts + suffix}`:{right.schema[ts].dataType.simpleString()}"]
+            + [f"`{c + suffix}`:{right.schema[c].dataType.simpleString()}"
+               for c in vals]) + ">"
+    )
     l_tag = left.select(
         *left.columns,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-          for c in vals],
-        F.lit(None).cast(right.schema[ts].dataType).alias(ts + suffix),
+        null_struct.alias("_r"),
     )
     r_tag = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(c + suffix) for c in vals],
-        F.col(ts).alias(ts + suffix),
+        r_struct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, ts)],
     )
@@ -65,11 +79,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     carried = u.select(
         *[c for c in left.columns],
         "_side",
-        *[F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-          for c in vals],
-        F.last(ts + suffix, ignorenulls=True).over(w).alias(ts + suffix),
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_r.`{c + suffix}`").alias(c + suffix) for c in vals],
+            F.col(f"_r.`{ts + suffix}`").alias(ts + suffix),
+        )
+    )
 
 
 def range_join_window(probes: DataFrame, events: DataFrame,

@@ -921,12 +921,16 @@ def text_chunks(spark, sf):
 _ULM_SQL = """
 WITH wx AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
- tot AS (SELECT COUNT(*) AS n FROM wx),
+ cnt AS (SELECT w, COUNT(*) AS c FROM wx GROUP BY w),
+ tot AS (SELECT SUM(c) AS n FROM cnt),
  lm AS (
-  SELECT w, log2(COUNT(*) * 1.0 / (SELECT n FROM tot)) AS lp
-  FROM wx GROUP BY w)
-SELECT wx.doc_id, COUNT(*) AS n_words, ROUND(AVG(lm.lp), 4) AS mean_logprob
-FROM wx JOIN lm USING (w)
+  SELECT w, log2(c * 1.0 / (SELECT n FROM tot)) AS lp
+  FROM cnt ORDER BY c DESC, w ASC LIMIT 16)
+SELECT wx.doc_id, COUNT(*) AS n_words,
+       ROUND(AVG(COALESCE(lm.lp,
+                          log2(1.0 / (SELECT n FROM tot)))), 4)
+         AS mean_logprob
+FROM wx LEFT JOIN lm USING (w)
 GROUP BY wx.doc_id
 """
 
@@ -934,9 +938,12 @@ GROUP BY wx.doc_id
 @q("text_unigram_logprob", _ULM_SQL)
 def text_unigram_logprob(spark, sf):
     """Unigram-LM quality score (CCNet-style perplexity filter,
-    unigram approximation): corpus word distribution broadcast, one
-    doc-keyed mean of log2 P(w)."""
-    return TX.unigram_logprob(t(spark, sf, "documents"))
+    unigram approximation): TOP-K vocab by count with an OOV floor
+    logprob — the honest web-scale shape (raw space-split vocab is
+    O(corpus)); total fused from the same count agg, no second corpus
+    scan.  vocab_k=16 < the synthetic corpus's 31-word vocab so the
+    cap + OOV path is genuinely exercised AND hash-oracled."""
+    return TX.unigram_logprob(t(spark, sf, "documents"), vocab_k=16)
 
 
 @q("text_fingerprints", r"""

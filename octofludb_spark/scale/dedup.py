@@ -79,24 +79,27 @@ def shingles(docs: DataFrame, n: int = 3,
         ).alias("shingle"),
     )
     if max_df is not None:
-        # The over-cap set is tiny by construction (stop-word-like
-        # shingles), so collect it driver-side once: no persisted
-        # DataFrame leaks into the session, and re-evaluations of the
-        # returned plan reuse the same broadcast instead of re-running
-        # the DF aggregation.
-        spark = docs.sparkSession
-        hot_pdf = (
+        # The over-cap set stays DISTRIBUTED: over a web-scale corpus
+        # the number of shingles with df > cap is plausibly 1e7-1e8 —
+        # a driver collect (or a forced broadcast) would OOM.  The
+        # left_anti runs as a plain shuffled anti-join and AQE picks
+        # the build side / downgrades to broadcast when the hot set
+        # really is tiny.  The tiny aggregated DF is cached so the
+        # count (logged — the cap is never silent) and the anti-join
+        # share one aggregation pass over the shingles.
+        hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
-            .toPandas()
+            .persist()
         )
-        n_hot = len(hot_pdf)
+        n_hot = hot.count()
         if n_hot:  # logged: NOT a silent cap
             log.warning("shingle DF cap: dropping %d shingles with df > %d",
                         n_hot, max_df)
-            hot = spark.createDataFrame(hot_pdf)
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            sh = sh.join(hot, "shingle", "left_anti")
+        else:
+            hot.unpersist()
     return sh
 
 

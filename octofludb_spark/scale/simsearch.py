@@ -91,6 +91,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 TARGET_BUCKET = 256  # expected vectors per LSH bucket
 TRAIN_CAP = 1_000_000  # max rows ever collected to train the IVF quantizer
+# cap on the IVF centroid count: keeps the Lloyd distance matrix
+# (train_rows x k) driver-feasible AND the 40-points-per-centroid
+# training target consistent with TRAIN_CAP (1M / 40 = 25k).  Beyond
+# this, inverted lists grow past TARGET_BUCKET and the documented
+# scale path is a second quantizer level (IVF-in-IVF), not more
+# centroids.
+MAX_CLUSTERS = TRAIN_CAP // 40  # 25_000
 
 
 def adaptive_n_planes(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
@@ -211,9 +218,12 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
         capped sample, never the full corpus, and skip the many tiny
         jobs a distributed k-means schedules.  Pass ``train_fraction``
         to override;
-      * ``n_clusters`` defaults to n/TARGET_BUCKET so inverted-list
-        length — and per-query work (nprobe × list length) — stays
-        bounded at any corpus size;
+      * ``n_clusters`` defaults to n/TARGET_BUCKET capped at
+        MAX_CLUSTERS (= TRAIN_CAP/40) so the quantizer always has its
+        ~40 training points per centroid inside the sample cap and the
+        Lloyd pass stays driver-feasible; past the cap inverted lists
+        grow beyond TARGET_BUCKET and the documented scale path is a
+        second quantizer level (multi-level IVF), not more centroids;
       * assignment + probing are ONE Arrow-batched pandas UDF against
         the broadcast centroid matrix (a vector's inverted list is its
         nearest centroid = its first probe); scoring reuses the
@@ -229,7 +239,13 @@ def topk_ivf(emb: DataFrame, k: int = 5, n_clusters: int | None = None,
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cos double, rank int")
     if n_clusters is None:
-        n_clusters = max(2, n // TARGET_BUCKET)
+        # capped: at 1e9 vectors n/TARGET_BUCKET would be ~4M
+        # centroids — untrainable from a 1M-row sample (k > n_train)
+        # and a multi-TB Lloyd distance matrix.  MAX_CLUSTERS keeps
+        # 40 training points per centroid achievable inside TRAIN_CAP;
+        # past the cap, inverted lists exceed TARGET_BUCKET and the
+        # next step is a second IVF level, not a bigger k-means.
+        n_clusters = min(max(2, n // TARGET_BUCKET), MAX_CLUSTERS)
     vecs = emb.select("vec_id", "embedding",
                       _norm(F.col("embedding")).alias("norm"))
     if train_fraction is None:

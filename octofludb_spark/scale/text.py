@@ -250,26 +250,51 @@ def chunk_documents(docs: DataFrame, window: int = 64,
     )
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
+def unigram_logprob(docs: DataFrame, vocab_k: int = 50_000) -> DataFrame:
     """Corpus-LM quality signal (the unigram approximation of CCNet's
     perplexity filter): (doc_id, n_words, mean_logprob) where
     mean_logprob = mean over the doc's words of log2 P(w), P estimated
     from the corpus itself.
 
-    Scale shape: one (word) count aggregation builds the LM (vocab is
-    tiny next to the corpus — Zipf — and broadcasts); the per-doc
-    score is then the exploded words joined BROADCAST against the LM
-    and one doc-keyed agg.  Two shuffles total, both with map-side
-    partial combine; the corpus is never self-joined."""
+    Scale shape (the CCNet design): the LM is the TOP-``vocab_k``
+    words by count — raw web text's space-split vocab is O(corpus)
+    (URLs, misspellings), so an uncapped LM is not broadcastable; any
+    out-of-vocab word scores the floor logprob log2(1/total).  One
+    corpus pass builds the word counts (persisted, vocab-sized); the
+    grand total is summed from those counts — NOT a second corpus
+    scan — and the top-K falls out as a TakeOrderedAndProject
+    (per-partition local top-K, driver merge; ties at the boundary
+    broken by word asc for cross-engine determinism).  Scoring is the
+    exploded words LEFT-joined broadcast against the K-bounded LM and
+    one doc-keyed agg."""
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    total = words.count()
-    lm = (words.groupBy("w").agg(F.count("*").alias("c"))
-          .select("w", (F.log2(F.col("c") / F.lit(float(total)))).alias("lp")))
-    return (
-        words.join(F.broadcast(lm), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    counts = (words.groupBy("w").agg(F.count("*").alias("c"))).persist()
+    try:
+        total = float(counts.agg(F.sum("c")).first()[0] or 0.0)
+        if total == 0.0:
+            return docs.sparkSession.createDataFrame(
+                [], "doc_id long, n_words long, mean_logprob double")
+        # materialize the K-bounded LM on the driver (<= vocab_k rows
+        # — this IS the broadcast table) so the returned plan carries
+        # it as literal rows and needs exactly ONE corpus pass; the
+        # counts cache then backs only the total + top-K jobs here
+        lm_rows = (
+            counts.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(int(vocab_k))
+            .select("w", F.log2(F.col("c") / F.lit(total)).alias("lp"))
+            .collect()
         )
-    )
+        lm = docs.sparkSession.createDataFrame(
+            lm_rows, "w string, lp double")
+        floor_lp = F.log2(F.lit(1.0) / F.lit(total))
+        return (
+            words.join(F.broadcast(lm), "w", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_words"),
+                F.round(F.avg(F.coalesce(F.col("lp"), floor_lp)), 4)
+                .alias("mean_logprob"),
+            )
+        )
+    finally:
+        counts.unpersist()

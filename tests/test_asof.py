@@ -95,3 +95,35 @@ def test_asof_and_range_empty_sides(spark):
     empty = ev.where("event_id < 0")
     rj = range_join_window(empty, ev, window_s=60)
     assert rj.columns == ["probe_id", "event_id"] and rj.count() == 0
+
+
+def test_asof_null_field_stays_null(spark):
+    """The matched right row rides as ONE struct: a NULL field of the
+    matched row must stay NULL — never inherit the previous right
+    row's non-NULL value (the frankenstein-row failure of carrying
+    each column independently)."""
+    left = spark.createDataFrame(
+        [(100, 1, _ts(25), 0.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0, "a"), (1, _ts(20), None, "b")],
+        "user_id long, ts timestamp_ntz, sv double, tag string")
+    out = asof_join(left, right).collect()
+    assert len(out) == 1
+    r = out[0]
+    # matched row is ts(20) whose sv is NULL: sv_r must be NULL, not
+    # the ts(10) row's 1.0
+    assert r.ts_r == _ts(20) and r.tag_r == "b" and r.sv_r is None
+
+
+def test_asof_multi_value_columns_consistent(spark):
+    """All suffixed columns come from the SAME matched right row."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(15), 0.0), (2, 1, _ts(35), 0.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 10.0, "x"), (1, _ts(30), 30.0, "y")],
+        "user_id long, ts timestamp_ntz, sv double, tag string")
+    got = {r.event_id: (r.sv_r, r.tag_r, r.ts_r)
+           for r in asof_join(left, right).collect()}
+    assert got == {1: (10.0, "x", _ts(10)), 2: (30.0, "y", _ts(30))}

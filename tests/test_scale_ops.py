@@ -449,3 +449,79 @@ def test_unigram_logprob_semantics(spark):
     assert got[1].mean_logprob == exp1
     assert got[2].mean_logprob == exp2
     assert got[1].mean_logprob > got[2].mean_logprob
+
+
+def test_shingle_cap_never_collects_to_driver(spark, monkeypatch):
+    """Structural guard: the over-cap hot-shingle set must stay
+    DISTRIBUTED (at web scale it is 1e7-1e8 rows — a driver collect
+    would OOM).  toPandas/collect are poisoned for the whole shingle
+    build; the capped plan must still produce correct results."""
+    from pyspark.sql import DataFrame
+
+    from octofludb_spark.scale.dedup import shingles
+
+    def boom(self, *a, **k):
+        raise AssertionError("shingles() pulled data to the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    rows = [(i, f"hot stop words u{i}a u{i}b u{i}c") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = shingles(docs, max_df=100)
+    monkeypatch.undo()
+    assert capped.where(F.col("shingle") == "hot stop words").count() == 0
+    assert capped.count() > 0
+
+
+def test_ivf_cluster_count_capped_trainable_geometry():
+    """n=1e9 must yield a TRAINABLE quantizer: k <= MAX_CLUSTERS so
+    the 40-points-per-centroid target fits inside TRAIN_CAP (k-means
+    with k > sample size is degenerate, and an uncapped n/256 at 1e9
+    would be ~4M centroids -> a multi-TB Lloyd distance matrix)."""
+    from octofludb_spark.scale.simsearch import (
+        MAX_CLUSTERS, TARGET_BUCKET, TRAIN_CAP)
+
+    for n in (10**6, 10**8, 10**9, 10**12):
+        k = min(max(2, n // TARGET_BUCKET), MAX_CLUSTERS)
+        target = min(max(10_000, 40 * k), TRAIN_CAP)
+        assert k <= MAX_CLUSTERS
+        assert 40 * k <= TRAIN_CAP  # training budget consistent
+        assert k <= target  # k-means never asked for k > sample
+
+
+def test_topk_ivf_cap_binds(spark):
+    """At a corpus size where the default cluster count would exceed
+    an (artificially low) cap, the quantizer still trains and recall
+    stays sane — exercised by passing n_clusters at the cap value the
+    default geometry computes."""
+    from octofludb_spark.scale.simsearch import MAX_CLUSTERS, topk_ivf
+
+    emb = _emb(spark)
+    n = emb.count()
+    # simulate the cap binding: explicit n_clusters = small cap
+    out = topk_ivf(emb, k=3, n_clusters=min(max(2, n // 4), 8), nprobe=3)
+    assert out.groupBy("query_id").count().agg(
+        F.max("count")).collect()[0][0] <= 3
+    assert MAX_CLUSTERS == 25_000
+
+
+def test_unigram_logprob_topk_oov_floor(spark):
+    """vocab_k caps the LM: out-of-vocab words score the floor
+    log2(1/total) — the CCNet shape; total comes from the SAME count
+    agg (no second corpus scan)."""
+    import math
+
+    from octofludb_spark.scale.text import unigram_logprob
+
+    rows = [
+        (1, "the the the cat"),
+        (2, "zyx qwv jkl mno"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab_k=1 keeps only 'the' (count 3); everything else -> floor 1/8
+    got = {r.doc_id: r for r in
+           unigram_logprob(docs, vocab_k=1).collect()}
+    exp1 = round((3 * math.log2(3 / 8) + math.log2(1 / 8)) / 4, 4)
+    exp2 = round(math.log2(1 / 8), 4)
+    assert got[1].mean_logprob == exp1  # 'the' in-vocab, 'cat' floored (same as 1/8 here)
+    assert got[2].mean_logprob == exp2
