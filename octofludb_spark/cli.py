@@ -488,7 +488,12 @@ def cmd_store(args) -> int:
         import pyarrow.parquet as _pq
 
         m = store.manifest()
-        print("table\trows\tfiles\tbytes\tsegments\tpending_deletes")
+        # physical_rows is the pre-merge footer count; delete_rows is
+        # the pending equality-delete key count (each key may match
+        # multiple physical rows, so live counts are only exact via
+        # `query` or after `compact`)
+        print("table\tphysical_rows\tdelete_rows\tfiles\tbytes"
+              "\tsegments\tpending_deletes")
         for table in sorted(m.get("tables", {})):
             paths = [m["tables"][table]]
             segs = m.get("segments", {}).get(table, [])
@@ -501,8 +506,14 @@ def cmd_store(args) -> int:
                     rows += _pq.ParquetFile(f).metadata.num_rows
                     files += 1
                     size += os.path.getsize(f)
-            print(f"{table}\t{rows}\t{files}\t{size}\t{len(segs)}"
-                  f"\t{len(dels)}")
+            del_rows = 0
+            for d in dels:
+                for f in _glob.glob(os.path.join(d["path"], "**",
+                                                 "*.parquet"),
+                                    recursive=True):
+                    del_rows += _pq.ParquetFile(f).metadata.num_rows
+            print(f"{table}\t{rows}\t{del_rows}\t{files}\t{size}"
+                  f"\t{len(segs)}\t{len(dels)}")
         return 0
     if args.op == "lookup" and not args.subject:
         print("store lookup requires --subject <IRI>")

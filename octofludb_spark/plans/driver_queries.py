@@ -700,6 +700,59 @@ def ann_topk_lsh(spark, sf):
     return S.topk_lsh(t(spark, sf, "embeddings"), k=5)
 
 
+# full value-hash oracle for the LSH ANN geometry: DuckDB reproduces
+# the md5 hyperplane constants, the bucket bits, the Hamming-1
+# multiprobe expansion, the candidate join AND the (rounded-cos,
+# vec_id) ranking — everything but the numpy matmul, replaced by the
+# same fold cosine ann_topk_brute already hash-matches with
+_ANNLSH_SQL = f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+    {_lsh_planes_values(4)}) AS v(plane, hp)),
+ bits AS (
+  SELECT e.vec_id, p.plane,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * p.hp[i])) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p),
+ keys AS (
+  SELECT vec_id,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane) AS bkey
+  FROM bits GROUP BY vec_id),
+ probes AS (
+  SELECT vec_id, bkey AS pkey FROM keys
+  UNION ALL
+  SELECT k.vec_id,
+         substr(k.bkey, 1, f.i)
+         || CAST(1 - CAST(substr(k.bkey, f.i + 1, 1) AS INT) AS VARCHAR)
+         || substr(k.bkey, f.i + 2) AS pkey
+  FROM keys k CROSS JOIN (SELECT UNNEST(range(4)) AS i) f),
+ cand AS (
+  SELECT pr.vec_id AS query_id, c.vec_id AS vec_id
+  FROM probes pr JOIN keys c
+    ON c.bkey = pr.pkey AND c.vec_id <> pr.vec_id),
+ scored AS (
+  SELECT cd.query_id, cd.vec_id, {_COS_EXPR} AS cos
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.vec_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@q("ann_topk_lsh_ids", _ANNLSH_SQL)
+def ann_topk_lsh_ids(spark, sf):
+    """LSH ANN with the full geometry value-hash-oracled (see
+    _ANNLSH_SQL): deterministic planes, buckets, multiprobe, candidate
+    set, rounded scores and rank all match DuckDB bit-for-bit.  The
+    production numpy-matmul path (`ann_topk_lsh`) shares this exact
+    geometry; pytest ties the two on neighbor recall."""
+    return S.topk_lsh_ranked(t(spark, sf, "embeddings"), k=5, n_planes=4)
+
+
 @q("ann_topk_ivf")  # rows-only: k-means is iterative, not SQL-expressible
 def ann_topk_ivf(spark, sf):
     """IVF ANN: k-means coarse quantizer + nprobe inverted-list scan
@@ -1018,6 +1071,39 @@ def multimodal_metadata(spark, sf):
 
     m = to_media_table(t(spark, sf, "documents"))
     return m.select("media_id", "media_type", "n_bytes", "sha256")
+
+
+@q("multimodal_decode", """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+            ELSE 'gif' END AS format,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(16 + doc_id % 48 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(16 + (doc_id * 7) % 48 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(1 + doc_id % 8 AS BIGINT) END AS n_frames,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(1 + doc_id % 2 AS BIGINT) END AS n_channels,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(8000 + (doc_id % 5) * 1000 AS BIGINT)
+            END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(100 + doc_id % 900 AS BIGINT) END AS n_samples
+FROM documents
+""")
+def multimodal_decode(spark, sf):
+    """REAL container decode, hash-oracled: payloads are synthesized
+    as genuine BMP/WAV/multi-frame-GIF bytes (scale/multimodal.py
+    synth_*, parameters derived arithmetically from media_id), then
+    the stdlib header decoders parse them back — the oracle states the
+    expected dimensions/rates from the same arithmetic, so a green row
+    proves the decoders recover exactly what the containers encode.
+    Both steps are Arrow-batched mapInPandas; payload bytes never
+    visit the driver."""
+    from octofludb_spark.scale.multimodal import decode_media, synth_media
+
+    return decode_media(synth_media(t(spark, sf, "documents")))
 
 
 # --------------------------------------------------------------------------

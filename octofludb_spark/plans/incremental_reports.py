@@ -73,6 +73,10 @@ def masterlist_materialize(spark: SparkSession, store,
     """Full compute of the 33-col masterlist over `table`, written as
     the materialized `masterlist_rows` table; records the triple
     snapshot seq it reflects.  Returns the row count."""
+    # capture the seq BEFORE reading: a triple commit landing while
+    # the report computes is then re-scanned by the next refresh (a
+    # harmless re-process) instead of silently excluded forever
+    seq = store.manifest().get("seq", 0)
     trip = store.read(spark, table)
     if trip is None:
         raise ValueError(f"no such table {table!r}")
@@ -80,7 +84,7 @@ def masterlist_materialize(spark: SparkSession, store,
     n = report.count()
     store.write(report, MASTERLIST_TABLE)
     report.unpersist()
-    _write_base_seq(store, store.manifest().get("seq", 0))
+    _write_base_seq(store, seq)
     return n
 
 
@@ -95,9 +99,30 @@ def affected_barcodes(changes: DataFrame, trip: DataFrame) -> DataFrame:
     hs = trip.where(F.col("predicate") == NT + "has_segment")
     bc = trip.where(F.col("predicate") == NT + "barcode")
 
+    # REVERSE hops expand from changed SUBJECTS only: a changed
+    # subject is a node whose OWN attribute set changed — if it is a
+    # SHARED attribute node (a country/state/feature node on the
+    # sid->country->code or gid->feature->serotype paths that
+    # masterlist_slice preserves), every strain referencing it goes
+    # stale.  Changed uri-OBJECTS are deliberately NOT reverse-hopped:
+    # the triple linking s to o changed, but o's own attributes did
+    # not, so strains OTHER than s that reference o are unaffected —
+    # hopping from objects would fan a single (sid, country, USA)
+    # insert out to every strain in the corpus.  Walked to the same
+    # 2-hop depth the forward slice expands; each hop is an
+    # O(changes)-keyed semi-join.
+    subj_changed = changes.select(F.col("subject").alias("node")).distinct()
+    uri_edges = trip.where(F.col("object_dtype") == "uri")
+    rev = subj_changed
+    for _ in range(2):
+        referrers = (
+            uri_edges.join(rev, uri_edges["object_lex"] == rev["node"],
+                           "left_semi")
+            .select(F.col("subject").alias("node"))
+        )
+        rev = rev.unionByName(referrers).distinct()
     touched = (
-        changes.select(F.col("subject").alias("node"))
-        .unionByName(
+        rev.unionByName(
             changes.where(F.col("object_dtype") == "uri")
             .select(F.col("object_lex").alias("node")))
         .distinct()
@@ -163,6 +188,14 @@ def masterlist_refresh(spark: SparkSession, store,
         n = masterlist_materialize(spark, store, table=table)
         return {"mode": "full", "affected_barcodes": None,
                 "rows_appended": n}
+    # capture the seq the changelog read resolves against BEFORE the
+    # read: a triple commit landing after this point is either already
+    # inside the changelog window (processed now, harmlessly
+    # re-scanned next refresh) or re-scanned next refresh — never
+    # silently excluded.  The refresh's own masterlist_rows commits
+    # below don't touch the triples table, so writing this seq after
+    # them is safe.
+    next_base = store.manifest().get("seq", 0)
     try:
         changes = store.read_changelog(spark, table, since=base)
     except ValueError:
@@ -173,10 +206,14 @@ def masterlist_refresh(spark: SparkSession, store,
         return {"mode": "noop", "affected_barcodes": 0,
                 "rows_appended": 0}
     trip = store.read(spark, table)
-    barcodes = affected_barcodes(changes, trip).persist()
+    # localCheckpoint (not just persist): the iterative entity walk
+    # builds a deep logical plan; the barcode set is tiny (report
+    # keys), so truncating its lineage here keeps the downstream slice
+    # plan flat instead of replicating the walk into every semi-join
+    barcodes = affected_barcodes(changes, trip).localCheckpoint()
     n_bc = barcodes.count()
     if n_bc == 0:
-        _write_base_seq(store, store.manifest().get("seq", 0))
+        _write_base_seq(store, next_base)
         barcodes.unpersist()
         return {"mode": "incremental", "affected_barcodes": 0,
                 "rows_appended": 0}
@@ -191,6 +228,6 @@ def masterlist_refresh(spark: SparkSession, store,
     store.append_rows(patch, MASTERLIST_TABLE)
     patch.unpersist()
     barcodes.unpersist()
-    _write_base_seq(store, store.manifest().get("seq", 0))
+    _write_base_seq(store, next_base)
     return {"mode": "incremental", "affected_barcodes": n_bc,
             "rows_appended": n_rows}

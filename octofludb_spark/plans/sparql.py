@@ -861,11 +861,40 @@ def _scan(triples: DataFrame, subj, path: list, obj) -> tuple[DataFrame, set]:
     return df, var_cols
 
 
+def _compat_out_nulls(left, left_nulls, right, right_nulls, shared,
+                      how) -> set:
+    out_nulls = set()
+    for v in left.columns:
+        if v in shared:
+            if (v in left_nulls) and (v in right_nulls or how == "left"):
+                out_nulls.add(v)
+        elif v in left_nulls:
+            out_nulls.add(v)
+    for v in right.columns:
+        if v not in shared and (v in right_nulls or how == "left"):
+            out_nulls.add(v)
+    return out_nulls
+
+
 def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
                  right_nulls: set, how: str = "inner") -> tuple[DataFrame, set]:
     """SPARQL compatibility join: equi on never-null shared vars,
-    null-tolerant residual on maybe-null shared vars, bindings merged
-    with coalesce.  `how` in (inner, left, left_anti)."""
+    null-tolerant on maybe-null shared vars, bindings merged with
+    coalesce.  `how` in (inner, left, left_anti).
+
+    Scale shape: the textbook compat condition (`L.v IS NULL OR R.v IS
+    NULL OR L.v = R.v` AND-ed per var) is non-equi, so Spark plans a
+    BroadcastNestedLoopJoin — quadratic on an OPTIONAL-heavy query.
+    Instead the pair space is PARTITIONED by null-pattern: rows are
+    classed by which tolerant vars are bound, and each (L class,
+    R slice) branch joins equi on `strict keys + the vars bound on
+    both sides` — a hash join whenever any key survives, which is
+    every branch as long as one shared var is never-null (the usual
+    anchor-var case).  Branches are disjoint by construction, so the
+    union needs no dedup; `left` derives as inner ∪ (anti ×
+    null-extension) and `left_anti` as per-class CHAINED anti joins —
+    no row-id bookkeeping.  Falls back to the condition join above 3
+    tolerant vars (3^k branches)."""
     shared = [c for c in left.columns if c in right.columns]
     if not shared:
         if how == "inner":
@@ -876,38 +905,125 @@ def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
             # queries (right nonempty)
             return left.crossJoin(right), left_nulls | right_nulls
         raise SparqlError("NOT EXISTS/MINUS with no shared variables")
-    L = left.alias("L")
-    R = right.alias("R")
-    conds = []
-    for v in shared:
-        if v in left_nulls or v in right_nulls:
-            conds.append(
-                L[v].isNull() | R[v].isNull() | (L[v] == R[v]))
-        else:
-            conds.append(L[v] == R[v])
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
+    tol = [v for v in shared
+           if v in left_nulls or v in right_nulls]
+    strict = [v for v in shared if v not in tol]
+    out_nulls = _compat_out_nulls(left, left_nulls, right, right_nulls,
+                                  shared, how)
+
+    if not tol or len(tol) > 3:
+        L = left.alias("L")
+        R = right.alias("R")
+        conds = []
+        for v in shared:
+            if v in tol:
+                c = (L[v] == R[v])
+                # isNull disjuncts only for sides that CAN be null
+                if v in left_nulls:
+                    c = L[v].isNull() | c
+                if v in right_nulls:
+                    c = R[v].isNull() | c
+                conds.append(c)
+            else:
+                conds.append(L[v] == R[v])
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        if how == "left_anti":
+            return L.join(R, cond, "left_anti"), left_nulls
+        joined = L.join(R, cond, how)
+        cols = []
+        for v in left.columns:
+            cols.append(F.coalesce(L[v], R[v]).alias(v)
+                        if v in shared else L[v])
+        for v in right.columns:
+            if v not in shared:
+                cols.append(R[v])
+        return joined.select(*cols), out_nulls
+
+    # ---- union-of-equi-joins rewrite -------------------------------
+    import itertools
+
+    # L classes: null-patterns of the tolerant vars on the left;
+    # statically-empty classes (var never null on that side) skipped
+    def _branches():
+        bi = 0
+        for lmask in itertools.product((True, False), repeat=len(tol)):
+            if any(not m and v not in left_nulls
+                   for v, m in zip(tol, lmask)):
+                continue  # L.v can't be null: empty class
+            nn_l = [v for v, m in zip(tol, lmask) if m]
+            lfilt = None
+            for v, m in zip(tol, lmask):
+                c = F.col(v).isNotNull() if m else F.col(v).isNull()
+                lfilt = c if lfilt is None else (lfilt & c)
+            # R slices: null-patterns over the vars bound on the left
+            rslices = []
+            for rmask in itertools.product((True, False),
+                                           repeat=len(nn_l)):
+                if any(not m and v not in right_nulls
+                       for v, m in zip(nn_l, rmask)):
+                    continue  # R.v can't be null: empty slice
+                eq_vars = [v for v, m in zip(nn_l, rmask) if m]
+                rfilt = None
+                for v, m in zip(nn_l, rmask):
+                    c = F.col(v).isNotNull() if m else F.col(v).isNull()
+                    rfilt = c if rfilt is None else (rfilt & c)
+                rslices.append((rfilt, strict + eq_vars))
+            yield bi, lfilt, rslices
+            bi += 1
+
+    def _proj(Lc, Rs):
+        cols = []
+        for v in left.columns:
+            cols.append(F.coalesce(Lc[v], Rs[v]).alias(v)
+                        if v in shared else Lc[v])
+        for v in right.columns:
+            if v not in shared:
+                cols.append(Rs[v])
+        return cols
+
+    inner_parts = []
+    anti_parts = []
+    for bi, lfilt, rslices in _branches():
+        Lc = (left.where(lfilt) if lfilt is not None
+              else left).alias(f"CJL{bi}")
+        anti = Lc
+        for si, (rfilt, keys) in enumerate(rslices):
+            Rs = (right.where(rfilt) if rfilt is not None
+                  else right).alias(f"CJR{bi}_{si}")
+            cond = None
+            for v in keys:
+                c = Lc[v] == Rs[v]
+                cond = c if cond is None else (cond & c)
+            if how in ("inner", "left"):
+                j = (Lc.join(Rs, cond, "inner") if cond is not None
+                     else Lc.crossJoin(Rs))
+                inner_parts.append(j.select(*_proj(Lc, Rs)))
+            if how in ("left", "left_anti"):
+                # chained: unmatched in EVERY slice of this class
+                anti = (anti.join(Rs, cond, "left_anti")
+                        if cond is not None
+                        else anti.join(Rs, F.lit(True), "left_anti"))
+        if how in ("left", "left_anti"):
+            anti_parts.append(anti.select(*left.columns))
+
+    def _union(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     if how == "left_anti":
-        return L.join(R, cond, "left_anti"), left_nulls
-    joined = L.join(R, cond, how)
-    cols = []
-    out_nulls = set()
-    for v in left.columns:
-        if v in shared:
-            cols.append(F.coalesce(L[v], R[v]).alias(v))
-            if (v in left_nulls) and (v in right_nulls or how == "left"):
-                out_nulls.add(v)
-        else:
-            cols.append(L[v])
-            if v in left_nulls:
-                out_nulls.add(v)
-    for v in right.columns:
-        if v not in shared:
-            cols.append(R[v])
-            if v in right_nulls or how == "left":
-                out_nulls.add(v)
-    return joined.select(*cols), out_nulls
+        return _union(anti_parts), left_nulls
+    result = _union(inner_parts)
+    if how == "left":
+        ext_cols = list(left.columns) + [
+            F.lit(None).cast(right.schema[v].dataType).alias(v)
+            for v in right.columns if v not in shared]
+        result = result.unionByName(
+            _union(anti_parts).select(*ext_cols))
+    return result, out_nulls
 
 
 def _compile_expr(expr, df: DataFrame):
@@ -1039,7 +1155,15 @@ def _compile_expr(expr, df: DataFrame):
             if pat[0] != "lit" or rep[0] != "lit":
                 raise SparqlError(
                     "REPLACE requires literal pattern/replacement")
-            return F.regexp_replace(args[0].cast("string"), pat[1], rep[1])
+            # Java regexp_replace treats '$' and '\' in the
+            # replacement as group references / escapes; the compiler
+            # contract is LITERAL replacement, so quote them
+            # (Matcher.quoteReplacement semantics) — otherwise '$1'
+            # silently substitutes a group and a trailing '$' throws a
+            # raw executor-side IllegalArgumentException
+            rep_quoted = rep[1].replace("\\", "\\\\").replace("$", "\\$")
+            return F.regexp_replace(args[0].cast("string"), pat[1],
+                                    rep_quoted)
     raise SparqlError(f"unsupported expression {expr!r}")
 
 

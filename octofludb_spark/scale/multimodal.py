@@ -54,12 +54,177 @@ def to_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- real
+# header/dimension decoders — pure stdlib (struct/zlib), no PIL/ffmpeg.
+# These parse REAL container bytes; only pixel-level math (resample,
+# color transforms) still needs the absent image libs and stays behind
+# `fake`.
+
+import struct
+import zlib
+
+
+def sniff_format(b: bytes) -> str | None:
+    """Container sniff by magic bytes: bmp | png | gif | wav | None."""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _skip_subblocks(b: bytes, pos: int) -> int:
+    while True:
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+
+
+def _gif_frames(b: bytes) -> int:
+    """Frame count by walking the block structure (0x2C image
+    descriptors), skipping extensions and LZW data sub-blocks."""
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            pos = _skip_subblocks(b, pos)
+        elif block == 0x2C:  # image descriptor
+            lpacked = b[pos + 8]
+            pos += 9
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _skip_subblocks(b, pos)
+            frames += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x} at {pos - 1}")
+    return frames
+
+
+def _wav_info(b: bytes) -> dict:
+    """RIFF chunk walk: fmt (channels, sample rate, bit depth) + data
+    size -> sample count."""
+    pos = 12
+    info: dict = {}
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        pos += 8
+        if cid == b"fmt ":
+            _fmt, ch, sr = struct.unpack_from("<HHI", b, pos)
+            bits = struct.unpack_from("<H", b, pos + 14)[0]
+            info.update(n_channels=ch, sample_rate=sr, bits=bits)
+        elif cid == b"data":
+            info["data_bytes"] = size
+        pos += size + (size & 1)  # chunks are word-aligned
+    frame_bytes = info["n_channels"] * info["bits"] // 8
+    info["n_samples"] = info["data_bytes"] // frame_bytes
+    return info
+
+
+def decode_header(b: bytes) -> dict:
+    """Real metadata decode from container bytes.  Returns a dict with
+    `format` plus: width/height (bmp, png, gif), n_frames (gif),
+    n_channels/sample_rate/n_samples (wav).  Raises
+    NotImplementedError on formats that need the absent codec libs."""
+    f = sniff_format(b)
+    if f == "bmp":
+        # BITMAPINFOHEADER: width/height are signed LE at offset 18;
+        # negative height = top-down row order
+        w, h = struct.unpack_from("<ii", b, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if f == "png":
+        w, h = struct.unpack_from(">II", b, 16)  # IHDR
+        return {"format": "png", "width": int(w), "height": int(h)}
+    if f == "gif":
+        w, h = struct.unpack_from("<HH", b, 6)  # logical screen
+        return {"format": "gif", "width": w, "height": h,
+                "n_frames": _gif_frames(b)}
+    if f == "wav":
+        info = _wav_info(b)
+        return {"format": "wav", "n_channels": info["n_channels"],
+                "sample_rate": info["sample_rate"],
+                "n_samples": info["n_samples"]}
+    raise NotImplementedError(
+        f"unrecognized container (magic {b[:4]!r}): pixel-level decode "
+        "of jpeg/mp4/etc needs PIL/ffmpeg, not in this container")
+
+
+# ------------------------------------------------- real-format synthesis
+
+def synth_bmp(width: int, height: int) -> bytes:
+    """A valid 24-bit BMP with zeroed pixels (rows padded to 4
+    bytes) — real container, deterministic content."""
+    row = (width * 3 + 3) & ~3
+    data = bytes(row * height)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+    return hdr + dib + data
+
+
+def synth_png(width: int, height: int) -> bytes:
+    """A valid 8-bit grayscale PNG (zlib-deflated zero scanlines,
+    correct CRCs) — fully real, viewable bytes."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter 0 + pixels
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b""))
+
+
+def synth_wav(n_channels: int, sample_rate: int, n_samples: int) -> bytes:
+    """A valid 16-bit PCM WAV of silence."""
+    data = bytes(n_samples * n_channels * 2)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def synth_gif(width: int, height: int, n_frames: int) -> bytes:
+    """A structurally valid multi-frame GIF89a (2-entry global color
+    table, minimal LZW data per frame)."""
+    out = [b"GIF89a", struct.pack("<HHBBB", width, height, 0x80, 0, 0),
+           b"\x00\x00\x00\xff\xff\xff"]  # 2-entry GCT
+    for _ in range(n_frames):
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
+        out.append(b"\x02" + bytes([1, 0x44, 0]))  # LZW min + 1 sub-block
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Stub: real decode needs PIL (absent).  fake=True derives
-    deterministic dimensions from the payload digest."""
+    """Image dimensions: REAL header decode for bmp/png/gif payloads
+    (stdlib parsers above); unrecognized containers fall back to the
+    deterministic digest fake when ``fake=True`` and raise otherwise
+    (pixel-level decode of jpeg/etc needs PIL)."""
+    if sniff_format(payload) in ("bmp", "png", "gif"):
+        meta = decode_header(payload)
+        return meta["width"], meta["height"]
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL, not available in this container"
+            "pixel decode of this format requires PIL, not available "
+            "in this container"
         )
     h = hashlib.md5(payload).hexdigest()
     return 64 + int(h[:2], 16), 64 + int(h[2:4], 16)
@@ -85,6 +250,81 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL container payloads (media_id, payload,
+    media_type): bmp images, 16-bit PCM wav audio, multi-frame gif
+    standing in for video — every payload parses with the stdlib
+    decoders above.  Parameters derive arithmetically from media_id so
+    an external engine can state the expected decode output without
+    parsing bytes.  Arrow-batched mapInPandas: synthesis parallelism
+    == scan parallelism, payloads never visit the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w = 16 + mid % 48
+                h = 16 + (mid * 7) % 48
+                if mid % 3 == 0:
+                    payloads.append(synth_bmp(w, h))
+                    types.append("image")
+                elif mid % 3 == 1:
+                    payloads.append(synth_wav(
+                        1 + mid % 2, 8000 + (mid % 5) * 1000,
+                        100 + mid % 900))
+                    types.append("audio")
+                else:
+                    payloads.append(synth_gif(w, h, 1 + mid % 8))
+                    types.append("video")
+            yield pd.DataFrame({
+                "media_id": pd.array([int(m) for m in pdf["doc_id"]],
+                                     dtype="int64"),
+                "payload": payloads,
+                "media_type": types,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real header decode over binary payloads (Arrow-batched
+    mapInPandas): (media_id, format, width, height, n_frames,
+    n_channels, sample_rate, n_samples) — fields not applicable to a
+    container are NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "n_frames", "n_channels",
+                "sample_rate", "n_samples"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for payload in pdf["payload"]:
+                meta = decode_header(bytes(payload))
+                for c in cols:
+                    out[c].append(meta.get(c))
+            frame = {"media_id": pd.array(
+                [int(m) for m in pdf["media_id"]], dtype="int64"),
+                "format": out["format"]}
+            for c in cols[1:]:
+                frame[c] = pd.array(out[c], dtype="Int64")
+            yield pd.DataFrame(frame)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
 
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),

@@ -176,6 +176,49 @@ def topk_lsh(emb: DataFrame, k: int = 5, n_planes: int | None = None,
     return _topk_by_bucket(q, c, k)
 
 
+def topk_lsh_ranked(emb: DataFrame, k: int = 5, n_planes: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """Hash-oracle-able twin of ``topk_lsh``: IDENTICAL bucket +
+    Hamming-1 multiprobe geometry, but candidate scoring via the JVM
+    fold cosine (the same expression ``topk_brute`` hash-matches
+    DuckDB with) instead of the cogrouped numpy matmul — numpy's
+    pairwise-summed matmul differs from a SQL left fold in the last
+    float bits, so only this variant can be value-hash-compared
+    end-to-end (bucket bits, candidate set, rounded scores AND rank).
+    The production path stays ``topk_lsh`` (one matmul per bucket
+    beats per-pair folds ~10x); this twin pins its geometry cross-
+    engine and pytest ties the two together on neighbor recall."""
+    from pyspark.sql import Window
+
+    b = _bucket_bits(emb, n_planes, dim)
+    key = lambda bits: F.concat_ws("", *[
+        F.element_at(bits, i + 1) for i in range(n_planes)
+    ])
+    c = b.select(F.col("vec_id"), F.col("embedding").alias("ec"),
+                 F.col("norm").alias("nc"), key(F.col("bits")).alias("bucket"))
+
+    def _flip(p):
+        return F.transform(
+            F.col("bits"), lambda x, i: F.when(i == p, 1 - x).otherwise(x)
+        )
+
+    probes = F.array(F.col("bits"), *[_flip(p) for p in range(n_planes)])
+    q = b.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"), F.explode(probes).alias("pb"),
+    ).select("query_id", "eq", "nq", key(F.col("pb")).alias("bucket"))
+    pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(_dot(F.col("eq"), F.col("ec"))
+                  / (F.col("nq") * F.col("nc")), 5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _kmeans_np(X, k: int, seed: int, iters: int = 8):
     """Driver-side Lloyd k-means with k-means++ init (numpy).  The
     incremental min-d2 update keeps init at O(nk); each Lloyd pass is

@@ -274,7 +274,10 @@ def _eval_expr(e, b: dict):
         if fn == "STRENDS":
             return str(args[0]).endswith(str(args[1]))
         if fn == "REPLACE":
-            return re.sub(str(args[1]), str(args[2]), str(args[0]))
+            # literal replacement (the compiler's contract): a lambda
+            # stops re.sub from interpreting \1-style group references
+            rep = str(args[2])
+            return re.sub(str(args[1]), lambda _m: rep, str(args[0]))
     raise EvalError(f"unsupported {e!r}")
 
 

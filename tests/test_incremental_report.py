@@ -156,3 +156,66 @@ def test_materialize_refresh_lifecycle(spark, tmp_path):
     want3 = _rowset(masterlist_report(
         GraphViews(store.read(spark, "triples_canonical"))))
     assert _rowset(store.read(spark, MASTERLIST_TABLE)) == want3
+
+
+def test_affected_barcodes_reverse_hop_shared_attribute(spark):
+    """A change whose SUBJECT is a shared attribute node (the country
+    node on the sid -> country -> code path) must reach every strain
+    referencing it — the reverse object->subject hop."""
+    from octofludb_spark.plans.incremental_reports import affected_barcodes
+
+    trip = _triples(spark, _strain("s1", "A/swine/Iowa/A01", "A0101",
+                                   "g1", "GB1")
+                    + _strain("s2", "A/swine/Ohio/A02", "A0202",
+                              "g2", "GB2"))
+    # the country code triple changes: subject is the SHARED country
+    # node — both strains reference it, so both barcodes are affected
+    ch = _triples(spark, [(NCOUNTRY + "USA", "code", "US", "")]) \
+        .withColumn("_change_type", F.lit("insert"))
+    got = {r.barcode for r in affected_barcodes(ch, trip).collect()}
+    assert got == {"A0101", "A0202"}
+    # two-hop reverse: gid -> feature -> serotype; the feature node's
+    # serotype change must climb feature -> gid -> sid -> barcode
+    trip2 = _triples(
+        spark,
+        _strain("s3", "A/swine/Utah/A03", "A0303", "g3", "GB3")
+        + [("g3", "feature", "f3", "uri"),
+           ("f3", "serotype", "H1", "")])
+    ch2 = _triples(spark, [("f3", "serotype", "H3", "")]) \
+        .withColumn("_change_type", F.lit("insert"))
+    got2 = {r.barcode for r in affected_barcodes(ch2, trip2).collect()}
+    assert got2 == {"A0303"}
+
+
+def test_refresh_converges_after_shared_node_change(spark, tmp_path):
+    """End-to-end: mutate a shared attribute node's value triple and
+    refresh — the materialized report must equal a full recompute
+    (the stale-row failure the forward-only walk had)."""
+    from octofludb_spark.plans.incremental_reports import (
+        MASTERLIST_TABLE,
+        masterlist_materialize,
+        masterlist_refresh,
+    )
+    from octofludb_spark.plans.reports import masterlist_report
+    from octofludb_spark.plans.views import GraphViews
+    from octofludb_spark.sources.store import TripleStore
+
+    trip = _triples(spark, _strain("s1", "A/swine/Iowa/A01", "A0101",
+                                   "g1", "GB1")
+                    + _strain("s2", "A/swine/Ohio/A02", "A0202",
+                              "g2", "GB2"))
+    store = TripleStore(str(tmp_path / "s"), n_buckets=4)
+    store.write(trip, "triples_canonical", bucket_by_subject=True)
+    masterlist_materialize(spark, store)
+    # the shared country node gains a region triple (subject = the
+    # attribute node itself, no strain subject anywhere in the change)
+    store.append_rows(
+        _triples(spark, [(NCOUNTRY + "USA", "region", "North America",
+                          "")]),
+        "triples_canonical")
+    res = masterlist_refresh(spark, store)
+    assert res["mode"] == "incremental"
+    assert res["affected_barcodes"] == 2  # BOTH strains re-sliced
+    want = _rowset(masterlist_report(
+        GraphViews(store.read(spark, "triples_canonical"))))
+    assert _rowset(store.read(spark, MASTERLIST_TABLE)) == want

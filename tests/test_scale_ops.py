@@ -525,3 +525,66 @@ def test_unigram_logprob_topk_oov_floor(spark):
     exp2 = round(math.log2(1 / 8), 4)
     assert got[1].mean_logprob == exp1  # 'the' in-vocab, 'cat' floored (same as 1/8 here)
     assert got[2].mean_logprob == exp2
+
+
+def test_stdlib_container_decoders_roundtrip():
+    """synth_* produce REAL container bytes and decode_header parses
+    back exactly what was encoded — no PIL/ffmpeg anywhere."""
+    from octofludb_spark.scale.multimodal import (
+        decode_header, decode_image, synth_bmp, synth_gif, synth_png,
+        synth_wav)
+
+    assert decode_header(synth_bmp(33, 47)) == {
+        "format": "bmp", "width": 33, "height": 47}
+    assert decode_header(synth_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480}
+    assert decode_header(synth_gif(20, 10, 5)) == {
+        "format": "gif", "width": 20, "height": 10, "n_frames": 5}
+    assert decode_header(synth_wav(2, 16000, 12345)) == {
+        "format": "wav", "n_channels": 2, "sample_rate": 16000,
+        "n_samples": 12345}
+    # decode_image on REAL bytes no longer raises (the r2 stub did)
+    assert decode_image(synth_bmp(8, 9)) == (8, 9)
+    assert decode_image(synth_png(3, 4)) == (3, 4)
+    # the PNG really is a PNG: zlib can inflate its IDAT scanlines
+    import struct as _struct
+    import zlib as _zlib
+    png = synth_png(5, 2)
+    idat_at = png.index(b"IDAT")
+    size = _struct.unpack_from(">I", png, idat_at - 4)[0]
+    raw = _zlib.decompress(png[idat_at + 4:idat_at + 4 + size])
+    assert raw == b"\x00" * (6 * 2)  # filter byte + 5 px, 2 rows
+    # unknown container: still raises without fake
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_synth_decode_media_spark(spark):
+    """End-to-end Spark path: synthesize real containers from doc_ids,
+    decode distributed, check one row of each type."""
+    from octofludb_spark.scale.multimodal import decode_media, synth_media
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    got = {r.media_id: r for r in decode_media(synth_media(docs)).collect()}
+    assert got[0].format == "bmp" and got[0].width == 16
+    assert got[1].format == "wav" and got[1].sample_rate == 9000
+    assert got[2].format == "gif" and got[2].n_frames == 3
+    assert got[2].width == 16 + 2 and got[2].height == 16 + 14
+    assert got[1].width is None and got[0].sample_rate is None
+
+
+def test_topk_lsh_ranked_matches_numpy_path(spark):
+    """The hash-oracled JVM-fold twin and the production numpy-matmul
+    path share the same geometry (planes, buckets, multiprobe): their
+    neighbor sets must agree except at float rounding boundaries."""
+    from octofludb_spark.scale.simsearch import topk_lsh, topk_lsh_ranked
+
+    emb = _emb(spark)
+    a = {(r.query_id, r.vec_id)
+         for r in topk_lsh(emb, k=5, n_planes=4).collect()}
+    b = {(r.query_id, r.vec_id)
+         for r in topk_lsh_ranked(emb, k=5, n_planes=4).collect()}
+    inter = len(a & b)
+    assert inter / max(len(a), 1) > 0.98
+    assert inter / max(len(b), 1) > 0.98

@@ -935,3 +935,52 @@ SELECT ?x ?h ?s ?p WHERE {
     assert got2["s3"] == (hashlib.md5(b"duck").hexdigest(),
                           hashlib.sha256(b"duck").hexdigest(), "duck")
     assert got2["s2"][2] == "#.#"
+
+
+def test_replace_literal_dollar_and_backslash(spark):
+    """REPLACE's replacement is LITERAL: '$1' must not perform group
+    substitution and a trailing '$' / lone '\\' must not throw a raw
+    Java IllegalArgumentException (Matcher.quoteReplacement
+    semantics)."""
+    rows = [("s1", "val", "ab12", "")]
+    df = _run(spark, _t(spark, rows), PFX + """
+SELECT ?x ?g ?d ?b WHERE {
+  ?x f:val ?v .
+  BIND(REPLACE(?v, "([0-9]+)", "$1") as ?g) .
+  BIND(REPLACE(?v, "[0-9]+", "$") as ?d) .
+  BIND(REPLACE(?v, "[0-9]+", "a\\b") as ?b) .
+}""")
+    r = df.collect()[0]
+    assert r.g == "ab$1"      # literal, NOT the captured group
+    assert r.d == "ab$"       # no dangling-$ exception
+    # SPARQL '\\' decodes to one backslash; it must come through
+    # literally, not as a Java escape
+    assert r.b == "ab" + "a" + "\\" + "b"
+
+
+def test_optional_chain_join_has_no_nested_loop(spark):
+    """A join of two OPTIONAL-bearing groups shares a maybe-null var;
+    the compat join must PARTITION by null-pattern into equi branches
+    (anchored on the never-null ?x) — 0 BroadcastNestedLoopJoin, 0
+    CartesianProduct — instead of an OR-isNull condition join."""
+    rows = [
+        ("s1", "a", "1", ""), ("s1", "b", "2", ""),
+        ("s2", "a", "3", ""), ("s2", "c", "4", ""),
+        ("s3", "a", "5", ""), ("s3", "b", "6", ""), ("s3", "c", "7", ""),
+    ]
+    qtext = PFX + """
+SELECT ?x ?v ?w WHERE {
+  ?x f:a ?y .
+  OPTIONAL { ?x f:b ?v . }
+  { ?x f:a ?z . OPTIONAL { ?x f:c ?v . }
+    OPTIONAL { ?x f:b ?w . } }
+}"""
+    df = _run(spark, _t(spark, rows), qtext)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # and the semantics survive the rewrite: s1 binds v only via f:b,
+    # s2 only via f:c, s3 both sides must AGREE on ?v (compat join
+    # drops the s3 row where 2 != 7... none: b=6, c=7 conflict)
+    got = {(r.x, r.v, r.w) for r in df.collect()}
+    assert got == {("s1", "2", "2"), ("s2", "4", None)}

@@ -211,12 +211,13 @@ def test_cli_stats_footer_only(spark, store, capsys):
 
     assert cli.main(["store", "stats", store.root]) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert out[0].startswith("table\trows")
+    assert out[0].startswith("table\tphysical_rows\tdelete_rows")
     row = {ln.split("\t")[0]: ln.split("\t") for ln in out[1:]}["triples"]
-    # rows counts RAW footer rows (3 data rows; the MOR delete applies
-    # at read time), 1 appended segment, 1 pending delete file
-    assert (row[1], row[4], row[5]) == ("3", "1", "1")
-    assert int(row[2]) >= 2 and int(row[3]) > 0
+    # physical_rows counts RAW footer rows (3 data rows; the MOR
+    # delete applies at read time) and delete_rows the pending
+    # equality-delete keys (1); 1 appended segment, 1 pending delete
+    assert (row[1], row[2], row[5], row[6]) == ("3", "1", "1", "1")
+    assert int(row[3]) >= 2 and int(row[4]) > 0
 
 
 def test_cli_query_explain(spark, tmp_path, capsys):
