@@ -842,6 +842,76 @@ def text_lang_id(spark, sf):
     return TX.lang_id(t(spark, sf, "documents"))
 
 
+def _lang_model_values() -> str:
+    """The hashed-ngram weight table as SQL VALUES rows (single source
+    of truth: scale/text.py hashed_lang_model)."""
+    from octofludb_spark.scale.text import hashed_lang_model
+
+    return ",\n    ".join(f"({b}, '{l}', {w})"
+                          for b, l, w in hashed_lang_model())
+
+
+def _lang_fixture_case() -> str:
+    from octofludb_spark.scale.text import LANG_SAMPLES
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{LANG_SAMPLES[l]}'"
+        for i, l in enumerate(["en", "de", "fr", "es", "und"]))
+    return f"CASE doc_id % 5 {whens} END"
+
+
+_LANGHASH_SQL = rf"""
+WITH w AS (
+  SELECT * FROM (VALUES
+    {_lang_model_values()}) AS v(bucket, lang, weight)),
+ fx AS (SELECT doc_id, {_lang_fixture_case()} AS text FROM documents),
+ n AS (SELECT doc_id,
+        array_to_string(string_split_regex(lower(trim(text)), '\s+'),
+                        ' ') AS t
+       FROM fx),
+ g AS (SELECT doc_id, UNNEST(list_concat(
+         list_transform(range(1, length(t)), i -> substr(t, i, 2)),
+         list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))))
+         AS g
+       FROM n),
+ sc AS (SELECT g.doc_id, w.lang, SUM(w.weight) AS score
+        FROM g JOIN w
+          ON w.bucket = ('0x' || substr(md5(g.g), 1, 4))::INT
+        GROUP BY 1, 2),
+ best AS (SELECT doc_id, lang, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang ASC) AS rk
+          FROM sc)
+SELECT n.doc_id,
+       CASE WHEN b.score IS NULL
+              OR b.score < 150 * greatest(2 * length(n.t) - 3, 0)
+            THEN 'und' ELSE b.lang END AS lang_pred,
+       CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+FROM n
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+@q("text_lang_id_hashed", _LANGHASH_SQL)
+def text_lang_id_hashed(spark, sf):
+    """fastText-style hashed char-ngram language ID on a synthesized
+    multilingual fixture: doc_id % 5 plants a held-out en/de/fr/es/und
+    sample sentence, and both engines hash 2/3-grams into the SAME
+    md5-derived 16-bit buckets and argmax INTEGER weight sums — the
+    full model (table, hashing, scoring, tiebreak) is value-hash
+    oracled.  The stopword text_lang_id stays as the cheap heuristic;
+    this is the bounded-model production path."""
+    from octofludb_spark.scale.text import LANG_SAMPLES, lang_id_hashed
+
+    samples = F.array(*[F.lit(LANG_SAMPLES[l])
+                        for l in ["en", "de", "fr", "es", "und"]])
+    fx = t(spark, sf, "documents").select(
+        "doc_id",
+        F.element_at(samples,
+                     (F.col("doc_id") % 5 + 1).cast("int")).alias("text"))
+    return lang_id_hashed(fx)
+
+
 _QUANT_SQL = f"""
 WITH tk AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

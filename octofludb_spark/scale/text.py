@@ -88,6 +88,134 @@ def lang_id(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     return d.select(*keep, "doc_id", pred.alias("lang_pred"))
 
 
+# ------------------------------------------------------------------
+# hashed char-ngram language ID (the fastText shape): a BOUNDED
+# weight table of hashed character n-grams, broadcast; scoring is one
+# explode + broadcast join + integer sum-argmax.  The stopword
+# lang_id above stays as the cheap heuristic; this is the documented
+# production path — the model is top-M ngrams per language hashed
+# into 16-bit buckets, so table size is fixed REGARDLESS of corpus
+# size, and integer weights make scores exactly order-independent
+# (portable to any engine, unlike float sums).
+
+LANG_SEEDS = {
+    "en": ("the quick brown fox jumps over the lazy dog and then it "
+           "runs away with many other small things that people say "
+           "every day in plain english text about the world they know"),
+    "de": ("der schnelle braune fuchs springt ueber den faulen hund "
+           "und dann laeuft er schnell weg mit vielen anderen kleinen "
+           "dingen die die leute jeden tag ueber die welt sagen"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux "
+           "et puis il s enfuit avec beaucoup d autres petites choses "
+           "que les gens disent chaque jour sur le monde entier"),
+    "es": ("el rapido zorro marron salta sobre el perro perezoso y "
+           "luego se escapa con muchas otras cosas pequenas que la "
+           "gente dice cada dia sobre el mundo que conocen"),
+}
+
+# held-out sample sentences (NOT the training seeds) for fixtures
+LANG_SAMPLES = {
+    "en": "this is a simple sentence that people write in english",
+    "de": "dies ist ein einfacher satz den die leute schreiben koennen",
+    "fr": "ceci est une phrase simple que les gens ecrivent souvent",
+    "es": "esta es una frase sencilla que la gente escribe cada semana",
+    "und": "12345 67890 24680 13579 00000 11111 99999 55555 33333",
+}
+
+
+def _char_ngrams(s: str, ns=(2, 3)) -> list[str]:
+    return [s[i:i + n] for n in ns for i in range(len(s) - n + 1)]
+
+
+def _hash_bucket_py(g: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+
+
+def hashed_lang_model(top_m: int = 300) -> list[tuple[int, str, int]]:
+    """(bucket, lang, weight) rows: top-M char 2/3-grams per language
+    from the seed texts, weight = round(1000 * log2(1 + count))
+    (positive integer — association strength), md5-hashed into 2^16
+    buckets with collisions summed.  Deterministic, bounded at
+    |langs| * top_m rows whatever the corpus size."""
+    import math
+    from collections import Counter
+
+    rows: dict[tuple[int, str], int] = {}
+    for lang, seed in LANG_SEEDS.items():
+        counts = Counter(_char_ngrams(seed))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_m]
+        for g, c in top:
+            w = int(round(1000 * math.log2(1 + c)))
+            key = (_hash_bucket_py(g), lang)
+            rows[key] = rows.get(key, 0) + w
+    return sorted((b, l, w) for (b, l), w in rows.items())
+
+
+MIN_GRAM_SCORE = 150  # 'und' floor: mean weight/gram below this is
+# hash-collision noise (a true match averages >= ~300; a 16-bit
+# bucket collision hits ~1% of grams at ~1000 each, so <= ~20)
+
+
+def lang_id_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, score): argmax over summed hashed-ngram
+    weights; 'und' when no ngram hits the table OR the mean weight
+    per gram is under MIN_GRAM_SCORE (bucket collisions give
+    out-of-model text a small spurious score — the confidence floor
+    is integer arithmetic, exact on any engine).  Plan: map-side
+    ngram explode -> md5 bucket (JVM) -> broadcast join against the
+    fixed-size weight table -> one (doc, lang) integer sum -> per-doc
+    argmax window over <= |langs| rows.  One real shuffle (the
+    doc-keyed agg); the model never scales with the corpus."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    w_tbl = F.broadcast(spark.createDataFrame(
+        hashed_lang_model(), "bucket int, lang string, weight long"))
+    norm = F.concat_ws(" ", F.split(F.lower(F.trim("text")), r"\s+"))
+    d = docs.select("doc_id", norm.alias("t"))
+
+    def _gram_fn(n):
+        # factory keeps the lambda SINGLE-arg: a default-arg lambda
+        # has arity 2 and pyspark would bind it to the array INDEX
+        return lambda i: F.col("t").substr(i, F.lit(n))
+
+    grams = F.concat(*[
+        F.when(F.length("t") >= n,
+               F.transform(F.sequence(F.lit(1), F.length("t") - (n - 1)),
+                           _gram_fn(n)))
+        .otherwise(F.array().cast("array<string>"))
+        for n in (2, 3)
+    ])
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    scored = (
+        g.select("doc_id",
+                 F.conv(F.substring(F.md5("g"), 1, 4), 16, 10)
+                 .cast("int").alias("bucket"))
+        .join(w_tbl, "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
+    best = (scored.withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1).drop("_rk"))
+    n_grams = F.greatest(F.length("t") * 2 - 3, F.lit(0))
+    return (
+        d.select("doc_id", n_grams.alias("_ng"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("score").isNull()
+                | (F.col("score") < MIN_GRAM_SCORE * F.col("_ng")),
+                "und").otherwise(F.col("lang")).alias("lang_pred"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the normalized word stream
     (lowercase, single-space).  (doc_id, fingerprint)."""

@@ -588,3 +588,33 @@ def test_topk_lsh_ranked_matches_numpy_path(spark):
     inter = len(a & b)
     assert inter / max(len(a), 1) > 0.98
     assert inter / max(len(b), 1) > 0.98
+
+
+def test_hashed_lang_id_recovers_planted_language(spark):
+    """The hashed char-ngram model must classify HELD-OUT sample
+    sentences (not its training seeds) into the planted language, and
+    score pure digits as 'und'."""
+    from octofludb_spark.scale.text import (
+        LANG_SAMPLES, LANG_SEEDS, hashed_lang_model, lang_id_hashed)
+
+    rows = [(i, LANG_SAMPLES[l]) for i, l in
+            enumerate(["en", "de", "fr", "es", "und"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.lang_pred, r.score)
+           for r in lang_id_hashed(docs).collect()}
+    assert [got[i][0] for i in range(5)] == ["en", "de", "fr", "es", "und"]
+    # digits only hit hash-collision buckets: a small spurious score,
+    # squashed to 'und' by the per-gram confidence floor
+    assert got[4][1] < got[3][1] / 10
+    # the model is BOUNDED: <= |langs| * top_m rows however big the
+    # corpus — the table is broadcastable at any scale
+    model = hashed_lang_model(top_m=300)
+    assert len(model) <= len(LANG_SEEDS) * 300
+    assert all(isinstance(w, int) and w > 0 for _, _, w in model)
+    # seeds themselves classify correctly too (sanity, not held-out)
+    seed_docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(LANG_SEEDS.values())],
+        "doc_id long, text string")
+    preds = [r.lang_pred for r in
+             lang_id_hashed(seed_docs).orderBy("doc_id").collect()]
+    assert preds == list(LANG_SEEDS.keys())
