@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     # within Hamming 3, so its sf0.1 output is ~6M rows — output-bound,
     # not representative of the operator's cost on real text
     "text_quality",
+    "text_bm25",
+    "dedup_duplicate_spans",
     "ann_topk_lsh",
     "ann_topk_ivf",
 ]

@@ -1,0 +1,135 @@
+"""Distributed graph analytics over edge DataFrames (node pairs) —
+the KG-adjacent metrics a pipeline wants once a graph exists:
+triangle counting (community density / quality signal) and PageRank
+(entity importance).
+
+Scale stances:
+  * Triangle counting uses DEGREE ORIENTATION (each undirected edge
+    is directed from its lower-degree endpoint, ties by node id) —
+    the classic bound that caps the wedge join's fan-out at
+    O(sqrt(m)) per node, so one hub with 10^6 neighbors contributes
+    ~0 wedges instead of 10^12.
+  * PageRank runs a FIXED number of power iterations in integer
+    micro-units (floor division) — integer sums are order-independent
+    across engines and parallelism, so ranks are bit-identical
+    anywhere, and the unrolled-join plan stays Catalyst-optimizable
+    (no RDD loop).  Dangling-node mass is dropped (the standard
+    "dangling ranks leak" variant), identically on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # rank micro-units: 1.0 == 10^12
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set from (src, dst): distinct pairs
+    with src < dst, self-loops dropped."""
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).where(F.col("a") != F.col("b")).distinct()
+    return e
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected graph:
+    (node, n_triangles).  Degree-oriented wedge join: edges point
+    low-degree -> high-degree (ties by id), wedges (u->v, u->w) close
+    iff (v->w) is an oriented edge — each triangle is found exactly
+    once, from its lowest-degree corner."""
+    und = undirect(edges)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient: (a,b) -> src = the endpoint with (smaller degree, id)
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))),
+                   F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when((F.col("da") < F.col("db"))
+                   | ((F.col("da") == F.col("db"))
+                      & (F.col("a") < F.col("b"))),
+                   F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    # the closing edge between v and w may be oriented either way, but
+    # wedges already have v < w and `und` is canonical (a < b), so the
+    # closure check is a pure EQUI semi-join on the undirected set —
+    # an OR-of-orientations condition here would plan a nested loop.
+    closer = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closer, ["v", "w"], "left_semi")
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 5,
+             damping_num: int = 85, damping_den: int = 100) -> DataFrame:
+    """(node, rank_micro): PageRank after ``iters`` power iterations
+    in integer micro-units (PR_SCALE == rank 1.0).  All arithmetic is
+    BIGINT floor division/multiplication — bit-identical on any
+    engine at any parallelism.  The plan is ``iters`` unrolled
+    join+agg rounds (Catalyst sees the whole thing; no driver loop
+    state), each one shuffle on dst."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_micro long")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    init = PR_SCALE // n
+    base = (PR_SCALE * (damping_den - damping_num) // damping_den) // n
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # exact integral steps (DIV, not '/': double division
+                # would round-to-nearest and truncate differently
+                # across engines)
+                F.expr(f"(r * {damping_num}) DIV {damping_den}")
+                .alias("rs"),
+                F.col("od"),
+            )
+            .select("node",
+                    F.expr("rs DIV od").cast("long").alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("in_r"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_r"), F.lit(0)))
+                .cast("long").alias("r"),
+            )
+        )
+    out = ranks.select("node", F.col("r").alias("rank_micro"))
+    return out

@@ -553,6 +553,40 @@ def dedup_simhash(spark, sf):
     return D.simhash(t(spark, sf, "documents"))
 
 
+_DUPSPAN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ g AS (SELECT doc_id, CAST(UNNEST(range(len(ws) - 7)) AS INT) AS pos, ws
+       FROM w WHERE len(ws) >= 8),
+ fp AS (SELECT doc_id, pos,
+          md5(array_to_string(list_slice(ws, pos + 1, pos + 8), ' ')) AS fp
+        FROM g),
+ dup AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 1),
+ dp AS (SELECT f.doc_id, f.pos FROM fp f JOIN dup USING (fp)),
+ lagged AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dp),
+ isl AS (SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + 1
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         FROM lagged)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+@q("dedup_duplicate_spans", _DUPSPAN_SQL)
+def dedup_duplicate_spans(spark, sf):
+    """Exact duplicate-substring spans (suffix-array dedup of Lee et
+    al. 2021 re-expressed relationally): maximal token runs whose
+    every 8-gram recurs in the corpus — scale/dedup.py
+    duplicate_spans; 2 shuffles, a semi-join instead of any pair
+    blowup on hot k-grams."""
+    return D.duplicate_spans(t(spark, sf, "documents"), k=8)
+
+
 @q("dedup_simhash_near", f"""
 WITH sh AS ({_SIMHASH_SQL})
 SELECT a.doc_id AS doc_x, b.doc_id AS doc_y,
@@ -1069,6 +1103,72 @@ def text_unigram_logprob(spark, sf):
     return TX.unigram_logprob(t(spark, sf, "documents"), vocab_k=16)
 
 
+_PMI_SQL = r"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ tot AS (SELECT SUM(len(ws)) AS nw,
+                SUM(greatest(len(ws) - 1, 0)) AS np FROM w),
+ uni AS (SELECT t, COUNT(*) AS n
+         FROM (SELECT UNNEST(ws) AS t FROM w) GROUP BY t),
+ pr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT ws, CAST(UNNEST(range(1, len(ws))) AS INT) AS i
+              FROM w)),
+ pc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM pr GROUP BY w1, w2
+        HAVING COUNT(*) >= 10)
+SELECT pc.w1, pc.w2, CAST(n_xy AS BIGINT) AS n_xy,
+       ROUND(log2((n_xy * 1.0 / (SELECT np FROM tot))
+                  / ((u1.n * 1.0 / (SELECT nw FROM tot))
+                     * (u2.n * 1.0 / (SELECT nw FROM tot)))), 4)
+         + 0.0 AS pmi
+FROM pc JOIN uni u1 ON u1.t = pc.w1 JOIN uni u2 ON u2.t = pc.w2
+"""
+
+
+@q("text_pmi_bigrams", _PMI_SQL)
+def text_pmi_bigrams(spark, sf):
+    """Adjacent-word PMI collocations (scale/text.py pmi_bigrams):
+    map-side bigram generation, one pair agg + one unigram agg, both
+    totals from a single doc-level length scan."""
+    return TX.pmi_bigrams(t(spark, sf, "documents"), min_count=10)
+
+
+_BM25_TERMS = ["spark", "join", "window", "vector", "hash"]
+
+_BM25_SQL = f"""
+WITH nd AS (SELECT COUNT(*) AS n,
+                   AVG(len(string_split(text, ' '))) AS avgdl
+            FROM documents),
+ wx AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               UNNEST(string_split(text, ' ')) AS w
+        FROM documents),
+ f AS (SELECT * FROM wx
+       WHERE w IN ({", ".join(repr(t) for t in _BM25_TERMS)})),
+ tf AS (SELECT doc_id, w, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM f GROUP BY doc_id, w),
+ df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+ c AS (SELECT tf.doc_id,
+         CAST(floor(
+           ln(((SELECT n FROM nd) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75
+                             + 0.75 * tf.dl / (SELECT avgdl FROM nd)))
+           * 100000 + 0.5) AS BIGINT) AS c
+       FROM tf JOIN df USING (w))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       SUM(c) / 100000.0 AS score
+FROM c GROUP BY doc_id
+"""
+
+
+@q("text_bm25", _BM25_SQL)
+def text_bm25(spark, sf):
+    """Okapi BM25 relevance scoring (scale/text.py bm25_scores): the
+    term filter dies map-side before the one token shuffle, df/N/
+    avgdl are scalar-sized aggregates, and per-term contributions are
+    fixed-point BIGINTs so the summed score is bit-identical on any
+    engine at any parallelism."""
+    return TX.bm25_scores(t(spark, sf, "documents"), _BM25_TERMS)
+
+
 @q("text_fingerprints", r"""
 SELECT doc_id,
        md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')) AS fingerprint
@@ -1270,6 +1370,102 @@ def kg_lineage_metrics(spark, sf):
     from octofludb_spark.extract.pipeline import lineage_metrics
 
     return lineage_metrics(_stage_kg_raw(spark))
+
+
+_TRI_SQL = """
+WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+ deg AS (SELECT n, COUNT(*) AS d FROM (
+           SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+         GROUP BY n),
+ o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                   THEN e0.a ELSE e0.b END AS src,
+              CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                   THEN e0.b ELSE e0.a END AS dst
+       FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+ wedge AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+           FROM o e1 JOIN o e2
+             ON e1.src = e2.src AND e1.dst < e2.dst),
+ tri AS (SELECT u, v, w FROM wedge
+         WHERE EXISTS (SELECT 1 FROM e0
+                       WHERE e0.a = wedge.v AND e0.b = wedge.w)),
+ nodes AS (SELECT u AS node FROM tri
+           UNION ALL SELECT v FROM tri
+           UNION ALL SELECT w FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
+@q("kg_triangles", _TRI_SQL)
+def kg_triangles(spark, sf):
+    """Per-node triangle counts over the part co-purchase graph
+    (parts sharing an order), via DEGREE-ORIENTED wedge joins
+    (ops/graph_analytics.py) — the fan-out-bounded algorithm that
+    survives hub nodes at web scale; the oracle recomputes the same
+    orientation relationally."""
+    from octofludb_spark.ops.graph_analytics import triangle_counts
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    s = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (r.join(s, "k").where(F.col("src") < F.col("dst"))
+             .select("src", "dst"))
+    return triangle_counts(edges)
+
+
+_PR_N_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 5-iteration integer PageRank over the staged KG's uri
+    edges — every step is exact BIGINT floor arithmetic, mirroring
+    ops/graph_analytics.pagerank bit-for-bit."""
+    parts = [f"""
+WITH e AS (SELECT DISTINCT subject AS src, object_lex AS dst
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+           WHERE object_dtype = 'uri' AND subject <> object_lex),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ cnt AS (SELECT COUNT(*) AS n FROM nodes),
+ outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+ r0 AS (SELECT node,
+               1000000000000 // (SELECT n FROM cnt) AS r
+        FROM nodes)"""]
+    for k in range(1, _PR_N_ITERS + 1):
+        parts.append(f""",
+ r{k} AS (SELECT n.node,
+            (1000000000000 * 15 // 100) // (SELECT n FROM cnt)
+            + COALESCE(s.in_r, 0) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((r.r * 85) // 100) // od.od) AS in_r
+            FROM e JOIN r{k - 1} r ON r.node = e.src
+                   JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{_PR_N_ITERS}""")
+    return "".join(parts)
+
+
+@q("kg_pagerank", _pagerank_sql())
+def kg_pagerank(spark, sf):
+    """Entity importance over the KG's uri edge graph: 5 power
+    iterations in integer micro-units (ops/graph_analytics.pagerank)
+    — integer floor arithmetic makes every rank bit-identical across
+    engines AND across parallelism levels, so the full fixpoint
+    trajectory is value-hash oracled (a float PageRank could never
+    be)."""
+    from octofludb_spark.ops.graph_analytics import pagerank
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    return pagerank(edges, iters=_PR_N_ITERS)
 
 
 @q("kg_degree_stats", f"""

