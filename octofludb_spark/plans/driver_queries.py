@@ -356,6 +356,32 @@ def dedup_ngram_jaccard(spark, sf):
     return D.jaccard_pairs(t(spark, sf, "documents"), threshold=0.2)
 
 
+_JACCARD_NOCAP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+ sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ inter AS (
+   SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS i
+   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   GROUP BY 1, 2)
+SELECT doc_x, doc_y,
+       ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 5) AS jaccard
+FROM inter JOIN sizes sa ON doc_x = sa.doc_id JOIN sizes sb ON doc_y = sb.doc_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+"""
+
+
+@q("dedup_jaccard_prefix", _JACCARD_NOCAP_SQL)
+def dedup_jaccard_prefix(spark, sf):
+    """EXACT prefix-filtered Jaccard similarity join (AllPairs/PPJoin
+    family; scale/dedup.py jaccard_pairs_prefix).  The oracle is the
+    cap-free brute-force shingle self-join — hash-matching it proves
+    the prefix filter is LOSSLESS, which neither the df-capped exact
+    path nor LSH can claim."""
+    return D.jaccard_pairs_prefix(t(spark, sf, "documents"), threshold=0.2)
+
+
 _MINHASH_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
@@ -389,6 +415,36 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
 @q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_pairs(t(spark, sf, "documents"), threshold=0.2)
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE p AS ({_MINHASH_SQL}),
+ e AS (SELECT doc_x AS a, doc_y AS b FROM p
+       UNION SELECT doc_y, doc_x FROM p),
+ n AS (SELECT DISTINCT a AS node FROM e),
+ reach(node, l) AS (
+   SELECT node, node FROM n
+   UNION
+   SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.node),
+ cl AS (SELECT node, MIN(l) AS cluster_id FROM reach GROUP BY node),
+ sz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM cl GROUP BY cluster_id)
+SELECT CAST(cl.node AS BIGINT) AS doc_id,
+       CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+       CAST(sz.n_docs AS BIGINT) AS n_docs,
+       CAST(CASE WHEN cl.node = cl.cluster_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM cl JOIN sz USING (cluster_id)
+"""
+
+
+@q("dedup_near_clusters", _CLUSTER_SQL)
+def dedup_near_clusters(spark, sf):
+    """End-to-end near-dup clustering (scale/dedup.py
+    near_dedup_clusters): LSH verified pairs -> connected components
+    (ops/cc.py) -> numeric-min representative per cluster.  The
+    oracle recomputes components via recursive min-label reachability
+    over the same pair graph."""
+    return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
 _SESSION_SQL = """

@@ -159,6 +159,72 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     return _score_pairs(inter, sh, threshold)
 
 
+def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.2,
+                         n: int = 3) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (the AllPairs /
+    PPJoin family): same output as ``jaccard_pairs`` but LOSSLESS at
+    scale — no shingle-DF cap, no LSH false-negative rate.
+
+    Prefix filter: order every doc's shingles by a global total order
+    (ascending document frequency, ties by shingle — rarest first).
+    Two sets with Jaccard >= t MUST share an element within their
+    first ``|s| - ceil(t*|s|) + 1`` elements, so candidate generation
+    joins on prefix shingles only.  Stop-phrase shingles sort LAST and
+    almost never enter a prefix — the skew that forces jaccard_pairs'
+    df cap is pruned here without dropping anything.
+
+    Plan: one df agg (vocab-sized), one ordering join (token-stream x
+    vocab — AQE broadcasts the df side when it fits), one per-doc
+    sort_array/slice (map-side after a doc agg), the prefix self-join
+    (tiny vs the full shingle self-join), then the shared
+    candidate-only verify tail (work ∝ |candidates|)."""
+    sh = shingles(docs, n, max_df=None).persist()
+    try:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        per_doc = (
+            sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))).alias("st"))
+        )
+        size = F.size("st")
+        # epsilon guard: double rounding may push t*|s| just ABOVE the
+        # exact rational (0.2*10 -> 2.0000000000000004 -> ceil 3), and
+        # an over-large ceil SHORTENS the prefix — the lossy
+        # direction.  Subtracting 1e-9 can only lengthen it: safe.
+        p = F.greatest(
+            F.lit(1),
+            (size - F.ceil(F.lit(threshold) * size - F.lit(1e-9)) + 1)
+            .cast("int"),
+        )
+        pref = per_doc.select(
+            "doc_id", size.alias("n_sh"),
+            F.explode(F.slice("st", 1, p)).alias("s"),
+        ).select("doc_id", "n_sh", F.col("s.shingle").alias("shingle"))
+        a = pref.select(F.col("doc_id").alias("doc_x"),
+                        F.col("n_sh").alias("n_x"), "shingle")
+        b = pref.select(F.col("doc_id").alias("doc_y"),
+                        F.col("n_sh").alias("n_y"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .where(
+                (F.col("doc_x") < F.col("doc_y"))
+                # length filter (lenient epsilon — pruning only):
+                # J >= t forces t * max(|x|,|y|) <= min(|x|,|y|)
+                & (F.least("n_x", "n_y")
+                   >= F.lit(threshold) * F.greatest("n_x", "n_y")
+                   - F.lit(1e-9))
+            )
+            .select("doc_x", "doc_y")
+            .distinct()
+        )
+        out = _verify_pairs(cand, sh, threshold).persist()
+        out.count()  # materialize while sh is cached
+        return out
+    finally:
+        sh.unpersist()
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM,
                        max_df: int | None = None) -> DataFrame:
     """(doc_id, sig: array<string>) — per-permutation minima of
@@ -341,6 +407,49 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
         .agg(
             F.countDistinct("shingle").alias("n_hits"),
             F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+def near_dedup_clusters(docs: DataFrame, threshold: float = 0.2,
+                        max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """End-to-end near-duplicate clustering — the step a training-data
+    pipeline actually runs: MinHash+LSH verified pairs -> connected
+    components -> one canonical representative per cluster.
+
+    Returns (doc_id, cluster_id, n_docs, keep) for every document
+    that belongs to a near-dup cluster (singletons are absent — the
+    corpus minus the ``keep = 0`` rows is the deduplicated corpus).
+    ``cluster_id`` is the numeric MIN doc_id of the component, and
+    ``keep`` marks that representative.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    verified near-dup pairs), so the CC step (ops/cc.py two-level:
+    parallel per-partition forest contraction, driver union-find under
+    threshold, large/small-star above it) never touches corpus-sized
+    data; the relabel to numeric-min + cluster sizes is one window
+    over component keys — cluster-member rows only."""
+    from pyspark.sql import Window
+
+    from octofludb_spark.ops.cc import connected_components
+
+    pairs = minhash_lsh_pairs(docs, threshold, max_df=max_df)
+    edges = pairs.select(F.col("doc_x").cast("string").alias("src"),
+                         F.col("doc_y").cast("string").alias("dst"))
+    comp = connected_components(edges)
+    members = comp.select(F.col("node").cast("long").alias("doc_id"),
+                          "component")
+    # component labels are string-min (CC is type-agnostic); relabel
+    # to the NUMERIC min doc_id so '10' vs '9' ordering never leaks
+    w = Window.partitionBy("component")
+    return (
+        members
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("n_docs", F.count("*").over(w).cast("long"))
+        .select(
+            "doc_id", "cluster_id", "n_docs",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("long").alias("keep"),
         )
     )
 

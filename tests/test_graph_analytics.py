@@ -91,3 +91,13 @@ def test_pmi_bigrams_pinned(spark):
     ppq = (2 / n_pairs) / ((4 / n_words) * (3 / n_words))
     assert got[("p", "q")] == (2, round(math.log2(ppq), 4))
     assert got[("x", "y")][1] > got[("p", "q")][1]
+
+
+def test_triangle_plan_all_equi_joins(spark):
+    """The closure check must compile to equi joins — an
+    OR-of-orientations closing condition regresses to a nested-loop
+    join that explodes at wedge x edge scale."""
+    e = _edges(spark, [(f"n{i}", f"n{(i * 3 + 1) % 17}")
+                       for i in range(40)])
+    plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

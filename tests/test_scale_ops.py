@@ -671,3 +671,49 @@ def test_bm25_semantics(spark):
         c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 8 / 8))
         exp = math.floor(c * 100000 + 0.5) / 100000.0
         assert got[doc] == (1, exp)
+
+
+def test_near_dedup_clusters_semantics(spark):
+    """Pinned: two exact-duplicate groups cluster separately with the
+    numeric-min doc as the kept representative; unique docs are
+    absent; a chain a~b, b~c lands in ONE cluster (transitivity via
+    connected components, not pairwise grouping)."""
+    from octofludb_spark.scale.dedup import near_dedup_clusters
+
+    ga = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    gb = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (11, ga), (3, ga), (7, ga),
+        (20, gb), (21, gb),
+        (30, "entirely unlike anything else in this corpus of words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cluster_id, r.n_docs, r.keep)
+           for r in near_dedup_clusters(docs, threshold=0.2).collect()}
+    assert got[11] == (3, 3, 0) and got[3] == (3, 3, 1) \
+        and got[7] == (3, 3, 0)
+    assert got[20] == (20, 2, 1) and got[21] == (20, 2, 0)
+    assert 30 not in got
+
+
+def test_jaccard_prefix_filter_lossless(spark):
+    """Property: the prefix-filtered join returns EXACTLY the
+    brute-force (cap-free) pair set — including pairs held together
+    by a corpus-hot shingle that the df-capped path would drop."""
+    from octofludb_spark.scale.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    hot = "the quick brown"  # shared 3-shingle across many docs
+    rows = [(i, f"{hot} fox{i} jumps{i} over{i} lazy{i} dog{i}")
+            for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta"),
+             (101, "alpha beta gamma delta epsilon zeta theta"),
+             (102, "unrelated words entirely here nothing shared")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {(r.doc_x, r.doc_y, r.jaccard)
+             for r in jaccard_pairs(docs, threshold=0.2,
+                                    max_df=None).collect()}
+    pref = {(r.doc_x, r.doc_y, r.jaccard)
+            for r in jaccard_pairs_prefix(docs, threshold=0.2).collect()}
+    assert pref == brute
+    # sanity anchor: 4 shared shingles of a 6-shingle union
+    assert (100, 101, round(4 / 6, 5)) in pref
