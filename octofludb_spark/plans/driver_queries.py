@@ -1187,6 +1187,34 @@ def text_pmi_bigrams(spark, sf):
     return TX.pmi_bigrams(t(spark, sf, "documents"), min_count=10)
 
 
+_TFIDF_SQL = """
+WITH tfx AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+             FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1, 2),
+ dfx AS (SELECT term, COUNT(*) AS df FROM tfx GROUP BY 1),
+ n AS (SELECT COUNT(*) AS c FROM documents),
+ sc AS (SELECT doc_id, term, tf,
+          CAST(floor(tf * ln((SELECT c FROM n) * 1.0 / df)
+                     * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+        FROM tfx JOIN dfx USING (term)),
+ rk AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rank
+        FROM sc)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+@q("text_tfidf_top_terms", _TFIDF_SQL)
+def text_tfidf_top_terms(spark, sf):
+    """Top-5 tf-idf terms per document (scale/text.py
+    tfidf_top_terms).  Fixed-point BIGINT scores pin BOTH the values
+    and the rank ordering across engines, so the full top-k result is
+    value-hash oracled."""
+    return TX.tfidf_top_terms(t(spark, sf, "documents"), k=5)
+
+
 _BM25_TERMS = ["spark", "join", "window", "vector", "hash"]
 
 _BM25_SQL = f"""

@@ -477,6 +477,44 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    (doc_id, term, tf, tfidf_micro, rank).  ``tfidf_micro`` is the
+    fixed-point BIGINT floor(tf * ln(N/df) * 1e6 + 0.5), so both the
+    scores and the (tfidf desc, term asc) ranking are bit-identical
+    on any engine — a float score would make rank ties
+    engine-dependent.
+
+    Scale shape: one token hash-agg (map-side partial combine), a
+    vocab-sized df agg broadcast back onto it, and one window over
+    doc_id for the top-k — the window input is |doc x distinct term|
+    rows, already aggregated, never the raw token stream."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.floor(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * 1_000_000 + 0.5
+            ).cast("long").alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
     """Pointwise mutual information of adjacent word pairs over the
     corpus — the classic collocation / phrase-mining signal:

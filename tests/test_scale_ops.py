@@ -717,3 +717,29 @@ def test_jaccard_prefix_filter_lossless(spark):
     assert pref == brute
     # sanity anchor: 4 shared shingles of a 6-shingle union
     assert (100, 101, round(4 / 6, 5)) in pref
+
+
+def test_tfidf_top_terms_pinned(spark):
+    """Pinned tf-idf: a term unique to one doc outranks corpus-wide
+    terms; ties break by term ascending; rank never exceeds k."""
+    import math
+
+    rows = [(1, "common rare common extra"),
+            (2, "common common other extra"),
+            (3, "common words only extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from octofludb_spark.scale.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf,
+                                                r.tfidf_micro))
+    top1 = sorted(by_doc[1])[0]
+    # doc 1: 'rare' df=1 -> tf*ln(3) wins over 'common' (df=3, idf 0)
+    assert top1[1] == "rare"
+    assert top1[3] == math.floor(1 * math.log(3.0) * 1_000_000 + 0.5)
+    assert all(r.rank <= 2 for r in out)
+    # deterministic tie-break: doc 3's zero-idf terms rank by term asc
+    d3 = [t for _, t, _, _ in sorted(by_doc[3])]
+    assert d3 == sorted(d3)
