@@ -40,7 +40,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     low-degree -> high-degree (ties by id), wedges (u->v, u->w) close
     iff (v->w) is an oriented edge — each triangle is found exactly
     once, from its lowest-degree corner."""
-    und = undirect(edges)
+    # und feeds THREE consumers (degree calc, orientation, closure
+    # semi-join) and oriented feeds two — persist both so the unrolled
+    # plan scans materialized tables instead of re-deriving the edge
+    # set per branch (at graph scale the derivation is itself a join).
+    und = undirect(edges).persist()
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
@@ -49,7 +53,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     # orient: (a,b) -> src = the endpoint with (smaller degree, id)
-    oriented = (
+    oriented_base = (
         und.join(da, "a").join(db, "b")
         .select(
             F.when((F.col("da") < F.col("db"))
@@ -62,6 +66,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                    F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
+    oriented = oriented_base.persist()
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
@@ -76,10 +81,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("v").alias("node")))
         .unionByName(tri.select(F.col("w").alias("node")))
     )
-    return (
+    out = (
         nodes.groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
+        .persist()
     )
+    try:
+        out.count()  # materialize while the intermediates are cached
+        return out
+    finally:
+        oriented.unpersist()
+        und.unpersist()
 
 
 def pagerank(edges: DataFrame, iters: int = 5,
@@ -90,8 +102,11 @@ def pagerank(edges: DataFrame, iters: int = 5,
     engine at any parallelism.  The plan is ``iters`` unrolled
     join+agg rounds (Catalyst sees the whole thing; no driver loop
     state), each one shuffle on dst."""
+    # e is scanned once per iteration (and once for nodes/outdeg):
+    # persist it so the unrolled plan reads a materialized edge table
+    # instead of re-deriving the input per round.
     e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")).distinct()
+        F.col("src") != F.col("dst")).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -100,6 +115,7 @@ def pagerank(edges: DataFrame, iters: int = 5,
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
+        e.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "node string, rank_micro long")
     outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
@@ -131,5 +147,10 @@ def pagerank(edges: DataFrame, iters: int = 5,
                 .cast("long").alias("r"),
             )
         )
-    out = ranks.select("node", F.col("r").alias("rank_micro"))
-    return out
+    out = ranks.select("node", F.col("r").alias("rank_micro")).persist()
+    try:
+        out.count()  # materialize while e/nodes are cached
+        return out
+    finally:
+        nodes.unpersist()
+        e.unpersist()
