@@ -1307,6 +1307,40 @@ def stratified_sample_by_lang(spark, sf):
                                 {"en": 0.5, "und": 0.125}, default=0.0)
 
 
+_TEMP_SQL = """
+WITH stats AS (SELECT lang AS grp, COUNT(*) AS n_g
+               FROM documents GROUP BY 1),
+ tot AS (SELECT SUM(n_g) AS n FROM stats),
+ zz AS (SELECT SUM(pow(n_g * 1.0 / (SELECT n FROM tot), 0.7)) AS z
+        FROM stats),
+ rates AS (SELECT grp, CAST(n_g AS BIGINT) AS n_g,
+             CAST(floor(least(1.0,
+                 0.5 * (SELECT n FROM tot)
+                 * pow(n_g * 1.0 / (SELECT n FROM tot), 0.7)
+                 / ((SELECT z FROM zz) * n_g)) * 1000000 + 0.5)
+               AS BIGINT) AS rate_micro
+           FROM stats),
+ d AS (SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) AS b
+       FROM documents)
+SELECT d.doc_id, d.lang AS grp, r.n_g, r.rate_micro
+FROM d JOIN rates r ON r.grp = d.lang
+WHERE d.b * 1000000 < r.rate_micro * 16777216
+"""
+
+
+@q("temperature_sample_by_lang", _TEMP_SQL)
+def temperature_sample_by_lang(spark, sf):
+    """Temperature-based corpus rebalancing (scale/text.py
+    temperature_sample): per-group rates proportional to p^0.7
+    renormalized to an expected 50% keep, membership decided by an
+    INTEGER comparison of md5 bits vs a fixed-point rate — the
+    multilingual data-mixing step, bit-identical across engines."""
+    return TX.temperature_sample(t(spark, sf, "documents"), key="lang",
+                                 alpha=0.7, target_frac=0.5)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary columns; metadata oracle-checked,
 # decode exercised via the deterministic fake in pytest)

@@ -286,6 +286,57 @@ def stratified_sample(docs: DataFrame, fractions: dict,
     )
 
 
+def temperature_sample(docs: DataFrame, key: str = "lang",
+                       alpha: float = 0.7,
+                       target_frac: float = 0.5) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual data-
+    mixing step of LLM corpus construction: sample group g at a rate
+    proportional to p_g^alpha (renormalized), so low-resource groups
+    are up-weighted as alpha -> 0 while alpha = 1 preserves natural
+    shares.  Expected kept fraction of the corpus is ``target_frac``
+    (per-group rates are clamped at 1.0).
+
+    Determinism: membership is an INTEGER comparison — the first 24
+    bits of md5(doc_id) against a per-group fixed-point rate
+    (b * 10^6 < rate_micro * 2^24), so the sample is bit-identical on
+    any engine at any parallelism, with no RNG state to coordinate.
+
+    Scale shape: one group-count agg (tiny), scalar N/Z from that
+    aggregate (never a second corpus pass), a broadcast join of the
+    group-count-sized rate table, and a map-side filter.
+    Output: (doc_id, grp, n_g, rate_micro)."""
+    stats = docs.groupBy(F.col(key).alias("grp")) \
+        .agg(F.count("*").alias("n_g"))
+    rows = stats.collect()  # group-count-sized: a handful of rows
+    n = sum(r.n_g for r in rows)
+    if n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, grp string, n_g long, rate_micro long")
+    z = sum((r.n_g / n) ** alpha for r in rows)
+    rates = stats.select(
+        "grp", "n_g",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac * n)
+                * F.pow(F.col("n_g") / F.lit(float(n)), F.lit(alpha))
+                / (F.lit(z) * F.col("n_g")),
+            ) * 1_000_000 + 0.5
+        ).cast("long").alias("rate_micro"),
+    )
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long")
+    return (
+        docs.select("doc_id", F.col(key).alias("grp"),
+                    b.alias("_b"))
+        .join(F.broadcast(rates), "grp")
+        .where(F.col("_b") * 1_000_000
+               < F.col("rate_micro") * F.lit(16_777_216))
+        .select("doc_id", "grp", F.col("n_g").cast("long").alias("n_g"),
+                "rate_micro")
+    )
+
+
 # PII patterns (RE2-safe: no backrefs/lookaround, run on both engines)
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"

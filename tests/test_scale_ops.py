@@ -743,3 +743,25 @@ def test_tfidf_top_terms_pinned(spark):
     # deterministic tie-break: doc 3's zero-idf terms rank by term asc
     d3 = [t for _, t, _, _ in sorted(by_doc[3])]
     assert d3 == sorted(d3)
+
+
+def test_temperature_sample_rebalances(spark):
+    """alpha < 1 up-weights the minority group: its keep-RATE must
+    exceed the majority's; alpha=1 keeps rates equal (natural
+    shares); expected kept fraction tracks target_frac."""
+    from octofludb_spark.scale.text import temperature_sample
+
+    rows = [(i, "x", "big") for i in range(900)] + \
+        [(1000 + i, "x", "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = temperature_sample(docs, key="lang", alpha=0.3,
+                             target_frac=0.5).collect()
+    rates = {r.grp: r.rate_micro for r in out}
+    assert rates["small"] > rates["big"]
+    kept = len(out) / 1000
+    assert 0.35 < kept < 0.65  # expectation 0.5, md5 buckets approx
+    # alpha = 1: proportional sampling -> identical per-group rates
+    flat = temperature_sample(docs, key="lang", alpha=1.0,
+                              target_frac=0.5).collect()
+    fr = {r.grp: r.rate_micro for r in flat}
+    assert fr["small"] == fr["big"] == 500000
