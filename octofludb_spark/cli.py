@@ -454,6 +454,59 @@ def cmd_report(args) -> int:
     return 0
 
 
+_SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
+              "clean", "quality", "lang-id", "tfidf", "sample", "chunks",
+              "pii-scrub")
+
+
+def cmd_scale(args) -> int:
+    """Training-data pipeline operators over a documents parquet
+    (doc_id, text[, lang, ...]): dedup, quality, language-ID,
+    sampling, chunking — the scale/ suite as a tool.  Writes parquet
+    with --out, else prints a TSV head."""
+    from octofludb_spark.scale import dedup as D
+    from octofludb_spark.scale import text as TX
+
+    spark = _spark(getattr(args, "cores", None))
+    docs = spark.read.parquet(args.input)
+    if args.op == "dedup-exact":
+        out = D.exact_dedup(docs)
+    elif args.op == "dedup-clusters":
+        out = D.near_dedup_clusters(docs, threshold=args.threshold)
+    elif args.op == "dedup-spans":
+        out = D.duplicate_spans(docs, k=args.k)
+    elif args.op == "jaccard":
+        out = D.jaccard_pairs_prefix(docs, threshold=args.threshold)
+    elif args.op == "clean":
+        out = TX.clean_corpus(docs)
+    elif args.op == "quality":
+        out = TX.quality_scores(docs)
+    elif args.op == "lang-id":
+        out = TX.lang_id_hashed(docs)
+    elif args.op == "tfidf":
+        out = TX.tfidf_top_terms(docs, k=args.k)
+    elif args.op == "sample":
+        out = TX.temperature_sample(docs, key=args.key,
+                                    alpha=args.alpha,
+                                    target_frac=args.frac)
+    elif args.op == "chunks":
+        out = TX.chunk_documents(docs)
+    elif args.op == "pii-scrub":
+        out = TX.pii_scrub(docs)
+    else:  # pragma: no cover - argparse choices guard
+        raise SystemExit(f"unknown scale op {args.op}")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"{out.count()} rows -> {args.out}")
+        return 0
+    cols = out.columns
+    print("\t".join(cols))
+    for row in out.limit(args.limit).collect():
+        print("\t".join("" if row[c] is None else str(row[c])
+                        for c in cols))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact small files, vacuum dead snapshots,
     inspect the commit log, expire old snapshot versions, read the
@@ -663,6 +716,20 @@ def main(argv=None) -> int:
     ss.add_argument("--keep-last", dest="keep_last", type=int, default=1,
                     help="retained versions for expire")
     ss.set_defaults(fn=cmd_store)
+
+    sca = sub.add_parser("scale")
+    sca.add_argument("op", choices=_SCALE_OPS)
+    sca.add_argument("input", help="documents parquet path")
+    sca.add_argument("--out", help="output parquet dir (else TSV head)")
+    sca.add_argument("--threshold", type=float, default=0.2)
+    sca.add_argument("--k", type=int, default=8,
+                     help="k-gram size (dedup-spans) / top-k (tfidf)")
+    sca.add_argument("--key", default="lang", help="sample group column")
+    sca.add_argument("--alpha", type=float, default=0.7)
+    sca.add_argument("--frac", type=float, default=0.5)
+    sca.add_argument("--limit", type=int, default=20)
+    sca.add_argument("--cores", type=int)
+    sca.set_defaults(fn=cmd_scale)
 
     args = p.parse_args(argv)
     return args.fn(args)

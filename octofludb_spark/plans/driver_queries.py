@@ -447,6 +447,30 @@ def dedup_near_clusters(spark, sf):
     return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
+# CTE chain through candidate generation, shared with the estimate
+# gate (split keeps the two oracles drift-free)
+_MINHASH_CTES = _MINHASH_SQL.split(",\n sizes AS")[0]
+
+_MINHASH_EST_SQL = _MINHASH_CTES + """
+SELECT c.doc_x, c.doc_y,
+       ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 8.0, 5)
+         AS est_jaccard
+FROM cand c
+JOIN mh a ON a.doc_id = c.doc_x
+JOIN mh b ON b.doc_id = c.doc_y AND b.perm = a.perm
+GROUP BY 1, 2
+"""
+
+
+@q("dedup_minhash_estimate", _MINHASH_EST_SQL)
+def dedup_minhash_estimate(spark, sf):
+    """Sketch-estimated Jaccard on the LSH candidates (scale/dedup.py
+    minhash_estimate_pairs): matching-permutation fraction of the two
+    signatures — the score used when exact verification is skipped.
+    k/8 is an exact rational, so the estimates value-hash match."""
+    return D.minhash_estimate_pairs(t(spark, sf, "documents"))
+
+
 _SESSION_SQL = """
 WITH e AS (
   SELECT user_id, ts,

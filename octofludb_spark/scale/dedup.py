@@ -299,6 +299,66 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.2,
         sh.unpersist()
 
 
+def minhash_estimate_pairs(docs: DataFrame,
+                           max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Sketch-estimated Jaccard over the LSH candidate pairs:
+    (doc_x, doc_y, est_jaccard) where est = matching-permutation
+    fraction of the two MinHash signatures — the estimate a pipeline
+    uses when exact verification is too expensive to run on every
+    candidate.  est is k/N_PERM, an exact rational, so it hashes
+    identically on any engine.
+
+    Plan: signatures once (one hash-agg), banding candidates as in
+    minhash_lsh_pairs, then ONE join of the signature table onto the
+    candidate ids (work ∝ |candidates|); shingles are never touched
+    after the signature agg."""
+    sh = shingles(docs, max_df=max_df).persist()
+    sig = _signatures(sh).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.element_at("sig", b * BAND_SIZE + r + 1)
+                           for r in range(BAND_SIZE)]
+                )).alias("key"),
+            )
+            for b in range(N_PERM // BAND_SIZE)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_x"),
+                F.col("y.doc_id").alias("doc_y"))
+        .distinct()
+    )
+    sx = sig.select(F.col("doc_id").alias("doc_x"),
+                    F.col("sig").alias("sig_x"))
+    sy = sig.select(F.col("doc_id").alias("doc_y"),
+                    F.col("sig").alias("sig_y"))
+    match = F.size(F.filter(
+        F.zip_with("sig_x", "sig_y", lambda a, b: a == b),
+        lambda m: m,
+    ))
+    try:
+        out = (
+            cand.join(sx, "doc_x").join(sy, "doc_y")
+            .select(
+                "doc_x", "doc_y",
+                F.round(match / F.lit(float(N_PERM)), 5)
+                .alias("est_jaccard"),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        sig.unpersist()
+        sh.unpersist()
+
+
 _HEX = "0123456789abcdef"
 
 

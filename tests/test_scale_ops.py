@@ -765,3 +765,19 @@ def test_temperature_sample_rebalances(spark):
                               target_frac=0.5).collect()
     fr = {r.grp: r.rate_micro for r in flat}
     assert fr["small"] == fr["big"] == 500000
+
+
+def test_minhash_estimate_semantics(spark):
+    """Identical docs estimate 1.0; the estimate is k/8 rationals and
+    pairs are exactly the LSH candidates."""
+    from octofludb_spark.scale.dedup import minhash_estimate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "other words that share nothing with the pair above x")],
+        "doc_id long, text string")
+    got = {(r.doc_x, r.doc_y): r.est_jaccard
+           for r in minhash_estimate_pairs(docs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert all(round(v * 8) == v * 8 for v in got.values())

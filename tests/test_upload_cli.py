@@ -125,3 +125,26 @@ def test_cli_classify_missing_checkout_errors(tmp_path, capsys):
     assert cli.main(["classify", fa,
                      "--octoflu-dir", str(tmp_path / "nope")]) == 1
     assert "octoFLU run failed" in capsys.readouterr().err
+
+
+def test_scale_cli_roundtrip(spark, tmp_path, capsys):
+    """`scale` group: parquet out is readable and matches the direct
+    operator; TSV mode prints a header + rows."""
+    from octofludb_spark import cli
+    from octofludb_spark.scale.dedup import exact_dedup
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "dedup.parquet")
+    assert cli.main(["scale", "dedup-exact", src, "--out", out]) == 0
+    got = spark.read.parquet(out)
+    want = exact_dedup(spark.read.parquet(src))
+    assert got.count() == want.count()
+    assert set(got.columns) == set(want.columns)
+
+    capsys.readouterr()
+    assert cli.main(["scale", "tfidf", src, "--k", "3",
+                     "--limit", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split("\t") == ["doc_id", "term", "tf",
+                                    "tfidf_micro", "rank"]
+    assert len(lines) == 6
