@@ -447,6 +447,43 @@ def dedup_near_clusters(spark, sf):
     return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
+_INCDEDUP_SQL = """
+WITH newb AS (
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'batch dup constant text'
+              WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' fresh' || CAST(doc_id AS VARCHAR)
+         END AS text
+  FROM documents),
+ nd AS (SELECT doc_id, md5(text) AS digest FROM newb),
+ sd AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+ fresh AS (SELECT * FROM nd
+           WHERE digest NOT IN (SELECT digest FROM sd))
+SELECT MIN(doc_id) AS doc_id, digest
+FROM fresh GROUP BY digest
+"""
+
+
+@q("dedup_incremental", _INCDEDUP_SQL)
+def dedup_incremental(spark, sf):
+    """Incremental batch-vs-corpus dedup (scale/dedup.py
+    incremental_dedup): a synthesized incoming batch where 1/3 of
+    rows duplicate the seen corpus (dropped by the digest anti-join)
+    and 1/7 collapse to one in-batch winner — both engines synthesize
+    the identical batch, so the surviving (doc_id, digest) rows
+    value-hash match."""
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    new = d.select(
+        (did + 100000).alias("doc_id"),
+        F.when(did % 7 == 0, F.lit("batch dup constant text"))
+        .when(did % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh"),
+                            did.cast("string"))).alias("text"),
+    )
+    return D.incremental_dedup(new, d)
+
+
 # CTE chain through candidate generation, shared with the estimate
 # gate (split keeps the two oracles drift-free)
 _MINHASH_CTES = _MINHASH_SQL.split(",\n sizes AS")[0]

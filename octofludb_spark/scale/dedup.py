@@ -471,6 +471,30 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Production-shaped dedup of an INCOMING batch against an
+    already-ingested corpus: a new document survives iff its content
+    digest is (a) absent from the seen corpus and (b) the minimum
+    doc_id among the batch's copies of that digest.
+    Output: (doc_id, digest) — the rows to append.
+
+    Scale shape: the seen side is reduced to DISTINCT digests before
+    the anti-join (one hash-agg; at 10^12 docs the digest dictionary
+    is the dedupable entity count, not the row count), the anti-join
+    shuffles on digest only (no text ever moves), and the
+    within-batch winner is one min-agg over the batch.  This is the
+    batch twin of streaming/pipeline.stream_dedup_documents."""
+    new_d = new_docs.select(
+        "doc_id", F.md5(F.col("text")).alias("digest"))
+    seen_d = seen.select(F.md5(F.col("text")).alias("digest")).distinct()
+    fresh = new_d.join(seen_d, "digest", "left_anti")
+    return (
+        fresh.groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "digest")
+    )
+
+
 def near_dedup_clusters(docs: DataFrame, threshold: float = 0.2,
                         max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """End-to-end near-duplicate clustering — the step a training-data

@@ -781,3 +781,21 @@ def test_minhash_estimate_semantics(spark):
            for r in minhash_estimate_pairs(docs).collect()}
     assert got[(1, 2)] == 1.0
     assert all(round(v * 8) == v * 8 for v in got.values())
+
+
+def test_incremental_dedup_semantics(spark):
+    """Seen-corpus dups drop, in-batch dups collapse to the min
+    doc_id, fresh docs survive with their digests."""
+    from octofludb_spark.scale.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "old text one"), (2, "old text two")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "old text one"),      # seen dup -> dropped
+         (11, "brand new alpha"),   # fresh
+         (12, "brand new beta"),    # fresh (in-batch dup winner)
+         (13, "brand new beta")],   # in-batch dup -> loses to 12
+        "doc_id long, text string")
+    got = {r.doc_id for r in incremental_dedup(new, seen).collect()}
+    assert got == {11, 12}
