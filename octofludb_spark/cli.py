@@ -456,7 +456,7 @@ def cmd_report(args) -> int:
 
 _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "clean", "quality", "lang-id", "tfidf", "sample", "chunks",
-              "pii-scrub")
+              "pii-scrub", "profile")
 
 
 def cmd_scale(args) -> int:
@@ -493,6 +493,8 @@ def cmd_scale(args) -> int:
         out = TX.chunk_documents(docs)
     elif args.op == "pii-scrub":
         out = TX.pii_scrub(docs)
+    elif args.op == "profile":
+        out = TX.corpus_profile(docs)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:

@@ -1368,6 +1368,28 @@ def stratified_sample_by_lang(spark, sf):
                                 {"en": 0.5, "und": 0.125}, default=0.0)
 
 
+_PROFILE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' '))) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS avg_tokens_micro,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS dup_frac_micro
+FROM documents
+"""
+
+
+@q("corpus_profile", _PROFILE_SQL)
+def corpus_profile(spark, sf):
+    """One-pass corpus health profile (scale/text.py corpus_profile):
+    doc/token counts, integer-micro average length, language count,
+    distinct-content count, exact-dup fraction — all BIGINT floor
+    arithmetic, value-hash identical across engines."""
+    return TX.corpus_profile(t(spark, sf, "documents"))
+
+
 _TEMP_SQL = """
 WITH stats AS (SELECT lang AS grp, COUNT(*) AS n_g
                FROM documents GROUP BY 1),

@@ -286,6 +286,33 @@ def stratified_sample(docs: DataFrame, fractions: dict,
     )
 
 
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """One-row corpus health profile — the numbers checked before any
+    training run: doc/token counts, average length, language count,
+    distinct-content count and the implied exact-dup fraction.  All
+    derived values are integer arithmetic (micro-units via BIGINT
+    floor division), so the row value-hash matches on any engine.
+
+    Scale shape: ONE aggregation pass over the corpus (token counts
+    are per-row expressions feeding the same agg; the two distinct
+    counts are hash-agg distincts inside it).  No second scan, no
+    driver-side math beyond the returned row."""
+    toks = F.size(F.split("text", " "))
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.expr("CAST(SUM(size(split(text, ' '))) * 1000000 "
+               "DIV GREATEST(COUNT(*), 1) AS BIGINT)")
+        .alias("avg_tokens_micro"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long")
+        .alias("n_distinct"),
+        F.expr("CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 "
+               "DIV GREATEST(COUNT(*), 1) AS BIGINT)")
+        .alias("dup_frac_micro"),
+    )
+
+
 def temperature_sample(docs: DataFrame, key: str = "lang",
                        alpha: float = 0.7,
                        target_frac: float = 0.5) -> DataFrame:

@@ -799,3 +799,80 @@ def test_incremental_dedup_semantics(spark):
         "doc_id long, text string")
     got = {r.doc_id for r in incremental_dedup(new, seen).collect()}
     assert got == {11, 12}
+
+
+def _py_duplicate_spans(texts, k=8):
+    """Naive oracle: per-position k-gram df counts, then islands."""
+    from collections import Counter
+
+    grams = Counter()
+    toks = {d: t.split(" ") for d, t in texts}
+    for d, ws in toks.items():
+        for i in range(max(0, len(ws) - k + 1)):
+            grams[" ".join(ws[i:i + k])] += 1
+    out = set()
+    for d, ws in toks.items():
+        dup = [i for i in range(max(0, len(ws) - k + 1))
+               if grams[" ".join(ws[i:i + k])] > 1]
+        run = []
+        for i in dup:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run:
+                    out.add((d, run[0], run[-1] + k - 1))
+                run = [i]
+        if run:
+            out.add((d, run[0], run[-1] + k - 1))
+    return out
+
+
+def test_duplicate_spans_fuzz_vs_naive(spark):
+    """Randomized differential: duplicate_spans == the naive
+    per-position oracle on corpora with planted shared runs,
+    overlapping repeats, and short docs."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(40)]
+        shared = [" ".join(rng.choices(vocab, k=rng.randint(8, 14)))
+                  for _ in range(3)]
+        texts = []
+        for d in range(25):
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(shared))
+                else:
+                    parts.append(" ".join(
+                        rng.choices(vocab, k=rng.randint(2, 12))))
+            texts.append((d, " ".join(parts)))
+        from octofludb_spark.scale.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {(r.doc_id, r.span_start, r.span_end)
+               for r in duplicate_spans(docs, k=8).collect()}
+        assert got == _py_duplicate_spans(texts, k=8), f"seed {seed}"
+
+
+def test_jaccard_prefix_fuzz_vs_brute(spark):
+    """Randomized differential: the prefix-filtered join equals the
+    cap-free brute-force join on skew-heavy random corpora."""
+    import random
+
+    from octofludb_spark.scale.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        vocab = [f"t{j}" for j in range(30)]
+        texts = [(d, " ".join(rng.choices(vocab, k=rng.randint(3, 20))))
+                 for d in range(40)]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        for thr in (0.1, 0.35):
+            brute = {(r.doc_x, r.doc_y, r.jaccard) for r in
+                     jaccard_pairs(docs, threshold=thr,
+                                   max_df=None).collect()}
+            pref = {(r.doc_x, r.doc_y, r.jaccard) for r in
+                    jaccard_pairs_prefix(docs, threshold=thr).collect()}
+            assert pref == brute, f"seed {seed} thr {thr}"
