@@ -447,6 +447,54 @@ def dedup_near_clusters(spark, sf):
     return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
+_SURV_MINHASH = _MINHASH_SQL.replace("FROM documents", "FROM surv")
+
+_SURVIVORS_SQL = f"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0),
+ dd AS (SELECT doc_id, md5(text) AS digest FROM aug),
+ canon AS (SELECT digest, MIN(doc_id) AS cd FROM dd GROUP BY 1),
+ exact_drop AS (SELECT doc_id FROM dd JOIN canon USING (digest)
+                WHERE doc_id <> cd),
+ surv AS (SELECT doc_id, text FROM aug
+          WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+ p AS ({_SURV_MINHASH}),
+ e AS (SELECT doc_x AS a, doc_y AS b FROM p
+       UNION SELECT doc_y, doc_x FROM p),
+ n AS (SELECT DISTINCT a AS node FROM e),
+ reach(node, l) AS (
+   SELECT node, node FROM n
+   UNION
+   SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.node),
+ cl AS (SELECT node, MIN(l) AS cluster_id FROM reach GROUP BY node),
+ near_drop AS (SELECT node AS doc_id FROM cl WHERE node <> cluster_id)
+SELECT doc_id, 'exact_dup' AS status FROM exact_drop
+UNION ALL
+SELECT doc_id, 'near_dup' AS status FROM near_drop
+UNION ALL
+SELECT doc_id, 'kept' AS status FROM aug
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop
+                     UNION ALL SELECT doc_id FROM near_drop)
+"""
+
+
+@q("dedup_survivors", _SURVIVORS_SQL)
+def dedup_survivors_gate(spark, sf):
+    """Full layered dedup decision (scale/dedup.py dedup_survivors):
+    exact digest race, then LSH/CC near-dup clustering over exact
+    survivors only, with per-doc drop attribution.  The corpus is
+    augmented with deterministic clones (doc_id%5) in both engines so
+    the exact layer is non-vacuous."""
+    d = t(spark, sf, "documents")
+    aug = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return D.dedup_survivors(aug, threshold=0.2)
+
+
 _INCDEDUP_SQL = """
 WITH newb AS (
   SELECT doc_id + 100000 AS doc_id,

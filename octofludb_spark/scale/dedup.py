@@ -538,6 +538,41 @@ def near_dedup_clusters(docs: DataFrame, threshold: float = 0.2,
     )
 
 
+def dedup_survivors(docs: DataFrame, threshold: float = 0.2,
+                    max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """The full dedup decision for every document — the composition a
+    pipeline actually ships: (doc_id, status) with status one of
+    'exact_dup' (lost the digest min-doc_id race), 'near_dup' (lost
+    its LSH/CC cluster), or 'kept'.
+
+    Layering matters: the near-dup layer runs only on exact
+    survivors, so a thousand byte-identical copies cost one digest
+    group, never a thousand-member LSH cluster.  Each layer keeps its
+    scale shape (digest hash-agg; pair-graph CC far smaller than the
+    corpus); the final attribution is two anti-joins on doc_id."""
+    d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    canon = d.groupBy("digest").agg(F.min("doc_id").alias("cd"))
+    exact_drop = (
+        d.join(canon, "digest")
+        .where(F.col("doc_id") != F.col("cd"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_drop, "doc_id", "left_anti")
+    clusters = near_dedup_clusters(survivors, threshold, max_df=max_df)
+    near_drop = clusters.where(F.col("keep") == 0).select("doc_id")
+    dropped = (
+        exact_drop.select("doc_id", F.lit("exact_dup").alias("status"))
+        .unionByName(
+            near_drop.select("doc_id", F.lit("near_dup").alias("status")))
+    )
+    kept = (
+        docs.select("doc_id")
+        .join(dropped.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("kept").alias("status"))
+    )
+    return dropped.unionByName(kept)
+
+
 def duplicate_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     """Exact duplicate-substring spans (the suffix-array dedup of
     "Deduplicating Training Data Makes Language Models Better",

@@ -876,3 +876,25 @@ def test_jaccard_prefix_fuzz_vs_brute(spark):
             pref = {(r.doc_x, r.doc_y, r.jaccard) for r in
                     jaccard_pairs_prefix(docs, threshold=thr).collect()}
             assert pref == brute, f"seed {seed} thr {thr}"
+
+
+def test_dedup_survivors_layering(spark):
+    """Exact clones lose the digest race BEFORE the near-dup layer
+    (a clone group never becomes an LSH cluster); near-dups among
+    exact survivors are attributed 'near_dup'; everything else is
+    kept; statuses partition the corpus."""
+    from octofludb_spark.scale.dedup import dedup_survivors
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base), (2, base), (3, base),        # exact clones of 1
+        (10, base + " tail x y"),               # near-dup of 1
+        (20, "entirely different words that no other document has z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in dedup_survivors(docs, threshold=0.2).collect()}
+    assert got[2] == got[3] == "exact_dup"
+    assert got[10] == "near_dup"
+    assert got[1] == "kept" and got[20] == "kept"
+    assert len(got) == 5
