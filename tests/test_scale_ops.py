@@ -898,3 +898,28 @@ def test_dedup_survivors_layering(spark):
     assert got[10] == "near_dup"
     assert got[1] == "kept" and got[20] == "kept"
     assert len(got) == 5
+
+
+def test_scale_ops_tolerate_null_and_empty_text(spark):
+    """Real corpora contain NULL/empty text rows — every scale
+    operator must process them without raising (ANSI-mode casts and
+    size(NULL) are the usual traps)."""
+    from octofludb_spark.scale import dedup as D
+    from octofludb_spark.scale import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, None, None), (2, "", "en"), (3, "normal words here okay", "en")],
+        "doc_id long, text string, lang string")
+    for fn in (
+        lambda: D.exact_dedup(docs),
+        lambda: D.duplicate_spans(docs),
+        lambda: D.jaccard_pairs_prefix(docs),
+        lambda: D.dedup_survivors(docs),
+        lambda: D.incremental_dedup(docs, docs),
+        lambda: TX.tfidf_top_terms(docs),
+        lambda: TX.bm25_scores(docs, ["words"]),
+        lambda: TX.pmi_bigrams(docs, 1),
+        lambda: TX.corpus_profile(docs),
+        lambda: TX.temperature_sample(docs),
+    ):
+        assert fn().count() >= 0
