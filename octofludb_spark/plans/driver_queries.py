@@ -1268,6 +1268,42 @@ def text_unigram_logprob(spark, sf):
     return TX.unigram_logprob(t(spark, sf, "documents"), vocab_k=16)
 
 
+_BLM_SQL = """
+WITH wx AS (
+  SELECT doc_id, CAST(UNNEST(range(1, len(ws) + 1)) AS INT) AS i, ws
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+ wt AS (SELECT doc_id, i, ws[i] AS w FROM wx),
+ cnt AS (SELECT w, COUNT(*) AS c FROM wt GROUP BY w),
+ lm AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT 16),
+ vv AS (SELECT COUNT(*) + 1 AS v FROM lm),
+ mx AS (SELECT doc_id, i,
+          CASE WHEN w IN (SELECT w FROM lm) THEN w
+               ELSE '<unk>' END AS mw
+        FROM wt),
+ pr AS (SELECT a.doc_id, a.mw AS w1, b.mw AS w2
+        FROM mx a JOIN mx b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+ c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2),
+ c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+SELECT pr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(floor(
+           ln((c12.c12 + 1.0) / (c1.c1 + (SELECT v FROM vv)))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS logprob_micro
+FROM pr JOIN c12 ON pr.w1 = c12.w1 AND pr.w2 = c12.w2
+JOIN c1 ON pr.w1 = c1.w1
+GROUP BY pr.doc_id
+"""
+
+
+@q("text_bigram_logprob", _BLM_SQL)
+def text_bigram_logprob(spark, sf):
+    """Bigram-LM fluency scoring with add-one smoothing (scale/text.py
+    bigram_logprob): top-16 vocab + <unk> mapping (the cap genuinely
+    binds on the synthetic vocab), integer per-pair contributions so
+    the summed doc scores value-hash match."""
+    return TX.bigram_logprob(t(spark, sf, "documents"), vocab_k=16)
+
+
 _PMI_SQL = r"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  tot AS (SELECT SUM(len(ws)) AS nw,

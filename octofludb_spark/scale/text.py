@@ -506,6 +506,67 @@ def unigram_logprob(docs: DataFrame, vocab_k: int = 50_000) -> DataFrame:
         counts.unpersist()
 
 
+def bigram_logprob(docs: DataFrame, vocab_k: int = 50_000) -> DataFrame:
+    """Bigram-LM fluency score with add-one smoothing — the next step
+    up from ``unigram_logprob`` toward CCNet's KenLM filter:
+    (doc_id, n_pairs, logprob_micro) where logprob_micro is the
+    BIGINT sum over the doc's adjacent pairs of
+    floor(ln((c12+1)/(c1+V)) * 1e6 + 0.5), with c12/c1 corpus bigram
+    and context counts over a TOP-``vocab_k`` vocabulary (other
+    tokens map to '<unk>') and V = |vocab| + 1.  Integer per-pair
+    contributions make the summed score bit-identical on any engine
+    at any parallelism.  Docs with < 2 tokens have no pairs and are
+    absent.
+
+    Scale shape: vocab mapping is a broadcast left join onto the
+    exploded token stream; adjacency comes from one lead() window on
+    (doc_id, pos) whose doc_id partitioning is REUSED by the final
+    per-doc aggregation; the bigram/context tables are at most
+    (K+1)^2 rows — broadcastable by construction."""
+    from pyspark.sql import Window
+
+    wx = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    counts = wx.groupBy("w").agg(F.count("*").alias("c"))
+    lm = (counts.orderBy(F.col("c").desc(), F.col("w").asc())
+          .limit(vocab_k).select("w").persist())
+    n_vocab = lm.count()
+    mx = (
+        wx.join(F.broadcast(lm.withColumn("_in", F.lit(1))), "w", "left")
+        .select(
+            "doc_id", "i",
+            F.when(F.col("_in").isNotNull(), F.col("w"))
+            .otherwise(F.lit("<unk>")).alias("mw"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    pairs = (
+        mx.withColumn("w2", F.lead("mw").over(win))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("mw").alias("w1"), "w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = float(n_vocab + 1)
+    try:
+        return (
+            pairs.join(F.broadcast(c12), ["w1", "w2"])
+            .join(F.broadcast(c1), "w1")
+            .select(
+                "doc_id",
+                F.floor(
+                    F.log((F.col("c12") + 1.0) / (F.col("c1") + F.lit(v)))
+                    * 1_000_000 + 0.5
+                ).cast("long").alias("lp"),
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("lp").cast("long").alias("logprob_micro"))
+        )
+    finally:
+        lm.unpersist()
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """Okapi BM25 relevance of every document to a term query:

@@ -923,3 +923,26 @@ def test_scale_ops_tolerate_null_and_empty_text(spark):
         lambda: TX.temperature_sample(docs),
     ):
         assert fn().count() >= 0
+
+
+def test_bigram_logprob_pinned(spark):
+    """Hand-checked add-one bigram LM on a 2-doc corpus: the repeated
+    bigram scores higher than a once-seen one; short docs are absent;
+    values match the formula exactly."""
+    import math
+
+    from octofludb_spark.scale.text import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_pairs, r.logprob_micro)
+           for r in bigram_logprob(docs, vocab_k=10).collect()}
+    assert 3 not in out  # one token -> no pairs
+    # vocab = {a, b, c, solo} -> V = 5; corpus pairs:
+    # doc1: (a,b) (b,a) (a,b); doc2: (a,b) (b,c)
+    # c12: ab=3, ba=1, bc=1; c1: a=3, b=2
+    def lp(c12, c1):
+        return math.floor(
+            math.log((c12 + 1.0) / (c1 + 5.0)) * 1_000_000 + 0.5)
+    assert out[1] == (3, 2 * lp(3, 3) + lp(1, 2))
+    assert out[2] == (2, lp(3, 3) + lp(1, 2))
