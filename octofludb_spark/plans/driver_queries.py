@@ -447,6 +447,39 @@ def dedup_near_clusters(spark, sf):
     return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
+_CONTAIN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+ sh0 AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle FROM idx),
+ hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 200),
+ sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+ inter AS (
+   SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS i
+   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   GROUP BY 1, 2),
+ bb AS (
+   SELECT doc_x, doc_y, i, sa.n_sh AS n_x, sb.n_sh AS n_y
+   FROM inter JOIN sizes sa ON doc_x = sa.doc_id
+              JOIN sizes sb ON doc_y = sb.doc_id)
+SELECT contained, container, containment FROM (
+  SELECT doc_x AS contained, doc_y AS container,
+         ROUND(i * 1.0 / n_x, 5) AS containment FROM bb
+  UNION ALL
+  SELECT doc_y, doc_x, ROUND(i * 1.0 / n_y, 5) FROM bb)
+WHERE containment >= 0.5
+"""
+
+
+@q("dedup_containment", _CONTAIN_SQL)
+def dedup_containment(spark, sf):
+    """Asymmetric containment pairs (scale/dedup.py
+    containment_pairs): |A∩B|/|A| >= 0.5 directed rows — catches the
+    short-doc-quoted-in-long-doc case Jaccard's union denominator
+    hides."""
+    return D.containment_pairs(t(spark, sf, "documents"), threshold=0.5)
+
+
 _SURV_MINHASH = _MINHASH_SQL.replace("FROM documents", "FROM surv")
 
 _SURVIVORS_SQL = f"""

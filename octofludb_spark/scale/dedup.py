@@ -225,6 +225,45 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.2,
         sh.unpersist()
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.5,
+                      n: int = 3,
+                      max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment
+    C(contained -> container) = |A∩B| / |A| — the signal Jaccard
+    misses when a short document is quoted inside a long one (their
+    union dwarfs the intersection, but A sits wholly inside B).
+    Output: (contained, container, containment) for ordered pairs
+    with C >= threshold.
+
+    Plan: same skew-bounded shingle candidate join + one-pass
+    intersection count as ``jaccard_pairs``; each unordered candidate
+    then emits up to two directed rows — scoring is a projection, no
+    extra join."""
+    sh = shingles(docs, n, max_df=max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_x"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_y"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_x") < F.col("doc_y"))
+        .groupBy("doc_x", "doc_y")
+        .agg(F.count("*").alias("inter"))
+    )
+    both = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_x")
+                   .withColumnRenamed("n_sh", "n_x"), "doc_x")
+        .join(sizes.withColumnRenamed("doc_id", "doc_y")
+              .withColumnRenamed("n_sh", "n_y"), "doc_y")
+    )
+    fwd = both.select(
+        F.col("doc_x").alias("contained"), F.col("doc_y").alias("container"),
+        F.round(F.col("inter") / F.col("n_x"), 5).alias("containment"))
+    rev = both.select(
+        F.col("doc_y").alias("contained"), F.col("doc_x").alias("container"),
+        F.round(F.col("inter") / F.col("n_y"), 5).alias("containment"))
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM,
                        max_df: int | None = None) -> DataFrame:
     """(doc_id, sig: array<string>) — per-permutation minima of

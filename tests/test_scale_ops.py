@@ -946,3 +946,22 @@ def test_bigram_logprob_pinned(spark):
             math.log((c12 + 1.0) / (c1 + 5.0)) * 1_000_000 + 0.5)
     assert out[1] == (3, 2 * lp(3, 3) + lp(1, 2))
     assert out[2] == (2, lp(3, 3) + lp(1, 2))
+
+
+def test_containment_asymmetry(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 in
+    the short->long direction, low Jaccard (union-dominated), and the
+    reverse direction is below threshold."""
+    from octofludb_spark.scale.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc),
+         (3, "unrelated words that match nothing else at all here")],
+        "doc_id long, text string")
+    got = {(r.contained, r.container): r.containment
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}
+    # Jaccard misses the pair entirely at the same threshold
+    assert jaccard_pairs(docs, threshold=0.5).count() == 0
