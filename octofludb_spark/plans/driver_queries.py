@@ -447,6 +447,40 @@ def dedup_near_clusters(spark, sf):
     return D.near_dedup_clusters(t(spark, sf, "documents"), threshold=0.2)
 
 
+_WINNOW_SQL = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ kh AS (SELECT doc_id,
+          CASE WHEN len(ws) >= 5 THEN
+            list_transform(range(0, len(ws) - 5 + 1), i ->
+              md5(array_to_string(list_slice(ws, i + 1, i + 5), ' '))
+              || lpad(CAST(100000000 - i AS VARCHAR), 9, '0'))
+          ELSE CAST([] AS VARCHAR[]) END AS keys
+        FROM w0),
+ sel AS (SELECT doc_id,
+           list_distinct(list_transform(
+             CASE WHEN len(keys) >= 4 THEN range(0, len(keys) - 4 + 1)
+                  WHEN len(keys) > 0 THEN [0]
+                  ELSE CAST([] AS BIGINT[]) END,
+             s -> list_aggregate(
+                    list_slice(keys, s + 1, s + 4), 'min'))) AS fps
+         FROM kh)
+SELECT doc_id,
+       CAST(100000000 - CAST(substring(key, 33, 9) AS BIGINT)
+            AS BIGINT) AS pos,
+       substring(key, 1, 32) AS fp
+FROM (SELECT doc_id, UNNEST(fps) AS key FROM sel)
+"""
+
+
+@q("dedup_winnow_fingerprints", _WINNOW_SQL)
+def dedup_winnow_fingerprints(spark, sf):
+    """Winnowing/MOSS fingerprints (scale/dedup.py
+    winnow_fingerprints, k=5 w=4): per-window minimum k-gram hashes
+    with a rightmost-tie rule encoded in the sort key — zero-shuffle
+    array expressions on both engines, value-hash identical."""
+    return D.winnow_fingerprints(t(spark, sf, "documents"), k=5, w=4)
+
+
 _CONTAIN_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),

@@ -398,6 +398,54 @@ def minhash_estimate_pairs(docs: DataFrame,
         sh.unpersist()
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. 2003): from each window of ``w`` consecutive k-gram hashes
+    keep the minimum (rightmost on ties), guaranteeing any shared run
+    of at least w + k - 1 tokens shares a fingerprint while storing
+    only ~2/(w+1) of the hashes.  Output: (doc_id, pos, fp).
+
+    Scale shape: ZERO shuffles — the k-gram hashes, the per-window
+    minima, and the distinct selection are all array expressions
+    inside one projection (fingerprinting parallelism == scan
+    parallelism).  The rightmost-tie rule is encoded in the sort key
+    itself (hash || zero-padded (10^8 - pos)), so both engines pick
+    identical positions with a plain lexicographic min."""
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    keys = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))),
+            F.lpad((F.lit(100_000_000) - i).cast("string"), 9, "0"),
+        ),
+    )
+    starts = F.when(
+        F.size(keys) >= w,
+        F.sequence(F.lit(0), F.size(keys) - w),
+    ).otherwise(
+        # fewer than w windows: a single window over what exists
+        F.when(F.size(keys) > 0, F.array(F.lit(0)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    sel = F.array_distinct(F.transform(
+        starts,
+        lambda s: F.array_min(F.slice(keys, s + 1, F.lit(w))),
+    ))
+    return (
+        docs.select("doc_id", F.explode(sel).alias("key"))
+        .select(
+            "doc_id",
+            (F.lit(100_000_000)
+             - F.substring("key", 33, 9).cast("long")).alias("pos"),
+            F.substring("key", 1, 32).alias("fp"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -965,3 +965,28 @@ def test_containment_asymmetry(spark):
     assert got == {(1, 2): 1.0}
     # Jaccard misses the pair entirely at the same threshold
     assert jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w+k-1
+    (= 8) tokens share at least one fingerprint; fingerprints are a
+    strict subset of all k-gram hashes (~2/(w+1) density); zero
+    exchanges in the plan."""
+    from octofludb_spark.scale.dedup import winnow_fingerprints
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # exactly w+k-1 tokens
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 a3 " + shared + " a4 a5"),
+         (2, shared + " b1 b2 b3 b4 b5 b6"),
+         (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")],
+        "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: doc 3 has 8 k-grams -> 5 windows -> <= 5 fingerprints
+    assert 1 <= len(fps[3]) <= 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
