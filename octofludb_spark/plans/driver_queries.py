@@ -481,6 +481,28 @@ def dedup_winnow_fingerprints(spark, sf):
     return D.winnow_fingerprints(t(spark, sf, "documents"), k=5, w=4)
 
 
+_WINNOW_PAIRS_SQL = f"""
+WITH fpz AS ({_WINNOW_SQL}),
+ fp AS (SELECT DISTINCT doc_id, fp FROM fpz),
+ hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 200),
+ fpc AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS doc_x, b.doc_id AS doc_y,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@q("dedup_winnow_pairs", _WINNOW_PAIRS_SQL)
+def dedup_winnow_pairs(spark, sf):
+    """MOSS match step (scale/dedup.py winnow_pairs): pairs sharing
+    >= 2 winnowing fingerprints, joining only the sparse fingerprint
+    sets with the same DF-cap contract as the shingle path."""
+    return D.winnow_pairs(t(spark, sf, "documents"), k=5, w=4,
+                          min_shared=2)
+
+
 _CONTAIN_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
@@ -1539,6 +1561,28 @@ def corpus_profile(spark, sf):
     distinct-content count, exact-dup fraction — all BIGINT floor
     arithmetic, value-hash identical across engines."""
     return TX.corpus_profile(t(spark, sf, "documents"))
+
+
+_QSAMPLE_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+ s AS (SELECT doc_id,
+         CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS quality_micro,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) AS bucket24
+       FROM q)
+SELECT doc_id, quality_micro, bucket24
+FROM s
+WHERE bucket24 * 1000000 < quality_micro * 16777216
+"""
+
+
+@q("quality_weighted_sample", _QSAMPLE_SQL)
+def quality_weighted_sample_gate(spark, sf):
+    """Quality-proportional soft sampling (scale/text.py
+    quality_weighted_sample): keep-probability equals the quality
+    score, decided by an integer md5-bucket comparison — map-side,
+    RNG-free, bit-identical across engines."""
+    return TX.quality_weighted_sample(t(spark, sf, "documents"))
 
 
 _TEMP_SQL = """

@@ -446,6 +446,46 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
     )
 
 
+def winnow_pairs(docs: DataFrame, k: int = 5, w: int = 4,
+                 min_shared: int = 2,
+                 max_fp_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — MOSS's actual match step: because winnowing
+    guarantees any shared w+k-1 token run yields a shared
+    fingerprint, this finds overlapping documents while joining only
+    the ~2/(w+1)-dense fingerprint sets, never shingles.
+    Output: (doc_x, doc_y, n_shared).
+
+    Skew: a boilerplate fingerprint in d docs would create d^2
+    candidate rows, so fingerprints with document frequency >
+    ``max_fp_df`` are dropped before the self-join (logged — same
+    contract as the shingle cap)."""
+    fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fp").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_fp_df)
+            .select("fp")
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            log.warning("winnow fp cap: dropping %d fingerprints with "
+                        "df > %d", n_hot, max_fp_df)
+            fp = fp.join(hot, "fp", "left_anti")
+        else:
+            hot.unpersist()
+    a = fp.select(F.col("doc_id").alias("doc_x"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_y"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_x") < F.col("doc_y"))
+        .groupBy("doc_x", "doc_y")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -286,6 +286,29 @@ def stratified_sample(docs: DataFrame, fractions: dict,
     )
 
 
+def quality_weighted_sample(docs: DataFrame) -> DataFrame:
+    """Quality-proportional downsampling: keep each document with
+    probability equal to its quality score — the soft filter used
+    when a hard threshold throws away too much borderline data.
+    Deterministic: membership is the integer comparison
+    md5-bucket * 10^6 < quality_micro * 2^24, so the sample is
+    bit-identical on any engine with no RNG state.
+    Output: (doc_id, quality_micro, bucket24).
+
+    Map-side only — quality is a per-row expression and the sample is
+    a filter; no shuffle anywhere."""
+    q = quality_scores(docs)
+    qm = F.floor(F.col("quality") * 1_000_000 + 0.5).cast("long")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long")
+    return (
+        q.select("doc_id", qm.alias("quality_micro"),
+                 b.alias("bucket24"))
+        .where(F.col("bucket24") * 1_000_000
+               < F.col("quality_micro") * F.lit(16_777_216))
+    )
+
+
 def corpus_profile(docs: DataFrame) -> DataFrame:
     """One-row corpus health profile — the numbers checked before any
     training run: doc/token counts, average length, language count,

@@ -990,3 +990,30 @@ def test_winnow_guarantee_and_compression(spark):
     assert 1 <= len(fps[3]) <= 5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_winnow_pairs_and_quality_sample(spark):
+    """winnow_pairs surfaces overlapping docs through fingerprints
+    alone; quality_weighted_sample keeps every quality-1.0 doc whose
+    bucket allows and NEVER keeps a quality-0 doc."""
+    from octofludb_spark.scale.dedup import winnow_pairs
+    from octofludb_spark.scale.text import quality_weighted_sample
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, shared + " x1 x2 x3"), (2, "y1 y2 " + shared),
+         (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")],
+        "doc_id long, text string")
+    pairs = {(r.doc_x, r.doc_y) for r in winnow_pairs(
+        docs, min_shared=1).collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+    qdocs = spark.createDataFrame(
+        [(i, "the plain words and the text goes on for a while here "
+             "with steady stopwords in it again and again") for i in range(50)]
+        + [(100 + i, "!!!!!!!!!!!!!!!!") for i in range(50)],
+        "doc_id long, text string")
+    kept = {r.doc_id: r.quality_micro
+            for r in quality_weighted_sample(qdocs).collect()}
+    assert all(d < 100 for d in kept)       # zero-quality never kept
+    assert len(kept) >= 40                  # q=1.0 keeps ~all buckets
