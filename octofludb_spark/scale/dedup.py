@@ -416,27 +416,37 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
         .otherwise(F.array().cast("array<int>"))
-    keys = F.transform(
+    keys_expr = F.transform(
         idx,
         lambda i: F.concat(
             F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))),
             F.lpad((F.lit(100_000_000) - i).cast("string"), 9, "0"),
         ),
     )
+    # CSE barrier: the window-min lambda below references the keys
+    # array per WINDOW; if `keys` stayed an inline expression tree,
+    # Spark would re-evaluate the whole md5 chain once per window —
+    # O(n^2) hashes per document (measured: 175 s at sf0.1).
+    # A Generate (explode of a one-element array) materializes keys
+    # once per row, and CollapseProject cannot inline expressions
+    # through a Generate — still map-side, still zero shuffles.
+    kdf = docs.select(
+        "doc_id", F.explode(F.array(keys_expr)).alias("ks"))
+    ks = F.col("ks")
     starts = F.when(
-        F.size(keys) >= w,
-        F.sequence(F.lit(0), F.size(keys) - w),
+        F.size(ks) >= w,
+        F.sequence(F.lit(0), F.size(ks) - w),
     ).otherwise(
         # fewer than w windows: a single window over what exists
-        F.when(F.size(keys) > 0, F.array(F.lit(0)))
+        F.when(F.size(ks) > 0, F.array(F.lit(0)))
         .otherwise(F.array().cast("array<int>"))
     )
     sel = F.array_distinct(F.transform(
         starts,
-        lambda s: F.array_min(F.slice(keys, s + 1, F.lit(w))),
+        lambda s: F.array_min(F.slice(ks, s + 1, F.lit(w))),
     ))
     return (
-        docs.select("doc_id", F.explode(sel).alias("key"))
+        kdf.select("doc_id", F.explode(sel).alias("key"))
         .select(
             "doc_id",
             (F.lit(100_000_000)
