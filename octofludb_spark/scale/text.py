@@ -456,8 +456,16 @@ def chunk_documents(docs: DataFrame, window: int = 64,
     Entirely map-side: chunk starts come from a per-row `sequence` +
     `transform` + `explode` — no shuffle, no Python, output rows ∝
     input tokens / stride.  At 100 TB this is the shape you want:
-    chunking parallelism equals scan parallelism."""
-    w = F.split("text", " ")
+    chunking parallelism equals scan parallelism.
+
+    The word array is materialized once per row behind a Generate
+    barrier before the per-chunk lambda touches it — an expression
+    captured INSIDE a higher-order-function lambda is re-evaluated
+    per element (the split would run once per chunk: O(n^2/stride)
+    token work on long documents)."""
+    wdf = docs.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("w"))
+    w = F.col("w")
     n = F.size(w)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
         F.ceil((n - window) / F.lit(stride)).cast("int") + 1)
@@ -469,7 +477,7 @@ def chunk_documents(docs: DataFrame, window: int = 64,
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        wdf.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
             F.col("c.chunk_id").alias("chunk_id"),
