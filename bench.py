@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_bm25",
     "dedup_duplicate_spans",
+    "dedup_near_clusters",
+    "dedup_winnow_pairs",
     "ann_topk_lsh",
     "ann_topk_ivf",
 ]
