@@ -1563,6 +1563,49 @@ def corpus_profile(spark, sf):
     return TX.corpus_profile(t(spark, sf, "documents"))
 
 
+_SPLIT_SQL = """
+WITH s AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS b
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN b < 13421773 THEN 'train'
+            WHEN b < 15099494 THEN 'val'
+            ELSE 'test' END AS split
+FROM s
+"""
+
+
+@q("corpus_split", _SPLIT_SQL)
+def corpus_split(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment (scale/text.py
+    split_corpus): md5 bands, stable under corpus growth, RNG-free,
+    map-side."""
+    return TX.split_corpus(t(spark, sf, "documents"))
+
+
+_TOPQ_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+ r AS (SELECT d.doc_id, d.lang AS grp,
+         CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS quality_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY floor(q.quality * 1000000 + 0.5) DESC,
+                    md5(CAST(d.doc_id AS VARCHAR)) ASC) AS BIGINT) AS rank
+       FROM q JOIN documents d ON d.doc_id = q.doc_id)
+SELECT doc_id, grp, quality_micro, rank FROM r WHERE rank <= 40
+"""
+
+
+@q("top_quality_per_group", _TOPQ_SQL)
+def top_quality_per_group_gate(spark, sf):
+    """Best-N-per-group curation cut (scale/text.py
+    top_quality_per_group): rank by (quality desc, md5 tiebreak) so
+    the cut is deterministic without biasing toward low doc_ids."""
+    return TX.top_quality_per_group(t(spark, sf, "documents"),
+                                    key="lang", n=40)
+
+
 _QSAMPLE_SQL = f"""
 WITH q AS ({_QUALITY_SQL}),
  s AS (SELECT doc_id,

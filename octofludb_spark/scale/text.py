@@ -286,6 +286,50 @@ def stratified_sample(docs: DataFrame, fractions: dict,
     )
 
 
+def split_corpus(docs: DataFrame,
+                 weights: tuple = (("train", 0.8), ("val", 0.1),
+                                   ("test", 0.1))) -> DataFrame:
+    """Deterministic train/val/test assignment: (doc_id, split).
+    The first 24 bits of md5(doc_id) land in cumulative weight bands,
+    so membership is stable under corpus growth (adding documents
+    never moves an existing one between splits), identical on every
+    engine, and RNG-free.  Map-side only."""
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long")
+    total = float(sum(w for _, w in weights))
+    expr = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w / total
+        bound = int(acc * 16_777_216 + 0.5)
+        cond = b < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = weights[-1][0]
+    return docs.select("doc_id", expr.otherwise(F.lit(last)).alias("split"))
+
+
+def top_quality_per_group(docs: DataFrame, key: str = "lang",
+                          n: int = 100) -> DataFrame:
+    """Curation selection: the best ``n`` documents per group by
+    (quality desc, md5(doc_id) asc) — the md5 tiebreak makes the cut
+    deterministic where quality ties (it always does: quality is a
+    4-level rubric), without biasing toward low doc_ids.
+    Output: (doc_id, grp, quality_micro, rank)."""
+    from pyspark.sql import Window
+
+    q = quality_scores(docs, keep=(key,))
+    qm = F.floor(F.col("quality") * 1_000_000 + 0.5).cast("long")
+    tb = F.md5(F.col("doc_id").cast("string"))
+    win = Window.partitionBy(key).orderBy(qm.desc(), tb.asc())
+    return (
+        q.select("doc_id", F.col(key).alias("grp"),
+                 qm.alias("quality_micro"),
+                 F.row_number().over(win).cast("long").alias("rank"))
+        .where(F.col("rank") <= n)
+    )
+
+
 def quality_weighted_sample(docs: DataFrame) -> DataFrame:
     """Quality-proportional downsampling: keep each document with
     probability equal to its quality score — the soft filter used

@@ -1017,3 +1017,40 @@ def test_winnow_pairs_and_quality_sample(spark):
             for r in quality_weighted_sample(qdocs).collect()}
     assert all(d < 100 for d in kept)       # zero-quality never kept
     assert len(kept) >= 40                  # q=1.0 keeps ~all buckets
+
+
+def test_split_corpus_stability_and_ratios(spark):
+    """Split assignment is per-doc stable (growing the corpus never
+    moves an existing doc) and tracks the 80/10/10 weights."""
+    from octofludb_spark.scale.text import split_corpus
+
+    small = spark.range(0, 200).selectExpr("id AS doc_id",
+                                           "'x' AS text")
+    big = spark.range(0, 1000).selectExpr("id AS doc_id", "'x' AS text")
+    s1 = {r.doc_id: r.split for r in split_corpus(small).collect()}
+    s2 = {r.doc_id: r.split for r in split_corpus(big).collect()}
+    assert all(s2[d] == s for d, s in s1.items())
+    from collections import Counter
+    c = Counter(s2.values())
+    assert 700 < c["train"] < 880 and 50 < c["val"] < 160 \
+        and 50 < c["test"] < 160
+
+
+def test_top_quality_per_group_cut(spark):
+    """Every group returns at most n rows, ranks are 1..n dense, and
+    a high-quality doc beats a low-quality one."""
+    from octofludb_spark.scale.text import top_quality_per_group
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running for a while longer today")
+    rows = [(i, good, "en") for i in range(10)] + \
+        [(100 + i, "!!!!!!!!!!!!!!!!", "en") for i in range(10)] + \
+        [(200 + i, good, "fr") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = top_quality_per_group(docs, key="lang", n=5).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["en"]) == 5 and len(by_grp["fr"]) == 3
+    assert sorted(r.rank for r in by_grp["en"]) == [1, 2, 3, 4, 5]
+    assert all(r.doc_id < 100 for r in by_grp["en"])  # junk never wins
