@@ -1857,6 +1857,43 @@ def kg_triangles(spark, sf):
     return triangle_counts(edges)
 
 
+_CCOEF_SQL = f"""
+WITH tri AS ({_TRI_SQL}),
+ e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey),
+ deg AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+           SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+         GROUP BY n)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2 THEN
+              COALESCE(tri.n_triangles, 0) * 2000000
+              // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS BIGINT) AS cc_micro
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+"""
+
+
+@q("kg_clustering_coefficient", _CCOEF_SQL)
+def kg_clustering_coefficient(spark, sf):
+    """Local clustering coefficient over the part co-purchase graph
+    (ops/graph_analytics.clustering_coefficient): triangles over
+    possible wedges per node, integer micro-units — community
+    density as an entity-quality signal."""
+    from octofludb_spark.ops.graph_analytics import clustering_coefficient
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    s = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (r.join(s, "k").where(F.col("src") < F.col("dst"))
+             .select("src", "dst"))
+    return clustering_coefficient(edges)
+
+
 _PR_N_ITERS = 5
 
 

@@ -101,3 +101,25 @@ def test_triangle_plan_all_equi_joins(spark):
                        for i in range(40)])
     plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_pinned(spark):
+    """K4: every node cc = 1.0; path graph: all cc = 0; a wedge
+    center has cc 0 and the triangle-closing edge lifts it."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "c"), ("b", "d"), ("c", "d")])
+    from octofludb_spark.ops.graph_analytics import clustering_coefficient
+
+    got = {r.node: (r.degree, r.n_triangles, r.cc_micro)
+           for r in clustering_coefficient(e).collect()}
+    assert all(v == (3, 3, 1_000_000) for v in got.values())
+
+    path = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got2 = {r.node: r.cc_micro for r in
+            clustering_coefficient(path).collect()}
+    assert all(v == 0 for v in got2.values())
+    # wedge a-b, a-c plus closing edge b-c: a has d=2, 1 triangle
+    tri = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got3 = {r.node: r.cc_micro for r in
+            clustering_coefficient(tri).collect()}
+    assert got3 == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
