@@ -1944,6 +1944,62 @@ def kg_pagerank(spark, sf):
     return pagerank(edges, iters=_PR_N_ITERS)
 
 
+_HITS_ITERS = 3
+
+
+def _hits_sql() -> str:
+    """Unrolled integer HITS over the staged KG uri edges, mirroring
+    ops/graph_analytics.hits bit-for-bit (BIGINT floor norms)."""
+    parts = [f"""
+WITH e AS (SELECT DISTINCT subject AS src, object_lex AS dst
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+           WHERE object_dtype = 'uri' AND subject <> object_lex),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"""]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(f""",
+ a{k}r AS (SELECT n.node, COALESCE(s.a, 0) AS a
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, SUM(h.h) AS a
+             FROM e JOIN h{k - 1} h ON h.node = e.src
+             GROUP BY e.dst) s ON s.node = n.node),
+ a{k} AS (SELECT node,
+            CAST(a * 1000000
+                 // GREATEST((SELECT SUM(a) FROM a{k}r), 1) AS BIGINT)
+              AS a
+          FROM a{k}r),
+ h{k}r AS (SELECT n.node, COALESCE(s.h, 0) AS h
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS node, SUM(a.a) AS h
+             FROM e JOIN a{k} a ON a.node = e.dst
+             GROUP BY e.src) s ON s.node = n.node),
+ h{k} AS (SELECT node,
+            CAST(h * 1000000
+                 // GREATEST((SELECT SUM(h) FROM h{k}r), 1) AS BIGINT)
+              AS h
+          FROM h{k}r)""")
+    parts.append(f"""
+SELECT h.node, CAST(h.h AS BIGINT) AS hub_micro,
+       CAST(a.a AS BIGINT) AS auth_micro
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.node = h.node""")
+    return "".join(parts)
+
+
+@q("kg_hits", _hits_sql())
+def kg_hits(spark, sf):
+    """HITS hubs/authorities over the KG uri edge graph
+    (ops/graph_analytics.hits): 3 mutual-reinforcement rounds, every
+    L1 norm a BIGINT floor division — the whole trajectory is
+    value-hash oracled."""
+    from octofludb_spark.ops.graph_analytics import hits
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    return hits(edges, iters=_HITS_ITERS)
+
+
 @q("kg_degree_stats", f"""
 WITH deg AS (
   SELECT predicate, subject, COUNT(*) AS d

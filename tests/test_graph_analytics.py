@@ -123,3 +123,25 @@ def test_clustering_coefficient_pinned(spark):
     got3 = {r.node: r.cc_micro for r in
             clustering_coefficient(tri).collect()}
     assert got3 == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+
+def test_hits_star_semantics(spark):
+    """Star a->{b,c,d}: a is the only hub, spokes are the only
+    authorities, spokes tie exactly; L1 norms hold; results identical
+    across partitionings (integer arithmetic)."""
+    from octofludb_spark.ops.graph_analytics import HITS_SCALE, hits
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("a", "d")])
+    got = {r.node: (r.hub_micro, r.auth_micro)
+           for r in hits(e, iters=3).collect()}
+    assert got["a"][0] == HITS_SCALE and got["a"][1] == 0
+    assert got["b"] == got["c"] == got["d"]
+    assert got["b"][0] == 0 and got["b"][1] > 0
+    assert sum(v[1] for v in got.values()) <= HITS_SCALE
+
+    pairs = [(f"n{i}", f"n{(i * 5 + 2) % 19}") for i in range(40)]
+    one = {(r.node, r.hub_micro, r.auth_micro)
+           for r in hits(_edges(spark, pairs).repartition(1)).collect()}
+    many = {(r.node, r.hub_micro, r.auth_micro)
+            for r in hits(_edges(spark, pairs).repartition(16)).collect()}
+    assert one == many
