@@ -456,7 +456,9 @@ def cmd_report(args) -> int:
 
 _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "clean", "quality", "lang-id", "tfidf", "sample", "chunks",
-              "pii-scrub", "profile")
+              "pii-scrub", "profile", "survivors", "containment",
+              "winnow", "winnow-pairs", "bigram-lm", "split",
+              "top-quality", "quality-sample")
 
 
 def cmd_scale(args) -> int:
@@ -495,6 +497,22 @@ def cmd_scale(args) -> int:
         out = TX.pii_scrub(docs)
     elif args.op == "profile":
         out = TX.corpus_profile(docs)
+    elif args.op == "survivors":
+        out = D.dedup_survivors(docs, threshold=args.threshold)
+    elif args.op == "containment":
+        out = D.containment_pairs(docs, threshold=args.threshold)
+    elif args.op == "winnow":
+        out = D.winnow_fingerprints(docs)
+    elif args.op == "winnow-pairs":
+        out = D.winnow_pairs(docs)
+    elif args.op == "bigram-lm":
+        out = TX.bigram_logprob(docs)
+    elif args.op == "split":
+        out = TX.split_corpus(docs)
+    elif args.op == "top-quality":
+        out = TX.top_quality_per_group(docs, key=args.key, n=args.k)
+    elif args.op == "quality-sample":
+        out = TX.quality_weighted_sample(docs)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:
