@@ -592,8 +592,8 @@ WITH newb AS (
               ELSE text || ' fresh' || CAST(doc_id AS VARCHAR)
          END AS text
   FROM documents),
- nd AS (SELECT doc_id, md5(text) AS digest FROM newb),
- sd AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+ nd AS (SELECT doc_id, md5(COALESCE(text, '')) AS digest FROM newb),
+ sd AS (SELECT DISTINCT md5(COALESCE(text, '')) AS digest FROM documents),
  fresh AS (SELECT * FROM nd
            WHERE digest NOT IN (SELECT digest FROM sd))
 SELECT MIN(doc_id) AS doc_id, digest

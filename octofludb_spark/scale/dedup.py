@@ -621,9 +621,15 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
     shuffles on digest only (no text ever moves), and the
     within-batch winner is one min-agg over the batch.  This is the
     batch twin of streaming/pipeline.stream_dedup_documents."""
+    # coalesce: a NULL text must still dedup (md5(NULL) is NULL, and
+    # null keys silently pass an anti-join while poisoning a SQL
+    # NOT IN — the one place the two engines' null semantics diverge)
     new_d = new_docs.select(
-        "doc_id", F.md5(F.col("text")).alias("digest"))
-    seen_d = seen.select(F.md5(F.col("text")).alias("digest")).distinct()
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        .alias("digest"))
+    seen_d = seen.select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest")
+    ).distinct()
     fresh = new_d.join(seen_d, "digest", "left_anti")
     return (
         fresh.groupBy("digest")

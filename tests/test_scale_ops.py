@@ -1054,3 +1054,18 @@ def test_top_quality_per_group_cut(spark):
     assert len(by_grp["en"]) == 5 and len(by_grp["fr"]) == 3
     assert sorted(r.rank for r in by_grp["en"]) == [1, 2, 3, 4, 5]
     assert all(r.doc_id < 100 for r in by_grp["en"])  # junk never wins
+
+
+def test_incremental_dedup_null_text_consistency(spark):
+    """NULL and empty text dedup identically (coalesced digest): a
+    null-text doc in the seen corpus blocks null/empty newcomers, and
+    never poisons the anti-join for unrelated fresh docs."""
+    from octofludb_spark.scale.dedup import incremental_dedup
+
+    seen = spark.createDataFrame([(1, None), (2, "kept text")],
+                                 "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "genuinely fresh words")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in incremental_dedup(new, seen).collect()}
+    assert got == {12}
