@@ -544,7 +544,7 @@ WITH RECURSIVE aug AS (
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text FROM documents
   WHERE doc_id % 5 = 0),
- dd AS (SELECT doc_id, md5(text) AS digest FROM aug),
+ dd AS (SELECT doc_id, md5(COALESCE(text, '')) AS digest FROM aug),
  canon AS (SELECT digest, MIN(doc_id) AS cd FROM dd GROUP BY 1),
  exact_drop AS (SELECT doc_id FROM dd JOIN canon USING (digest)
                 WHERE doc_id <> cd),

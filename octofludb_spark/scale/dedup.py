@@ -693,7 +693,9 @@ def dedup_survivors(docs: DataFrame, threshold: float = 0.2,
     group, never a thousand-member LSH cluster.  Each layer keeps its
     scale shape (digest hash-agg; pair-graph CC far smaller than the
     corpus); the final attribution is two anti-joins on doc_id."""
-    d = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    d = docs.select("doc_id",
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))
+                    .alias("digest"))
     canon = d.groupBy("digest").agg(F.min("doc_id").alias("cd"))
     exact_drop = (
         d.join(canon, "digest")
