@@ -2568,3 +2568,112 @@ def kg_incremental_build(spark, sf):
                                run_ts="2026-01-01T00:00:00",
                                batch_id="gate-b")
     return store.read(spark, "triples_canonical").select(*TRIPLE_KEY)
+
+
+# --------------------------------------------------------------------------
+# heuristic corpus cleaning (C4 / Gopher rules)
+# --------------------------------------------------------------------------
+
+# Deterministic multi-line fixture: the driver corpus is single-line,
+# so both engines first rebuild each document as 8-word lines where
+# line i gets a terminal '.' unless (doc_id + i) % 3 == 0 — the same
+# arithmetic in both plans, so the C4 line rules are non-vacuous and
+# still value-hash comparable.
+_C4_SYNTH_SQL = """
+syn AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+           i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')
+                || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+"""
+
+_C4_SQL = f"""
+WITH {_C4_SYNTH_SQL},
+ f AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), l ->
+           len(string_split(l, ' ')) >= 5
+           AND regexp_matches(l, '[.!?"]$')
+           AND NOT contains(lower(l), 'javascript')
+           AND NOT contains(lower(l), '{{')) AS kept,
+         contains(lower(text), 'lorem ipsum') AS doc_bad
+  FROM syn)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN len(kept) >= 3 AND NOT doc_bad
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM f
+"""
+
+
+def _c4_synth(spark, sf) -> DataFrame:
+    """The Spark twin of _C4_SYNTH_SQL.  The word array crosses a
+    Generate barrier (explode of a 1-element array) so the split is
+    NOT re-inlined into the per-chunk lambda (CollapseProject would
+    otherwise re-split the text once per line — the documented
+    HOF-lambda pitfall)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("ws"))
+    nchunks = F.ceil(F.size("ws") / F.lit(8.0)).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), nchunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("ws"), (i * 8 + 1).cast("int"),
+                                 F.lit(8)), " "),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit(""))
+            .otherwise(F.lit("."))))
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@q("text_c4_clean", _C4_SQL)
+def text_c4_clean(spark, sf):
+    """C4 heuristic cleaning (scale/text.py c4_clean): line-level
+    terminal-punctuation / min-words / boilerplate rules + doc-level
+    minimum surviving lines, over deterministically synthesized
+    multi-line documents (same synthesis in the oracle).  One
+    map-side projection — no shuffle at any scale."""
+    return TX.c4_clean(_c4_synth(spark, sf))
+
+
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS ws
+  FROM documents),
+ s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(len(replace(text, ' ', ''))
+               * 1.0 / GREATEST(len(ws), 1), 5) AS mean_word_len,
+         ROUND(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / GREATEST(len(ws), 1), 5) AS frac_alpha,
+         ROUND(((len(text) - len(replace(text, '#', '')))
+                + (len(text) - len(replace(text, '...', ''))) / 3)
+               * 1.0 / GREATEST(len(ws), 1), 5) AS symbol_ratio,
+         CAST(len(list_filter(ws, x -> lower(x) IN
+              ('the','be','to','of','and','that','have','with')))
+              AS BIGINT) AS stop_hits
+  FROM w)
+SELECT *,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3 AND 10
+                  AND symbol_ratio < 0.1
+                  AND frac_alpha >= 0.8
+                  AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+"""
+
+
+@q("text_gopher_quality", _GOPHER_SQL)
+def text_gopher_quality(spark, sf):
+    """Gopher/MassiveText quality rules (scale/text.py
+    gopher_quality): every rule input is emitted alongside the keep
+    decision so the full rule surface is value-hash checked, not just
+    the final boolean."""
+    return TX.gopher_quality(t(spark, sf, "documents"))

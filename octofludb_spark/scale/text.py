@@ -786,3 +786,103 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
                 ), 4) + F.lit(0.0)).alias("pmi"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning", public) and Gopher/MassiveText
+# document-quality rules (Rae et al. 2021, public).  Both are pure
+# per-row JVM expression chains — no shuffle, no UDF — so they cost
+# one map pass at any corpus size and every rule is portable to the
+# DuckDB oracle verbatim.
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+# substrings whose presence drops a LINE (C4 drops javascript lines
+# and brace-bearing boilerplate) or the whole DOC (lorem ipsum)
+C4_LINE_BAD = ("javascript", "{")
+C4_DOC_BAD = "lorem ipsum"
+
+
+def c4_clean(docs: DataFrame,
+             min_line_words: int = C4_MIN_LINE_WORDS,
+             min_lines: int = C4_MIN_LINES) -> DataFrame:
+    """C4 cleaning over newline-separated documents: a LINE survives
+    iff it has >= ``min_line_words`` space-separated words, ends in a
+    terminal punctuation mark ('.', '!', '?', '\"'), and contains no
+    '{' / 'javascript'; a DOCUMENT is kept iff >= ``min_lines`` lines
+    survive and it never says 'lorem ipsum'.  Output
+    (doc_id, n_lines, n_kept, keep, clean_text) where clean_text is
+    the surviving lines re-joined with newlines.
+
+    Scale shape: one projection — the line rules run inside a single
+    array ``filter`` over ``split(text, '\\n')``, entirely within
+    whole-stage codegen.  Every sub-expression is a function of the
+    lambda variable only (nothing captured), so there is no
+    per-element re-evaluation blowup (see chunk_documents' pitfall
+    note)."""
+    lines = F.split(F.col("text"), "\n")
+
+    def line_ok(line):
+        ok = (F.size(F.split(line, " ")) >= min_line_words) \
+            & line.rlike('[.!?"]$')
+        for bad in C4_LINE_BAD:
+            ok = ok & ~F.lower(line).contains(bad)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    doc_keep = (F.size(kept) >= min_lines) \
+        & ~F.lower(F.col("text")).contains(C4_DOC_BAD)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.when(doc_keep, 1).otherwise(0).cast("long").alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (word-level subset —
+    the driver corpus is single-line so the bullet/ellipsis line
+    rules are vacuous here and omitted): keep iff
+      50 <= n_words <= 100000,
+      3 <= mean word length <= 10,
+      symbol-to-word ratio ('#' or '...') < 0.1,
+      >= 80% of words contain an alphabetic character,
+      >= 2 hits from a tiny required-stopword set.
+    Output (doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio,
+    stop_hits, keep) — all rule inputs emitted so a user can audit
+    WHY a document fell.  One map-side projection, no shuffle."""
+    words = F.split(F.trim("text"), " ")
+    n_words = F.size(words)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(list(GOPHER_STOPWORDS))))
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ell = (F.length("text")
+             - F.length(F.replace("text", F.lit("...")))) / 3
+    d = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(F.length(F.replace("text", F.lit(" ")))
+                / F.greatest(n_words, F.lit(1)), 5).alias("mean_word_len"),
+        F.round(n_alpha / F.greatest(n_words, F.lit(1)), 5)
+        .alias("frac_alpha"),
+        F.round((n_hash + n_ell) / F.greatest(n_words, F.lit(1)), 5)
+        .alias("symbol_ratio"),
+        n_stop.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return d.withColumn("keep",
+                        F.when(keep, 1).otherwise(0).cast("long"))

@@ -1069,3 +1069,47 @@ def test_incremental_dedup_null_text_consistency(spark):
         "doc_id long, text string")
     got = {r.doc_id for r in incremental_dedup(new, seen).collect()}
     assert got == {12}
+
+
+def test_c4_clean_rules(spark):
+    """Pinned C4 rules: short lines, unterminated lines, javascript/
+    brace lines fall; docs below min surviving lines or saying
+    'lorem ipsum' are dropped entirely."""
+    from octofludb_spark.scale.text import c4_clean
+
+    good = "one two three four five ok."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, good, good])),            # kept
+            (2, "\n".join([good, "too short.", good])),    # 2 kept -> drop
+            (3, "\n".join([good, good, good,
+                           "this line has javascript in it."])),
+            (4, "\n".join([good, good, good]) + "\nlorem ipsum dolor sit amet."),
+            (5, "\n".join(["no terminal punctuation here at all",
+                           good, good])),
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert out[1].keep == 1 and out[1].n_kept == 3
+    assert out[2].keep == 0 and out[2].n_kept == 2
+    assert out[3].keep == 1 and out[3].n_kept == 3   # bad line dropped
+    assert "javascript" not in out[3].clean_text
+    assert out[4].keep == 0                           # doc-level rule
+    assert out[5].keep == 0 and out[5].n_kept == 2
+
+
+def test_gopher_quality_rules(spark):
+    """Pinned Gopher rules: word-count floor, mean-word-length band,
+    alpha fraction, stopword requirement."""
+    from octofludb_spark.scale.text import gopher_quality
+
+    long_good = " ".join(["the", "and", "that"] + ["word"] * 60)
+    short = "the and that word word"
+    numeric = " ".join(["12345"] * 60 + ["the", "and"])
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, numeric)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].keep == 1
+    assert out[2].keep == 0 and out[2].n_words < 50
+    assert out[3].keep == 0 and out[3].frac_alpha < 0.8
