@@ -282,3 +282,54 @@ def pagerank(edges: DataFrame, iters: int = 5,
     finally:
         nodes.unpersist()
         e.unpersist()
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, public) made fully deterministic: every node starts
+    labeled with itself; each round, a node adopts the most frequent
+    label among its undirected neighbors, ties broken by MIN label —
+    so the whole trajectory is engine- and parallelism-independent
+    and value-hash oracleable (classic async LPA is run-order
+    dependent and never would be).  Returns (node, community) after
+    ``iters`` rounds; isolated input rows (self-loops only) are
+    absent, matching the other graph ops.
+
+    Scale shape: one shuffle per round — join neighbor labels, count
+    per (node, label), argmax via a row_number window on the counts
+    (label-cardinality rows, not edge rows).  The per-round label
+    table is persisted so round k+1 scans a materialized table
+    instead of re-deriving k rounds of lineage; fixed unrolled rounds
+    keep the plan Catalyst-optimizable (no RDD loop)."""
+    from pyspark.sql import Window
+
+    und = undirect(edges)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    cached = [sym]
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("community").asc())
+    try:
+        for _ in range(iters):
+            counts = (
+                sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"), "community")
+                .agg(F.count("*").alias("cnt"))
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "community")
+                .persist()
+            )
+            cached.append(labels)
+        out = labels.select("node", "community").persist()
+        out.count()  # materialize while the round tables are cached
+        return out
+    finally:
+        for c in cached:
+            c.unpersist()

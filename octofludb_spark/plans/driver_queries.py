@@ -2677,3 +2677,103 @@ def text_gopher_quality(spark, sf):
     decision so the full rule surface is value-hash checked, not just
     the final boolean."""
     return TX.gopher_quality(t(spark, sf, "documents"))
+
+
+_PPLBUCKET_SQL = f"""
+WITH ulm AS ({_ULM_SQL}),
+ j AS (SELECT d.doc_id, d.lang, ulm.mean_logprob,
+              CAST(NTILE(3) OVER (PARTITION BY d.lang
+                   ORDER BY ulm.mean_logprob DESC, d.doc_id ASC)
+                   AS BIGINT) AS bucket
+       FROM documents d JOIN ulm ON ulm.doc_id = d.doc_id)
+SELECT doc_id, lang, mean_logprob, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS label
+FROM j
+"""
+
+
+@q("text_perplexity_buckets", _PPLBUCKET_SQL)
+def text_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail corpus split (scale/text.py
+    perplexity_buckets): per-language NTILE(3) over the unigram-LM
+    score with a deterministic (score DESC, doc_id) order — the full
+    bucket assignment is value-hash checked against DuckDB's NTILE
+    over the same LM."""
+    return TX.perplexity_buckets(t(spark, sf, "documents"), vocab_k=16)
+
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE p AS ({_COSLSH_SQL}),
+ e AS (SELECT vec_x AS a, vec_y AS b FROM p
+       UNION SELECT vec_y, vec_x FROM p),
+ n AS (SELECT DISTINCT a AS node FROM e),
+ reach(node, l) AS (
+   SELECT node, node FROM n
+   UNION
+   SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.node),
+ cl AS (SELECT node, MIN(l) AS cluster_id FROM reach GROUP BY node),
+ sz AS (SELECT cluster_id, COUNT(*) AS n_vecs FROM cl GROUP BY cluster_id)
+SELECT CAST(cl.node AS BIGINT) AS vec_id,
+       CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+       CAST(sz.n_vecs AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN cl.node = cl.cluster_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM cl JOIN sz USING (cluster_id)
+"""
+
+
+@q("semantic_dedup", _SEMDEDUP_SQL)
+def semantic_dedup_gate(spark, sf):
+    """SemDeDup semantic deduplication (scale/simsearch.py
+    semantic_dedup): LSH-bucketed cosine pairs -> connected
+    components -> numeric-min representative.  The oracle recomputes
+    the exact same pair graph from the md5 hyperplane constants and
+    resolves components via recursive min-label reachability."""
+    return S.semantic_dedup(t(spark, sf, "embeddings"), threshold=0.35)
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous label propagation over the staged KG uri
+    edges, mirroring ops/graph_analytics.label_propagation exactly:
+    per round, each node takes the most frequent neighbor community,
+    ties broken by MIN community."""
+    parts = [f"""
+WITH und AS (SELECT DISTINCT LEAST(subject, object_lex) AS a,
+                    GREATEST(subject, object_lex) AS b
+             FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+             WHERE object_dtype = 'uri' AND subject <> object_lex),
+ sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+ l0 AS (SELECT DISTINCT a AS node, a AS community FROM sym)"""]
+    for k in range(1, _LPA_ITERS + 1):
+        parts.append(f""",
+ l{k} AS (SELECT node, community FROM (
+    SELECT s.a AS node, l.community,
+           ROW_NUMBER() OVER (PARTITION BY s.a
+             ORDER BY COUNT(*) DESC, l.community ASC) AS rn
+    FROM sym s JOIN l{k - 1} l ON l.node = s.b
+    GROUP BY s.a, l.community)
+  WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node, community FROM l{_LPA_ITERS}""")
+    return "".join(parts)
+
+
+@q("kg_label_propagation", _lpa_sql())
+def kg_label_propagation(spark, sf):
+    """Community detection over the KG uri edge graph
+    (ops/graph_analytics.label_propagation): 3 synchronous rounds of
+    most-frequent-neighbor-label with deterministic MIN tie-break —
+    the full community assignment is value-hash oracled against an
+    unrolled DuckDB recomputation (async LPA could never be)."""
+    from octofludb_spark.ops.graph_analytics import label_propagation
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    return label_propagation(edges, iters=_LPA_ITERS)

@@ -453,3 +453,43 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
             v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
         ).alias("qvec"),
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
+                   n_bands: int = 4, band_planes: int = 4,
+                   dim: int = 64) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): embedding pairs above a cosine threshold -> connected
+    components -> one canonical representative per semantic cluster.
+    Returns (vec_id, cluster_id, n_vecs, keep) for every vector in a
+    semantic-dup cluster; ``cluster_id`` is the numeric MIN vec_id and
+    ``keep`` marks that representative (the corpus minus keep=0 rows
+    is the semantically deduplicated corpus).
+
+    Scale shape: candidates come from banded hyperplane LSH
+    (cosine_pairs_lsh — work ∝ bucket sizes, vectors never carried
+    through the bucket join), so the verified pair graph entering CC
+    is near-dup-sized, not corpus-sized; the CC step is ops/cc.py's
+    two-level algorithm and the relabel is one window over cluster
+    members only."""
+    from pyspark.sql import Window
+
+    from octofludb_spark.ops.cc import connected_components
+
+    pairs = cosine_pairs_lsh(emb, threshold, n_bands, band_planes, dim)
+    edges = pairs.select(F.col("vec_x").cast("string").alias("src"),
+                         F.col("vec_y").cast("string").alias("dst"))
+    comp = connected_components(edges)
+    members = comp.select(F.col("node").cast("long").alias("vec_id"),
+                          "component")
+    w = Window.partitionBy("component")
+    return (
+        members
+        .withColumn("cluster_id", F.min("vec_id").over(w))
+        .withColumn("n_vecs", F.count("*").over(w).cast("long"))
+        .select(
+            "vec_id", "cluster_id", "n_vecs",
+            (F.col("vec_id") == F.col("cluster_id"))
+            .cast("long").alias("keep"),
+        )
+    )

@@ -886,3 +886,37 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
     return d.withColumn("keep",
                         F.when(keep, 1).otherwise(0).cast("long"))
+
+
+def perplexity_buckets(docs: DataFrame, vocab_k: int = 50_000,
+                       buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-language NTILE over the
+    unigram-LM quality score — bucket 1 ('head') is the lowest-
+    perplexity (highest mean logprob) third, then 'middle', 'tail'.
+    Output (doc_id, lang, mean_logprob, bucket, label).
+
+    Determinism: the window orders by (mean_logprob DESC, doc_id ASC)
+    on the 4-dp-rounded score, so bucket boundaries are identical on
+    any engine at any parallelism.  Scale shape: the LM scoring is
+    unigram_logprob's single corpus pass + broadcast LM; the bucket
+    assignment is one window over doc-count rows partitioned by
+    language — the shuffle is keyed on lang, and the per-language
+    sort is the unavoidable cost of exact quantiles (CCNet itself
+    trains per-language percentile cutoffs the same way)."""
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(docs, vocab_k=vocab_k)
+    tagged = docs.select("doc_id", "lang").join(lp, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id").asc())
+    labels = {1: "head", buckets: "tail"}
+    b = F.ntile(buckets).over(w)
+    return tagged.select(
+        "doc_id", "lang", "mean_logprob",
+        b.cast("long").alias("bucket"),
+    ).withColumn(
+        "label",
+        F.when(F.col("bucket") == 1, labels[1])
+        .when(F.col("bucket") == buckets, labels[buckets])
+        .otherwise("middle"),
+    )

@@ -1113,3 +1113,53 @@ def test_gopher_quality_rules(spark):
     assert out[1].keep == 1
     assert out[2].keep == 0 and out[2].n_words < 50
     assert out[3].keep == 0 and out[3].frac_alpha < 0.8
+
+
+def test_perplexity_buckets_partition(spark):
+    """Each language's docs split into contiguous score-ordered
+    thirds: every head doc scores >= every tail doc within a lang."""
+    from octofludb_spark.scale.text import perplexity_buckets
+
+    out = perplexity_buckets(_docs(spark), vocab_k=16).collect()
+    assert {r.label for r in out} == {"head", "middle", "tail"}
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        heads = [r.mean_logprob for r in rows if r.label == "head"]
+        tails = [r.mean_logprob for r in rows if r.label == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails)
+        # NTILE balance: bucket sizes differ by at most 1
+        sizes = [sum(1 for r in rows if r.bucket == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_semantic_dedup_representatives(spark):
+    """Every cluster keeps exactly its numeric-min member; members of
+    one cluster agree on cluster_id; keep=1 count == cluster count."""
+    from octofludb_spark.scale.simsearch import semantic_dedup
+
+    out = semantic_dedup(_emb(spark), threshold=0.35).collect()
+    assert out, "vacuous: no semantic-dup clusters at sf0.001"
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in clusters.items():
+        assert min(r.vec_id for r in rows) == cid
+        assert sum(r.keep for r in rows) == 1
+        assert all(r.n_vecs == len(rows) for r in rows)
+
+
+def test_label_propagation_pinned(spark):
+    """Two triangles joined by a bridge: each triangle converges to
+    one community; deterministic min tie-break."""
+    from octofludb_spark.ops.graph_analytics import label_propagation
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")],
+        "src string, dst string")
+    out = {r.node: r.community for r in label_propagation(e, 3).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["e"] == out["f"] == out["d"]
