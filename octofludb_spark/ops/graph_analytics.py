@@ -333,3 +333,48 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     finally:
         for c in cached:
             c.unpersist()
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peeling over the undirected graph: each
+    round removes every node whose current degree is < ``k`` (and its
+    edges), ``rounds`` times.  At fixpoint this is exactly the k-core
+    subgraph; a fixed round count keeps the plan fully unrolled for
+    Catalyst and the trajectory bit-identical on every engine — both
+    engines peel the same rounds, so the result is value-hash
+    oracleable even before convergence.  Returns (node, degree) for
+    surviving nodes with their degree in the peeled subgraph.
+
+    Scale shape: per round one degree aggregation (map-side partial)
+    + two semi-joins of the edge set against the surviving-node set —
+    the classic distributed peel; the edge set only shrinks, and each
+    round is persisted so round r+1 scans a materialized table."""
+    cur = undirect(edges).persist()
+    cached = [cur]
+    try:
+        for _ in range(rounds):
+            deg = (
+                cur.select(F.col("a").alias("node"))
+                .unionByName(cur.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("d"))
+            )
+            keep = deg.where(F.col("d") >= k).select("node")
+            cur = (
+                cur.join(keep.withColumnRenamed("node", "a"), "a",
+                         "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), "b",
+                      "left_semi")
+                .persist()
+            )
+            cached.append(cur)
+        out = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        for c in cached:
+            c.unpersist()

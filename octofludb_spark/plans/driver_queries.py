@@ -2777,3 +2777,179 @@ def kg_label_propagation(spark, sf):
              .select(F.col("subject").alias("src"),
                      F.col("object_lex").alias("dst")))
     return label_propagation(edges, iters=_LPA_ITERS)
+
+
+# boilerplate-augmented multi-line fixture: the C4 synthesis plus a
+# cookie-banner line on every doc and a newsletter line on even docs
+# — guarantees cross-document duplicate paragraphs (what
+# paragraph_dedup exists to remove) in both engines identically.
+_PARA_SYNTH_SQL = f"""
+{_C4_SYNTH_SQL},
+ pdocs AS (
+  SELECT doc_id,
+         text || chr(10) || 'please accept cookies to continue.'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'subscribe to our newsletter today.'
+                 ELSE '' END AS text
+  FROM syn)
+"""
+
+_PARADEDUP_SQL = f"""
+WITH {_PARA_SYNTH_SQL},
+ p AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS para,
+              generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+       FROM pdocs),
+ r AS (SELECT doc_id, pos, para,
+              ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                 ORDER BY doc_id, pos) AS rn
+       FROM p)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(
+         list(CASE WHEN rn = 1 THEN para END ORDER BY pos)
+           FILTER (WHERE rn = 1), chr(10)), '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
+@q("dedup_paragraphs", _PARADEDUP_SQL)
+def dedup_paragraphs(spark, sf):
+    """Paragraph-level exact dedup / boilerplate removal
+    (scale/dedup.py paragraph_dedup): repeated paragraphs survive
+    only at their first (doc_id, pos) occurrence.  Fixture docs carry
+    injected cookie-banner/newsletter lines so the cross-document
+    duplicate path is non-vacuous; full value-hash oracle including
+    the reassembled clean_text."""
+    d = _c4_synth(spark, sf)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            "text", F.lit("\nplease accept cookies to continue."),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nsubscribe to our newsletter today."))
+            .otherwise(F.lit(""))).alias("text"))
+    return D.paragraph_dedup(aug)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    """Unrolled bounded-round k-core peel over the staged KG uri
+    edges, mirroring ops/graph_analytics.kcore."""
+    parts = [f"""
+WITH e0 AS (SELECT DISTINCT LEAST(subject, object_lex) AS a,
+                   GREATEST(subject, object_lex) AS b
+            FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+            WHERE object_dtype = 'uri' AND subject <> object_lex)"""]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+ k{r} AS (SELECT node FROM (
+    SELECT n AS node, COUNT(*) AS d FROM (
+      SELECT a AS n FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+    GROUP BY n) WHERE d >= {_KCORE_K}),
+ e{r} AS (SELECT a, b FROM e{r - 1}
+          WHERE a IN (SELECT node FROM k{r})
+            AND b IN (SELECT node FROM k{r}))""")
+    parts.append(f"""
+SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT a AS n FROM e{_KCORE_ROUNDS}
+  UNION ALL SELECT b FROM e{_KCORE_ROUNDS})
+GROUP BY n""")
+    return "".join(parts)
+
+
+@q("kg_kcore", _kcore_sql())
+def kg_kcore(spark, sf):
+    """k-core peel (k=2, 3 rounds) over the KG uri edge graph
+    (ops/graph_analytics.kcore): hub-subgraph extraction for entity
+    triage — the whole peel trajectory is value-hash oracled against
+    an unrolled DuckDB recomputation."""
+    from octofludb_spark.ops.graph_analytics import kcore
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# deterministic messy-URL fixture: scheme/host case noise, default
+# port, www, tracking params, fragments — modulo arithmetic gives
+# guaranteed collisions after normalization (<= 20*7*3 distinct
+# canonical URLs over 500+ docs), identically in both engines.
+_URL_SYNTH = """
+  SELECT doc_id,
+         'HTTP://WWW.' || source || '.Example.COM:80/p' ||
+         CAST(doc_id % 7 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=feed' ||
+         CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+"""
+
+_URLDEDUP_SQL = f"""
+WITH u AS ({_URL_SYNTH}),
+ n AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               lower(regexp_extract(regexp_replace(regexp_replace(url,
+                 '#.*', ''), '\\?.*', ''),
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)),
+               '^([a-z][a-z0-9+.-]*://)www\\.', '\\1'),
+             '^(http://.*):80$', '\\1'),
+           '^(https://.*):443$', '\\1')
+         || regexp_replace(
+              substring(regexp_replace(regexp_replace(url, '#.*', ''),
+                        '\\?.*', ''),
+                len(regexp_extract(regexp_replace(regexp_replace(url,
+                    '#.*', ''), '\\?.*', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)) + 1),
+              '/+$', '')
+         || CASE WHEN len(list_filter(string_split(
+                   CASE WHEN contains(regexp_replace(url, '#.*', ''), '?')
+                        THEN regexp_replace(regexp_replace(url, '#.*', ''),
+                                            '^[^?]*\\?', '')
+                        ELSE '' END, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid)(=|$)'))) > 0
+                 THEN '?' || array_to_string(list_filter(string_split(
+                   regexp_replace(regexp_replace(url, '#.*', ''),
+                                  '^[^?]*\\?', ''), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid)(=|$)')), '&')
+                 ELSE '' END AS url_norm
+  FROM u),
+ s AS (SELECT url_norm, MIN(doc_id) AS canon,
+              CAST(COUNT(*) AS BIGINT) AS n_dups
+       FROM n GROUP BY url_norm)
+SELECT n.doc_id, n.url_norm, s.n_dups,
+       CAST(CASE WHEN n.doc_id = s.canon THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM n JOIN s USING (url_norm)
+"""
+
+
+@q("url_dedup", _URLDEDUP_SQL)
+def url_dedup_gate(spark, sf):
+    """URL canonicalization + URL-keyed dedup (scale/text.py
+    url_normalize/url_dedup): fragment/port/www/tracking-param
+    normalization then one hash-agg on the canonical URL — the first
+    dedup layer of a web-corpus pipeline.  The fixture synthesizes
+    messy URLs with guaranteed post-normalization collisions; the
+    oracle recomputes the full normalization in SQL."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."), F.col("source"),
+            F.lit(".Example.COM:80/p"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?id="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&utm_source=feed"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag"))
+            .otherwise(F.lit(""))).alias("url"))
+    return TX.url_dedup(d)

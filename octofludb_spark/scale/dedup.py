@@ -782,3 +782,45 @@ def duplicate_spans(docs: DataFrame, k: int = 8) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Paragraph-level exact deduplication (the RefinedWeb /
+    MassiveWeb boilerplate-removal step, public): every
+    newline-separated paragraph that occurs anywhere else in the
+    corpus survives ONLY at its first occurrence — ordered by
+    (doc_id, position) — so repeated cookie banners / nav footers
+    vanish from every document but the first.  Output
+    (doc_id, n_paras, n_kept, clean_text) with surviving paragraphs
+    re-joined in original order.
+
+    Scale shape: posexplode -> one shuffle keyed on the paragraph
+    digest (the global first-occurrence race is a row_number window
+    per digest — group sizes are the duplication factor, bounded in
+    practice; a pathological mega-hot paragraph would AQE-split), one
+    shuffle back on doc_id to reassemble.  Digests, not paragraph
+    text, ride through the first shuffle."""
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n"))
+        .alias("pos", "para"),
+    ).withColumn("digest", F.md5("para"))
+    w = Window.partitionBy("digest").orderBy("doc_id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rn") == 1,
+                               F.struct("pos", "para")))),
+                    lambda s: s["para"]),
+                "\n").alias("clean_text"),
+        )
+    )

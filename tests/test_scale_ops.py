@@ -1163,3 +1163,52 @@ def test_label_propagation_pinned(spark):
     out = {r.node: r.community for r in label_propagation(e, 3).collect()}
     assert out["a"] == out["b"] == out["c"] == "a"
     assert out["e"] == out["f"] == out["d"]
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    """Repeated paragraphs survive only at the first (doc_id, pos)
+    occurrence; unique paragraphs always survive; order preserved."""
+    from octofludb_spark.scale.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [(1, "unique one\nplease accept cookies\nbody text"),
+         (2, "please accept cookies\nanother body"),
+         (3, "third body\nplease accept cookies")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(d).collect()}
+    assert out[1].n_kept == 3
+    assert out[1].clean_text.split("\n")[1] == "please accept cookies"
+    assert out[2].n_kept == 1 and out[2].clean_text == "another body"
+    assert out[3].n_kept == 1 and out[3].clean_text == "third body"
+
+
+def test_url_normalize_cases(spark):
+    """Fragment, default port, www, tracking params, trailing slash;
+    path case and non-tracking params preserved in order."""
+    from octofludb_spark.scale.text import url_dedup, url_normalize
+
+    d = spark.createDataFrame(
+        [(1, "HTTP://WWW.Example.COM:80/Path/To//?utm_source=x&id=2&fbclid=9#frag"),
+         (2, "https://example.com:443/a/"),
+         (3, "http://example.com/a?utm_campaign=z"),
+         (4, "http://example.com:8080/a")],   # non-default port kept
+        "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in url_normalize(d).collect()}
+    assert got[1] == "http://example.com/Path/To?id=2"
+    assert got[2] == "https://example.com/a"
+    assert got[3] == "http://example.com/a"
+    assert got[4] == "http://example.com:8080/a"
+    dd = {r.doc_id: r for r in url_dedup(d).collect()}
+    assert dd[2].keep == 1 and dd[3].keep == 1  # different schemes differ
+
+
+def test_kcore_peels_tail(spark):
+    """A triangle with a pendant chain: k=2 peeling removes the chain
+    (iteratively) and keeps the triangle at degree 2."""
+    from octofludb_spark.ops.graph_analytics import kcore
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    out = {r.node: r.degree for r in kcore(e, k=2, rounds=3).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
