@@ -458,7 +458,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "clean", "quality", "lang-id", "tfidf", "sample", "chunks",
               "pii-scrub", "profile", "survivors", "containment",
               "winnow", "winnow-pairs", "bigram-lm", "split",
-              "top-quality", "quality-sample")
+              "top-quality", "quality-sample", "c4", "gopher",
+              "ppl-buckets", "dedup-paragraphs", "url-dedup")
 
 
 def cmd_scale(args) -> int:
@@ -513,6 +514,16 @@ def cmd_scale(args) -> int:
         out = TX.top_quality_per_group(docs, key=args.key, n=args.k)
     elif args.op == "quality-sample":
         out = TX.quality_weighted_sample(docs)
+    elif args.op == "c4":
+        out = TX.c4_clean(docs)
+    elif args.op == "gopher":
+        out = TX.gopher_quality(docs)
+    elif args.op == "ppl-buckets":
+        out = TX.perplexity_buckets(docs)
+    elif args.op == "dedup-paragraphs":
+        out = D.paragraph_dedup(docs)
+    elif args.op == "url-dedup":
+        out = TX.url_dedup(docs)  # expects a 'url' column
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:
