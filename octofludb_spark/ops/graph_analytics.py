@@ -378,3 +378,52 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     finally:
         for c in cached:
             c.unpersist()
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_hops: int = 3) -> DataFrame:
+    """Multi-source breadth-first distances over the undirected
+    graph: (node, dist) for every node within ``max_hops`` of any
+    source node (dist = hops to the NEAREST source; sources are
+    dist 0).  Bounded rounds keep the plan unrolled for Catalyst and
+    the trajectory engine-identical, so the full distance table is
+    value-hash oracleable.
+
+    Scale shape: classic frontier BFS — per round one equi-join of
+    the symmetric edge list against the (shrinking) frontier, a
+    distinct, and an anti-join against the visited set; each round is
+    persisted so round d+1 scans materialized frontiers.  The visited
+    set grows to the reachable ball only, never the full corpus,
+    and all joins are keyed shuffles (broadcastable when the frontier
+    is small — AQE decides)."""
+    und = undirect(edges)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+        .join(sym.select(F.col("a").alias("node")).distinct(), "node",
+              "left_semi")  # sources outside the graph contribute nothing
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    frontier = visited.select("node")
+    cached = [sym, visited]
+    try:
+        for d in range(1, max_hops + 1):
+            nxt = (
+                sym.join(frontier.withColumnRenamed("node", "a"), "a")
+                .select(F.col("b").alias("node")).distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(d).cast("long").alias("dist"))
+                .persist()
+            )
+            cached.append(nxt)
+            visited = visited.unionByName(nxt).persist()
+            cached.append(visited)
+            frontier = nxt.select("node")
+        out = visited.persist()
+        out.count()
+        return out
+    finally:
+        for c in cached:
+            c.unpersist()

@@ -2953,3 +2953,62 @@ def url_dedup_gate(spark, sf):
             F.when(F.col("doc_id") % 4 == 0, F.lit("#frag"))
             .otherwise(F.lit(""))).alias("url"))
     return TX.url_dedup(d)
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_sql() -> str:
+    """Unrolled multi-source BFS over the staged KG uri edges,
+    mirroring ops/graph_analytics.bfs_distances: sources are the
+    deterministic 1/16 node sample md5(node) LIKE '0%'."""
+    parts = [f"""
+WITH und AS (SELECT DISTINCT LEAST(subject, object_lex) AS a,
+                    GREATEST(subject, object_lex) AS b
+             FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+             WHERE object_dtype = 'uri' AND subject <> object_lex),
+ sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+ v0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist FROM sym
+        WHERE substring(md5(a), 1, 1) = '0')"""]
+    for d in range(1, _BFS_HOPS + 1):
+        parts.append(f""",
+ f{d} AS (SELECT DISTINCT s.b AS node FROM sym s
+          JOIN v{d - 1} v ON v.node = s.a AND v.dist = {d - 1}),
+ v{d} AS (SELECT node, dist FROM v{d - 1}
+          UNION ALL
+          SELECT node, CAST({d} AS BIGINT) FROM f{d}
+          WHERE node NOT IN (SELECT node FROM v{d - 1}))""")
+    parts.append(f"""
+SELECT node, dist FROM v{_BFS_HOPS}""")
+    return "".join(parts)
+
+
+@q("kg_bfs_distances", _bfs_sql())
+def kg_bfs_distances(spark, sf):
+    """Multi-source BFS distances (ops/graph_analytics.bfs_distances)
+    over the KG uri edge graph from a deterministic 1/16 node sample
+    — neighborhood-expansion / blast-radius queries; the full
+    distance table is value-hash oracled against an unrolled DuckDB
+    recomputation."""
+    from octofludb_spark.ops.graph_analytics import bfs_distances
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    sources = nodes.where(F.substring(F.md5("node"), 1, 1) == "0")
+    return bfs_distances(edges, sources, max_hops=_BFS_HOPS)
+
+
+@q("ann_topk_pq")
+def ann_topk_pq(spark, sf):
+    """PQ/ADC approximate top-k with FAISS-style exact refine
+    (scale/simsearch.py pq_quantize/topk_pq).  Like the other two
+    k-means/float-geometry ANN gates this is rows-only — the codebook
+    comes from sampled k-means, which no SQL oracle can re-derive —
+    but pytest gates recall >= 0.8 against topk_brute and pins the
+    quantizer's determinism."""
+    return S.topk_pq(t(spark, sf, "embeddings"), k=5, refine=8)

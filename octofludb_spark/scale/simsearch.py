@@ -493,3 +493,181 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
             .cast("long").alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, public; the FAISS PQ/ADC
+# recipe): per-subspace k-means codebooks compress each vector to m
+# small codes; search scores candidates from a per-query lookup
+# table without ever reconstructing them.
+
+PQ_M = 16     # subspaces (64-dim -> 4 dims each)
+PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+
+
+def _pq_codebooks(emb: DataFrame, m: int, ksub: int, dim: int,
+                  seed: int, train_fraction: float | None = None):
+    """Driver-side per-subspace k-means on a bounded sample (same
+    TRAIN_CAP contract as topk_ivf — at 10⁹ vectors you collect the
+    capped sample, never the corpus).  Returns (m, ksub, dim//m)
+    float64 centroids, deterministic for a fixed seed."""
+    import numpy as np
+
+    n = int(emb.count())
+    if train_fraction is None:
+        target = min(max(10_000, 40 * ksub * m), TRAIN_CAP)
+        train_fraction = min(1.0, target / max(n, 1))
+    train = emb.select("embedding") if train_fraction >= 1.0 else (
+        emb.select("embedding").sample(fraction=train_fraction, seed=seed))
+    tpdf = train.toPandas()
+    if not len(tpdf):
+        tpdf = emb.select("embedding").limit(10_000).toPandas()
+    X = np.stack(tpdf["embedding"].to_numpy()).astype(np.float64)
+    dsub = dim // m
+    return np.stack([
+        _kmeans_np(X[:, j * dsub:(j + 1) * dsub], ksub, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_quantize(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                dim: int = 64, seed: int = 7) -> DataFrame:
+    """PQ compression: (vec_id, codes, norm, recon_cos) where codes
+    is the m-entry nearest-centroid code per subspace (dim/m floats
+    -> one small int each: 16x compression at m=8,ksub=16 on float32),
+    norm is the EXACT original L2 norm (kept so ADC can return
+    cosine), and recon_cos is the cosine between the vector and its
+    reconstruction (the compression-quality signal).
+
+    Scale shape: codebooks are trained once driver-side (bounded
+    sample) and ride into ONE Arrow-batched pandas UDF; encoding is a
+    single map pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = _pq_codebooks(emb, m, ksub, dim, seed)  # (m, ksub, dsub)
+    dsub = dim // m
+    bnorm2 = (books ** 2).sum(axis=2)  # (m, ksub)
+
+    def _encode(embs):
+        E = np.stack(embs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(E), m), dtype=np.int32)
+        R = np.empty_like(E)
+        for j in range(m):
+            S = E[:, j * dsub:(j + 1) * dsub]
+            d = (-2.0 * S @ books[j].T) + bnorm2[j][None, :]
+            codes[:, j] = d.argmin(axis=1)
+            R[:, j * dsub:(j + 1) * dsub] = books[j][codes[:, j]]
+        en = np.sqrt((E ** 2).sum(axis=1))
+        rn = np.sqrt((R ** 2).sum(axis=1))
+        denom = np.maximum(en * rn, 1e-12)
+        rc = np.round((E * R).sum(axis=1) / denom, 5)
+        return pd.DataFrame({
+            "codes": list(codes.astype(np.int64)),
+            "norm": en,
+            "recon_cos": rc,
+        })
+
+    enc = pandas_udf(_encode, "codes array<long>, norm double,"
+                              " recon_cos double")
+    out = emb.select("vec_id", enc(F.col("embedding")).alias("e"))
+    return out.select("vec_id", F.col("e.codes").alias("codes"),
+                      F.col("e.norm").alias("norm"),
+                      F.col("e.recon_cos").alias("recon_cos"))
+
+
+def topk_pq(emb: DataFrame, k: int = 5, n_queries: int = 20,
+            m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64,
+            seed: int = 7, refine: int = 4) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries keep their full
+    vectors; every candidate is scored from its m codes via a
+    per-query lookup table of subspace dot products — one add per
+    subspace instead of a dim-wide dot, and the candidate corpus is
+    read as codes (16x smaller I/O).  Queries are the deterministic
+    vec_id < ``n_queries`` slice (the gate geometry shared with
+    ann_topk_brute).
+
+    Scale shape: the bounded query slice is collected once and rides
+    into a mapInPandas over the ENCODED corpus — one scan, no
+    shuffle; each batch emits only its local top-(refine·k) per query
+    and the global window ranks ≤ (batches × refine·k) rows per
+    query.  ``refine`` > 1 adds the FAISS refine step: the ADC
+    shortlist (refine·k per query) is re-scored EXACTLY by joining
+    the original vectors back on vec_id — a shortlist-sized keyed
+    join, so full vectors are touched for refine·k·n_queries rows,
+    never the corpus.  At corpus scale the documented composition is
+    IVF lists + PQ codes (FAISS IVFPQ): probe clusters first,
+    ADC-score inside them."""
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_codebooks(emb, m, ksub, dim, seed)
+    dsub = dim // m
+    qrows = (emb.where(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos double, rank int")
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in qrows])
+    qn = np.sqrt((Q ** 2).sum(axis=1))
+    # LUT[q, j, c] = dot(Q[q, sub j], books[j, c])
+    lut = np.stack([
+        Q[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)
+    ], axis=1)  # (nq, m, ksub)
+
+    codes = pq_quantize(emb, m, ksub, dim, seed) \
+        .select("vec_id", "codes", "norm")
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            # gather-sum: scores[q, i] = sum_j lut[q, j, C[i, j]]
+            scores = np.zeros((len(qids), len(C)))
+            for j in range(m):
+                scores += lut[:, j, C[:, j]]
+            cn = pdf["norm"].to_numpy()
+            cosm = scores / np.maximum(qn[:, None] * cn[None, :], 1e-12)
+            cids = pdf["vec_id"].to_numpy()
+            order = np.lexsort(
+                (cids[None, :].repeat(len(qids), 0), -cosm), axis=1)
+            take = min(max(refine, 1) * k + 1, len(cids))
+            sel = order[:, :take]
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, take),
+                "vec_id": cids[sel.ravel()],
+                "cos": np.round(
+                    cosm[np.arange(len(qids))[:, None], sel].ravel(), 5),
+            })
+            yield out[out["query_id"] != out["vec_id"]]
+
+    from pyspark.sql import Window
+
+    scored = codes.mapInPandas(
+        _score, "query_id long, vec_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    if refine <= 1:
+        return (scored
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= k))
+    shortlist = (scored
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= refine * k)
+                 .select("query_id", "vec_id"))
+    qd = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"))
+    cd = emb.select("vec_id", F.col("embedding").alias("ec"),
+                    _norm(F.col("embedding")).alias("nc"))
+    exact = shortlist.join(F.broadcast(qd), "query_id").join(cd, "vec_id")
+    cos = F.round(_dot(F.col("eq"), F.col("ec"))
+                  / (F.col("nq") * F.col("nc")), 5)
+    return (exact.select("query_id", "vec_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

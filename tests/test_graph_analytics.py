@@ -145,3 +145,18 @@ def test_hits_star_semantics(spark):
     many = {(r.node, r.hub_micro, r.auth_micro)
             for r in hits(_edges(spark, pairs).repartition(16)).collect()}
     assert one == many
+
+
+def test_bfs_distances_pinned(spark):
+    """Path graph a-b-c-d-e from source a: exact hop distances within
+    max_hops; beyond-horizon nodes absent; multi-source takes the
+    nearest source; off-graph sources ignored."""
+    from octofludb_spark.ops.graph_analytics import bfs_distances
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    src = spark.createDataFrame([("a",), ("zz",)], "node string")
+    out = {r.node: r.dist for r in bfs_distances(e, src, 3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+    two = spark.createDataFrame([("a",), ("e",)], "node string")
+    out2 = {r.node: r.dist for r in bfs_distances(e, two, 3).collect()}
+    assert out2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}

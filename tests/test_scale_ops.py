@@ -1212,3 +1212,47 @@ def test_kcore_peels_tail(spark):
         "src string, dst string")
     out = {r.node: r.degree for r in kcore(e, k=2, rounds=3).collect()}
     assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_new_cleaning_ops_plan_shapes(spark):
+    """Scale-plan audits for the round-3 cleaning family: C4, Gopher
+    and url_normalize are pure map-side projections (zero Exchange);
+    paragraph_dedup needs exactly its two keyed shuffles (digest race
+    + doc reassembly); url_dedup needs the url_norm agg + join."""
+    from octofludb_spark.scale.dedup import paragraph_dedup
+    from octofludb_spark.scale.text import (c4_clean, gopher_quality,
+                                            url_normalize)
+
+    docs = _docs(spark)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange" not in plan(c4_clean(docs))
+    assert "Exchange" not in plan(gopher_quality(docs))
+    urls = docs.select("doc_id", F.concat(
+        F.lit("http://h/"), F.col("doc_id")).alias("url"))
+    assert "Exchange" not in plan(url_normalize(urls))
+    # digest-window shuffle + groupBy(doc_id) shuffle, nothing more
+    # (each may plan as a partial/final Exchange pair)
+    assert plan(paragraph_dedup(docs)).count("Exchange") <= 4
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ/ADC with exact refine: recall@5 >= 0.8 vs brute force on
+    the sf0.001 embeddings; codes deterministic across invocations;
+    reconstruction quality reported per vector."""
+    from octofludb_spark.scale.simsearch import (pq_quantize, topk_brute,
+                                                 topk_pq)
+
+    emb = _emb(spark)
+    brute = {(r.query_id, r.vec_id) for r in
+             topk_brute(emb, emb.where(F.col("vec_id") < 20), k=5).collect()}
+    got = {(r.query_id, r.vec_id) for r in
+           topk_pq(emb, k=5, refine=8).collect()}
+    assert len(got & brute) / len(brute) >= 0.8
+    c1 = {r.vec_id: tuple(r.codes) for r in pq_quantize(emb).collect()}
+    c2 = {r.vec_id: tuple(r.codes) for r in pq_quantize(emb).collect()}
+    assert c1 == c2
+    rc = pq_quantize(emb).agg(F.avg("recon_cos")).first()[0]
+    assert rc > 0.7  # 16x-compressed reconstruction keeps most signal
