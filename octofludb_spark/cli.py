@@ -459,7 +459,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "pii-scrub", "profile", "survivors", "containment",
               "winnow", "winnow-pairs", "bigram-lm", "split",
               "top-quality", "quality-sample", "c4", "gopher",
-              "ppl-buckets", "dedup-paragraphs", "url-dedup")
+              "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq")
 
 
 def cmd_scale(args) -> int:
@@ -524,6 +524,10 @@ def cmd_scale(args) -> int:
         out = D.paragraph_dedup(docs)
     elif args.op == "url-dedup":
         out = TX.url_dedup(docs)  # expects a 'url' column
+    elif args.op == "pq":
+        # expects an embeddings parquet (vec_id, embedding)
+        from octofludb_spark.scale.simsearch import pq_quantize
+        out = pq_quantize(docs)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:
