@@ -821,7 +821,7 @@ def c4_clean(docs: DataFrame,
     lambda variable only (nothing captured), so there is no
     per-element re-evaluation blowup (see chunk_documents' pitfall
     note)."""
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
 
     def line_ok(line):
         ok = (F.size(F.split(line, " ")) >= min_line_words) \
@@ -832,7 +832,7 @@ def c4_clean(docs: DataFrame,
 
     kept = F.filter(lines, line_ok)
     doc_keep = (F.size(kept) >= min_lines) \
-        & ~F.lower(F.col("text")).contains(C4_DOC_BAD)
+        & ~F.lower(F.coalesce(F.col("text"), F.lit(""))).contains(C4_DOC_BAD)
     return docs.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
@@ -858,18 +858,19 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     Output (doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio,
     stop_hits, keep) — all rule inputs emitted so a user can audit
     WHY a document fell.  One map-side projection, no shuffle."""
-    words = F.split(F.trim("text"), " ")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    words = F.split(F.trim(text), " ")
     n_words = F.size(words)
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     n_stop = F.size(
         F.filter(words, lambda w: F.lower(w).isin(list(GOPHER_STOPWORDS))))
-    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
-    n_ell = (F.length("text")
-             - F.length(F.replace("text", F.lit("...")))) / 3
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = (F.length(text)
+             - F.length(F.replace(text, F.lit("...")))) / 3
     d = docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(F.length(F.replace("text", F.lit(" ")))
+        F.round(F.length(F.replace(text, F.lit(" ")))
                 / F.greatest(n_words, F.lit(1)), 5).alias("mean_word_len"),
         F.round(n_alpha / F.greatest(n_words, F.lit(1)), 5)
         .alias("frac_alpha"),

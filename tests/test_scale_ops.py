@@ -921,6 +921,9 @@ def test_scale_ops_tolerate_null_and_empty_text(spark):
         lambda: TX.pmi_bigrams(docs, 1),
         lambda: TX.corpus_profile(docs),
         lambda: TX.temperature_sample(docs),
+        lambda: TX.c4_clean(docs),
+        lambda: TX.gopher_quality(docs),
+        lambda: D.paragraph_dedup(docs),
     ):
         assert fn().count() >= 0
 
