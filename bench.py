@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # session-2 flagships: heuristic cleaning (pure map-side),
+    # paragraph-level boilerplate dedup (two keyed shuffles), and
+    # SemDeDup over embeddings (LSH pairs -> CC -> representative)
+    "text_c4_clean",
+    "dedup_paragraphs",
+    "semantic_dedup",
 ]
 
 

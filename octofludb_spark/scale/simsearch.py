@@ -375,7 +375,7 @@ def _topk_by_bucket(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
-                     n_bands: int = 4, band_planes: int = 4,
+                     n_bands: int = 4, band_planes: int | None = None,
                      dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs at scale: banded hyperplane LSH
     candidates + exact cosine verify over the candidates ONLY —
@@ -389,9 +389,20 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     joins embeddings back onto the candidate ids, so full vectors
     are never carried through the bucket join.  Recall for a pair at
     angle θ is 1-(1-(1-θ/π)^band_planes)^n_bands — raise n_bands for
-    recall, band_planes for precision; size band_planes ~
-    adaptive_n_planes(n) to hold bucket occupancy flat as the corpus
-    grows."""
+    recall, band_planes for precision.
+
+    ``band_planes`` defaults ADAPTIVELY to
+    max(4, ceil(log2(n / 32))): expected per-band bucket occupancy
+    stays ~32 so verify work per vector is bounded at ANY corpus
+    size (the fixed-4 geometry makes ~n/16-vector buckets — at 10⁹
+    rows that is a candidate explosion).  The floor of 4 pins the
+    driver-gate geometry (500-vector corpus → 4, matching the static
+    16-plane DuckDB oracle)."""
+    import math
+
+    if band_planes is None:
+        n = emb.count()
+        band_planes = max(4, math.ceil(math.log2(max(n / 32, 2.0))))
     total = n_bands * band_planes
     bits = _bucket_bits(emb, total, dim).select("vec_id", "bits")
     bands = bits.select(
