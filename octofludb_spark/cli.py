@@ -459,7 +459,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "pii-scrub", "profile", "survivors", "containment",
               "winnow", "winnow-pairs", "bigram-lm", "split",
               "top-quality", "quality-sample", "c4", "gopher",
-              "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq")
+              "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
+              "cdc-chunks", "cdc-dedup", "inverted-index")
 
 
 def cmd_scale(args) -> int:
@@ -528,6 +529,12 @@ def cmd_scale(args) -> int:
         # expects an embeddings parquet (vec_id, embedding)
         from octofludb_spark.scale.simsearch import pq_quantize
         out = pq_quantize(docs)
+    elif args.op == "cdc-chunks":
+        out = TX.cdc_chunks(docs)
+    elif args.op == "cdc-dedup":
+        out = TX.cdc_duplicate_chunks(docs)
+    elif args.op == "inverted-index":
+        out = TX.inverted_index(docs, max_postings=args.k, min_df=2)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:

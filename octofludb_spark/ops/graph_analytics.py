@@ -427,3 +427,67 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     finally:
         for c in cached:
             c.unpersist()
+
+
+def node_similarity(edges: DataFrame, min_common: int = 1,
+                    max_center_degree: int | None = 100_000) -> DataFrame:
+    """Common-neighbor / Jaccard node-pair similarity (the classic
+    link-prediction scores) over the undirected graph: (a, b, common,
+    deg_a, deg_b, jaccard_micro) for unordered pairs a < b with at
+    least ``min_common`` common neighbors.  jaccard_micro =
+    common * 10^6 // (deg_a + deg_b - common) — integer micro-units so
+    the value is bit-identical across engines and parallelism.
+
+    Scale shape: pairs are generated from each shared neighbor as the
+    WEDGE CENTER — a center of degree d contributes d*(d-1)/2 pair
+    rows, so hub nodes are the quadratic hazard (degree orientation
+    cannot help here: unlike triangles, every wedge IS an output
+    contributor).  ``max_center_degree`` excludes centers above the
+    cap BEFORE the self-join, applied and LOGGED (never silent) —
+    the standard mitigation (a hub shared by two nodes says little
+    about their similarity, cf. stopword df-capping in text dedup).
+    Within the cap the plan is two keyed exchanges: the wedge
+    self-join on center, and the pair hash-agg."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    und = undirect(edges).persist()
+    nbr = (
+        und.select(F.col("a").alias("ctr"), F.col("b").alias("nb"))
+        .unionByName(und.select(F.col("b").alias("ctr"),
+                                F.col("a").alias("nb")))
+    )
+    deg = nbr.groupBy("ctr").agg(F.count("*").alias("d"))
+    if max_center_degree is not None:
+        hubs = deg.where(F.col("d") > max_center_degree).persist()
+        n_hubs = hubs.count()
+        if n_hubs:
+            log.warning(
+                "node_similarity: excluding %d wedge centers with degree"
+                " > %d", n_hubs, max_center_degree)
+            nbr = nbr.join(hubs.select("ctr"), "ctr", "left_anti")
+        else:
+            hubs.unpersist()
+    v = nbr.select("ctr", F.col("nb").alias("a"))
+    w = nbr.select("ctr", F.col("nb").alias("b"))
+    common = (
+        v.join(w, "ctr").where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("ctr").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("ctr").alias("b"), F.col("d").alias("deg_b"))
+    out = (
+        common.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "common",
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            # `div` is Spark's INTEGER division — float `/` + cast can
+            # land one off DuckDB's `//` when the quotient is exact
+            F.expr("common * 1000000L div (deg_a + deg_b - common)")
+            .cast("long").alias("jaccard_micro"),
+        )
+    )
+    return out

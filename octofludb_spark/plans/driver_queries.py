@@ -3012,3 +3012,225 @@ def ann_topk_pq(spark, sf):
     but pytest gates recall >= 0.8 against topk_brute and pins the
     quantizer's determinism."""
     return S.topk_pq(t(spark, sf, "embeddings"), k=5, refine=8)
+
+
+# --------------------------------------------------------------------------
+# round-3 session-3 additions: bloom decontamination, CDC chunking,
+# inverted index, graph node similarity
+# --------------------------------------------------------------------------
+
+def _hex5(expr: str, off: int) -> str:
+    """DuckDB SQL for hex digits [off, off+5) of ``expr`` (1-based,
+    lowercase hex) read as an integer — the oracle twin of Spark's
+    conv(substring(md5, off, 5), 16, 10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {off + j}, 1)) - 1)"
+        f" * {16 ** (4 - j)}"
+        for j in range(5)
+    ) + ")"
+
+
+_BLOOM_SQL = f"""
+WITH bench AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+           AS text
+  FROM documents WHERE doc_id % 41 = 0),
+ w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ idx AS (SELECT doc_id, ws, UNNEST(range(len(ws) - 2)) AS i
+         FROM w WHERE len(ws) >= 3),
+ sh AS (SELECT DISTINCT doc_id,
+               ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+        FROM idx),
+ bw AS (SELECT text, string_split(text, ' ') AS ws FROM bench),
+ bidx AS (SELECT ws, UNNEST(range(len(ws) - 2)) AS i
+          FROM bw WHERE len(ws) >= 3),
+ bsh AS (SELECT DISTINCT ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                  AS shingle FROM bidx),
+ bh AS (SELECT md5(shingle) AS hx FROM bsh),
+ bpos AS (SELECT DISTINCT i, pos FROM (
+    SELECT 0 AS i, {_hex5('hx', 1)} AS pos FROM bh
+    UNION ALL SELECT 1, {_hex5('hx', 6)} FROM bh
+    UNION ALL SELECT 2, {_hex5('hx', 11)} FROM bh)),
+ dh AS (SELECT doc_id, shingle, md5(shingle) AS hx FROM sh),
+ dpos AS (
+    SELECT doc_id, shingle, 0 AS i, {_hex5('hx', 1)} AS pos FROM dh
+    UNION ALL SELECT doc_id, shingle, 1, {_hex5('hx', 6)} FROM dh
+    UNION ALL SELECT doc_id, shingle, 2, {_hex5('hx', 11)} FROM dh),
+ hit AS (SELECT doc_id, shingle FROM dpos
+         JOIN bpos USING (i, pos)
+         GROUP BY doc_id, shingle HAVING COUNT(*) = 3)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+FROM hit GROUP BY doc_id
+"""
+
+
+@q("decontaminate_bloom", _BLOOM_SQL)
+def decontaminate_bloom(spark, sf):
+    """Bloom-filter decontamination (scale/dedup.bloom_decontaminate):
+    the same deterministic benchmark as decontaminate_benchmark (first
+    30 words of every 41st doc) probed through a partitioned Bloom
+    filter — k=3 md5-hex-slice hashes into 2^20-bit slices.  The
+    oracle recomputes the identical positions with nibble arithmetic;
+    false positives (if any at this scale) are deterministic and
+    appear in BOTH engines, which is the point: approximate
+    structures can still be exactly checkable."""
+    d = t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
+    )
+    return D.bloom_decontaminate(d, bench)
+
+
+_CDC_SQL = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+ t AS (SELECT doc_id, UNNEST(ws) AS word, UNNEST(range(len(ws))) AS pos
+       FROM w),
+ b AS (SELECT doc_id, pos, word,
+              CASE WHEN substr(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END
+                AS bnd
+       FROM t),
+ c AS (SELECT doc_id, pos, word,
+              SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos) - bnd
+                AS chunk_idx
+       FROM b)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+FROM c GROUP BY doc_id, chunk_idx
+"""
+
+
+@q("text_cdc_chunks", _CDC_SQL)
+def text_cdc_chunks(spark, sf):
+    """Content-defined chunking (scale/text.cdc_chunks): word-level
+    CDC with a 1/16 md5-nibble boundary rule — the LBFS/rsync
+    chunking idea as a relational plan, so chunk digests re-align
+    across shifted near-copies."""
+    return TX.cdc_chunks(t(spark, sf, "documents"))
+
+
+_CDC_SHIFT_SQL = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ shifted AS (SELECT doc_id + 1000000 AS doc_id,
+        array_to_string(
+          list_slice(string_split(text, ' '), 6,
+                     len(string_split(text, ' '))), ' ') AS text
+      FROM base WHERE doc_id % 37 = 0),
+ corpus AS (SELECT * FROM base UNION ALL SELECT * FROM shifted),
+ w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+ t AS (SELECT doc_id, UNNEST(ws) AS word, UNNEST(range(len(ws))) AS pos
+       FROM w),
+ b AS (SELECT doc_id, pos, word,
+              CASE WHEN substr(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END
+                AS bnd
+       FROM t),
+ c AS (SELECT doc_id, pos, word,
+              SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos) - bnd
+                AS chunk_idx
+       FROM b),
+ ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS digest
+        FROM c GROUP BY doc_id, chunk_idx)
+SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(MIN(n_words) AS BIGINT) AS n_words
+FROM ch GROUP BY digest HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+@q("dedup_cdc_shifted", _CDC_SHIFT_SQL)
+def dedup_cdc_shifted(spark, sf):
+    """Shift-invariant duplicate detection via CDC chunk digests
+    (scale/text.cdc_duplicate_chunks): every 37th document is cloned
+    with its first 5 words dropped (doc_id + 10^6) — the prefix-shift
+    that defeats fixed-window chunk digests — and the chunker still
+    re-synchronizes at the first content boundary, so the clones
+    surface as cross-document duplicate chunks.  Non-vacuous by
+    construction."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    shifted = d.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 6, 1_000_000), " ")
+        .alias("text"),
+    )
+    return TX.cdc_duplicate_chunks(d.unionByName(shifted))
+
+
+_INVIDX_SQL = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(coalesce(text, ''), ' '))
+                      AS term
+             FROM documents),
+ tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+ cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tk GROUP BY term),
+ pairs AS (SELECT DISTINCT term, doc_id FROM tk),
+ dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs
+         GROUP BY term),
+ rk AS (SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+        FROM pairs),
+ post AS (SELECT term,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+          FROM rk WHERE r <= 20 GROUP BY term)
+SELECT dfq.term, dfq.df, cf.cf, post.postings
+FROM dfq JOIN cf USING (term) JOIN post USING (term)
+WHERE dfq.df >= 10
+"""
+
+
+@q("text_inverted_index", _INVIDX_SQL)
+def text_inverted_index(spark, sf):
+    """Inverted-index construction (scale/text.inverted_index): exact
+    df/cf per term plus the first-20 posting segment, postings capped
+    by a rank window BEFORE any list materializes (hot terms cost
+    max_postings rows, not df rows).  min_df=10 bounds the gate to
+    the non-hapax vocabulary."""
+    return TX.inverted_index(t(spark, sf, "documents"),
+                             max_postings=20, min_df=10)
+
+
+# the part co-purchase graph is DENSE (mean common-neighbor count ~6 at
+# sf0.01) — the gate thresholds at 18 so the checked pair set is the
+# high-signal head (~9k rows), not 2M near-noise pairs
+_NODESIM_MIN_COMMON = 18
+
+_NODESIM_SQL = f"""
+WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+ nbr AS (SELECT a AS ctr, b AS nb FROM e0
+         UNION ALL SELECT b, a FROM e0),
+ deg AS (SELECT ctr, COUNT(*) AS d FROM nbr GROUP BY ctr),
+ pr AS (SELECT v.nb AS a, w.nb AS b, COUNT(*) AS common
+        FROM nbr v JOIN nbr w ON v.ctr = w.ctr AND v.nb < w.nb
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_NODESIM_MIN_COMMON})
+SELECT pr.a, pr.b, CAST(pr.common AS BIGINT) AS common,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       CAST(pr.common * 1000000 // (da.d + db.d - pr.common) AS BIGINT)
+         AS jaccard_micro
+FROM pr JOIN deg da ON da.ctr = pr.a JOIN deg db ON db.ctr = pr.b
+"""
+
+
+@q("kg_node_similarity", _NODESIM_SQL)
+def kg_node_similarity(spark, sf):
+    """Common-neighbor / Jaccard link prediction
+    (ops/graph_analytics.node_similarity) over the part co-purchase
+    graph — wedge-center pair generation with the hub-degree cap
+    (no-op at gate scale, logged when it binds), integer micro-unit
+    Jaccard for bit-identical cross-engine values."""
+    from octofludb_spark.ops.graph_analytics import node_similarity
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    s = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (r.join(s, "k").where(F.col("src") < F.col("dst"))
+             .select("src", "dst"))
+    return node_similarity(edges, min_common=_NODESIM_MIN_COMMON)

@@ -824,3 +824,78 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
                 "\n").alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (partitioned Bloom, deterministic hashes)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_SLICE = 1 << 20  # 16^5 positions per hash slice
+BLOOM_K = 3  # hash functions (= slices of the md5 hex digest)
+
+
+def _bloom_positions(sh: DataFrame, k: int = BLOOM_K) -> DataFrame:
+    """Explode each (doc_id, shingle) row into its ``k`` Bloom
+    positions (i, pos): position ``i`` is hex digits [5i, 5i+5) of
+    md5(shingle) read as an integer — a 20-bit value, so the slice's
+    bit-array size is fixed at 2^20 and every engine (Spark `conv`,
+    DuckDB nibble arithmetic) computes the identical position."""
+    md = F.md5(F.col("shingle"))
+    slots = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.conv(F.substring(md, 1 + 5 * i, 5), 16, 10)
+            .cast("long").alias("pos"),
+        )
+        for i in range(k)
+    ])
+    return (
+        sh.select("doc_id", "shingle", F.explode(slots).alias("s"))
+        .select("doc_id", "shingle", F.col("s.i").alias("i"),
+                F.col("s.pos").alias("pos"))
+    )
+
+
+def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 3, k: int = BLOOM_K) -> DataFrame:
+    """Benchmark decontamination through a PARTITIONED BLOOM FILTER
+    (one 2^20-bit slice per hash function; Kirsch-Mitzenmatcher-style
+    positions derived from disjoint md5 hex slices): a corpus shingle
+    is flagged iff ALL ``k`` of its positions were set by some
+    benchmark shingle.  Returns (doc_id, n_bloom_hits) for documents
+    with at least one flagged shingle — a deterministic SUPERSET of
+    the exact contaminated set (Bloom false positives are part of the
+    semantics and identical on every engine, so the result is still
+    exactly reproducible and hash-oracle-able).
+
+    Scale shape vs contaminated_docs (the exact-join variant): the
+    filter the executors consult is k*2^20 BITS regardless of
+    benchmark size — here materialized as the distinct (i, pos) set
+    (<= 3*2^20 rows ~ a few MB) and BROADCAST, the relational twin of
+    shipping the bit array itself.  The corpus side stays map-side
+    (shingle -> k positions via one md5) and only position-matching
+    rows reach the two hash-aggs; with an actual bitset the probe
+    would be a map-side filter with NO join at all — the DF-of-set-
+    positions form is chosen because it keeps the whole plan
+    Catalyst-visible and engine-checkable.  False-positive rate at
+    benchmark cardinality B: (1 - exp(-B/2^20))^k — ~1e-8 at B=10^4,
+    so a 10^9-doc corpus sees ~0 spurious doc flags until the
+    benchmark outgrows the slice, at which point BLOOM_BITS_PER_SLICE
+    scales by taking more hex digits."""
+    doc_pos = _bloom_positions(shingles(docs, n=n), k)
+    bench_pos = (
+        _bloom_positions(
+            shingles(benchmark.select(F.col("bench_id").alias("doc_id"),
+                                      "text"), n=n), k)
+        .select("i", "pos").distinct()
+    )
+    hits = (
+        doc_pos.join(F.broadcast(bench_pos), ["i", "pos"])
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("n_set"))
+        .where(F.col("n_set") == k)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bloom_hits"))
+    )

@@ -977,3 +977,131 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
                 (F.col("doc_id") == F.col("canon")).cast("long")
                 .alias("keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — shift-invariant dedup units
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(docs: DataFrame, boundary_nibble: str = "0") -> DataFrame:
+    """Content-defined chunking at word granularity: a word TERMINATES
+    its chunk when the last hex nibble of md5(word) equals
+    ``boundary_nibble`` (P = 1/16, so the expected chunk is 16 words).
+    Returns (doc_id, chunk_idx, n_words, digest) — one row per chunk,
+    ``digest`` = md5 of the space-joined chunk text.
+
+    This is the LBFS/rsync content-defined-chunking idea applied to
+    training text: because boundaries depend only on LOCAL content,
+    inserting or deleting a prefix re-synchronizes the chunk stream
+    after the next boundary — chunk digests from two shifted
+    near-copies re-align, where fixed-width windows (chunk_documents)
+    never re-align.  The classic production rolling hash (Rabin/buzhash
+    over bytes) is an incremental-evaluation trick for the SAME
+    semantics: the boundary test here is a pure function of one word,
+    so the relational form stays engine-checkable.
+
+    Scale shape: the boundary flag and word positions are computed
+    map-side (posexplode of the split array, one md5 per word);
+    chunk_idx is a running sum over (doc_id, pos) — ONE shuffle on
+    doc_id — and the chunk re-assembly groups on (doc_id, chunk_idx),
+    a second keyed exchange.  Both keys are document-local so no
+    global hotspot exists: skew is bounded by the longest document,
+    exactly like chunk_documents."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), " "))
+        .alias("pos", "word"),
+    ).withColumn(
+        "bnd",
+        (F.substring(F.md5("word"), 32, 1) == boundary_nibble).cast("int"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = w.withColumn(
+        "chunk_idx", (F.sum("bnd").over(win) - F.col("bnd")).cast("long")
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"],
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+    )
+
+
+def cdc_duplicate_chunks(docs: DataFrame,
+                         boundary_nibble: str = "0") -> DataFrame:
+    """Cross-document duplicate CDC chunks: (digest, n_docs, n_copies,
+    canonical_doc_id, n_words) for every chunk digest appearing in
+    MORE THAN ONE document.  The shift-invariance of cdc_chunks makes
+    this catch quote/excerpt duplication that fixed-window chunk
+    digests miss whenever the copy starts mid-window.
+
+    Scale shape: one hash-agg on digest after the chunker — the
+    duplicate-chunk dictionary is the output, never the corpus."""
+    ch = cdc_chunks(docs, boundary_nibble)
+    return (
+        ch.groupBy("digest")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("n_words").alias("n_words"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (capped postings)
+# ---------------------------------------------------------------------------
+
+def inverted_index(docs: DataFrame, max_postings: int = 20,
+                   min_df: int = 1) -> DataFrame:
+    """Posting-list construction: (term, df, cf, postings) where df =
+    distinct documents containing the term, cf = total occurrences,
+    and ``postings`` is the FIRST ``max_postings`` doc_ids ascending,
+    comma-joined.  ``min_df`` drops the long hapax tail from the
+    output (df/cf are still exact).
+
+    Scale shape: term frequencies are plain map-side-combined
+    hash-aggs (no lists ever materialize for them).  The posting cap
+    is enforced by a rank WINDOW over (term ORDER BY doc_id) BEFORE
+    any list is built, so a stopword appearing in 10^9 documents
+    contributes max_postings rows to the collect — not 10^9 (the
+    window itself streams with spill; a production index would shard
+    postings into fixed-size segment rows the same way, this is the
+    head segment).  Three aggs share the shuffle key ``term`` so AQE
+    coalesces them onto one exchange footprint."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    cf = tok.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    pairs = tok.select("term", "doc_id").distinct()
+    df = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    rk = pairs.withColumn(
+        "r", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    ).where(F.col("r") <= max_postings)
+    post = rk.groupBy("term").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("doc_id"))),
+                        lambda s: s["doc_id"].cast("string")),
+            ",",
+        ).alias("postings")
+    )
+    out = df.join(cf, "term").join(post, "term")
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out.select("term", "df", "cf", "postings")
