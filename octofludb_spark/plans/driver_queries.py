@@ -1049,6 +1049,125 @@ def ann_topk_ivf(spark, sf):
     return S.topk_ivf(t(spark, sf, "embeddings"), k=5)
 
 
+# full value-hash oracle for the IVF geometry: DuckDB reproduces the
+# deterministic random-sample coarse quantizer (md5-smallest vec_ids),
+# the min-cos cell assignment, the nprobe probe set, the in-cell
+# candidate join AND the (rounded-cos, vec_id) ranking — everything
+# but the Lloyd-trained centroids, which are the one non-SQL piece of
+# the production path (ann_topk_ivf stays rows-only + recall-gated)
+_ANNIVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+ aff AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * SQRT(list_sum(list_transform(range(1, 65),
+                i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))))
+         , 5) AS ccos
+  FROM embeddings e CROSS JOIN cent c),
+ ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid ASC) AS crank
+  FROM aff),
+ assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE crank = 1),
+ probes AS (SELECT vec_id AS query_id, cid AS cell
+            FROM ranked WHERE crank <= 2),
+ cand AS (
+  SELECT p.query_id, s.vec_id
+  FROM probes p JOIN assign s USING (cell)
+  WHERE s.vec_id <> p.query_id),
+ scored AS (
+  SELECT cd.query_id, cd.vec_id, {_COS_EXPR} AS cos
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.vec_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@q("ann_topk_ivf_ids", _ANNIVF_SQL)
+def ann_topk_ivf_ids(spark, sf):
+    """IVF ANN with the full inverted-list geometry value-hash-oracled
+    (see _ANNIVF_SQL): deterministic sample centroids, cell
+    assignment, probes, candidate set, rounded scores and rank all
+    match DuckDB bit-for-bit.  The production path (`ann_topk_ivf`)
+    shares this execution shape with trained centroids; pytest ties
+    the two on recall."""
+    return S.topk_ivf_ranked(t(spark, sf, "embeddings"),
+                             k=5, n_centroids=8, nprobe=2)
+
+
+def _pq_twin_sql(k: int = 5, n_queries: int = 20, m: int = 16,
+                 ksub: int = 16, dim: int = 64) -> str:
+    """DuckDB twin of S.topk_pq_ranked: deterministic random-sample
+    codebooks, min-L2 encoding, reconstruction-based ADC cosine."""
+    dsub = dim // m
+    return f"""
+WITH sv AS (
+  SELECT vec_id, f.j AS sub,
+         list_slice(embedding, f.j * {dsub} + 1, f.j * {dsub} + {dsub}) AS svec
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range({m})) AS j) f),
+ books AS (
+  SELECT sub, code, svec AS cw FROM (
+    SELECT sub, svec,
+           ROW_NUMBER() OVER (PARTITION BY sub
+             ORDER BY md5(CAST(sub AS VARCHAR) || '|'
+                          || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+    FROM sv) WHERE code < {ksub}),
+ enc AS (
+  SELECT vec_id, sub, cw FROM (
+    SELECT s.vec_id, s.sub, b.code, b.cw,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+             list_sum(list_transform(range(1, {dsub + 1}),
+               i -> (CAST(s.svec[i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE))
+                  * (CAST(s.svec[i] AS DOUBLE) - CAST(b.cw[i] AS DOUBLE))))
+             ASC, b.code ASC) AS r
+    FROM sv s JOIN books b USING (sub)) WHERE r = 1),
+ recon AS (
+  SELECT vec_id, flatten(list(cw ORDER BY sub)) AS rv
+  FROM enc GROUP BY vec_id),
+ scored AS (
+  SELECT a.vec_id AS query_id, r.vec_id AS vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, {dim + 1}),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(r.rv[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(range(1, {dim + 1}),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * SQRT(list_sum(list_transform(range(1, {dim + 1}),
+                i -> CAST(r.rv[i] AS DOUBLE) * CAST(r.rv[i] AS DOUBLE)))))
+         , 5) AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) a
+  JOIN recon r ON r.vec_id <> a.vec_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+@q("ann_topk_pq_ids", _pq_twin_sql(ksub=32))
+def ann_topk_pq_ids(spark, sf):
+    """PQ/ADC ANN with the full quantize-encode-score recipe
+    value-hash-oracled (see _pq_twin_sql): deterministic sample
+    codebooks, min-L2 code assignment, reconstruction, rounded ADC
+    cosine and rank all match DuckDB bit-for-bit.  The production
+    path (`ann_topk_pq`) shares this recipe with k-means codebooks +
+    LUT gather-sum + exact refine; pytest ties the two on
+    reconstruction quality and recall."""
+    return S.topk_pq_ranked(t(spark, sf, "embeddings"),
+                            k=5, n_queries=20, ksub=32)
+
+
 # --------------------------------------------------------------------------
 # text analysis (over documents)
 # --------------------------------------------------------------------------

@@ -682,3 +682,133 @@ def topk_pq(emb: DataFrame, k: int = 5, n_queries: int = 20,
     return (exact.select("query_id", "vec_id", cos.alias("cos"))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def topk_ivf_ranked(emb: DataFrame, k: int = 5, n_centroids: int = 8,
+                    nprobe: int = 2) -> DataFrame:
+    """Hash-oracle-able twin of ``topk_ivf``: the SAME inverted-list
+    execution shape (coarse quantizer -> cell assignment -> nprobe
+    probes -> candidates scored inside probed cells only), but with a
+    DETERMINISTIC coarse quantizer an external SQL engine can
+    reproduce — the ``n_centroids`` vectors with the smallest
+    md5(vec_id) are the centroids (a plain random-sample quantizer, a
+    legitimate IVF configuration FAISS also supports) instead of the
+    Lloyd-trained one, and all scoring via the JVM fold cosine
+    (bit-identical to a SQL left fold) instead of the cogrouped numpy
+    matmul.  Everything — centroid choice, cell assignment, probe
+    set, candidate set, rounded scores AND rank — value-hash-matches
+    DuckDB.  The production path stays ``topk_ivf`` (trained
+    centroids, one matmul per cell); pytest ties the two on recall.
+
+    Scale shape: centroid selection is a TakeOrdered (per-partition
+    top-n + driver merge of n_centroids rows, never a global sort);
+    assignment is a broadcast crossJoin against the tiny centroid
+    set; the candidate join is ONE Exchange on the cell id."""
+    from pyspark.sql import Window
+
+    v = emb.select("vec_id", "embedding",
+                   _norm(F.col("embedding")).alias("nv"))
+    cent = (
+        v.select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("ce"),
+                 F.col("nv").alias("ncn"),
+                 F.md5(F.col("vec_id").cast("string")).alias("mk"))
+        .orderBy("mk", "cid").limit(n_centroids)
+        .drop("mk")
+    )
+    aff = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nv", "cid",
+        F.round(_dot(F.col("embedding"), F.col("ce"))
+                / (F.col("nv") * F.col("ncn")), 5).alias("ccos"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc())
+    ranked = aff.withColumn("crank", F.row_number().over(wc))
+    assign = ranked.where(F.col("crank") == 1).select(
+        "vec_id", F.col("embedding").alias("ec"),
+        F.col("nv").alias("nc"), F.col("cid").alias("cell"))
+    probes = ranked.where(F.col("crank") <= nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("nv").alias("nq"), F.col("cid").alias("cell"))
+    # a candidate lives in exactly ONE cell, so each (query, candidate)
+    # pair is scored at most once — no dedup needed
+    pairs = probes.join(assign, "cell").where(
+        F.col("query_id") != F.col("vec_id"))
+    cos = F.round(_dot(F.col("eq"), F.col("ec"))
+                  / (F.col("nq") * F.col("nc")), 5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (pairs.select("query_id", "vec_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))
+
+
+def topk_pq_ranked(emb: DataFrame, k: int = 5, n_queries: int = 20,
+                   m: int = PQ_M, ksub: int = PQ_KSUB,
+                   dim: int = 64) -> DataFrame:
+    """Hash-oracle-able twin of ``topk_pq``: the SAME PQ/ADC recipe
+    (per-subspace codebooks -> nearest-code encoding -> candidates
+    scored against the query through their RECONSTRUCTION only), with
+    a DETERMINISTIC codebook an external SQL engine can reproduce —
+    subspace j's ``ksub`` codewords are the j-th subvectors of the
+    vectors with the smallest md5(j|vec_id) (a random-sample
+    codebook) instead of the k-means-trained one, and fold arithmetic
+    everywhere.  Codebook choice, code assignment (min-L2, code-index
+    tiebreak), reconstruction, rounded ADC cosine and rank all
+    value-hash-match DuckDB.  The production path stays ``topk_pq``
+    (trained codebooks, LUT gather-sum, exact refine); pytest ties
+    the two on reconstruction quality and recall.
+
+    Note the codebook window partitions by subspace over the corpus —
+    the twin's 'training' pass; the production path trains on a
+    bounded driver-side sample instead, which is the 10^9-vector
+    design."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    sv = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
+    ).select(
+        "vec_id", "sub",
+        F.slice("embedding", F.col("sub") * dsub + 1, dsub).alias("svec"),
+    )
+    wb = Window.partitionBy("sub").orderBy(
+        F.md5(F.concat_ws("|", F.col("sub"), F.col("vec_id"))),
+        F.col("vec_id"))
+    books = (
+        sv.withColumn("code", F.row_number().over(wb) - 1)
+        .where(F.col("code") < ksub)
+        .select("sub", "code", F.col("svec").alias("cw"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cw"),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wenc = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc())
+    enc = (
+        sv.join(F.broadcast(books), "sub")
+        .select("vec_id", "sub", "code", "cw", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wenc))
+        .where(F.col("r") == 1)
+    )
+    recon = enc.groupBy("vec_id").agg(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cw"))),
+            lambda s: s["cw"])).alias("rv"))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm(F.col("embedding")).alias("nq"))
+    c = recon.select("vec_id", F.col("rv").alias("rv"),
+                     _norm(F.col("rv")).alias("nr"))
+    scored = F.broadcast(q).crossJoin(c).where(
+        F.col("query_id") != F.col("vec_id"))
+    cos = F.round(_dot(F.col("eq"), F.col("rv"))
+                  / (F.col("nq") * F.col("nr")), 5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (scored.select("query_id", "vec_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

@@ -1259,3 +1259,55 @@ def test_pq_recall_and_determinism(spark):
     assert c1 == c2
     rc = pq_quantize(emb).agg(F.avg("recon_cos")).first()[0]
     assert rc > 0.7  # 16x-compressed reconstruction keeps most signal
+
+
+def test_topk_ivf_ranked_ties_production_geometry(spark):
+    """The hash-oracle IVF twin (deterministic sample centroids, fold
+    cosine) must behave like a real inverted-list index: useful recall
+    vs brute, every neighbor reachable through a probed cell, <= k
+    ranks per query, and bit-identical output under repartitioning."""
+    from octofludb_spark.scale.simsearch import topk_brute, topk_ivf_ranked
+
+    emb = _emb(spark)
+    brute = {(r.query_id, r.vec_id)
+             for r in topk_brute(emb, emb, k=5).collect()}
+    rows = topk_ivf_ranked(emb, k=5, n_centroids=8, nprobe=2).collect()
+    got = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.3, f"recall@5 {recall:.3f} < 0.3"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    again = topk_ivf_ranked(emb.repartition(7), k=5,
+                            n_centroids=8, nprobe=2).collect()
+    assert {(r.query_id, r.vec_id, r.cos, r.rank) for r in rows} \
+        == {(r.query_id, r.vec_id, r.cos, r.rank) for r in again}
+
+
+def test_topk_pq_ranked_ties_production_recipe(spark):
+    """The hash-oracle PQ twin (deterministic sample codebooks, ADC
+    via reconstruction) must rank like an ADC index: decent recall vs
+    brute on the query slice, scores bounded in [-1, 1] after the
+    norm division, and bit-identical under repartitioning."""
+    from octofludb_spark.scale.simsearch import topk_brute, topk_pq_ranked
+
+    emb = _emb(spark)
+    queries = emb.where(emb.vec_id < 20)
+    brute = {(r.query_id, r.vec_id)
+             for r in topk_brute(emb, queries, k=5).collect()}
+    rows = topk_pq_ranked(emb, k=5, n_queries=20, ksub=32).collect()
+    got = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(brute & got) / len(brute)
+    # random-sample codebooks trade recall for oracle-ability: the
+    # twin measures 0.35 here / 0.49 at sf0.01; the production path
+    # (k-means codebooks + exact refine) is separately gated >= 0.8
+    assert recall >= 0.3, f"recall@5 {recall:.3f} < 0.3"
+    assert all(-1.001 <= r.cos <= 1.001 for r in rows)
+    assert len({r.query_id for r in rows}) == 20
+    again = topk_pq_ranked(emb.repartition(7), k=5,
+                           n_queries=20, ksub=32).collect()
+    assert {(r.query_id, r.vec_id, r.cos, r.rank) for r in rows} \
+        == {(r.query_id, r.vec_id, r.cos, r.rank) for r in again}
