@@ -491,3 +491,69 @@ def node_similarity(edges: DataFrame, min_common: int = 1,
         )
     )
     return out
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions over the
+    undirected graph (Newman & Girvan 2004): for community c with
+    e_c intra-community edges and d_c total degree,
+
+        Q = sum_c ( e_c / m  -  (d_c / 2m)^2 )
+          = sum_c ( 4*m*e_c - d_c^2 ) / (4 m^2)
+
+    The per-community NUMERATOR (4*m*e_c - d_c^2) is emitted as an
+    exact BIGINT next to m, so Q itself is a single exact rational —
+    no float ever enters the aggregation and the full breakdown is
+    value-hash oracleable.  ``communities`` is (node, community), e.g.
+    label_propagation output.
+
+    Scale shape: the undirected edge set is the only data-sized
+    input; the community map joins it twice (community tables are
+    node-sized — at KG scale these joins shuffle on node id like
+    every other per-node metric here), then two community-sized
+    aggregates.  m comes from a one-row aggregate (driver scalar,
+    like the other ops' bounded collects).
+
+    Output: (community, n_nodes, intra_edges, degree_sum, q_num, m)."""
+    und = undirect(edges).persist()
+    try:
+        m = und.count()
+        sym = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("d"))
+        ca = communities.select(F.col("node").alias("a"),
+                                F.col("community").alias("comm_a"))
+        cb = communities.select(F.col("node").alias("b"),
+                                F.col("community").alias("comm_b"))
+        intra = (
+            und.join(ca, "a").join(cb, "b")
+            .where(F.col("comm_a") == F.col("comm_b"))
+            .groupBy(F.col("comm_a").alias("community"))
+            .agg(F.count("*").cast("long").alias("intra_edges"))
+        )
+        dsum = (
+            deg.join(communities, "node")
+            .groupBy("community")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.sum("d").cast("long").alias("degree_sum"))
+        )
+        out = (
+            dsum.join(intra, "community", "left")
+            .select(
+                "community",
+                "n_nodes",
+                F.coalesce("intra_edges", F.lit(0)).cast("long")
+                .alias("intra_edges"),
+                "degree_sum",
+                (F.lit(4 * m) * F.coalesce("intra_edges", F.lit(0))
+                 - F.col("degree_sum") * F.col("degree_sum"))
+                .cast("long").alias("q_num"),
+                F.lit(m).cast("long").alias("m"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        und.unpersist()

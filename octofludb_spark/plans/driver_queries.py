@@ -3353,3 +3353,195 @@ def kg_node_similarity(spark, sf):
     edges = (r.join(s, "k").where(F.col("src") < F.col("dst"))
              .select("src", "dst"))
     return node_similarity(edges, min_common=_NODESIM_MIN_COMMON)
+
+
+# --------------------------------------------------------------------------
+# sketch aggregations (scale/sketches.py): mergeable distinct /
+# frequency estimators — KMV, HyperLogLog, count-min.  Every
+# estimator interior is integer arithmetic on md5 bits, so the
+# oracles reproduce the sketches exactly (not just approximately).
+# --------------------------------------------------------------------------
+
+from octofludb_spark.scale import sketches as SK
+
+_TOKS_SQL = """
+ wf AS (SELECT lang AS grp, w
+        FROM (SELECT lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+              FROM documents)
+        WHERE w <> '')"""
+
+_KMV_NUM = (SK.K_KMV - 1) * SK.HASH_SPAN
+
+_KMV_SQL = f"""
+WITH{_TOKS_SQL},
+ hs AS (SELECT DISTINCT grp,
+               ('0x' || substr(md5(w), 1, 12))::BIGINT AS h FROM wf),
+ r AS (SELECT grp, h,
+              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       FROM hs),
+ per AS (SELECT grp, COUNT(*) AS kmv_v, MAX(h) AS h_k
+         FROM r WHERE rn <= {SK.K_KMV} GROUP BY grp),
+ ex AS (SELECT grp, COUNT(DISTINCT w) AS n_exact FROM wf GROUP BY grp)
+SELECT ex.grp, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(kmv_v AS BIGINT) AS kmv_v,
+       CAST(CASE WHEN kmv_v < {SK.K_KMV} THEN kmv_v
+                 ELSE {_KMV_NUM} // h_k END AS BIGINT) AS kmv_est
+FROM ex JOIN per USING (grp)
+"""
+
+
+@q("sketch_kmv_distinct", _KMV_SQL)
+def sketch_kmv_distinct(spark, sf):
+    """KMV distinct-token estimator per language
+    (scale/sketches.kmv_distinct): k smallest md5-48bit hashes,
+    integer-division estimate — the mergeable scale path for
+    COUNT(DISTINCT) monitors; the exact count rides along as the
+    verification column."""
+    return SK.kmv_distinct(t(spark, sf, "documents"), key="lang")
+
+
+_HLL_EMPTY_W = 1 << SK.RHO_MAX
+_HLL_CONST = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * float(_HLL_EMPTY_W)
+
+_HLL_SQL = f"""
+WITH{_TOKS_SQL},
+ h AS (SELECT grp, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h FROM wf),
+ parts AS (SELECT grp, h % {SK.HLL_M} AS idx,
+                  CASE WHEN h // {SK.HLL_M} = 0 THEN {SK.RHO_MAX}
+                       ELSE {SK.RHO_MAX} - length(bin(h // {SK.HLL_M}))
+                  END AS rho
+           FROM h),
+ regs AS (SELECT grp, idx, MAX(rho) AS m_r FROM parts GROUP BY grp, idx),
+ per AS (SELECT grp, COUNT(*) AS n_regs,
+                SUM(1::BIGINT << ({SK.RHO_MAX} - m_r)) AS s_hit
+         FROM regs GROUP BY grp),
+ ex AS (SELECT grp, COUNT(DISTINCT w) AS n_exact FROM wf GROUP BY grp),
+ fin AS (SELECT ex.grp, n_exact,
+                CAST({SK.HLL_M} - n_regs AS BIGINT) AS hll_v0,
+                CAST(s_hit + ({SK.HLL_M} - n_regs) * {_HLL_EMPTY_W}
+                     AS BIGINT) AS hll_s
+         FROM ex JOIN per USING (grp))
+SELECT grp, CAST(n_exact AS BIGINT) AS n_exact, hll_v0, hll_s,
+       ROUND(CASE WHEN ({_HLL_CONST!r} / hll_s) <= {2.5 * SK.HLL_M}
+                   AND hll_v0 > 0
+                  THEN {float(SK.HLL_M)!r} * ln({float(SK.HLL_M)!r} / hll_v0)
+                  ELSE {_HLL_CONST!r} / hll_s END, 2) AS hll_est
+FROM fin
+"""
+
+
+@q("sketch_hll_distinct", _HLL_SQL)
+def sketch_hll_distinct(spark, sf):
+    """HyperLogLog distinct-token estimator per language
+    (scale/sketches.hll_distinct): 256 registers, exact-BIGINT
+    harmonic sum — the registers, the empty-register count AND the
+    corrected estimate are all value-hash checked cross-engine."""
+    return SK.hll_distinct(t(spark, sf, "documents"), key="lang")
+
+
+_CMS_SQL = f"""
+WITH{_TOKS_SQL},
+ ex AS (SELECT w AS word, COUNT(*) AS n_exact FROM wf GROUP BY w),
+ topw AS (SELECT word, n_exact FROM (
+            SELECT word, n_exact,
+                   ROW_NUMBER() OVER (ORDER BY n_exact DESC, word ASC) AS rn
+            FROM ex)
+          WHERE rn <= 30),
+ cms AS (SELECT j AS row_id,
+                ('0x' || substr(md5(j::VARCHAR || '|' || w), 1, 4))::INT
+                  % {SK.CMS_W} AS bucket,
+                COUNT(*) AS cnt
+         FROM wf CROSS JOIN range({SK.CMS_D}) r(j)
+         GROUP BY 1, 2),
+ probes AS (SELECT word, n_exact, j AS row_id,
+                   ('0x' || substr(md5(j::VARCHAR || '|' || word), 1, 4))::INT
+                     % {SK.CMS_W} AS bucket
+            FROM topw CROSS JOIN range({SK.CMS_D}) r(j))
+SELECT word, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(cnt) AS BIGINT) AS cms_est
+FROM probes JOIN cms USING (row_id, bucket)
+GROUP BY word, n_exact
+"""
+
+
+@q("sketch_cms_heavy_hitters", _CMS_SQL)
+def sketch_cms_heavy_hitters(spark, sf):
+    """Count-min frequency sketch probed at the exact top-30 tokens
+    (scale/sketches.heavy_hitters_cms): d*w additive counters —
+    order-independent, mergeable, fixed-size — with the one-sided
+    overestimate guarantee visible in the emitted (n_exact, cms_est)
+    pairs."""
+    return SK.heavy_hitters_cms(t(spark, sf, "documents"), key="lang")
+
+
+# --------------------------------------------------------------------------
+# graph community quality + explicit skew-salted join equality
+# --------------------------------------------------------------------------
+
+_MOD_SQL = f"""
+WITH ue AS (SELECT DISTINCT LEAST(subject, object_lex) AS a,
+                   GREATEST(subject, object_lex) AS b
+            FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+            WHERE object_dtype = 'uri' AND subject <> object_lex),
+ comm AS ({_lpa_sql()}),
+ mm AS (SELECT COUNT(*) AS m FROM ue),
+ sy AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+ dg AS (SELECT a AS node, COUNT(*) AS d FROM sy GROUP BY a),
+ intra AS (SELECT ca.community AS community, COUNT(*) AS intra_edges
+           FROM ue JOIN comm ca ON ca.node = ue.a
+                   JOIN comm cb ON cb.node = ue.b
+           WHERE ca.community = cb.community GROUP BY 1),
+ dsum AS (SELECT c.community, COUNT(*) AS n_nodes, SUM(d) AS degree_sum
+          FROM dg JOIN comm c ON c.node = dg.node GROUP BY 1)
+SELECT dsum.community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       CAST(4 * mm.m * COALESCE(intra_edges, 0)
+            - degree_sum * degree_sum AS BIGINT) AS q_num,
+       CAST(mm.m AS BIGINT) AS m
+FROM dsum LEFT JOIN intra USING (community) CROSS JOIN mm
+"""
+
+
+@q("kg_modularity", _MOD_SQL)
+def kg_modularity(spark, sf):
+    """Newman modularity breakdown of the label-propagation
+    communities over the KG uri edge graph
+    (ops/graph_analytics.modularity): per-community intra-edge and
+    degree totals plus the exact-BIGINT numerator 4*m*e_c - d_c^2,
+    so global Q is one exact rational — community quality scoring
+    with no float aggregation anywhere."""
+    from octofludb_spark.ops.graph_analytics import (label_propagation,
+                                                     modularity)
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    comm = label_propagation(edges, iters=_LPA_ITERS)
+    return modularity(edges, comm)
+
+
+@q("salted_join_agg", """
+SELECT s.s_nationkey, ROUND(SUM(l.l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""")
+def salted_join_agg(spark, sf):
+    """Skew-salted join output equality (ops/canonicalize.salted_join
+    — the north_rule's explicit hub-entity salting): the big side is
+    salted over the whole row, the dim side explode-replicated to
+    every salt, and the aggregate over the salted join is value-hash
+    identical to the oracle's PLAIN join — proving salting changes
+    the shuffle layout, never the result."""
+    from octofludb_spark.ops.canonicalize import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice")
+    sup = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_join(li, sup, "s_suppkey", nsalt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_items"),
+    )
