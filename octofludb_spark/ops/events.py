@@ -1,0 +1,93 @@
+"""Event-stream analytics: ordered funnels and retention cohorts —
+the two classic event-table questions a pipeline answers once events
+exist (the reference's event analog is its per-strain date timeline;
+these are the same min-timestamp-per-stage plans generalized).
+
+Both operators are pure timestamp/integer plans: no floats, no RNG,
+deterministic on any engine at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, stages: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Strictly-ordered funnel: for each user, stage k's timestamp is
+    the EARLIEST event of stage k's type that falls strictly after
+    the user's stage k-1 timestamp (stage 0 is the user's earliest
+    stage-0 event).  Returns one row per user who entered the funnel:
+    (user, t_<stage>... , funnel_stage) where funnel_stage counts
+    completed stages.
+
+    Scale shape: one filtered min-aggregate per stage (map-side
+    partial), each joined back on the user key — stage tables shrink
+    monotonically, and every join is user-keyed equi (broadcastable
+    once the funnel narrows).  No windows, no per-user sort: the
+    whole funnel is k aggregates over progressively smaller inputs,
+    which is the plan that survives 10^12 events (a per-user
+    sort-based window would shuffle the full event log once per
+    stage)."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias(f"t_{stages[0]}"))
+    )
+    out = cur
+    prev_ts = f"t_{stages[0]}"
+    for st in stages[1:]:
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .select(F.col(user_col).alias("user"), F.col(ts_col).alias("_ts"))
+            .join(out.select("user", prev_ts), "user")
+            .where(F.col("_ts") > F.col(prev_ts))
+            .groupBy("user")
+            .agg(F.min("_ts").alias(f"t_{st}"))
+        )
+        out = out.join(nxt, "user", "left")
+        prev_ts = f"t_{st}"
+    stage_expr = sum(
+        (F.when(F.col(f"t_{st}").isNotNull(), 1).otherwise(0)
+         for st in stages),
+        F.lit(0),
+    )
+    return out.withColumn("funnel_stage", stage_expr.cast("long"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention triangle: users are cohorted by the Monday of
+    their first event's week; for each (cohort_week, week_offset) the
+    count of cohort users active in that week.  Output:
+    (cohort_week DATE, week_offset BIGINT, n_users BIGINT).
+
+    Scale shape: one min-per-user aggregate (cohort assignment), one
+    distinct on (user, week) — both map-side-partial — then a
+    user-keyed equi join and a cohort-sized aggregate.  Offsets are
+    exact integer day-difference DIV 7 (both engines truncate
+    non-negative quotients identically)."""
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first = (
+        events.groupBy(F.col(user_col).alias("user"))
+        .agg(wk(F.min(ts_col)).alias("cohort_week"))
+    )
+    active = (
+        events.select(F.col(user_col).alias("user"),
+                      wk(F.col(ts_col)).alias("week"))
+        .distinct()
+    )
+    return (
+        active.join(first, "user")
+        .select(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) DIV 7").cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

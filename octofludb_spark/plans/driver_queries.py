@@ -3545,3 +3545,137 @@ def salted_join_agg(spark, sf):
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count("*").alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# event analytics (ops/events.py) + blocked fuzzy entity matching
+# (ops/entity_match.py)
+# --------------------------------------------------------------------------
+
+_TSFMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TSFMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_FUNNEL_SQL = f"""
+WITH v AS (SELECT user_id AS usr, MIN(ts) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+ c AS (SELECT e.user_id AS usr, MIN(e.ts) AS t_click
+       FROM events e JOIN v ON v.usr = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > v.t_view
+       GROUP BY e.user_id),
+ p AS (SELECT e.user_id AS usr, MIN(e.ts) AS t_purchase
+       FROM events e JOIN c ON c.usr = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+       GROUP BY e.user_id)
+SELECT v.usr AS user,
+       strftime(v.t_view, '{_TSFMT_DUCK}') AS t_view,
+       strftime(c.t_click, '{_TSFMT_DUCK}') AS t_click,
+       strftime(p.t_purchase, '{_TSFMT_DUCK}') AS t_purchase,
+       CAST(1 + (c.usr IS NOT NULL)::INT + (p.usr IS NOT NULL)::INT
+            AS BIGINT) AS funnel_stage
+FROM v LEFT JOIN c ON c.usr = v.usr LEFT JOIN p ON p.usr = v.usr
+"""
+
+
+@q("event_funnel", _FUNNEL_SQL)
+def event_funnel(spark, sf):
+    """Strictly-ordered view->click->purchase funnel
+    (ops/events.funnel): stage k's timestamp is the earliest stage-k
+    event strictly after stage k-1's — k filtered min-aggregates over
+    shrinking user sets, no per-user sort windows anywhere."""
+    from octofludb_spark.ops.events import funnel
+
+    f = funnel(t(spark, sf, "events"), ["view", "click", "purchase"])
+    return f.select(
+        "user",
+        F.date_format("t_view", _TSFMT_SPARK).alias("t_view"),
+        F.date_format("t_click", _TSFMT_SPARK).alias("t_click"),
+        F.date_format("t_purchase", _TSFMT_SPARK).alias("t_purchase"),
+        "funnel_stage",
+    )
+
+
+_RETENTION_SQL = """
+WITH first AS (SELECT user_id AS usr,
+                      date_trunc('week', MIN(ts))::DATE AS cohort_week
+               FROM events GROUP BY user_id),
+ active AS (SELECT DISTINCT user_id AS usr,
+                   date_trunc('week', ts)::DATE AS week
+            FROM events)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (usr)
+GROUP BY 1, 2
+"""
+
+
+@q("event_retention_cohorts", _RETENTION_SQL)
+def event_retention_cohorts(spark, sf):
+    """Weekly retention triangle (ops/events.retention_cohorts):
+    cohort = Monday of each user's first-event week, integer
+    day-difference DIV 7 offsets — one min-agg, one distinct, one
+    user-keyed join, one cohort-sized aggregate."""
+    from octofludb_spark.ops.events import retention_cohorts
+
+    r = retention_cohorts(t(spark, sf, "events"))
+    return r.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
+# the staged corpus's strain names are already one-spelling-per-id, so
+# the matcher's candidate pairs are synthesized deterministically (the
+# messy-URL / spliced-PII fixture discipline): md5-selected names gain
+# a subtype-suffix variant or an upper-cased variant — guaranteed
+# same-block pairs, identical in both engines
+_FUZZY_SQL = f"""
+WITH names AS (SELECT DISTINCT object_lex AS name
+               FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+               WHERE predicate = 'https://flu-crew.org/term/strain_name'),
+ aug AS (SELECT name FROM names
+         UNION ALL
+         SELECT name || ' (H1N1)' FROM names
+         WHERE substr(md5(name), 1, 1) BETWEEN '0' AND '7'
+         UNION ALL
+         SELECT upper(name) FROM names
+         WHERE substr(md5(name), 1, 1) BETWEEN '8' AND 'b'),
+ keyed AS (SELECT DISTINCT upper(split_part(name, '/', 4)) AS block, name
+           FROM aug
+           WHERE upper(split_part(name, '/', 4)) <> '')
+SELECT a.name AS name_a, b.name AS name_b, a.block,
+       CAST(levenshtein(lower(a.name), lower(b.name)) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(lower(a.name), lower(b.name)) <= 8
+"""
+
+
+@q("kg_fuzzy_entity_match", _FUZZY_SQL)
+def kg_fuzzy_entity_match(spark, sf):
+    """Blocked fuzzy entity matching over the KG's strain-name
+    literals (ops/entity_match.fuzzy_match_pairs): blocking key =
+    the isolate-id path segment (shared across case/suffix variants),
+    case-folded Levenshtein on candidates only — the scalable
+    generalization of the reference's recognizer-based sameAs munge
+    (never the n^2 name cross join)."""
+    from octofludb_spark.ops.entity_match import fuzzy_match_pairs
+
+    triples, _ = _stage_kg(spark)
+    names = (
+        triples.where(F.col("predicate")
+                      == "https://flu-crew.org/term/strain_name")
+        .select(F.col("object_lex").alias("name"))
+        .distinct()
+    )
+    nib = F.substring(F.md5("name"), 1, 1)
+    aug = names.unionAll(
+        names.where(nib.between("0", "7"))
+        .select(F.concat("name", F.lit(" (H1N1)")).alias("name"))
+    ).unionAll(
+        names.where(nib.between("8", "b"))
+        .select(F.upper("name").alias("name"))
+    )
+    return fuzzy_match_pairs(
+        aug, F.upper(F.element_at(F.split("name", "/"), 4)), max_dist=8)

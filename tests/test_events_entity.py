@@ -1,0 +1,144 @@
+"""Funnel / retention-cohort semantics (ops/events.py), blocked
+fuzzy matching (ops/entity_match.py), and sketch mergeability
+(scale/sketches.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, TS + dt.timedelta(hours=h), t) for u, h, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the first click never completes the funnel;
+    stage timestamps are the earliest events after the prior stage."""
+    from octofludb_spark.ops.events import funnel
+
+    ev = _ev(spark, [
+        (1, 0, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # user 2: purchase precedes click -> stage stops at click
+        (2, 0, "view"), (2, 1, "purchase"), (2, 2, "click"),
+        # user 3: click precedes any view -> stage stops at view
+        (3, 1, "click"), (3, 2, "view"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, 0, "click"), (4, 1, "purchase"),
+        # user 5: two clicks, earliest-after-view wins
+        (5, 0, "view"), (5, 4, "click"), (5, 2, "click"), (5, 5, "purchase"),
+    ])
+    out = {r.user: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].funnel_stage == 3
+    assert out[2].funnel_stage == 2  # purchase at h1 < click at h2
+    assert out[3].funnel_stage == 1
+    assert out[5].funnel_stage == 3
+    assert out[5].t_click == TS + dt.timedelta(hours=2)
+
+
+def test_retention_cohort_triangle(spark):
+    """Users cohorted by first-event Monday; offsets count weeks."""
+    from octofludb_spark.ops.events import retention_cohorts
+
+    # 2024-01-01 is a Monday
+    ev = _ev(spark, [
+        (1, 0, "view"), (1, 24 * 7, "view"), (1, 24 * 15, "view"),
+        (2, 0, "view"),
+        (3, 24 * 7, "view"), (3, 24 * 14, "view"),
+    ])
+    rows = {(str(r.cohort_week), r.week_offset): r.n_users
+            for r in retention_cohorts(ev).collect()}
+    assert rows[("2024-01-01", 0)] == 2   # users 1, 2 week 0
+    assert rows[("2024-01-01", 1)] == 1   # user 1 week 1
+    assert rows[("2024-01-01", 2)] == 1   # user 1 week 2
+    assert rows[("2024-01-08", 0)] == 1   # user 3 cohorted a week later
+    assert rows[("2024-01-08", 1)] == 1
+
+
+def test_fuzzy_match_blocks_and_cap(spark):
+    """Same-block variants match within the distance budget; the
+    oversized-block guard drops (and logs) degenerate keys instead of
+    exploding."""
+    from octofludb_spark.ops.entity_match import fuzzy_match_pairs
+
+    names = spark.createDataFrame(
+        [("A/swine/Ohio/X1/2019",), ("A/Swine/Ohio/X1/2019 (H1N1)",),
+         ("A/swine/Iowa/X2/2020",), ("A/turkey/Missouri/X3/2016",)],
+        "name string")
+    out = fuzzy_match_pairs(
+        names, F.upper(F.element_at(F.split("name", "/"), 4)),
+        max_dist=8).collect()
+    assert len(out) == 1
+    assert out[0].block == "X1"
+    assert out[0].dist == 7  # ' (H1N1)'
+    # degenerate block: every name shares it -> dropped by the cap
+    capped = fuzzy_match_pairs(
+        names, F.lit("ALL"), max_dist=8, max_block=2).collect()
+    assert capped == []
+
+
+def test_sketches_merge_property(spark):
+    """HLL registers and CMS counters are mergeable: sketch(A union B)
+    == merge(sketch(A), sketch(B)) — MAX for registers, SUM for
+    counters.  This is the property that makes them shuffle-light at
+    10^12 rows."""
+    from octofludb_spark.scale import sketches as SK
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200).cache()
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    whole = SK.hll_distinct(docs, key="lang").select(
+        "grp", "hll_s", "hll_v0")
+    # merge = MAX per (grp, idx) over the halves' registers
+    def regs(d):
+        w = SK._words(d, "lang")
+        h = w.select("grp", SK._h48(F.col("w")).alias("h"))
+        return h.select(
+            "grp", (F.col("h") % SK.HLL_M).alias("idx"),
+            F.when(F.expr(f"h DIV {SK.HLL_M}") == 0, F.lit(SK.RHO_MAX))
+            .otherwise(F.lit(SK.RHO_MAX)
+                       - F.length(F.bin(F.expr(f"h DIV {SK.HLL_M}"))))
+            .alias("rho"),
+        ).groupBy("grp", "idx").agg(F.max("rho").alias("m_r"))
+
+    merged = (
+        regs(a).unionByName(regs(b))
+        .groupBy("grp", "idx").agg(F.max("m_r").alias("m_r"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_regs"),
+             F.sum(F.expr(f"CAST(shiftleft(1L, {SK.RHO_MAX} - m_r) "
+                          "AS BIGINT)")).alias("s_hit"))
+        .select(
+            "grp",
+            (F.col("s_hit") + (F.lit(SK.HLL_M) - F.col("n_regs"))
+             * F.lit(1 << SK.RHO_MAX)).cast("long").alias("hll_s"),
+            (F.lit(SK.HLL_M) - F.col("n_regs")).cast("long")
+            .alias("hll_v0"),
+        )
+    )
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+    # CMS: counters add
+    whole_cms = SK.cms_counters(docs).withColumnRenamed("cnt", "w_cnt")
+    merged_cms = (
+        SK.cms_counters(a).unionByName(SK.cms_counters(b))
+        .groupBy("row_id", "bucket").agg(F.sum("cnt").alias("m_cnt"))
+    )
+    diff = (
+        whole_cms.join(merged_cms, ["row_id", "bucket"], "full")
+        .where(F.coalesce("w_cnt", F.lit(-1))
+               != F.coalesce("m_cnt", F.lit(-2)))
+    )
+    assert diff.count() == 0
+    docs.unpersist()
