@@ -3679,3 +3679,35 @@ def kg_fuzzy_entity_match(spark, sf):
     )
     return fuzzy_match_pairs(
         aug, F.upper(F.element_at(F.split("name", "/"), 4)), max_dist=8)
+
+
+_ATTR_SQL = f"""
+SELECT v.user_id,
+       strftime(v.ts, '{_TSFMT_DUCK}') AS view_ts,
+       strftime(c.ts, '{_TSFMT_DUCK}') AS click_ts,
+       CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_s
+FROM events v JOIN events c
+  ON c.user_id = v.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@q("event_click_attribution", _ATTR_SQL)
+def event_click_attribution(spark, sf):
+    """Interval click attribution (streaming/pipeline.py
+    click_attribution — the batch face of the watermarked
+    stream-stream join): clicks within 120 minutes strictly after a
+    same-user view, integer lag seconds."""
+    from octofludb_spark.streaming.pipeline import click_attribution
+
+    ev = t(spark, sf, "events")
+    out = click_attribution(ev.where(F.col("event_type") == "view"),
+                            ev.where(F.col("event_type") == "click"),
+                            horizon_min=120)
+    return out.select(
+        "user_id",
+        F.date_format("view_ts", _TSFMT_SPARK).alias("view_ts"),
+        F.date_format("click_ts", _TSFMT_SPARK).alias("click_ts"),
+        "lag_s",
+    )

@@ -418,3 +418,40 @@ def stream_neardup_documents(spark: SparkSession, directory: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def click_attribution(views: DataFrame, clicks: DataFrame,
+                      horizon_min: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: every click within
+    ``horizon_min`` minutes strictly after a view by the same user —
+    the attribution primitive (and the one §2.7 shape the suite
+    lacked: two watermarked streams joined on key + time range).
+
+    In streaming mode BOTH sides carry watermarks and the range
+    condition bounds the join state (a view's state expires once the
+    click watermark passes view_ts + horizon); in batch mode the same
+    plan is a plain user-keyed equi join with an interval filter —
+    one function, both engines of execution, equivalence tested in
+    tests/test_streaming.py.
+
+    Output: (user_id, view_ts, click_ts, lag_s — integer seconds)."""
+    v = (views.select(F.col("user_id"),
+                      F.col("ts").cast("timestamp").alias("view_ts"))
+         .withWatermark("view_ts", watermark))
+    c = (clicks.select(F.col("user_id").alias("c_user"),
+                       F.col("ts").cast("timestamp").alias("click_ts"))
+         .withWatermark("click_ts", watermark))
+    return (
+        v.join(
+            c,
+            F.expr(f"""user_id = c_user
+                AND click_ts > view_ts
+                AND click_ts <= view_ts + interval {horizon_min} minutes"""),
+        )
+        .select(
+            "user_id", "view_ts", "click_ts",
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"))
+            .cast("long").alias("lag_s"),
+        )
+    )

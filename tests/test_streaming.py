@@ -203,3 +203,41 @@ def test_stream_neardup_with_ttl_runs(spark, tmp_path):
                        .select("doc_x", "doc_y").distinct().collect()))
 
     assert run("ttl", 60) == run("nottl", None) != set()
+
+
+def test_click_attribution_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked views x clicks)
+    emits exactly the batch plan's attribution pairs."""
+    from octofludb_spark.streaming.pipeline import click_attribution
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v_dir, c_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    events.where("event_type = 'view'").write.parquet(v_dir)
+    events.where("event_type = 'click'").write.parquet(c_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        click_attribution(
+            spark.readStream.schema(events.schema).parquet(v_dir),
+            spark.readStream.schema(events.schema).parquet(c_dir),
+            horizon_min=120,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("user_id", "view_ts", "click_ts", "lag_s").collect()))
+    want = sorted(
+        map(tuple, click_attribution(
+            events.where("event_type = 'view'"),
+            events.where("event_type = 'click'"),
+            horizon_min=120)
+            .select("user_id", "view_ts", "click_ts", "lag_s").collect()))
+    assert got == want
+    assert len(got) == 10  # sf0.001 pinned pair count
