@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "text_c4_clean",
     "dedup_paragraphs",
     "semantic_dedup",
+    # session-3 flagships: mergeable distinct sketch (one distinct +
+    # register fold) and the shrinking-aggregate funnel
+    "sketch_hll_distinct",
+    "event_funnel",
 ]
 
 
