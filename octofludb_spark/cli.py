@@ -460,7 +460,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "winnow", "winnow-pairs", "bigram-lm", "split",
               "top-quality", "quality-sample", "c4", "gopher",
               "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
-              "cdc-chunks", "cdc-dedup", "inverted-index")
+              "cdc-chunks", "cdc-dedup", "inverted-index",
+              "kmv", "hll", "cms", "funnel", "retention", "attribution")
 
 
 def cmd_scale(args) -> int:
@@ -468,6 +469,8 @@ def cmd_scale(args) -> int:
     (doc_id, text[, lang, ...]): dedup, quality, language-ID,
     sampling, chunking — the scale/ suite as a tool.  Writes parquet
     with --out, else prints a TSV head."""
+    from pyspark.sql import functions as F  # noqa: F401 (event ops)
+
     from octofludb_spark.scale import dedup as D
     from octofludb_spark.scale import text as TX
 
@@ -535,6 +538,28 @@ def cmd_scale(args) -> int:
         out = TX.cdc_duplicate_chunks(docs)
     elif args.op == "inverted-index":
         out = TX.inverted_index(docs, max_postings=args.k, min_df=2)
+    elif args.op == "kmv":
+        from octofludb_spark.scale.sketches import kmv_distinct
+        out = kmv_distinct(docs, key=args.key)
+    elif args.op == "hll":
+        from octofludb_spark.scale.sketches import hll_distinct
+        out = hll_distinct(docs, key=args.key)
+    elif args.op == "cms":
+        from octofludb_spark.scale.sketches import heavy_hitters_cms
+        out = heavy_hitters_cms(docs, key=args.key, top=args.k)
+    elif args.op == "funnel":
+        # expects an events parquet (user_id, ts, event_type)
+        from octofludb_spark.ops.events import funnel
+        out = funnel(docs, args.stages.split(","))
+    elif args.op == "retention":
+        from octofludb_spark.ops.events import retention_cohorts
+        out = retention_cohorts(docs)
+    elif args.op == "attribution":
+        from octofludb_spark.streaming.pipeline import click_attribution
+        st = args.stages.split(",")
+        out = click_attribution(
+            docs.where(F.col("event_type") == st[0]),
+            docs.where(F.col("event_type") == st[-1]))
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown scale op {args.op}")
     if args.out:
@@ -767,6 +792,8 @@ def main(argv=None) -> int:
     sca.add_argument("--k", type=int, default=8,
                      help="k-gram size (dedup-spans) / top-k (tfidf)")
     sca.add_argument("--key", default="lang", help="sample group column")
+    sca.add_argument("--stages", default="view,click,purchase",
+                     help="funnel/attribution event types (comma list)")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)
