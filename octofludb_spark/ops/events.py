@@ -91,3 +91,45 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def daily_anomalies(events: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", sigma: int = 2) -> DataFrame:
+    """Per-user daily-volume anomaly detection with EXACT integer
+    sigma tests: a user's day is anomalous when its event count x
+    deviates from the user's own mean by more than ``sigma`` standard
+    deviations.  The test is evaluated without ever forming mean or
+    variance as floats:
+
+        (x - s/n)^2 > sigma^2 * (n*ssq - s^2) / n^2
+        <=>  (n*x - s)^2 > sigma^2 * (n*ssq - s^2)
+
+    — both sides BIGINT, so the flag is bit-identical on any engine
+    (a float mean/stddev would tie-break differently at equality).
+
+    Scale shape: one (user, day) count aggregate, one user-sized
+    stats aggregate, one user-keyed equi join back — all map-side
+    partial.  Output: (user, day, n_events, direction, is_anomaly)
+    where direction is sign(n*x - s)."""
+    d = F.to_date(ts_col).alias("day")
+    daily = events.groupBy(F.col(user_col).alias("user"), d).agg(
+        F.count("*").alias("n_events"))
+    stats = daily.groupBy("user").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ssq"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    var_n2 = (F.col("n_days") * F.col("ssq")
+              - F.col("s") * F.col("s"))
+    return (
+        daily.join(stats, "user")
+        .select(
+            "user",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.signum(dev.cast("double")).cast("long").alias("direction"),
+            F.when(dev * dev > F.lit(sigma * sigma) * var_n2, 1)
+            .otherwise(0).cast("long").alias("is_anomaly"),
+        )
+    )

@@ -3711,3 +3711,33 @@ def event_click_attribution(spark, sf):
         F.date_format("click_ts", _TSFMT_SPARK).alias("click_ts"),
         "lag_s",
     )
+
+
+_ANOM_SQL = """
+WITH daily AS (SELECT user_id AS usr, ts::DATE AS day,
+                      COUNT(*) AS n_events
+               FROM events GROUP BY 1, 2),
+ stats AS (SELECT usr, COUNT(*) AS n_days, SUM(n_events) AS s,
+                  SUM(n_events * n_events) AS ssq
+           FROM daily GROUP BY usr)
+SELECT d.usr AS user, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.n_events AS BIGINT) AS n_events,
+       CAST(sign(st.n_days * d.n_events - st.s) AS BIGINT) AS direction,
+       CAST(CASE WHEN (st.n_days * d.n_events - st.s)
+                      * (st.n_days * d.n_events - st.s)
+                    > 4 * (st.n_days * st.ssq - st.s * st.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM daily d JOIN stats st USING (usr)
+"""
+
+
+@q("event_daily_anomalies", _ANOM_SQL)
+def event_daily_anomalies(spark, sf):
+    """Per-user daily-volume anomaly flags (ops/events.
+    daily_anomalies): the 2-sigma test evaluated as exact BIGINT
+    algebra — (n*x - s)^2 > 4*(n*ssq - s^2) — so the flag set is
+    bit-identical cross-engine (float mean/stddev would tie-break
+    differently at the boundary)."""
+    from octofludb_spark.ops.events import daily_anomalies
+
+    return daily_anomalies(t(spark, sf, "events"), sigma=2)

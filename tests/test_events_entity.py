@@ -142,3 +142,40 @@ def test_sketches_merge_property(spark):
     )
     assert diff.count() == 0
     docs.unpersist()
+
+
+def test_daily_anomalies_exact_boundary(spark):
+    """The integer sigma test: a pinned series where one day is just
+    over and another exactly AT the 2-sigma boundary — equality must
+    NOT flag (strict >), which float stddev cannot guarantee."""
+    import datetime as dt
+
+    from octofludb_spark.ops.events import daily_anomalies
+
+    # counts per day: [1, 1, 1, 1, 8] -> n=5, s=12, ssq=68
+    # dev for x=8: 5*8-12=28; 4*(5*68-144)=784; 28^2=784 -> EQUAL, not
+    # anomalous.  With x=9: s=13, ssq=85, dev=32, 1024 > 4*(425-169)=1024?
+    # equal again at this algebra; use x=10: s=14, ssq=104, dev=36,
+    # 1296 > 4*(520-196)=1296 -> equal AGAIN (2-sigma with one spike
+    # and 4 flat days is exactly the boundary: dev^2 == 4*var*n^2
+    # identically).  Add a 6th flat day to break the identity:
+    # [1,1,1,1,1,10]: n=6, s=15, ssq=105, dev=45, 2025 > 4*(630-225)
+    # = 1620 -> anomalous.
+    rows = []
+    day0 = dt.datetime(2024, 5, 6)
+    for d, cnt in enumerate([1, 1, 1, 1, 8]):
+        for i in range(cnt):
+            rows.append((1, day0 + dt.timedelta(days=d, minutes=i), "view"))
+    for d, cnt in enumerate([1, 1, 1, 1, 1, 10]):
+        for i in range(cnt):
+            rows.append((2, day0 + dt.timedelta(days=d, minutes=i), "view"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {(r.user, r.day): r for r in daily_anomalies(ev).collect()}
+    # user 1: the 4-flat-one-spike shape sits EXACTLY on the boundary
+    # (dev^2 == sigma^2 * n * var algebraically) -> strict > says no
+    assert out[(1, "2024-05-10")].is_anomaly == 0
+    assert out[(1, "2024-05-10")].direction == 1
+    # user 2: past the boundary -> flagged, and flat days are not
+    assert out[(2, "2024-05-11")].is_anomaly == 1
+    assert sum(r.is_anomaly for r in out.values()) == 1
