@@ -3741,3 +3741,49 @@ def event_daily_anomalies(spark, sf):
     from octofludb_spark.ops.events import daily_anomalies
 
     return daily_anomalies(t(spark, sf, "events"), sigma=2)
+
+
+import math as _math
+
+_DD_LN_GAMMA = _math.log(SK.DD_GAMMA)
+
+_DD_SQL = f"""
+WITH base AS (SELECT lang AS grp,
+                     len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                     w -> w <> '')) AS x
+              FROM documents),
+ vals AS (SELECT grp, CAST(x AS BIGINT) AS x FROM base WHERE x >= 1),
+ sk AS (SELECT grp, CAST(ceil(ln(x) / {_DD_LN_GAMMA!r}) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM vals GROUP BY 1, 2),
+ cum AS (SELECT grp, bucket, cnt,
+                SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+         FROM sk),
+ n AS (SELECT grp, SUM(cnt) AS n FROM sk GROUP BY grp),
+ qs AS (SELECT UNNEST([50, 90, 99]) AS q),
+ hit AS (SELECT cum.grp, q, MIN(bucket) AS dd_bucket
+         FROM cum JOIN n USING (grp) CROSS JOIN qs
+         WHERE cum * 100 >= q * n GROUP BY 1, 2),
+ rk AS (SELECT grp, x,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn
+        FROM vals),
+ ex AS (SELECT rk.grp, q, MIN(x) AS exact_q
+        FROM rk JOIN n USING (grp) CROSS JOIN qs
+        WHERE rn * 100 >= q * n GROUP BY 1, 2)
+SELECT hit.grp, CAST(q AS BIGINT) AS q, dd_bucket,
+       ROUND(2.0 * POW({SK.DD_GAMMA!r}, dd_bucket)
+             / {SK.DD_GAMMA + 1.0!r}, 4) AS dd_est,
+       CAST(exact_q AS BIGINT) AS exact_q
+FROM hit JOIN ex USING (grp, q)
+"""
+
+
+@q("sketch_dd_quantiles", _DD_SQL)
+def sketch_dd_quantiles(spark, sf):
+    """DDSketch quantiles (scale/sketches.dd_quantiles): log-spaced
+    SUM-mergeable buckets with the alpha relative-error guarantee;
+    p50/p90/p99 bucket walk is pure integer arithmetic, emitted next
+    to the exact order statistics they approximate."""
+    out = SK.dd_quantiles(t(spark, sf, "documents"), key="lang")
+    return out.select("grp", F.col("q").cast("long").alias("q"),
+                      "dd_bucket", "dd_est", "exact_q")

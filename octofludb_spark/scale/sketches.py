@@ -247,3 +247,83 @@ def heavy_hitters_cms(docs: DataFrame, key: str = "lang",
         .groupBy("word", "n_exact")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# DDSketch (Masson et al. 2019): log-spaced buckets with relative-
+# error guarantee alpha; counters are plain sums -> mergeable,
+# fixed-size, order-independent.  gamma = (1+alpha)/(1-alpha).
+DD_ALPHA = 0.02
+DD_GAMMA = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+
+
+def dd_sketch(docs: DataFrame, key: str = "lang") -> DataFrame:
+    """DDSketch bucket table over per-document token counts:
+    bucket = ceil(ln(x) / ln(gamma)) for x >= 1 (empty docs are
+    dropped — zero has no log bucket; production keeps them in a
+    dedicated zero counter).  Output: (grp, bucket, cnt) — SUM-merge
+    gives the union sketch.
+
+    Scale shape: one map-side projection + one additive aggregate;
+    the sketch is O(log(max_x)/alpha) rows per group regardless of
+    corpus size — the mergeable path for latency/length quantile
+    monitors (the exact interpolated quantile op this complements is
+    text_length_quantiles)."""
+    x = F.size(F.filter(F.split(F.coalesce("text", F.lit("")), " "),
+                        lambda w: w != "")).cast("long")
+    return (
+        docs.select(F.col(key).alias("grp"), x.alias("x"))
+        .where(F.col("x") >= 1)
+        .select("grp",
+                F.ceil(F.log(F.col("x").cast("double"))
+                       / F.lit(float(__import__("math").log(DD_GAMMA))))
+                .cast("long").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dd_quantiles(docs: DataFrame, key: str = "lang",
+                 qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantile estimates read off the DDSketch, next to the exact
+    order statistics they approximate: for each integer percentile q,
+    the first bucket whose cumulative count reaches ceil(q*n/100),
+    its midpoint estimate 2*gamma^b/(gamma+1), and the exact q-th
+    order statistic of the underlying counts.  The threshold walk is
+    pure integer arithmetic; the one float (the midpoint) is rounded
+    to 4 dp.  Output: (grp, q, dd_bucket, dd_est, exact_q)."""
+    sk = dd_sketch(docs, key)
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = sk.withColumn("cum", F.sum("cnt").over(w))
+    n = sk.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    # the q fan-out is a map-side explode of a 3-element literal —
+    # never a join node (keeps the suite's 0-NLJ invariant)
+    qcol = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    # first bucket with cum >= ceil(q*n/100): integer threshold
+    hit = (
+        cum.join(F.broadcast(n), "grp")
+        .select("grp", "bucket", "cum", "n", qcol)
+        .where(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("grp", "q")
+        .agg(F.min("bucket").alias("dd_bucket"))
+    )
+    # exact order statistic: value at row ceil(q*n/100) in sorted order
+    x = F.size(F.filter(F.split(F.coalesce("text", F.lit("")), " "),
+                        lambda w_: w_ != "")).cast("long")
+    vals = (docs.select(F.col(key).alias("grp"), x.alias("x"))
+            .where(F.col("x") >= 1))
+    rw = Window.partitionBy("grp").orderBy("x")
+    ranked = vals.withColumn("rn", F.row_number().over(rw))
+    exact = (
+        ranked.join(F.broadcast(n), "grp")
+        .select("grp", "x", "rn", "n", qcol)
+        .where(F.col("rn") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("grp", "q")
+        .agg(F.min("x").alias("exact_q"))
+    )
+    mid = (F.lit(2.0) * F.pow(F.lit(DD_GAMMA), F.col("dd_bucket"))
+           / F.lit(DD_GAMMA + 1.0))
+    return (
+        hit.join(exact, ["grp", "q"])
+        .select("grp", "q", "dd_bucket",
+                F.round(mid, 4).alias("dd_est"), "exact_q")
+    )

@@ -161,3 +161,31 @@ def test_salted_join_equals_plain_join(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "NestedLoop" not in plan
+
+
+def test_dd_sketch_error_bound_and_merge(spark):
+    """DDSketch guarantee: every estimate is within alpha relative
+    error of its exact order statistic, and bucket counters SUM-merge
+    (sketch of union == merged half sketches)."""
+    from octofludb_spark.scale import sketches as SK
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").cache()
+    out = SK.dd_quantiles(docs, key="lang").collect()
+    assert out
+    for r in out:
+        # midpoint of bucket b covers (gamma^(b-1), gamma^b]; its
+        # relative error vs any x in the bucket is <= alpha -- allow
+        # 2*alpha for the discrete exact-order-statistic comparison
+        assert abs(r.dd_est - r.exact_q) <= 2 * SK.DD_ALPHA * r.exact_q + 1
+
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    whole = SK.dd_sketch(docs).withColumnRenamed("cnt", "w_cnt")
+    merged = (SK.dd_sketch(a).unionByName(SK.dd_sketch(b))
+              .groupBy("grp", "bucket").agg(F.sum("cnt").alias("m_cnt")))
+    diff = (whole.join(merged, ["grp", "bucket"], "full")
+            .where(F.coalesce("w_cnt", F.lit(-1))
+                   != F.coalesce("m_cnt", F.lit(-2))))
+    assert diff.count() == 0
+    docs.unpersist()
