@@ -461,7 +461,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "top-quality", "quality-sample", "c4", "gopher",
               "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
               "cdc-chunks", "cdc-dedup", "inverted-index",
-              "kmv", "hll", "cms", "funnel", "retention", "attribution")
+              "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
+              "attribution")
 
 
 def cmd_scale(args) -> int:
@@ -547,6 +548,9 @@ def cmd_scale(args) -> int:
     elif args.op == "cms":
         from octofludb_spark.scale.sketches import heavy_hitters_cms
         out = heavy_hitters_cms(docs, key=args.key, top=args.k)
+    elif args.op == "dd-quantiles":
+        from octofludb_spark.scale.sketches import dd_quantiles
+        out = dd_quantiles(docs, key=args.key)
     elif args.op == "funnel":
         # expects an events parquet (user_id, ts, event_type)
         from octofludb_spark.ops.events import funnel
