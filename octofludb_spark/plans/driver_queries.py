@@ -3787,3 +3787,36 @@ def sketch_dd_quantiles(spark, sf):
     out = SK.dd_quantiles(t(spark, sf, "documents"), key="lang")
     return out.select("grp", F.col("q").cast("long").alias("q"),
                       "dd_bucket", "dd_est", "exact_q")
+
+
+_KG_HLL_SQL = f"""
+WITH h AS (SELECT predicate,
+                  ('0x' || substr(md5(object_lex), 1, 12))::BIGINT AS h
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+ parts AS (SELECT predicate, h % {SK.HLL_M} AS idx,
+                  CASE WHEN h // {SK.HLL_M} = 0 THEN {SK.RHO_MAX}
+                       ELSE {SK.RHO_MAX} - length(bin(h // {SK.HLL_M}))
+                  END AS rho
+           FROM h)
+SELECT predicate, CAST(idx AS BIGINT) AS idx,
+       CAST(MAX(rho) AS BIGINT) AS m_r
+FROM parts GROUP BY 1, 2
+"""
+
+
+@q("kg_hll_degree_sketch", _KG_HLL_SQL)
+def kg_hll_degree_sketch(spark, sf):
+    """Per-predicate HLL register table over the KG's object values
+    (plans/incremental_sketches.hll_register_table) — the
+    distinct-object / hub monitor the store maintains incrementally
+    at O(changes) from its changelog (MAX-merge on inserts, logged
+    recompute on deletes; equivalence tested in
+    tests/test_incremental_sketches.py).  Every register value-hash
+    checked cross-engine."""
+    from octofludb_spark.plans.incremental_sketches import (
+        hll_register_table)
+
+    triples, _ = _stage_kg(spark)
+    out = hll_register_table(triples)
+    return out.select("predicate", F.col("idx").cast("long").alias("idx"),
+                      F.col("m_r").cast("long").alias("m_r"))
