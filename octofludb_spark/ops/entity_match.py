@@ -69,3 +69,44 @@ def fuzzy_match_pairs(names: DataFrame, block: Column,
         .where(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "block", "dist")
     )
+
+
+def fuzzy_entity_clusters(names: DataFrame, block: Column,
+                          name_col: str = "name",
+                          max_dist: int = 8,
+                          max_block: int = MAX_BLOCK_SIZE) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy candidate pairs ->
+    connected components -> one canonical representative per entity
+    cluster (the lexicographic MIN name — deterministic at any
+    partitioning), mirroring how the KG pipeline resolves sameAs
+    aliases to canonical IRIs (ops/cc.py + canonicalize).
+
+    Returns (name, canonical_name, n_names, is_canonical) for every
+    name in a multi-name cluster; singletons are absent (they are
+    already canonical).
+
+    Scale shape: the pair graph is candidate-pair-sized (blocking
+    bounds it), so the CC step (two-level: driver union-find under
+    threshold, large/small-star above) never touches the full name
+    table; the relabel + cluster sizes is one window over cluster
+    members only."""
+    from pyspark.sql import Window
+
+    from octofludb_spark.ops.cc import connected_components
+
+    pairs = fuzzy_match_pairs(names, block, name_col=name_col,
+                              max_dist=max_dist, max_block=max_block)
+    edges = pairs.select(F.col("name_a").alias("src"),
+                         F.col("name_b").alias("dst"))
+    comp = connected_components(edges)
+    w = Window.partitionBy("canonical_name")
+    return (
+        comp.select(F.col("node").alias("name"),
+                    F.col("component").alias("canonical_name"))
+        .withColumn("n_names", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "is_canonical",
+            F.when(F.col("name") == F.col("canonical_name"), 1)
+            .otherwise(0).cast("long"),
+        )
+    )

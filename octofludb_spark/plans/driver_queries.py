@@ -3820,3 +3820,51 @@ def kg_hll_degree_sketch(spark, sf):
     out = hll_register_table(triples)
     return out.select("predicate", F.col("idx").cast("long").alias("idx"),
                       F.col("m_r").cast("long").alias("m_r"))
+
+
+_FUZZY_CC_SQL = f"""
+WITH RECURSIVE p AS ({_FUZZY_SQL}),
+ e AS (SELECT name_a AS a, name_b AS b FROM p
+       UNION SELECT name_b, name_a FROM p),
+ nn AS (SELECT DISTINCT a AS node FROM e),
+ reach(node, l) AS (
+   SELECT node, node FROM nn
+   UNION
+   SELECT e.b, reach.l FROM reach JOIN e ON e.a = reach.node),
+ cl AS (SELECT node, MIN(l) AS canon FROM reach GROUP BY node),
+ sz AS (SELECT canon, COUNT(*) AS n_names FROM cl GROUP BY canon)
+SELECT cl.node AS name, cl.canon AS canonical_name,
+       CAST(sz.n_names AS BIGINT) AS n_names,
+       CAST(CASE WHEN cl.node = cl.canon THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM cl JOIN sz ON sz.canon = cl.canon
+"""
+
+
+@q("kg_fuzzy_entity_clusters", _FUZZY_CC_SQL)
+def kg_fuzzy_entity_clusters(spark, sf):
+    """End-to-end entity resolution
+    (ops/entity_match.fuzzy_entity_clusters): the blocked fuzzy pair
+    graph resolved to canonical representatives via connected
+    components — the generalized form of the KG's sameAs -> canonical
+    IRI step.  Oracle recomputes the same pair graph and resolves
+    components via recursive min-label reachability."""
+    from octofludb_spark.ops.entity_match import fuzzy_entity_clusters
+
+    triples, _ = _stage_kg(spark)
+    names = (
+        triples.where(F.col("predicate")
+                      == "https://flu-crew.org/term/strain_name")
+        .select(F.col("object_lex").alias("name"))
+        .distinct()
+    )
+    nib = F.substring(F.md5("name"), 1, 1)
+    aug = names.unionAll(
+        names.where(nib.between("0", "7"))
+        .select(F.concat("name", F.lit(" (H1N1)")).alias("name"))
+    ).unionAll(
+        names.where(nib.between("8", "b"))
+        .select(F.upper("name").alias("name"))
+    )
+    return fuzzy_entity_clusters(
+        aug, F.upper(F.element_at(F.split("name", "/"), 4)), max_dist=8)

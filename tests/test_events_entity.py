@@ -179,3 +179,26 @@ def test_daily_anomalies_exact_boundary(spark):
     # user 2: past the boundary -> flagged, and flat days are not
     assert out[(2, "2024-05-11")].is_anomaly == 1
     assert sum(r.is_anomaly for r in out.values()) == 1
+
+
+def test_fuzzy_entity_clusters_transitive(spark):
+    """A chain a~b, b~c in one block resolves to ONE cluster with the
+    lexicographic-min canonical name, even when a and c exceed the
+    pair distance budget (transitivity via CC, like sameAs chains)."""
+    from pyspark.sql import functions as F2
+
+    from octofludb_spark.ops.entity_match import fuzzy_entity_clusters
+
+    names = spark.createDataFrame(
+        [("x/B1/aaaaaaaa",), ("x/B1/aaaaabbbbb",), ("x/B1/bbbbbbbbbb",),
+         ("x/B2/other",)], "name string")
+    out = {r.name: r for r in fuzzy_entity_clusters(
+        names, F2.upper(F2.element_at(F2.split("name", "/"), 2)),
+        max_dist=5).collect()}
+    assert set(out) == {"x/B1/aaaaaaaa", "x/B1/aaaaabbbbb",
+                        "x/B1/bbbbbbbbbb"}
+    for r in out.values():
+        assert r.canonical_name == "x/B1/aaaaaaaa"
+        assert r.n_names == 3
+    assert out["x/B1/aaaaaaaa"].is_canonical == 1
+    assert out["x/B1/bbbbbbbbbb"].is_canonical == 0
