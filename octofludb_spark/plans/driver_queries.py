@@ -3868,3 +3868,37 @@ def kg_fuzzy_entity_clusters(spark, sf):
     )
     return fuzzy_entity_clusters(
         aug, F.upper(F.element_at(F.split("name", "/"), 4)), max_dist=8)
+
+
+_SKEW_SQL = f"""
+WITH counts AS (SELECT predicate AS grp, object_lex AS k, COUNT(*) AS cnt
+                FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+                GROUP BY 1, 2),
+ rep AS (SELECT grp, SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+                MAX(cnt) AS max_key_rows, SUM(cnt * cnt) AS hhi_q
+         FROM counts GROUP BY grp)
+SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_key_rows AS BIGINT) AS max_key_rows,
+       CAST(hhi_q AS BIGINT) AS hhi_q,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+       CAST(max_key_rows * 1000000 // n_rows > 100000 AS BIGINT) AS is_hub,
+       CAST(CASE WHEN max_key_rows * 1000000 // n_rows > 100000
+                 THEN GREATEST(1, max_key_rows * 32 // n_rows)
+                 ELSE 1 END AS BIGINT) AS salt_hint
+FROM rep
+"""
+
+
+@q("kg_skew_report", _SKEW_SQL)
+def kg_skew_report(spark, sf):
+    """Per-predicate object-value skew profile (ops/skew.skew_report)
+    — the measurement half of the north_rule's hub-entity salting:
+    exact integer concentration numbers (top-key ppm share,
+    Herfindahl sum-of-squares, a salt hint for salted_join) that tell
+    the pipeline WHICH keys need spreading before the join pays for
+    the skew."""
+    from octofludb_spark.ops.skew import skew_report
+
+    triples, _ = _stage_kg(spark)
+    return skew_report(triples, "predicate", "object_lex")

@@ -202,3 +202,26 @@ def test_fuzzy_entity_clusters_transitive(spark):
         assert r.n_names == 3
     assert out["x/B1/aaaaaaaa"].is_canonical == 1
     assert out["x/B1/bbbbbbbbbb"].is_canonical == 0
+
+
+def test_skew_report_pinned(spark):
+    """Concentration math on a pinned skewed table: 90 rows on one
+    hub key + 10 spread, so top_share_ppm = 900000, hhi = 8110,
+    is_hub, and salt_hint = 90*32 DIV 100 = 28."""
+    from octofludb_spark.ops.skew import skew_report
+
+    rows = [("g", "hub")] * 90 + [("g", f"k{i}") for i in range(10)] \
+        + [("u", f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "p string, o string")
+    out = {r.grp: r for r in skew_report(df, "p", "o").collect()}
+    g = out["g"]
+    assert (g.n_rows, g.n_keys, g.max_key_rows) == (100, 11, 90)
+    assert g.hhi_q == 90 * 90 + 10
+    assert g.top_share_ppm == 900000
+    assert g.is_hub == 1
+    assert g.salt_hint == 28
+    u = out["u"]
+    assert u.is_hub == 0
+    # uniform group: no salting, even though max*32 DIV n_rows = 3
+    assert u.salt_hint == 1
+    assert u.hhi_q == 10
