@@ -655,6 +655,13 @@ def cmd_store(args) -> int:
     if args.op == "compact":
         store.compact(spark, table=args.table)
         return 0
+    if args.op == "sketches":
+        # materialize or O(changes)-refresh the HLL/CMS sketch tables
+        from octofludb_spark.plans.incremental_sketches import sketch_refresh
+
+        res = sketch_refresh(spark, store, table=args.table)
+        print("\t".join(f"{k}={v}" for k, v in res.items()))
+        return 0
     df = store.read_subject(spark, args.subject, table=args.table)
     if df is None:
         print("no such table", args.table)
@@ -778,7 +785,7 @@ def main(argv=None) -> int:
     ss = sub.add_parser("store")
     ss.add_argument("op", choices=["compact", "vacuum", "lookup",
                                    "history", "expire", "changes",
-                                   "stats"])
+                                   "stats", "sketches"])
     ss.add_argument("store")
     ss.add_argument("--table", default="triples_canonical")
     ss.add_argument("--subject", help="IRI for lookup")

@@ -455,3 +455,39 @@ def click_attribution(views: DataFrame, clicks: DataFrame,
             .cast("long").alias("lag_s"),
         )
     )
+
+
+def stream_ingest_with_sketches(stream: DataFrame, store_root: str,
+                                checkpoint_dir: str,
+                                run_ts: Optional[str] = None,
+                                refresh_log: Optional[list] = None):
+    """Streaming ingestion that keeps the store's SKETCH tables
+    current (plans/incremental_sketches.py) the same way
+    stream_ingest_with_report keeps the masterlist current: each
+    micro-batch runs the incremental KG update, then folds the triple
+    changes into the HLL register / CMS counter tables at O(changes)
+    — MAX-merge and counter-add for insert batches, the honest
+    recompute downgrade when a batch deletes.
+
+    Idempotent under micro-batch replay like the report path
+    (batch-id stage markers on the KG side; the sketch base-seq noop
+    on the sketch side)."""
+    from octofludb_spark.build import incremental_update
+    from octofludb_spark.plans.incremental_sketches import sketch_refresh
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store = incremental_update(
+            spark, batch_df, store_root,
+            run_ts=run_ts, batch_id=f"stream-{batch_id}")
+        res = sketch_refresh(spark, store, table="triples_canonical")
+        if refresh_log is not None:
+            refresh_log.append(res)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

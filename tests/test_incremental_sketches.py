@@ -87,3 +87,46 @@ def test_rewrite_falls_back_to_full(spark, tmp_path):
     cur = store.read(spark, "triples")
     assert _rowset(store.read(spark, HLL_TABLE)) == \
         _rowset(hll_register_table(cur))
+
+
+def test_stream_ingest_maintains_sketches(spark, tmp_path):
+    """Streaming micro-batches keep the sketch tables equal to a full
+    recompute over the final canonical view (stream face of the
+    incremental == full contract)."""
+    from octofludb_spark.sources.synth import source_pandas
+    from octofludb_spark.streaming.pipeline import (
+        stream_ingest_with_sketches, stream_source)
+
+    src_dir = str(tmp_path / "in")
+    pdf = source_pandas(12)
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        src_dir, mode="append")
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        src_dir, mode="append")
+
+    store_root = str(tmp_path / "store")
+    log = []
+    q = stream_ingest_with_sketches(
+        stream_source(spark, src_dir, max_files=1),
+        store_root, str(tmp_path / "ckpt"),
+        run_ts="2026-01-01T00:00:00", refresh_log=log).start()
+    q.awaitTermination(240)
+
+    assert log, "no micro-batches processed"
+    # first batch full-materializes; later insert batches go
+    # incremental (order of file pickup may merge them into one)
+    assert log[0]["mode"] == "full"
+    assert all(r["mode"] in ("full", "incremental", "noop")
+               for r in log)
+
+    from octofludb_spark.plans.incremental_sketches import (
+        CMS_TABLE, HLL_TABLE, cms_counter_table, hll_register_table)
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(store_root)
+    cur = store.read(spark, "triples_canonical")
+    assert {tuple(r) for r in store.read(spark, HLL_TABLE).collect()} \
+        == {tuple(r) for r in hll_register_table(cur).collect()}
+    assert {tuple(r) for r in store.read(spark, CMS_TABLE).collect()} \
+        == {tuple(r) for r in cms_counter_table(cur).collect()}
