@@ -462,7 +462,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
               "cdc-chunks", "cdc-dedup", "inverted-index",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
-              "attribution")
+              "attribution", "skew")
 
 
 def cmd_scale(args) -> int:
@@ -558,6 +558,9 @@ def cmd_scale(args) -> int:
     elif args.op == "retention":
         from octofludb_spark.ops.events import retention_cohorts
         out = retention_cohorts(docs)
+    elif args.op == "skew":
+        from octofludb_spark.ops.skew import skew_report
+        out = skew_report(docs, args.key, args.skew_key)
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")
@@ -805,6 +808,8 @@ def main(argv=None) -> int:
     sca.add_argument("--key", default="lang", help="sample group column")
     sca.add_argument("--stages", default="view,click,purchase",
                      help="funnel/attribution event types (comma list)")
+    sca.add_argument("--skew-key", dest="skew_key", default="source",
+                     help="skew op: the key column profiled per --key group")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)
