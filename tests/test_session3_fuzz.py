@@ -218,3 +218,94 @@ def test_sketches_fuzz_vs_naive(spark, seed):
     for w, n in top10:
         assert cms[w].n_exact == n
         assert cms[w].cms_est >= n
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_skew_report_fuzz_vs_naive(spark, seed):
+    from collections import Counter
+
+    from octofludb_spark.ops.skew import skew_report
+
+    rng = random.Random(6000 + seed)
+    rows = [(rng.choice("abc"),
+             f"k{int(rng.paretovariate(0.7)) % 40}")
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {r.grp: r for r in skew_report(df, "g", "k").collect()}
+
+    by_g: dict = {}
+    for g, k in rows:
+        by_g.setdefault(g, Counter())[k] += 1
+    assert set(got) == set(by_g)
+    for g, c in by_g.items():
+        n, mx = sum(c.values()), max(c.values())
+        r = got[g]
+        assert (r.n_rows, r.n_keys, r.max_key_rows) == (n, len(c), mx)
+        assert r.hhi_q == sum(v * v for v in c.values())
+        assert r.top_share_ppm == mx * 1_000_000 // n
+        assert r.is_hub == int(mx * 1_000_000 // n > 100_000)
+        want_salt = max(1, mx * 32 // n) if r.is_hub else 1
+        assert r.salt_hint == want_salt
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dd_quantiles_fuzz_vs_naive(spark, seed):
+    import math
+
+    from octofludb_spark.scale import sketches as SK
+
+    rng = random.Random(7000 + seed)
+    docs = [(i, " ".join("w" for _ in range(rng.randrange(1, 300))),
+             rng.choice(["en", "de"])) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {(r.grp, r.q): r for r in SK.dd_quantiles(df, key="lang").collect()}
+
+    xs: dict = {}
+    for _, text, lang in docs:
+        xs.setdefault(lang, []).append(len(text.split(" ")))
+    lg = math.log(SK.DD_GAMMA)
+    for lang, v in xs.items():
+        v.sort()
+        n = len(v)
+        sk = {}
+        for x in v:
+            b = math.ceil(math.log(x) / lg)
+            sk[b] = sk.get(b, 0) + 1
+        for q in (50, 90, 99):
+            thr = -(-q * n // 100)  # ceil(q*n/100)
+            cum = 0
+            for b in sorted(sk):
+                cum += sk[b]
+                if cum * 100 >= q * n:
+                    want_b = b
+                    break
+            want_exact = v[thr - 1]
+            r = got[(lang, q)]
+            assert r.dd_bucket == want_b
+            assert r.exact_q == want_exact
+            assert abs(r.dd_est - want_exact) \
+                <= 2 * SK.DD_ALPHA * want_exact + 1
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_click_attribution_fuzz_vs_naive(spark, seed):
+    from octofludb_spark.streaming.pipeline import click_attribution
+
+    rng = random.Random(8000 + seed)
+    rows = _rand_events(rng, n_users=6, n_events=120)
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {(r.user_id, r.view_ts, r.click_ts, r.lag_s)
+           for r in click_attribution(
+               ev.where("event_type='view'"),
+               ev.where("event_type='click'"),
+               horizon_min=120).collect()}
+    want = set()
+    views = [(u, ts) for u, ts, et in rows if et == "view"]
+    clicks = [(u, ts) for u, ts, et in rows if et == "click"]
+    for u, vt in views:
+        for cu, ct in clicks:
+            if cu == u and ct > vt and (ct - vt).total_seconds() <= 7200:
+                want.add((u, vt, ct, int(ct.timestamp())
+                          - int(vt.timestamp())))
+    assert got == want
