@@ -3902,3 +3902,61 @@ def kg_skew_report(spark, sf):
 
     triples, _ = _stage_kg(spark)
     return skew_report(triples, "predicate", "object_lex")
+
+
+def _ppr_sql() -> str:
+    """Unrolled 5-iteration personalized PageRank over the staged KG
+    uri edges, seeds = the deterministic 1/16 md5 node sample (the
+    kg_bfs_distances discipline) — exact BIGINT floor arithmetic
+    mirroring ops/graph_analytics.personalized_pagerank."""
+    parts = [f"""
+WITH e AS (SELECT DISTINCT subject AS src, object_lex AS dst
+           FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')
+           WHERE object_dtype = 'uri' AND subject <> object_lex),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ srcs AS (SELECT node FROM nodes WHERE substr(md5(node), 1, 1) = '0'),
+ scnt AS (SELECT COUNT(*) AS ns FROM srcs),
+ outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+ r0 AS (SELECT n.node,
+               CASE WHEN s.node IS NOT NULL
+                    THEN 1000000000000 // (SELECT ns FROM scnt)
+                    ELSE 0 END AS r
+        FROM nodes n LEFT JOIN srcs s ON s.node = n.node)"""]
+    for k in range(1, _PR_N_ITERS + 1):
+        parts.append(f""",
+ r{k} AS (SELECT n.node,
+            CASE WHEN sr.node IS NOT NULL
+                 THEN (1000000000000 * 15 // 100) // (SELECT ns FROM scnt)
+                 ELSE 0 END
+            + COALESCE(s.in_r, 0) AS r
+          FROM nodes n
+          LEFT JOIN srcs sr ON sr.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((r.r * 85) // 100) // od.od) AS in_r
+            FROM e JOIN r{k - 1} r ON r.node = e.src
+                   JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{_PR_N_ITERS}""")
+    return "".join(parts)
+
+
+@q("kg_personalized_pagerank", _ppr_sql())
+def kg_personalized_pagerank(spark, sf):
+    """Personalized PageRank from a deterministic seed set
+    (ops/graph_analytics.personalized_pagerank): teleport mass lands
+    only on the seeds, so rank is importance RELATIVE to the query
+    set — related-entity ranking; the whole 5-iteration trajectory is
+    value-hash oracled like kg_pagerank."""
+    from octofludb_spark.ops.graph_analytics import personalized_pagerank
+
+    triples, _ = _stage_kg(spark)
+    edges = (triples.where(F.col("object_dtype") == "uri")
+             .select(F.col("subject").alias("src"),
+                     F.col("object_lex").alias("dst")))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = nodes.where(F.substring(F.md5("node"), 1, 1) == "0")
+    return personalized_pagerank(edges, seeds, iters=_PR_N_ITERS)

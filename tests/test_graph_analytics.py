@@ -160,3 +160,31 @@ def test_bfs_distances_pinned(spark):
     two = spark.createDataFrame([("a",), ("e",)], "node string")
     out2 = {r.node: r.dist for r in bfs_distances(e, two, 3).collect()}
     assert out2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_personalized_pagerank_seeds_hold_teleport_mass(spark):
+    """On a path a->b->c with seed {a}: only a gets teleport mass, b
+    and c receive only propagated rank; a non-seed sink keeps rank 0
+    when unreachable from seeds; and with ALL nodes as seeds, PPR ==
+    plain PageRank (same integer trajectory)."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.ops.graph_analytics import (pagerank,
+                                                     personalized_pagerank)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r = {x.node: x.rank_micro
+         for x in personalized_pagerank(edges, seeds, iters=3).collect()}
+    assert r["a"] > r["b"] > r["c"]
+    # d has no inbound path from the seed and is not a seed: rank 0
+    assert r["d"] == 0
+
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    ppr_all = {x.node: x.rank_micro for x in
+               personalized_pagerank(edges, nodes, iters=3).collect()}
+    pr = {x.node: x.rank_micro for x in pagerank(edges, iters=3).collect()}
+    assert ppr_all == pr
