@@ -3960,3 +3960,27 @@ def kg_personalized_pagerank(spark, sf):
              .distinct())
     seeds = nodes.where(F.substring(F.md5("node"), 1, 1) == "0")
     return personalized_pagerank(edges, seeds, iters=_PR_N_ITERS)
+
+
+_CENTROID_SQL = """
+WITH parts AS (SELECT label AS grp,
+                      generate_subscripts(embedding, 1) - 1 AS pos,
+                      UNNEST(embedding) AS x
+               FROM embeddings)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS centroid_micro
+FROM parts GROUP BY 1, 2
+"""
+
+
+@q("embedding_centroids", _CENTROID_SQL)
+def embedding_centroids_gate(spark, sf):
+    """Per-label embedding centroids in exact fixed-point micro-units
+    (scale/simsearch.embedding_centroids): integer component sums are
+    order-independent where float averaging drifts with partitioning
+    — the deterministic aggregation k-means-style pipelines need."""
+    out = S.embedding_centroids(t(spark, sf, "embeddings"), key="label")
+    return out.select(F.col("grp").cast("long").alias("grp"),
+                      "pos", "n_vecs", "centroid_micro")

@@ -812,3 +812,41 @@ def topk_pq_ranked(emb: DataFrame, k: int = 5, n_queries: int = 20,
     return (scored.select("query_id", "vec_id", cos.alias("cos"))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def embedding_centroids(emb: DataFrame, key: str = "label") -> DataFrame:
+    """Per-group embedding centroids in EXACT fixed-point arithmetic:
+    each float component is scaled to integer micro-units
+    (floor(x * 10^6 + 0.5) — float32 widens to the same double on
+    any engine), summed per (group, position) as BIGINT (integer
+    sums are order-independent, float sums are not), and divided by
+    the group count with integer floor division.  The centroid is
+    therefore bit-identical at any parallelism — the property that
+    makes it gate-able, and the reason k-means-style aggregation
+    drifts across runs when done in floats.
+
+    Output: (grp, pos, n_vecs, centroid_micro) — one row per
+    dimension; consumers needing arrays re-assemble with
+    array_agg-ordered-by-pos.
+
+    Scale shape: one posexplode projection (map-side) and one
+    (group, pos) aggregate with map-side partials — dims * groups
+    rows out, never a collect."""
+    parts = emb.select(
+        F.col(key).alias("grp"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "grp", "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("q"),
+    )
+    return (
+        parts.groupBy("grp", "pos")
+        .agg(F.count("*").alias("n_vecs"), F.sum("q").alias("s"))
+        .select(
+            "grp",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr("s DIV n_vecs").cast("long").alias("centroid_micro"),
+        )
+    )

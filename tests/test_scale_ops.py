@@ -1311,3 +1311,38 @@ def test_topk_pq_ranked_ties_production_recipe(spark):
                            n_queries=20, ksub=32).collect()
     assert {(r.query_id, r.vec_id, r.cos, r.rank) for r in rows} \
         == {(r.query_id, r.vec_id, r.cos, r.rank) for r in again}
+
+
+def test_embedding_centroids_partition_invariant(spark):
+    """Integer-sum centroids are bit-identical across partitionings
+    (the float-average version would not be), and match a numpy
+    recomputation at micro precision."""
+    import math
+
+    import numpy as np
+
+    from octofludb_spark.scale.simsearch import embedding_centroids
+
+    emb = _emb(spark).limit(300).cache()
+    a = {(r.grp, r.pos): (r.n_vecs, r.centroid_micro)
+         for r in embedding_centroids(emb.repartition(1)).collect()}
+    b = {(r.grp, r.pos): (r.n_vecs, r.centroid_micro)
+         for r in embedding_centroids(emb.repartition(16)).collect()}
+    assert a == b
+
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for lbl, vecs in by_label.items():
+        qs = np.array([[math.floor(float(np.float64(np.float32(x)))
+                                   * 1_000_000 + 0.5)
+                        for x in v] for v in vecs], dtype=np.int64)
+        n = len(vecs)
+        # Spark DIV / DuckDB // truncate toward ZERO on negatives —
+        # python/numpy // floors, so emulate trunc-div explicitly
+        want = [int(s) // n if s >= 0 else -((-int(s)) // n)
+                for s in qs.sum(axis=0)]
+        for pos, w in enumerate(want):
+            assert a[(lbl, pos)] == (n, w)
+    emb.unpersist()
