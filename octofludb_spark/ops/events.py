@@ -133,3 +133,50 @@ def daily_anomalies(events: DataFrame, user_col: str = "user_id",
             .otherwise(0).cast("long").alias("is_anomaly"),
         )
     )
+
+
+def cooccurrence_lift(events: DataFrame, user_col: str = "user_id",
+                      item_col: str = "event_type") -> DataFrame:
+    """Market-basket co-occurrence with exact integer lift: for each
+    unordered item pair (a < b), the number of users exhibiting both,
+    each alone, and lift = P(ab) / (P(a) P(b)) in ppm —
+    n_ab * n_users * 10^6 DIV (n_a * n_b) — pure BIGINT, so the
+    association table is bit-identical cross-engine (float lift would
+    tie-break differently at cutoff boundaries).
+
+    Scale shape: one (user, item) distinct (map-side partial), one
+    per-item count, a user-keyed self-join bounded by items-per-user
+    (small fan-out: users hold few distinct items), one pair
+    aggregate.  Output: (item_a, item_b, n_ab, n_a, n_b, n_users,
+    lift_ppm)."""
+    ui = (events.select(F.col(user_col).alias("u"),
+                        F.col(item_col).alias("i"))
+          .distinct().persist())
+    try:
+        n_users = ui.select("u").distinct().count()
+        per = ui.groupBy("i").agg(F.count("*").alias("n_i"))
+        a = ui.select("u", F.col("i").alias("item_a"))
+        b = ui.select("u", F.col("i").alias("item_b"))
+        pairs = (
+            a.join(b, "u")
+            .where(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count("*").alias("n_ab"))
+        )
+        return (
+            pairs.join(per.withColumnRenamed("i", "item_a")
+                       .withColumnRenamed("n_i", "n_a"), "item_a")
+            .join(per.withColumnRenamed("i", "item_b")
+                  .withColumnRenamed("n_i", "n_b"), "item_b")
+            .select(
+                "item_a", "item_b",
+                F.col("n_ab").cast("long").alias("n_ab"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.lit(n_users).cast("long").alias("n_users"),
+                F.expr(f"n_ab * {n_users} * 1000000 DIV (n_a * n_b)")
+                .cast("long").alias("lift_ppm"),
+            )
+        )
+    finally:
+        ui.unpersist()

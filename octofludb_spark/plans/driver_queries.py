@@ -3984,3 +3984,32 @@ def embedding_centroids_gate(spark, sf):
     out = S.embedding_centroids(t(spark, sf, "embeddings"), key="label")
     return out.select(F.col("grp").cast("long").alias("grp"),
                       "pos", "n_vecs", "centroid_micro")
+
+
+_COOC_SQL = """
+WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events),
+ nu AS (SELECT COUNT(DISTINCT u) AS n_users FROM ui),
+ per AS (SELECT i, COUNT(*) AS n_i FROM ui GROUP BY i),
+ pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+           FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+           GROUP BY 1, 2)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(pa.n_i AS BIGINT) AS n_a, CAST(pb.n_i AS BIGINT) AS n_b,
+       CAST(nu.n_users AS BIGINT) AS n_users,
+       CAST(n_ab * nu.n_users * 1000000 // (pa.n_i * pb.n_i) AS BIGINT)
+         AS lift_ppm
+FROM pairs JOIN per pa ON pa.i = pairs.item_a
+           JOIN per pb ON pb.i = pairs.item_b
+           CROSS JOIN nu
+"""
+
+
+@q("event_cooccurrence", _COOC_SQL)
+def event_cooccurrence(spark, sf):
+    """Market-basket event co-occurrence (ops/events.
+    cooccurrence_lift): per unordered event-type pair, user overlap
+    counts and exact integer lift in ppm — association strength with
+    no float tie-break drift."""
+    from octofludb_spark.ops.events import cooccurrence_lift
+
+    return cooccurrence_lift(t(spark, sf, "events"))

@@ -225,3 +225,32 @@ def test_skew_report_pinned(spark):
     # uniform group: no salting, even though max*32 DIV n_rows = 3
     assert u.salt_hint == 1
     assert u.hhi_q == 10
+
+
+def test_cooccurrence_lift_pinned(spark):
+    """Exact lift math: 4 users, a on {1,2,3}, b on {2,3,4}, c on
+    {1}: pair (a,b) has n_ab=2, n_a=3, n_b=3, lift = 2*4/(3*3) =
+    888888 ppm (floor)."""
+    import datetime as dt
+
+    from octofludb_spark.ops.events import cooccurrence_lift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3):
+        rows.append((u, t0, "a"))
+    for u in (2, 3, 4):
+        rows.append((u, t0, "b"))
+    rows.append((1, t0, "c"))
+    rows.append((1, t0, "a"))  # duplicate event: distinct-per-user
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {(r.item_a, r.item_b): r for r in
+           cooccurrence_lift(ev).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b, ab.n_users) == (2, 3, 3, 4)
+    assert ab.lift_ppm == 2 * 4 * 1_000_000 // 9
+    ac = out[("a", "c")]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 1)
+    assert ac.lift_ppm == 1 * 4 * 1_000_000 // 3
+    assert ("b", "c") not in out  # no shared user
