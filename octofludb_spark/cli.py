@@ -462,7 +462,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
               "cdc-chunks", "cdc-dedup", "inverted-index",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
-              "attribution", "skew")
+              "attribution", "skew", "cooccurrence", "centroids")
 
 
 def cmd_scale(args) -> int:
@@ -561,6 +561,14 @@ def cmd_scale(args) -> int:
     elif args.op == "skew":
         from octofludb_spark.ops.skew import skew_report
         out = skew_report(docs, args.key, args.skew_key)
+    elif args.op == "cooccurrence":
+        # expects an events parquet (user_id, ts, event_type)
+        from octofludb_spark.ops.events import cooccurrence_lift
+        out = cooccurrence_lift(docs)
+    elif args.op == "centroids":
+        # expects an embeddings parquet (vec_id, embedding, label)
+        from octofludb_spark.scale.simsearch import embedding_centroids
+        out = embedding_centroids(docs)
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")
