@@ -309,3 +309,38 @@ def test_click_attribution_fuzz_vs_naive(spark, seed):
                 want.add((u, vt, ct, int(ct.timestamp())
                           - int(vt.timestamp())))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cooccurrence_fuzz_vs_naive(spark, seed):
+    from itertools import combinations
+
+    from octofludb_spark.ops.events import cooccurrence_lift
+
+    rng = random.Random(9000 + seed)
+    rows = [(rng.randrange(10),
+             T0 + dt.timedelta(minutes=rng.randrange(1000)),
+             rng.choice("abcde")) for _ in range(300)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {(r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.n_users,
+                                  r.lift_ppm)
+           for r in cooccurrence_lift(ev).collect()}
+
+    by_u: dict = {}
+    for u, _, i in rows:
+        by_u.setdefault(u, set()).add(i)
+    n_users = len(by_u)
+    per: dict = {}
+    for items in by_u.values():
+        for i in items:
+            per[i] = per.get(i, 0) + 1
+    want: dict = {}
+    for items in by_u.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert set(got) == set(want)
+    for (a, b), n_ab in want.items():
+        assert got[(a, b)] == (
+            n_ab, per[a], per[b], n_users,
+            n_ab * n_users * 1_000_000 // (per[a] * per[b]))
