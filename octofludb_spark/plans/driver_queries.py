@@ -853,7 +853,48 @@ def dedup_simhash_near(spark, sf):
     candidates from per-band bucket joins (pigeonhole: hamming <
     n_bands guarantees an exact band match) and verifies with ONE
     popcount(xor); the oracle is the brute all-pairs filter — banding
-    completeness means the two agree exactly."""
+    completeness means the two agree exactly.  16-bit legacy geometry,
+    kept as the small-fingerprint oracle gate; production default is
+    the 64-bit gate below."""
+    return D.simhash_near_pairs(t(spark, sf, "documents"), max_hamming=3,
+                                bits=16, n_bands=4)
+
+
+_SIMHASH64_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+ h AS (SELECT doc_id, md5(word) AS hx, md5(word || '#') AS hy FROM w),
+ bits AS (
+   SELECT doc_id, j,
+          SUM(CASE WHEN (strpos('0123456789abcdef',
+                substr(CASE WHEN j < 32 THEN hx ELSE hy END,
+                       CAST(CASE WHEN j < 32 THEN j + 1 ELSE j - 31 END AS INT),
+                       1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END) AS s
+   FROM h, (SELECT UNNEST(range(64)) AS j) GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s <= 0 THEN 0
+                     WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST((CAST(1 AS BIGINT) << CAST(j AS INT)) AS HUGEINT)
+                END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@q("dedup_simhash_near64", f"""
+WITH sh AS ({_SIMHASH64_SQL})
+SELECT a.doc_id AS doc_x, b.doc_id AS doc_y,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def dedup_simhash_near64(spark, sf):
+    """Production 64-bit SimHash near-dup pairs (the engine default:
+    bits=64, n_bands=max_hamming+1 → 16-bit bands, 65,536 keys per
+    band so bucket sizes — and thus candidate volume — stay ~n/65,536
+    per band at web scale).  Fingerprints are cross-engine bit-exact
+    (two chained md5 hex-parity hashes), so the DuckDB brute all-pairs
+    oracle value-hash-matches the banded Spark plan exactly."""
     return D.simhash_near_pairs(t(spark, sf, "documents"), max_hamming=3)
 
 

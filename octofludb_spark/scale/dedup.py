@@ -500,26 +500,46 @@ _HEX = "0123456789abcdef"
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """16-bit SimHash: bit j is the sign of sum over distinct words of
-    (parity of md5 hex digit j) ? +1 : -1.  (doc_id, simhash)."""
+    """SimHash fingerprint (Charikar 2002): bit j is the sign of the
+    sum over distinct words of (word-hash bit j ? +1 : -1).
+    (doc_id, simhash).
+
+    Word-hash bit j is the parity of md5 hex digit j for j < 32 and of
+    md5(word || '#') hex digit j-32 for 32 <= j < 64 — a pure-SQL hash
+    both Spark and DuckDB evaluate identically, so fingerprints are
+    cross-engine bit-exact up to the full production 64-bit width.
+    Bit 63 makes the long fingerprint negative (two's complement);
+    band extraction below masks after the arithmetic shift, so sign
+    extension is harmless."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).withColumn("h", F.md5("w"))
+    if bits > 32:
+        words = words.withColumn("h2", F.md5(F.concat(F.col("w"), F.lit("#"))))
+
+    def digit(j: int):
+        if j < 32:
+            return F.substring("h", j + 1, 1)
+        return F.substring("h2", j - 31, 1)
+
     bit_cols = [
         F.sum(
-            F.when(
-                (F.instr(F.lit(_HEX), F.substring("h", j + 1, 1)) - 1) % 2 == 1,
-                1,
-            ).otherwise(-1)
+            F.when((F.instr(F.lit(_HEX), digit(j)) - 1) % 2 == 1, 1)
+            .otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     agg = words.groupBy("doc_id").agg(*bit_cols)
-    fingerprint = None
+    fingerprint = F.lit(0).cast("long")
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, 2 ** j).otherwise(0)
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+        term = F.when(
+            F.col(f"b{j}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = fingerprint.bitwiseOR(term)
+    return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_dup_candidates(docs: DataFrame) -> DataFrame:
@@ -532,12 +552,12 @@ def simhash_dup_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-SIMHASH_BANDS = 4  # 16 bits -> 4 bands of 4 bits
+SIMHASH_BANDS = 4  # legacy 16-bit gate geometry: 4 bands of 4 bits
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       bits: int = 16,
-                       n_bands: int = SIMHASH_BANDS) -> DataFrame:
+                       bits: int = 64,
+                       n_bands: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming:
     (doc_x, doc_y, hamming).
 
@@ -546,18 +566,40 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     distance < n_bands must agree EXACTLY on at least one band, so
     candidates come from per-band bucket joins (work ∝ bucket sizes,
     never O(n²)) and are then verified with one popcount(xor).
-    Requires max_hamming < n_bands for completeness."""
+    Requires max_hamming < n_bands for completeness.
+
+    Production geometry (the default): the standard 64-bit SimHash
+    with the minimal complete band count ``max_hamming + 1``, giving
+    16-bit bands at max_hamming=3 — 65,536 distinct keys per band, so
+    per-band buckets hold ~n/65,536 of the corpus and candidate volume
+    stays near-linear.  The old 16-bit/4-band shape (4-bit bands, only
+    16 keys → buckets of ~n/16, degenerating toward O(n²/16) at web
+    scale) is kept solely as the oracle-gate geometry via explicit
+    ``bits=16, n_bands=4``."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     if max_hamming >= n_bands:
         raise ValueError("banding is only complete for max_hamming < n_bands")
-    band_bits = bits // n_bands
+    if n_bands > bits:
+        raise ValueError("n_bands cannot exceed bits")
+    # Unequal band widths (Manku et al. 2007 blocks): band b covers
+    # [floor(b*bits/n), floor((b+1)*bits/n)) — pigeonhole completeness
+    # needs only n_bands > max_hamming, never equal division.
+    bounds = [b * bits // n_bands for b in range(n_bands + 1)]
     s = simhash(docs, bits=bits)
+
+    def band_key(lo: int, hi: int):
+        width = hi - lo
+        mask = F.lit(-1).cast("long") if width >= 64 \
+            else F.lit((1 << width) - 1).cast("long")
+        return F.shiftright("simhash", lo).bitwiseAND(mask)
+
     bands = s.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * band_bits)
-                .bitwiseAND((1 << band_bits) - 1).alias("key"),
+                band_key(bounds[b], bounds[b + 1]).alias("key"),
             )
             for b in range(n_bands)
         ])).alias("bk"),
