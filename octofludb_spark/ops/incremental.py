@@ -32,16 +32,48 @@ from octofludb_spark.ops.canonicalize import canonical_map
 from octofludb_spark.ops.cc import connected_components
 
 
-def split_affected(old_map: DataFrame,
-                   new_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Partition ``old_map`` (node, canonical) into (affected,
-    unaffected) rows, where affected = every row of a component that
-    contains an endpoint of ``new_edges``.
+def incremental_link(old_map: DataFrame | None,
+                     new_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (new_map, sub_map).
 
-    A touched node can appear in the old map as an alias (node
-    column), as a representative (canonical column), or not at all
-    (brand-new entity) — the first two pull their whole component in;
-    the third has no old rows to pull."""
+    ``new_map`` is the full updated canonical map (identity rows
+    omitted, same contract as :func:`canonical_map`).  ``sub_map`` is
+    the delta dictionary for rewriting ALREADY-canonical triples: the
+    (node -> canonical) entries of the recomputed components.  Old
+    canonical triples only mention representatives and never-aliased
+    nodes, so rewriting them through ``sub_map`` composes with the old
+    map: sub_map∘old_map == new_map on every node (the equivalence the
+    incremental build relies on; property-tested).
+
+    Materializing new_map costs O(store); the store path
+    (:func:`sync_canonical`) uses :func:`incremental_link_delta` and a
+    merge-on-read patch instead — this form remains for full-map
+    consumers and the equivalence tests."""
+    doomed_reps, sub_map = incremental_link_delta(old_map, new_edges)
+    if doomed_reps is None:
+        return sub_map, sub_map
+    unaffected = old_map.join(F.broadcast(doomed_reps), "canonical",
+                              "left_anti").select("node", "canonical")
+    return unaffected.unionByName(sub_map), sub_map
+
+
+def incremental_link_delta(old_map: DataFrame | None,
+                           new_edges: DataFrame
+                           ) -> tuple[DataFrame | None, DataFrame]:
+    """-> (doomed_reps, sub_map): the merge-on-read form of
+    :func:`incremental_link`.  ``doomed_reps`` is one column
+    ``canonical`` — the OLD representatives of every component a new
+    edge touches; deleting the map rows carrying them (an equality
+    delete keyed on ``canonical``) and appending ``sub_map`` yields
+    exactly ``incremental_link``'s new_map, WITHOUT materializing or
+    rewriting the untouched majority of the map.  At 100 TB the
+    canonical map is itself a big table; a full rewrite per upload
+    batch is O(store), this patch is O(affected) — the same Iceberg v2
+    pattern the triple view uses.  ``doomed_reps`` is None when there
+    is no old map (first link: sub_map is the whole map)."""
+    if old_map is None:
+        sub_map = canonical_map(connected_components(new_edges))
+        return None, sub_map
     touched = (
         new_edges.select(F.col("src").alias("node"))
         .unionByName(new_edges.select(F.col("dst").alias("node")))
@@ -56,37 +88,15 @@ def split_affected(old_map: DataFrame,
         .join(F.broadcast(touched.withColumnRenamed("node", "canonical")),
               "canonical", "left_semi")
     )
-    affected_canon = as_alias.unionByName(as_canon).distinct()
-    affected = old_map.join(F.broadcast(affected_canon), "canonical",
+    doomed_reps = as_alias.unionByName(as_canon).distinct()
+    affected = old_map.join(F.broadcast(doomed_reps), "canonical",
                             "left_semi").select("node", "canonical")
-    unaffected = old_map.join(F.broadcast(affected_canon), "canonical",
-                              "left_anti").select("node", "canonical")
-    return affected, unaffected
-
-
-def incremental_link(old_map: DataFrame | None,
-                     new_edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """-> (new_map, sub_map).
-
-    ``new_map`` is the full updated canonical map (identity rows
-    omitted, same contract as :func:`canonical_map`).  ``sub_map`` is
-    the delta dictionary for rewriting ALREADY-canonical triples: the
-    (node -> canonical) entries of the recomputed components.  Old
-    canonical triples only mention representatives and never-aliased
-    nodes, so rewriting them through ``sub_map`` composes with the old
-    map: sub_map∘old_map == new_map on every node (the equivalence the
-    incremental build relies on; property-tested)."""
-    spark = new_edges.sparkSession
-    if old_map is None:
-        sub_map = canonical_map(connected_components(new_edges))
-        return sub_map, sub_map
-    affected, unaffected = split_affected(old_map, new_edges)
     cc_edges = new_edges.select("src", "dst").unionByName(
         affected.select(F.col("node").alias("src"),
                         F.col("canonical").alias("dst"))
     )
     sub_map = canonical_map(connected_components(cc_edges))
-    return unaffected.unionByName(sub_map), sub_map
+    return doomed_reps, sub_map
 
 
 def rewrite_through(canonical: DataFrame,
@@ -157,10 +167,19 @@ def sync_canonical(spark, store, batch: DataFrame,
         # canonical view mirrors uploads verbatim until build_graph
         # links globally (upload-then-build flow).
         if old_map is not None and not new_edges.isEmpty():
-            new_map, sub_map = incremental_link(old_map, new_edges)
+            doomed_reps, sub_map = incremental_link_delta(old_map,
+                                                          new_edges)
             sub_map = sub_map.persist()
             if not done("map"):
-                store.write(new_map, "canonical_map", stage=mark("map"))
+                # O(affected) merge-on-read map patch, ONE commit: the
+                # rows of touched components equality-delete by their
+                # old representative and the recomputed sub-map
+                # appends — the untouched majority of the map is never
+                # rewritten (the old full store.write here was
+                # O(store) per upload batch).  `compact` folds the
+                # accreted segments when they pile up.
+                store.patch_rows_mor(spark, doomed_reps, sub_map,
+                                     "canonical_map", stage=mark("map"))
             mapping = store.read(spark, "canonical_map")
         else:
             mapping = old_map

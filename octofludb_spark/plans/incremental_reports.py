@@ -144,11 +144,20 @@ def affected_barcodes(changes: DataFrame, trip: DataFrame) -> DataFrame:
     return from_graph.unionByName(from_changes).distinct()
 
 
-def masterlist_slice(trip: DataFrame, barcodes: DataFrame) -> DataFrame:
+def masterlist_slice(trip: DataFrame, barcodes: DataFrame,
+                     materialize: bool = True) -> DataFrame:
     """Recompute masterlist rows ONLY for the given barcodes: every
     strain carrying one of them (shared-barcode safety), plus those
     strains' segments, semi-joined out of the triple table; the report
-    plan then runs over the O(affected) slice."""
+    plan then runs over the O(affected) slice.
+
+    The slice is MATERIALIZED (localCheckpoint) before the report plan
+    consumes it: the 33-col masterlist derives ~20 predicate views
+    from its input, and a lazy slice would replay the full-table
+    semi-join chain once per view — ~20 full scans of the triple
+    table.  Checkpointing pins the O(affected) rows once, so the
+    report's views scan the tiny slice and the big table is read
+    exactly once per refresh."""
     bc = trip.where(F.col("predicate") == NT + "barcode")
     sids = (
         bc.join(barcodes, bc["object_lex"] == barcodes["barcode"],
@@ -173,6 +182,15 @@ def masterlist_slice(trip: DataFrame, barcodes: DataFrame) -> DataFrame:
         )
         ents = ents.unionByName(nxt).distinct()
     sub = trip.join(ents, trip["subject"] == ents["ent"], "left_semi")
+    if materialize:
+        # re-width first: the lazy slice inherits the BIG table's scan
+        # partitioning (one per bucket dir), and a checkpoint pins it —
+        # every one of the report's ~20 view scans would then schedule
+        # a task per (mostly empty) bucket.  One O(affected) shuffle
+        # down to cluster width makes the pinned slice proportionate.
+        sub = sub.repartition(
+            sub.sparkSession.sparkContext.defaultParallelism)
+        sub = sub.localCheckpoint()
     return masterlist_report(GraphViews(sub))
 
 
@@ -219,13 +237,14 @@ def masterlist_refresh(spark: SparkSession, store,
                 "rows_appended": 0}
     patch = masterlist_slice(trip, barcodes).persist()
     n_rows = patch.count()
-    # merge-on-read: Barcode-keyed equality delete, then append — the
-    # materialized table is never rewritten (Iceberg v2 semantics;
-    # sequence numbers stop the delete from eating the new rows)
-    store.delete_rows_mor(
+    # merge-on-read, ONE commit: Barcode-keyed equality delete + the
+    # recomputed rows land in a single manifest swap (Iceberg v2
+    # single-transaction semantics; the delete's sequence number
+    # precedes the append's, so it cannot eat the new rows, and a
+    # concurrent reader never sees the keys deleted-but-unreplaced)
+    store.patch_rows_mor(
         spark, barcodes.select(F.col("barcode").alias("Barcode")),
-        table=MASTERLIST_TABLE)
-    store.append_rows(patch, MASTERLIST_TABLE)
+        patch, table=MASTERLIST_TABLE)
     patch.unpersist()
     barcodes.unpersist()
     _write_base_seq(store, next_base)

@@ -876,6 +876,12 @@ def _compat_out_nulls(left, left_nulls, right, right_nulls, shared,
     return out_nulls
 
 
+# Null-pattern rewrite cap: 3^k disjoint equi branches per compat
+# join.  k=5 → ≤243 branches, all hash joins — planning-time cost
+# only; beyond that the query is asked to rewrite (never NLJ).
+_COMPAT_MAX_TOL = 5
+
+
 def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
                  right_nulls: set, how: str = "inner") -> tuple[DataFrame, set]:
     """SPARQL compatibility join: equi on never-null shared vars,
@@ -893,8 +899,11 @@ def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
     anchor-var case).  Branches are disjoint by construction, so the
     union needs no dedup; `left` derives as inner ∪ (anti ×
     null-extension) and `left_anti` as per-class CHAINED anti joins —
-    no row-id bookkeeping.  Falls back to the condition join above 3
-    tolerant vars (3^k branches)."""
+    no row-id bookkeeping.  The rewrite runs up to
+    `_COMPAT_MAX_TOL` tolerant vars (branch count 3^k, static-empty
+    classes pruned); beyond that a SparqlError asks for a query
+    rewrite rather than silently planning a quadratic
+    BroadcastNestedLoopJoin."""
     shared = [c for c in left.columns if c in right.columns]
     if not shared:
         if how == "inner":
@@ -911,7 +920,17 @@ def _compat_join(left: DataFrame, left_nulls: set, right: DataFrame,
     out_nulls = _compat_out_nulls(left, left_nulls, right, right_nulls,
                                   shared, how)
 
-    if not tol or len(tol) > 3:
+    if len(tol) > _COMPAT_MAX_TOL:
+        raise SparqlError(
+            f"join shares {len(tol)} maybe-null variables "
+            f"({', '.join('?' + v for v in sorted(tol))}); the "
+            f"null-pattern equi rewrite is capped at {_COMPAT_MAX_TOL} "
+            "(3^k branches) and the naive condition join would plan a "
+            "quadratic nested-loop join — rewrite the query so fewer "
+            "OPTIONAL-bound variables are shared across the join "
+            "(e.g. rename per-branch variables, or anchor each "
+            "OPTIONAL on a never-null variable)")
+    if not tol:
         L = left.alias("L")
         R = right.alias("R")
         conds = []

@@ -432,6 +432,54 @@ class TripleStore:
         self._commit(m)
         return seg
 
+    def patch_rows_mor(self, spark: SparkSession, delete_keys: DataFrame,
+                       new_rows: DataFrame, table: str,
+                       stage: str | None = None) -> tuple[str | None, str]:
+        """Single-commit merge-on-read patch: an equality-delete
+        segment for ``delete_keys`` plus a data segment of
+        ``new_rows``, committed as ONE manifest swap — the Iceberg
+        single-transaction DELETE+APPEND an incremental report refresh
+        wants.  Two commits (delete then append) leave a window where
+        a reader sees the keys deleted but not yet replaced, and cost
+        two metadata versions per refresh; one commit is atomic and
+        halves the version-log churn.  Sequence semantics match the
+        two-call form: the delete's ``n_segs`` is recorded BEFORE the
+        new segment is listed, so the delete applies only to
+        pre-existing data and cannot eat the rows it replaces."""
+        key = [c for c in TRIPLE_KEY if c in delete_keys.columns] \
+            or list(delete_keys.columns)
+        dels = delete_keys.select(*key).dropDuplicates()
+        if "object_dtype" in dels.columns:
+            dels = dels.withColumn(
+                "object_dtype", F.coalesce("object_dtype", F.lit("")))
+        del_seg: str | None = self._snap_dir(table)
+        dels.write.mode("overwrite").parquet(del_seg)
+        primary = self.manifest()["tables"].get(table)
+        if (primary and "subject" in new_rows.columns
+                and "part_bucket" not in new_rows.columns):
+            pcols = new_rows.sparkSession.read.parquet(primary).columns
+            if "part_bucket" in pcols:
+                new_rows = new_rows.withColumn(
+                    "part_bucket",
+                    F.pmod(F.xxhash64("subject"), F.lit(self.n_buckets)))
+        data_seg = self._snap_dir(table)
+        new_rows.write.mode("overwrite").parquet(data_seg)
+        m = self.manifest()
+        m.setdefault("deletes", {}).setdefault(table, []).append({
+            "path": del_seg,
+            "n_segs": len(m.get("segments", {}).get(table, [])),
+        })
+        if table not in m["tables"] and not m.get(
+                "segments", {}).get(table):
+            m["tables"][table] = data_seg
+        else:
+            m.setdefault("segments", {}).setdefault(table, []).append(
+                data_seg)
+        if stage and stage not in m.setdefault("committed_stages", []):
+            m["committed_stages"].append(stage)
+        self._commit(m)
+        return del_seg, data_seg
+
     def append_rows(self, df: DataFrame, table: str,
                     stage: str | None = None) -> str:
         """Append rows as a new data segment with NO presence check —

@@ -984,3 +984,56 @@ SELECT ?x ?v ?w WHERE {
     # drops the s3 row where 2 != 7... none: b=6, c=7 conflict)
     got = {(r.x, r.v, r.w) for r in df.collect()}
     assert got == {("s1", "2", "2"), ("s2", "4", None)}
+
+
+def test_four_tolerant_var_join_has_no_nested_loop(spark):
+    """Two groups sharing FOUR maybe-null vars: the old compiler fell
+    back to the OR-isNull condition join (BroadcastNestedLoopJoin)
+    above 3 tolerant vars; the rewrite now runs to 5 — the plan must
+    stay all-equi (81 disjoint branches, each anchored on never-null
+    ?x) and the compat semantics must survive."""
+    rows = [
+        # s1: a agrees across sides, b bound right-only
+        ("s1", "k", "1", ""), ("s1", "la", "A", ""),
+        ("s1", "ra", "A", ""), ("s1", "rb", "B", ""),
+        # s2: b conflicts (B2 vs C2) -> row drops entirely
+        ("s2", "k", "1", ""), ("s2", "lb", "B2", ""), ("s2", "rb", "C2", ""),
+        # s3: c,d bound left-only
+        ("s3", "k", "1", ""), ("s3", "lc", "C3", ""), ("s3", "ld", "D3", ""),
+        # s4: nothing optional bound
+        ("s4", "k", "1", ""),
+    ]
+    qtext = PFX + """
+SELECT ?x ?a ?b ?c ?d WHERE {
+  { ?x f:k ?k1 .
+    OPTIONAL { ?x f:la ?a . } OPTIONAL { ?x f:lb ?b . }
+    OPTIONAL { ?x f:lc ?c . } OPTIONAL { ?x f:ld ?d . } }
+  { ?x f:k ?k2 .
+    OPTIONAL { ?x f:ra ?a . } OPTIONAL { ?x f:rb ?b . }
+    OPTIONAL { ?x f:rc ?c . } OPTIONAL { ?x f:rd ?d . } }
+}"""
+    df = _run(spark, _t(spark, rows), qtext)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {(r.x, r.a, r.b, r.c, r.d) for r in df.collect()}
+    assert got == {
+        ("s1", "A", "B", None, None),
+        ("s3", None, None, "C3", "D3"),
+        ("s4", None, None, None, None),
+    }
+
+
+def test_compat_join_beyond_cap_raises_not_nlj(spark):
+    """Six shared maybe-null vars exceeds _COMPAT_MAX_TOL: the
+    compiler must raise a SparqlError suggesting a rewrite instead of
+    silently planning a quadratic nested-loop join."""
+    rows = [("s1", "k", "1", "")]
+    opt_l = " ".join("OPTIONAL { ?x f:l%d ?o%d . }" % (i, i)
+                     for i in range(6))
+    opt_r = " ".join("OPTIONAL { ?x f:r%d ?o%d . }" % (i, i)
+                     for i in range(6))
+    qtext = PFX + ("SELECT ?x WHERE { { ?x f:k ?k1 . %s } "
+                   "{ ?x f:k ?k2 . %s } }" % (opt_l, opt_r))
+    with pytest.raises(SparqlError, match="maybe-null"):
+        _run(spark, _t(spark, rows), qtext)

@@ -137,6 +137,19 @@ def _query(rng):
         vals = rng.sample(VALUES + ["zz"], rng.randint(1, 3))
         body.append("VALUES ?v0 { %s }" %
                     " ".join(f'"{v}"' for v in vals))
+    if rng.random() < 0.25:
+        # OPTIONAL-heavy group join: two sibling groups share k
+        # maybe-null vars (k up to 4) — exercises the null-pattern
+        # equi rewrite past the old 3-tolerant-var fallback, which
+        # used to plan a BroadcastNestedLoopJoin condition join
+        k = rng.randint(2, 4)
+        for side in ("A", "B"):
+            pats = [f"?x f:{rng.choice(PREDS)} ?anchor{side} ."]
+            for i in range(k):
+                pats.append("OPTIONAL { ?x f:%s ?ov%d . }"
+                            % (rng.choice(PREDS + ["dt"]), i))
+            body.append("{ " + " ".join(pats) + " }")
+        used_vars.extend(f"ov{i}" for i in range(k))
     if rng.random() < 0.3:
         # subquery: inner ?v0 shadows the outer core var (scoping
         # test — only the projected ?x / aggregate are visible)
