@@ -120,7 +120,10 @@ def affected_barcodes(changes: DataFrame, trip: DataFrame) -> DataFrame:
                            "left_semi")
             .select(F.col("subject").alias("node"))
         )
-        rev = rev.unionByName(referrers).distinct()
+        # pin the O(changes) frontier each round: without it, round
+        # r's plan re-embeds every earlier round's big-table semi-join,
+        # so the triple table is rescanned O(r^2) times at evaluation
+        rev = rev.unionByName(referrers).distinct().localCheckpoint()
     touched = (
         rev.unionByName(
             changes.where(F.col("object_dtype") == "uri")
@@ -169,18 +172,20 @@ def masterlist_slice(trip: DataFrame, barcodes: DataFrame,
         hs.join(sids, hs["subject"] == sids["ent"], "left_semi")
         .select(F.col("object_lex").alias("ent"))
     )
-    ents = sids.unionByName(gids).distinct()
+    ents = sids.unionByName(gids).distinct().localCheckpoint()
     # follow uri-valued attributes two hops out so path patterns
     # (sid -> country -> code, sid -> state -> abbr, gid -> feature ->
     # serotype) still bind inside the slice — each hop is one more
-    # O(affected) semi-join
+    # O(affected) semi-join.  Each round's frontier is pinned
+    # (localCheckpoint) so the big table is scanned once per hop, not
+    # once per hop per downstream re-evaluation.
     uris = trip.where(F.col("object_dtype") == "uri")
     for _ in range(2):
         nxt = (
             uris.join(ents, uris["subject"] == ents["ent"], "left_semi")
             .select(F.col("object_lex").alias("ent"))
         )
-        ents = ents.unionByName(nxt).distinct()
+        ents = ents.unionByName(nxt).distinct().localCheckpoint()
     sub = trip.join(ents, trip["subject"] == ents["ent"], "left_semi")
     if materialize:
         # re-width first: the lazy slice inherits the BIG table's scan

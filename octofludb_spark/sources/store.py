@@ -279,6 +279,21 @@ class TripleStore:
                         stage: str | None = None) -> str:
         """Write ``incoming``'s not-yet-present rows as an appended
         data segment and commit it to the manifest's segment list."""
+        # Pin the O(batch) incoming rows once: callers hand in plans
+        # that are expensive to re-evaluate (canonicalize + rewritten
+        # unions over merge-on-read reads), and this method otherwise
+        # evaluates `incoming` three times — the bucket collect, the
+        # presence semi-join's broadcast side, and the anti-join.
+        incoming = incoming.persist()
+        try:
+            return self._append_segment_pinned(spark, incoming, current,
+                                               table, stage=stage)
+        finally:
+            incoming.unpersist()
+
+    def _append_segment_pinned(self, spark: SparkSession,
+                               incoming: DataFrame, current: DataFrame,
+                               table: str, stage: str | None = None) -> str:
         bucketed = "part_bucket" in current.columns
         if bucketed:
             inc_b = incoming.withColumn(
