@@ -1843,13 +1843,17 @@ def multimodal_metadata(spark, sf):
 
 
 @q("multimodal_decode", """
+WITH p AS (SELECT doc_id,
+                  CAST(16 + doc_id % 48 AS BIGINT) AS w,
+                  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
+                  CAST(doc_id % 256 AS BIGINT) AS a
+           FROM documents)
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
-            ELSE 'gif' END AS format,
-       CASE WHEN doc_id % 3 <> 1
-            THEN CAST(16 + doc_id % 48 AS BIGINT) END AS width,
-       CASE WHEN doc_id % 3 <> 1
-            THEN CAST(16 + (doc_id * 7) % 48 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 6 = 0 THEN 'bmp'
+            WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'gif' END AS format,
+       CASE WHEN doc_id % 3 <> 1 THEN w END AS width,
+       CASE WHEN doc_id % 3 <> 1 THEN h END AS height,
        CASE WHEN doc_id % 3 = 2
             THEN CAST(1 + doc_id % 8 AS BIGINT) END AS n_frames,
        CASE WHEN doc_id % 3 = 1
@@ -1858,16 +1862,29 @@ SELECT doc_id AS media_id,
             THEN CAST(8000 + (doc_id % 5) * 1000 AS BIGINT)
             END AS sample_rate,
        CASE WHEN doc_id % 3 = 1
-            THEN CAST(100 + doc_id % 900 AS BIGINT) END AS n_samples
-FROM documents
+            THEN CAST(100 + doc_id % 900 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 0 THEN w * h END AS n_pixels,
+       -- pixel value of row y is (doc_id + y) % 256, constant per
+       -- row: the per-image sum is w * sum_y((a+y) mod 256), and with
+       -- h < 256 the mod wraps at most once, so the closed form is
+       -- h*a + h*(h-1)/2 - 256 * max(0, a + h - 256); bmp stores the
+       -- value in all 3 channels, grayscale png in 1
+       CASE WHEN doc_id % 3 = 0 THEN
+            (CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 1 END) * w
+            * (h * a + h * (h - 1) / 2
+               - 256 * GREATEST(0, a + h - 256)) END AS pixel_sum
+FROM p
 """)
 def multimodal_decode(spark, sf):
     """REAL container decode, hash-oracled: payloads are synthesized
-    as genuine BMP/WAV/multi-frame-GIF bytes (scale/multimodal.py
+    as genuine BMP/PNG/WAV/multi-frame-GIF bytes (scale/multimodal.py
     synth_*, parameters derived arithmetically from media_id), then
-    the stdlib header decoders parse them back — the oracle states the
-    expected dimensions/rates from the same arithmetic, so a green row
-    proves the decoders recover exactly what the containers encode.
+    the stdlib decoders parse them back — headers for every container,
+    and FULL PIXEL decode for png (IDAT inflate + all five scanline
+    filters unfiltered) and 24-bit bmp.  The oracle states the
+    expected dimensions/rates AND the closed-form pixel sums from the
+    same arithmetic, so a green row proves the decoders recover
+    exactly what the containers encode, down to pixel values.
     Both steps are Arrow-batched mapInPandas; payload bytes never
     visit the driver."""
     from octofludb_spark.scale.multimodal import decode_media, synth_media

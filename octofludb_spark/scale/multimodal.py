@@ -2,12 +2,16 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas UDFs over mapInPandas.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this container,
-so the decode step is STUBBED: ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (md5-derived dimensions) exercises the real
-Spark-side plumbing — schema, partitioning, UDF signature and batch
-shape are production-real; only the pixel math is fake.
+Decode coverage is pure stdlib (struct/zlib), no PIL/ffmpeg:
+  * headers/dimensions — bmp, png, gif (incl. frame walk), wav
+    (RIFF chunk walk): real parsers over real container bytes.
+  * FULL PIXEL decode — png (IDAT inflate + unfiltering of all five
+    scanline filter types, color types 0/2/3/4/6) and 24-bit bmp.
+Only paths that genuinely need absent codec libs stay gated: lossy
+formats (jpeg/mp4) and resampling raise NotImplementedError unless
+``fake=True``, in which case a deterministic digest fake exercises the
+real Spark-side plumbing — schema, partitioning, UDF signature and
+batch shape are production-real.
 """
 
 from __future__ import annotations
@@ -164,28 +168,211 @@ def decode_header(b: bytes) -> dict:
         "of jpeg/mp4/etc needs PIL/ffmpeg, not in this container")
 
 
+# ------------------------------------------------- real pixel decode
+# PNG and 24-bit BMP are fully decodable with the stdlib: PNG is
+# zlib-deflated filtered scanlines (RFC 2083), BMP is raw padded rows.
+# This closes the image half of the decode stub honestly — no PIL.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(ftype: int, cur: bytearray, prev: bytes,
+                  bpp: int) -> bytearray:
+    """Reverse one scanline's PNG filter in place (spec §6: None, Sub,
+    Up, Average, Paeth).  ``prev`` is the RECONSTRUCTED previous
+    scanline (zeros for the first); ``bpp`` is bytes per pixel."""
+    if ftype == 0:
+        return cur
+    if ftype == 1:  # Sub: add reconstructed left neighbor
+        for i in range(bpp, len(cur)):
+            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(len(cur)):
+            cur[i] = (cur[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average (floor of left+up over 2)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth predictor
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            cur[i] = (cur[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return cur
+
+
+def decode_png_pixels(b: bytes) -> dict:
+    """Full stdlib PNG decode -> {width, height, channels, pixels}.
+    Handles 8-bit depth, color types 0/2/3/4/6 (palette expanded to
+    RGB), non-interlaced — the deflate stream is reassembled from all
+    IDAT chunks, inflated, and every scanline unfiltered.  16-bit and
+    Adam7 raise NotImplementedError (honest scope, not silent junk)."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte, hdr = 8, [], None, None
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if zlib.crc32(tag + body) != struct.unpack_from(
+                ">I", b, pos + 8 + ln)[0]:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace}: only 8-bit "
+            "non-interlaced is decoded here")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytes(stride)
+    rows = []
+    for y in range(h):
+        off = y * (stride + 1)
+        line = _png_unfilter(raw[off], bytearray(raw[off + 1:off + 1 + stride]),
+                             prev, ch)
+        prev = bytes(line)
+        rows.append(prev)
+    pixels = b"".join(rows)
+    if ctype == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pixels = b"".join(plte[3 * i:3 * i + 3] for i in pixels)
+        ch = 3
+    return {"width": w, "height": h, "channels": ch, "pixels": pixels}
+
+
+def decode_bmp_pixels(b: bytes) -> dict:
+    """24-bit uncompressed BMP -> {width, height, channels, pixels}
+    (rows returned top-down, BGR byte order as stored)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit "
+            "uncompressed is decoded here")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    pixels = b"".join(
+        b[data_off + y * stride:data_off + y * stride + w * 3]
+        for y in order)
+    return {"width": w, "height": h, "channels": 3, "pixels": pixels}
+
+
+def pixel_stats(b: bytes) -> dict | None:
+    """(n_pixels, pixel_sum) for containers with a stdlib pixel path
+    (png, bmp); None for containers whose pixel data needs absent
+    codecs (gif LZW, lossy formats)."""
+    f = sniff_format(b)
+    if f == "png":
+        d = decode_png_pixels(b)
+    elif f == "bmp":
+        d = decode_bmp_pixels(b)
+    else:
+        return None
+    return {"n_pixels": d["width"] * d["height"],
+            "pixel_sum": sum(d["pixels"])}
+
+
 # ------------------------------------------------- real-format synthesis
 
-def synth_bmp(width: int, height: int) -> bytes:
-    """A valid 24-bit BMP with zeroed pixels (rows padded to 4
-    bytes) — real container, deterministic content."""
-    row = (width * 3 + 3) & ~3
-    data = bytes(row * height)
+def synth_bmp(width: int, height: int, pixel_fn=None) -> bytes:
+    """A valid 24-bit BMP (rows padded to 4 bytes) — real container,
+    deterministic content.  ``pixel_fn(x, y) -> 0..255`` sets all
+    three channels of pixel (x, y); default is zeroed pixels.  Rows
+    are stored bottom-up, per the format."""
+    row_len = (width * 3 + 3) & ~3
+    if pixel_fn is None:
+        data = bytes(row_len * height)
+    else:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up storage
+            r = bytearray(row_len)
+            for x in range(width):
+                r[3 * x:3 * x + 3] = bytes([pixel_fn(x, y) & 0xFF]) * 3
+            rows.append(bytes(r))
+        data = b"".join(rows)
     hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                       len(data), 2835, 2835, 0, 0)
     return hdr + dib + data
 
 
-def synth_png(width: int, height: int) -> bytes:
-    """A valid 8-bit grayscale PNG (zlib-deflated zero scanlines,
-    correct CRCs) — fully real, viewable bytes."""
+def _png_filter(ftype: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
+    """FORWARD PNG filter (synthesis side): exact inverse of
+    :func:`_png_unfilter`, so synthesized containers exercise every
+    filter type's reconstruction math."""
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def synth_png(width: int, height: int, pixel_fn=None) -> bytes:
+    """A valid 8-bit grayscale PNG (zlib-deflated, correct CRCs) —
+    fully real, viewable bytes.  ``pixel_fn(x, y) -> 0..255`` sets the
+    gray value and rows cycle through all five scanline filter types
+    (so a decode-side filter bug cannot pass); default is zero pixels
+    with filter 0."""
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body)))
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = (b"\x00" + b"\x00" * width) * height  # filter 0 + pixels
+    if pixel_fn is None:
+        raw = (b"\x00" + b"\x00" * width) * height  # filter 0 + pixels
+    else:
+        lines, prev = [], bytes(width)
+        for y in range(height):
+            cur = bytes(pixel_fn(x, y) & 0xFF for x in range(width))
+            ft = y % 5
+            lines.append(bytes([ft]) + _png_filter(ft, cur, prev, 1))
+            prev = cur
+        raw = b"".join(lines)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 9))
             + chunk(b"IEND", b""))
@@ -260,6 +447,8 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("n_channels", T.LongType()),
     T.StructField("sample_rate", T.LongType()),
     T.StructField("n_samples", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
 ])
 
 
@@ -280,7 +469,13 @@ def synth_media(docs: DataFrame) -> DataFrame:
                 w = 16 + mid % 48
                 h = 16 + (mid * 7) % 48
                 if mid % 3 == 0:
-                    payloads.append(synth_bmp(w, h))
+                    # row gradient (mid + y) % 256: per-row-constant so
+                    # an external oracle can state the pixel sum in
+                    # closed form, row-VARYING so Up/Average/Paeth
+                    # reconstruction is nontrivial
+                    fn = lambda x, y, m=mid: (m + y) % 256
+                    payloads.append(synth_bmp(w, h, fn) if mid % 6 == 0
+                                    else synth_png(w, h, fn))
                     types.append("image")
                 elif mid % 3 == 1:
                     payloads.append(synth_wav(
@@ -309,11 +504,13 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["format", "width", "height", "n_frames", "n_channels",
-                "sample_rate", "n_samples"]
+                "sample_rate", "n_samples", "n_pixels", "pixel_sum"]
         for pdf in batches:
             out: dict = {c: [] for c in cols}
             for payload in pdf["payload"]:
-                meta = decode_header(bytes(payload))
+                payload = bytes(payload)
+                meta = decode_header(payload)
+                meta.update(pixel_stats(payload) or {})
                 for c in cols:
                     out[c].append(meta.get(c))
             frame = {"media_id": pd.array(

@@ -588,6 +588,90 @@ def test_synth_decode_media_spark(spark):
     assert got[2].format == "gif" and got[2].n_frames == 3
     assert got[2].width == 16 + 2 and got[2].height == 16 + 14
     assert got[1].width is None and got[0].sample_rate is None
+    # images alternate container: mid%6==0 bmp, mid%6==3 png — and the
+    # decoded PIXEL SUM matches the closed form of the (mid+y)%256 row
+    # gradient (w * sum_y((a+y)%256), x3 channels for bmp)
+    assert got[3].format == "png"
+    assert got[0].pixel_sum == 3 * 16 * sum((0 + y) % 256 for y in range(16))
+    w3, h3 = 16 + 3, 16 + 21 % 48
+    assert got[3].n_pixels == w3 * h3
+    assert got[3].pixel_sum == w3 * sum((3 + y) % 256 for y in range(h3))
+    assert got[1].pixel_sum is None and got[2].pixel_sum is None
+
+
+def test_png_pixel_decode_all_filters_and_types():
+    """Full stdlib PNG pixel decode: a gradient image synthesized with
+    all five scanline filters round-trips bit-exactly, and hand-built
+    RGB / palette / gray+alpha / RGBA containers decode to the exact
+    channel bytes.  16-bit and interlaced raise (honest scope)."""
+    import struct as S
+    import zlib as Z
+
+    import pytest
+    from octofludb_spark.scale.multimodal import (
+        _png_filter, decode_bmp_pixels, decode_png_pixels, pixel_stats,
+        synth_bmp, synth_png)
+
+    # grayscale gradient, every filter type exercised (rows cycle 0-4)
+    fn = lambda x, y: (3 * x + 7 * y + 11) % 256
+    d = decode_png_pixels(synth_png(13, 11, fn))
+    assert (d["width"], d["height"], d["channels"]) == (13, 11, 1)
+    exp = bytes(fn(x, y) for y in range(11) for x in range(13))
+    assert d["pixels"] == exp
+
+    def chunk(tag, body):
+        return (S.pack(">I", len(body)) + tag + body
+                + S.pack(">I", Z.crc32(tag + body)))
+
+    def png(w, h, depth, ctype, raw, plte=None, interlace=0):
+        ihdr = S.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", Z.compress(raw)) + chunk(b"IEND", b"")
+
+    # RGB (type 2), filtered with Paeth on row 1, Sub on row 0
+    w, h = 5, 2
+    rows = [bytes((x * 17 + c + y * 29) % 256
+                  for x in range(w) for c in range(3)) for y in range(2)]
+    raw = (b"\x01" + _png_filter(1, rows[0], bytes(15), 3)
+           + b"\x04" + _png_filter(4, rows[1], rows[0], 3))
+    d = decode_png_pixels(png(w, h, 8, 2, raw))
+    assert d["channels"] == 3 and d["pixels"] == rows[0] + rows[1]
+
+    # palette (type 3): indices expand through PLTE to RGB
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2, 1])
+    d = decode_png_pixels(png(4, 1, 8, 3, raw, plte=plte))
+    assert d["channels"] == 3
+    assert d["pixels"] == plte[0:3] + plte[3:6] + plte[6:9] + plte[3:6]
+
+    # gray+alpha (4) and RGBA (6)
+    ga = bytes([10, 200, 30, 250])
+    assert decode_png_pixels(png(2, 1, 8, 4, b"\x00" + ga))["pixels"] == ga
+    rgba = bytes(range(8))
+    assert decode_png_pixels(png(2, 1, 8, 6, b"\x00" + rgba))["pixels"] == rgba
+
+    # honest failures: 16-bit, Adam7, corrupted CRC
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(png(1, 1, 16, 0, b"\x00\x00\x00"))
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(png(1, 1, 8, 0, b"\x00\x00", interlace=1))
+    bad = bytearray(synth_png(4, 4, fn))
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad))
+
+    # BMP: bottom-up storage decodes to top-down rows; stats agree
+    # with the PNG path on the same logical image
+    db = decode_bmp_pixels(synth_bmp(13, 11, fn))
+    assert (db["width"], db["height"], db["channels"]) == (13, 11, 3)
+    assert db["pixels"][:3] == bytes([fn(0, 0)]) * 3  # top-left first
+    sb = pixel_stats(synth_bmp(13, 11, fn))
+    sp = pixel_stats(synth_png(13, 11, fn))
+    assert sb["n_pixels"] == sp["n_pixels"] == 13 * 11
+    assert sb["pixel_sum"] == 3 * sp["pixel_sum"]
+    assert pixel_stats(b"RIFF\0\0\0\0WAVE") is None
 
 
 def test_topk_lsh_ranked_matches_numpy_path(spark):
