@@ -30,7 +30,8 @@ def canonical_map(components: DataFrame) -> DataFrame:
 
 def canonicalize(triples: DataFrame, mapping: DataFrame,
                  use_broadcast: bool = True,
-                 scalable_collide: bool = False) -> DataFrame:
+                 scalable_collide: bool = False,
+                 auto_salt: bool = False) -> DataFrame:
     """Rewrite subject and URI-typed objects to canonical IRIs.
 
     Scale design: only TOUCHED triples (those whose subject or URI
@@ -47,7 +48,16 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
     every alias of H1N1 maps to the same canonical node — so a plain
     shuffled join would send one reducer the whole hub.  salted_join
     spreads each key over nsalt reducers (output equality with the
-    broadcast path is property-tested)."""
+    broadcast path is property-tested).
+
+    ``auto_salt=True`` (only meaningful with ``use_broadcast=False``)
+    sizes each salted join from a skew probe of the actual data
+    instead of the fixed default: ops/skew.salt_decision measures the
+    subject / uri-object key concentration and its nsalt hint drives
+    the join — the measurement half of the north_rule's skew handling
+    wired into the treatment half.  A non-hub profile degrades to the
+    plain repartition join (nsalt=1 would only add a constant salt
+    column)."""
     cols = ["subject", "predicate", "object_lex", "object_dtype"]
     s_map = (mapping.withColumnRenamed("node", "subject")
              .withColumnRenamed("canonical", "_s_canon"))
@@ -59,10 +69,21 @@ def canonicalize(triples: DataFrame, mapping: DataFrame,
             .join(F.broadcast(o_map), on="object_lex", how="left")
         )
     else:
-        joined = salted_join(
-            salted_join(triples, s_map, "subject", how="left"),
-            o_map, "object_lex", how="left",
-        )
+        if auto_salt:
+            from octofludb_spark.ops.skew import salt_decision
+            ns_s = salt_decision(triples, "subject")["nsalt"]
+            ns_o = salt_decision(triples, "object_lex")["nsalt"]
+            joined = triples.join(s_map, on="subject", how="left") \
+                if ns_s <= 1 else salted_join(triples, s_map, "subject",
+                                              nsalt=ns_s, how="left")
+            joined = joined.join(o_map, on="object_lex", how="left") \
+                if ns_o <= 1 else salted_join(joined, o_map, "object_lex",
+                                              nsalt=ns_o, how="left")
+        else:
+            joined = salted_join(
+                salted_join(triples, s_map, "subject", how="left"),
+                o_map, "object_lex", how="left",
+            )
     joined = joined.withColumn(
         "_o_canon",
         F.when(F.col("object_dtype") == DT_URI, F.col("_o_canon")),

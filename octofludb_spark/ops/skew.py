@@ -41,6 +41,10 @@ def skew_report(df: DataFrame, group: str, key: str) -> DataFrame:
     counts = df.groupBy(F.col(group).alias("grp"),
                         F.col(key).alias("k")).agg(
         F.count("*").alias("cnt"))
+    return _skew_rollup(counts)
+
+
+def _skew_rollup(counts: DataFrame) -> DataFrame:
     rep = counts.groupBy("grp").agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("n_keys"),
@@ -59,3 +63,62 @@ def skew_report(df: DataFrame, group: str, key: str) -> DataFrame:
                 F.expr(f"max_key_rows * {TARGET_SPREAD} DIV n_rows")),
         ).otherwise(F.lit(1)).cast("long").alias("salt_hint"),
     )
+
+
+def salt_decision(df: DataFrame, key: str,
+                  hub_ppm: int = HUB_PPM,
+                  target_spread: int = TARGET_SPREAD) -> dict:
+    """Whole-relation probe of ``key``'s concentration -> the salting
+    decision a join on that key should take:
+
+      {n_rows, n_keys, max_key_rows, top_share_ppm, is_hub, nsalt}
+
+    nsalt follows skew_report's salt_hint formula (spread the heaviest
+    key ~target_spread ways); 1 when no key crosses hub_ppm.
+
+    Cost at scale: ONE count aggregate on the join key — map-side
+    partial, so only (key, count) pairs cross the wire, a vanishing
+    fraction of the shuffle the join itself would pay — then a 1-row
+    collect.  Exact integer arithmetic, so the same corpus always
+    yields the same decision (no sampling nondeterminism)."""
+    row = (
+        df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").cast("long").alias("n_rows"),
+             F.count("*").cast("long").alias("n_keys"),
+             F.max("cnt").cast("long").alias("max_key_rows"))
+        .collect()[0]
+    )
+    if not row.n_rows:
+        return {"n_rows": 0, "n_keys": 0, "max_key_rows": 0,
+                "top_share_ppm": 0, "is_hub": False, "nsalt": 1}
+    top = row.max_key_rows * 1_000_000 // row.n_rows
+    is_hub = top > hub_ppm
+    nsalt = (max(1, row.max_key_rows * target_spread // row.n_rows)
+             if is_hub else 1)
+    return {"n_rows": row.n_rows, "n_keys": row.n_keys,
+            "max_key_rows": row.max_key_rows, "top_share_ppm": top,
+            "is_hub": is_hub, "nsalt": nsalt}
+
+
+def auto_salted_join(big: DataFrame, dim: DataFrame, key: str,
+                     how: str = "inner",
+                     hub_ppm: int = HUB_PPM,
+                     target_spread: int = TARGET_SPREAD
+                     ) -> tuple[DataFrame, dict]:
+    """The measurement and treatment halves wired together: probe the
+    big side's key concentration (salt_decision) and return the join
+    planned accordingly — a plain equi-join when no hub key exists,
+    canonicalize.salted_join at the probe's nsalt when one does.
+    Output equality with the plain join holds either way (salting
+    changes the shuffle layout, never the result — property the
+    auto_salted_join gate hash-checks against a plain DuckDB join).
+
+    Returns (joined, decision) so callers can log/assert which path
+    fired."""
+    from octofludb_spark.ops.canonicalize import salted_join
+
+    d = salt_decision(big, key, hub_ppm=hub_ppm,
+                      target_spread=target_spread)
+    if d["nsalt"] <= 1:
+        return big.join(dim, on=key, how=how), d
+    return salted_join(big, dim, key, nsalt=d["nsalt"], how=how), d

@@ -3605,6 +3605,52 @@ def salted_join_agg(spark, sf):
     )
 
 
+@q("auto_salted_join", """
+WITH b AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'HUB'
+                       ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR)
+                  END AS k,
+                  l_quantity AS qty
+           FROM lineitem),
+ d AS (SELECT k, md5(k) AS tag FROM (SELECT DISTINCT k FROM b)),
+ s AS (SELECT SUM(cnt) AS n_rows, MAX(cnt) AS mx
+       FROM (SELECT k, COUNT(*) AS cnt FROM b GROUP BY k))
+SELECT b.k AS k, d.tag AS tag, COUNT(*) AS n_rows_key,
+       ROUND(SUM(b.qty), 2) AS sum_qty,
+       (SELECT CAST(CASE WHEN mx * 1000000 // n_rows > 100000
+                         THEN GREATEST(1, mx * 32 // n_rows)
+                         ELSE 1 END AS BIGINT) FROM s) AS nsalt
+FROM b JOIN d ON b.k = d.k
+GROUP BY b.k, d.tag
+""")
+def auto_salted_join_gate(spark, sf):
+    """Skew measurement auto-wired into treatment (ops/skew.
+    auto_salted_join): ~90% of lineitem rows are folded onto one HUB
+    key, the probe's exact integer concentration numbers flag it and
+    size the salt, and the salted join's aggregate must value-hash
+    match the oracle's PLAIN join.  The probe's chosen nsalt is an
+    output COLUMN the oracle recomputes from the same integer formula
+    (max_key_rows * 32 DIV n_rows), and the gate raises unless the
+    hub path actually fired — a green row proves the auto-salting
+    triggered, picked the stated fan-out, and changed nothing about
+    the result."""
+    from octofludb_spark.ops.skew import auto_salted_join
+
+    li = t(spark, sf, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit("HUB"))
+        .otherwise(F.concat(F.lit("k"), (F.col("l_orderkey") % 97)
+                            .cast("string"))).alias("k"),
+        F.col("l_quantity").alias("qty"))
+    dim = big.select("k").distinct().withColumn("tag", F.md5(F.col("k")))
+    joined, dec = auto_salted_join(big, dim, "k")
+    if not dec["is_hub"] or dec["nsalt"] <= 1:
+        raise RuntimeError(f"skew probe missed the hub: {dec}")
+    return (joined.groupBy("k", "tag")
+            .agg(F.count("*").alias("n_rows_key"),
+                 F.round(F.sum("qty"), 2).alias("sum_qty"))
+            .withColumn("nsalt", F.lit(dec["nsalt"]).cast("long")))
+
+
 # --------------------------------------------------------------------------
 # event analytics (ops/events.py) + blocked fuzzy entity matching
 # (ops/entity_match.py)
@@ -4097,7 +4143,7 @@ _DRIVER_WINDOW = [
     "distinct_pairs", "customers_without_orders",
     "orders_with_optional_segment", "union_branches", "revenue_3hop",
     "semi_join_orders", "incremental_user_diff", "quarter_rollup",
-    "priority_pivot", "salted_join_agg",
+    "priority_pivot", "auto_salted_join",
     # recognizer extraction (§2.2)
     "extract_accessions",
     # events

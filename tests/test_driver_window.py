@@ -19,7 +19,7 @@ FLAGSHIP = {
 }
 FAMILY_REPS = {
     # relational / §2.3-2.5
-    "lineitem_agg", "revenue_3hop", "union_branches", "salted_join_agg",
+    "lineitem_agg", "revenue_3hop", "union_branches", "auto_salted_join",
     # recognizers §2.2
     "extract_accessions",
     # events

@@ -171,6 +171,72 @@ def test_salted_join_spreads_hub_key(spark):
 
 
 @pytest.mark.spark
+def test_auto_salted_join_wiring(spark):
+    """skew_report's measurement half auto-wired into the salting
+    treatment: a 90%-hub key triggers the salted plan at the probe's
+    nsalt, a uniform key degrades to the plain join, and BOTH return
+    exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.ops.skew import auto_salted_join, salt_decision
+
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, "HUB")
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 7)).alias("k"),
+        F.col("id").alias("payload"))
+    dim = big.select("k").distinct().withColumn("tag", F.md5("k"))
+
+    d = salt_decision(big, "k")
+    assert d["is_hub"] and d["nsalt"] == 1800 * 32 // 2000  # 28
+
+    joined, dec = auto_salted_join(big, dim, "k")
+    assert dec["nsalt"] == d["nsalt"]
+    assert "_salt" in joined._jdf.queryExecution().analyzed().toString()
+    plain = big.join(dim, on="k")
+    assert sorted(map(tuple, joined.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+    uniform = spark.range(2000).select(
+        (F.col("id") % 400).cast("string").alias("k"),
+        F.col("id").alias("payload"))
+    udim = uniform.select("k").distinct().withColumn("tag", F.md5("k"))
+    ujoined, udec = auto_salted_join(uniform, udim, "k")
+    assert not udec["is_hub"] and udec["nsalt"] == 1
+    assert "_salt" not in ujoined._jdf.queryExecution().analyzed().toString()
+    assert ujoined.count() == 2000
+
+    # empty relation: decision degrades to the plain join, no crash
+    assert salt_decision(big.limit(0), "k")["nsalt"] == 1
+
+
+@pytest.mark.spark
+def test_canonicalize_auto_salt_agrees(spark):
+    """canonicalize(auto_salt=True) — probe-sized salted dictionary
+    joins — returns exactly the broadcast path's triples on a
+    hub-skewed alias set (every alias maps to one canonical node)."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.ops.canonicalize import canonicalize
+
+    trips = spark.range(3000).select(
+        F.concat(F.lit("alias"), F.col("id") % 1200).alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("alias"), (F.col("id") + 7) % 1200))
+        .otherwise(F.lit("lit")).alias("object_lex"),
+        F.when(F.col("id") % 3 == 0, "uri").otherwise("").alias(
+            "object_dtype"))
+    mapping = spark.range(1200).select(
+        F.concat(F.lit("alias"), F.col("id")).alias("node"),
+        F.lit("CANON").alias("canonical"))  # one hub canonical node
+
+    bc = {tuple(r) for r in canonicalize(trips, mapping, True).collect()}
+    auto = {tuple(r) for r in canonicalize(
+        trips, mapping, use_broadcast=False, auto_salt=True).collect()}
+    assert bc == auto and len(bc) > 0
+
+
+@pytest.mark.spark
 def test_shingles_plan_has_no_exchange(spark):
     """PLANS.md claim, structurally enforced: shingle generation (no
     DF cap) compiles to ZERO Exchanges — per-doc distinct equals
