@@ -38,6 +38,8 @@ import octofludb.token as rtok  # noqa: E402
 
 from octofludb_spark.functions import recognizers as R  # noqa: E402
 
+pytestmark = pytest.mark.core
+
 PAIRS = [
     (R.ISOLATE, ftok.Isolate), (R.GENBANK, ftok.Genbank),
     (R.BARCODE, ftok.Barcode), (R.CONSTELLATION, ftok.Constellation),

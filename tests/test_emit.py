@@ -11,6 +11,10 @@ from octofludb_spark.extract.infer import (
     type_ragged,
 )
 from octofludb_spark.extract.parse import parse_fasta, parse_idlist, parse_tsv
+import pytest
+
+
+pytestmark = pytest.mark.core
 
 
 def run_ragged(text, levels=None):

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.core
+
 XLS = "/root/reference/test-data/gisaid.xls"
 GOLDEN = "/root/reference/test-data/.exp-gisaid.ttl"
 

@@ -1,10 +1,14 @@
 """Irregular recipes: forced strain ids in FASTA (unpublished data),
 forced segment keys in tables (reference recipes.py:510-573)."""
 
+import pytest
+
 from octofludb_spark.extract.recipes import (
     irregular_fasta_triples,
     irregular_segment_table_triples,
 )
+
+pytestmark = pytest.mark.core
 
 FID = "https://flu-crew.org/id/"
 FT = "https://flu-crew.org/term/"

@@ -8,7 +8,7 @@ from octofludb_spark.plans.reports import masterlist_query, masterlist_query_fas
 from octofludb_spark.plans.views import GraphViews
 from octofludb_spark.sources.synth import source_table
 
-pytestmark = pytest.mark.spark
+pytestmark = [pytest.mark.spark, pytest.mark.core]
 
 
 def test_masterlist_fast_equivalence(spark, tmp_path):

@@ -7,6 +7,8 @@ import pytest
 
 from octofludb_spark.functions import recognizers as R
 
+pytestmark = pytest.mark.core
+
 
 def c(recog, x):
     out = recog.clean(pd.Series([x], dtype=object)).iloc[0]

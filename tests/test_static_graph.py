@@ -4,6 +4,8 @@ ui.py:396-402) and the locatedIn transitive closure."""
 
 import pytest
 
+pytestmark = pytest.mark.core
+
 NT = "https://flu-crew.org/term/"
 WORLD = "https://flu-crew.org/geo/country/"
 USA = WORLD + "usa/"

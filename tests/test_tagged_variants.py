@@ -13,7 +13,7 @@ from octofludb_spark.plans.reports import (
 )
 from octofludb_spark.plans.views import GraphViews
 
-pytestmark = pytest.mark.spark
+pytestmark = [pytest.mark.spark, pytest.mark.core]
 
 FID = "https://flu-crew.org/id/"
 Q = "https://flu-crew.org/query/"

@@ -15,6 +15,8 @@ import pytest
 from octofludb_spark.extract.recipes import gisaid_triples
 from octofludb_spark.plans.turtle import parse_turtle, triples_to_turtle
 
+pytestmark = pytest.mark.core
+
 GOLDEN = "/root/reference/test-data/.exp-gisaid.ttl"
 FID = "https://flu-crew.org/id/"
 
