@@ -1846,7 +1846,10 @@ def multimodal_metadata(spark, sf):
 WITH p AS (SELECT doc_id,
                   CAST(16 + doc_id % 48 AS BIGINT) AS w,
                   CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
-                  CAST(doc_id % 256 AS BIGINT) AS a
+                  CAST(doc_id % 256 AS BIGINT) AS a,
+                  CAST(1 + doc_id % 8 AS BIGINT) AS fr,
+                  CAST((1 + doc_id % 2) * (100 + doc_id % 900)
+                       AS BIGINT) AS n
            FROM documents)
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 6 = 0 THEN 'bmp'
@@ -1863,16 +1866,33 @@ SELECT doc_id AS media_id,
             END AS sample_rate,
        CASE WHEN doc_id % 3 = 1
             THEN CAST(100 + doc_id % 900 AS BIGINT) END AS n_samples,
-       CASE WHEN doc_id % 3 = 0 THEN w * h END AS n_pixels,
-       -- pixel value of row y is (doc_id + y) % 256, constant per
-       -- row: the per-image sum is w * sum_y((a+y) mod 256), and with
-       -- h < 256 the mod wraps at most once, so the closed form is
-       -- h*a + h*(h-1)/2 - 256 * max(0, a + h - 256); bmp stores the
-       -- value in all 3 channels, grayscale png in 1
+       CASE WHEN doc_id % 3 = 0 THEN w * h
+            WHEN doc_id % 3 = 2 THEN w * h * fr END AS n_pixels,
+       -- png/bmp: pixel value of row y is (doc_id + y) % 256,
+       -- constant per row: the per-image sum is w * sum_y((a+y) mod
+       -- 256), and with h < 256 the mod wraps at most once, so the
+       -- closed form is h*a + h*(h-1)/2 - 256 * max(0, a + h - 256);
+       -- bmp stores the value in all 3 channels, grayscale png in 1.
+       -- gif: 2-color palette {black, white}, pixel row y of frame g
+       -- is white iff (doc_id + y + g) is odd, each white pixel sums
+       -- 3*255 = 765; white rows per frame = h//2 (+1 on odd h when
+       -- doc_id+g is odd), closed over frames below
        CASE WHEN doc_id % 3 = 0 THEN
             (CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 1 END) * w
             * (h * a + h * (h - 1) / 2
-               - 256 * GREATEST(0, a + h - 256)) END AS pixel_sum
+               - 256 * GREATEST(0, a + h - 256))
+            WHEN doc_id % 3 = 2 THEN
+            765 * w * (fr * (h // 2)
+                       + (h % 2) * ((fr // 2) + (fr % 2) * (doc_id % 2)))
+            END AS pixel_sum,
+       -- wav: interleaved sample j (of n total) is (doc_id+j)%256 -
+       -- 128; full 256-cycles sum 32640 each, the remainder wraps at
+       -- most once (same GREATEST form as the rows above)
+       CASE WHEN doc_id % 3 = 1 THEN
+            (n // 256) * 32640 + (n % 256) * a
+            + (n % 256) * ((n % 256) - 1) // 2
+            - 256 * GREATEST(0, a + (n % 256) - 256)
+            - 128 * n END AS sample_sum
 FROM p
 """)
 def multimodal_decode(spark, sf):
@@ -1880,11 +1900,13 @@ def multimodal_decode(spark, sf):
     as genuine BMP/PNG/WAV/multi-frame-GIF bytes (scale/multimodal.py
     synth_*, parameters derived arithmetically from media_id), then
     the stdlib decoders parse them back — headers for every container,
-    and FULL PIXEL decode for png (IDAT inflate + all five scanline
-    filters unfiltered) and 24-bit bmp.  The oracle states the
-    expected dimensions/rates AND the closed-form pixel sums from the
+    and FULL CONTENT decode for png (IDAT inflate + all five scanline
+    filters unfiltered), 24-bit bmp, gif (variable-width LZW with
+    CLEAR resets and KwKwK, palette mapping, every frame), and 16-bit
+    PCM wav (signed int16 samples).  The oracle states the expected
+    dimensions/rates AND the closed-form pixel/sample sums from the
     same arithmetic, so a green row proves the decoders recover
-    exactly what the containers encode, down to pixel values.
+    exactly what the containers encode, down to pixel/sample values.
     Both steps are Arrow-batched mapInPandas; payload bytes never
     visit the driver."""
     from octofludb_spark.scale.multimodal import decode_media, synth_media

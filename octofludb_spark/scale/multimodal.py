@@ -135,6 +135,8 @@ def _wav_info(b: bytes) -> dict:
         elif cid == b"data":
             info["data_bytes"] = size
         pos += size + (size & 1)  # chunks are word-aligned
+    if "n_channels" not in info or "data_bytes" not in info:
+        raise ValueError("WAV missing fmt or data chunk")
     frame_bytes = info["n_channels"] * info["bits"] // 8
     info["n_samples"] = info["data_bytes"] // frame_bytes
     return info
@@ -286,15 +288,214 @@ def decode_bmp_pixels(b: bytes) -> dict:
     return {"width": w, "height": h, "channels": 3, "pixels": pixels}
 
 
+# ------------------------------------------------- GIF LZW codec
+# GIF frames are LZW-compressed palette indices (GIF89a spec
+# appendix F): variable-width codes, LSB-first bit packing, CLEAR
+# resets the string table, width grows as the table fills (cap 12
+# bits).  Both directions implemented so synthesis emits genuinely
+# compressed frames and decode recovers exact indices.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR, the compressed stream (string
+    table rebuilt at 4096 entries), then EOI."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    w = _BitWriter()
+
+    def fresh():
+        return ({(i,): i for i in range(1 << min_code)},
+                eoi + 1, min_code + 1)
+
+    table, next_code, width = fresh()
+    w.write(clear, width)
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        w.write(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            w.write(clear, width)
+            table, next_code, width = fresh()
+        buf = (px,)
+    if buf:
+        w.write(table[buf], width)
+    w.write(eoi, width)
+    return w.flush()
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """Full GIF LZW decode: variable width, CLEAR resets, the
+    KwKwK case (code == next unassigned entry)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0  # bit cursor
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("LZW stream truncated")
+        byte0 = pos // 8
+        chunk = int.from_bytes(
+            data[byte0:byte0 + (pos % 8 + width + 7) // 8 + 1], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        # the decoder's table lags the encoder by exactly one entry
+        # (the first code after CLEAR appends nothing), so the width
+        # grows one slot early relative to the encoder's 1<<width
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+        # at 4096 entries the encoder must emit CLEAR next — the loop
+        # just keeps reading at the capped 12-bit width until it does
+
+
+def decode_gif_pixels(b: bytes) -> dict:
+    """Full stdlib GIF decode -> {width, height, channels, n_frames,
+    pixels}: every frame's LZW stream inflated, indices mapped through
+    the active color table to RGB bytes (frames concatenated).
+    Interlaced frames raise NotImplementedError."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = []
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            pos = _skip_subblocks(b, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        fx, fy, fw, fh, lpacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        lct = gct
+        if lpacked & 0x80:
+            n = 2 << (lpacked & 0x07)
+            lct = b[pos:pos + 3 * n]
+            pos += 3 * n
+        if lpacked & 0x40:
+            raise NotImplementedError("interlaced GIF frames")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += b[pos:pos + n]
+            pos += n
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data short")
+        if lct is None:
+            raise ValueError("GIF frame without a color table")
+        frames.append(b"".join(
+            lct[3 * i:3 * i + 3] for i in idx[:fw * fh]))
+    return {"width": sw, "height": sh, "channels": 3,
+            "n_frames": len(frames), "pixels": b"".join(frames)}
+
+
+def decode_wav_samples(b: bytes) -> dict:
+    """16-bit PCM WAV -> {n_channels, sample_rate, n_samples,
+    samples}: the data chunk parsed as signed little-endian int16s
+    (all channels interleaved, in file order)."""
+    info = _wav_info(b)
+    if info["bits"] != 16:
+        raise NotImplementedError(f"{info['bits']}-bit WAV")
+    pos, data = 12, b""
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"data":
+            data = b[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[:2 * n])
+    return {"n_channels": info["n_channels"],
+            "sample_rate": info["sample_rate"],
+            "n_samples": info["n_samples"], "samples": samples}
+
+
 def pixel_stats(b: bytes) -> dict | None:
-    """(n_pixels, pixel_sum) for containers with a stdlib pixel path
-    (png, bmp); None for containers whose pixel data needs absent
-    codecs (gif LZW, lossy formats)."""
+    """Content-level decode stats per container family:
+    png/bmp/gif -> {n_pixels, pixel_sum} (RGB/gray byte sum over
+    every frame); wav -> {sample_sum} (signed int16 PCM sum).  None
+    only for containers that genuinely need absent codecs (jpeg &c)."""
     f = sniff_format(b)
     if f == "png":
         d = decode_png_pixels(b)
     elif f == "bmp":
         d = decode_bmp_pixels(b)
+    elif f == "gif":
+        d = decode_gif_pixels(b)
+        return {"n_pixels": d["width"] * d["height"] * d["n_frames"],
+                "pixel_sum": sum(d["pixels"])}
+    elif f == "wav":
+        return {"sample_sum": sum(decode_wav_samples(b)["samples"])}
     else:
         return None
     return {"n_pixels": d["width"] * d["height"],
@@ -378,9 +579,16 @@ def synth_png(width: int, height: int, pixel_fn=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def synth_wav(n_channels: int, sample_rate: int, n_samples: int) -> bytes:
-    """A valid 16-bit PCM WAV of silence."""
-    data = bytes(n_samples * n_channels * 2)
+def synth_wav(n_channels: int, sample_rate: int, n_samples: int,
+              sample_fn=None) -> bytes:
+    """A valid 16-bit PCM WAV.  ``sample_fn(j) -> int16`` sets the
+    j-th interleaved sample value (all channels, file order); default
+    is silence."""
+    n = n_samples * n_channels
+    if sample_fn is None:
+        data = bytes(n * 2)
+    else:
+        data = struct.pack(f"<{n}h", *(sample_fn(j) for j in range(n)))
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
                       sample_rate * n_channels * 2, n_channels * 2, 16)
     return (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
@@ -388,14 +596,25 @@ def synth_wav(n_channels: int, sample_rate: int, n_samples: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
-def synth_gif(width: int, height: int, n_frames: int) -> bytes:
-    """A structurally valid multi-frame GIF89a (2-entry global color
-    table, minimal LZW data per frame)."""
+def synth_gif(width: int, height: int, n_frames: int,
+              index_fn=None) -> bytes:
+    """A valid multi-frame GIF89a: 2-entry global color table (black,
+    white) and genuinely LZW-compressed frames.  ``index_fn(x, y, f)
+    -> 0|1`` sets the palette index of pixel (x, y) in frame f;
+    default all-black frames."""
     out = [b"GIF89a", struct.pack("<HHBBB", width, height, 0x80, 0, 0),
            b"\x00\x00\x00\xff\xff\xff"]  # 2-entry GCT
-    for _ in range(n_frames):
+    for f in range(n_frames):
         out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
-        out.append(b"\x02" + bytes([1, 0x44, 0]))  # LZW min + 1 sub-block
+        idx = bytes(
+            (index_fn(x, y, f) & 1) if index_fn else 0
+            for y in range(height) for x in range(width))
+        lzw = _lzw_encode(idx, 2)  # GIF minimum code size floor is 2
+        out.append(b"\x02")
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            out.append(bytes([len(blk)]) + blk)
+        out.append(b"\x00")
     out.append(b"\x3b")
     return b"".join(out)
 
@@ -449,6 +668,7 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("n_samples", T.LongType()),
     T.StructField("n_pixels", T.LongType()),
     T.StructField("pixel_sum", T.LongType()),
+    T.StructField("sample_sum", T.LongType()),
 ])
 
 
@@ -478,12 +698,21 @@ def synth_media(docs: DataFrame) -> DataFrame:
                                     else synth_png(w, h, fn))
                     types.append("image")
                 elif mid % 3 == 1:
+                    # PCM sample j = (mid + j) % 256 - 128: an
+                    # int16 ramp whose sum has a closed form (the
+                    # mod wraps (n DIV 256) full cycles of 32640)
                     payloads.append(synth_wav(
                         1 + mid % 2, 8000 + (mid % 5) * 1000,
-                        100 + mid % 900))
+                        100 + mid % 900,
+                        sample_fn=lambda j, m=mid: (m + j) % 256 - 128))
                     types.append("audio")
                 else:
-                    payloads.append(synth_gif(w, h, 1 + mid % 8))
+                    # palette index = row parity (mid + y + f) % 2:
+                    # white-pixel count per frame is closed-form, and
+                    # rows alternate so the LZW streams are nontrivial
+                    payloads.append(synth_gif(
+                        w, h, 1 + mid % 8,
+                        index_fn=lambda x, y, f, m=mid: (m + y + f) % 2))
                     types.append("video")
             yield pd.DataFrame({
                 "media_id": pd.array([int(m) for m in pdf["doc_id"]],
@@ -504,7 +733,8 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["format", "width", "height", "n_frames", "n_channels",
-                "sample_rate", "n_samples", "n_pixels", "pixel_sum"]
+                "sample_rate", "n_samples", "n_pixels", "pixel_sum",
+                "sample_sum"]
         for pdf in batches:
             out: dict = {c: [] for c in cols}
             for payload in pdf["payload"]:

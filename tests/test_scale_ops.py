@@ -596,7 +596,16 @@ def test_synth_decode_media_spark(spark):
     w3, h3 = 16 + 3, 16 + 21 % 48
     assert got[3].n_pixels == w3 * h3
     assert got[3].pixel_sum == w3 * sum((3 + y) % 256 for y in range(h3))
-    assert got[1].pixel_sum is None and got[2].pixel_sum is None
+    # gif (mid=2): 3 frames of (16+2)x(16+14), white rows where
+    # (2+y+f) is odd, each white pixel sums 765 across RGB
+    w2, h2, f2 = 18, 30, 3
+    white = sum(1 for f in range(f2) for y in range(h2) if (2 + y + f) % 2)
+    assert got[2].n_pixels == w2 * h2 * f2
+    assert got[2].pixel_sum == 765 * w2 * white
+    # wav (mid=1): interleaved int16 ramp (1+j)%256 - 128
+    n1 = (1 + 1 % 2) * (100 + 1 % 900)
+    assert got[1].sample_sum == sum((1 + j) % 256 - 128 for j in range(n1))
+    assert got[1].pixel_sum is None and got[2].sample_sum is None
 
 
 def test_png_pixel_decode_all_filters_and_types():
@@ -671,7 +680,52 @@ def test_png_pixel_decode_all_filters_and_types():
     sp = pixel_stats(synth_png(13, 11, fn))
     assert sb["n_pixels"] == sp["n_pixels"] == 13 * 11
     assert sb["pixel_sum"] == 3 * sp["pixel_sum"]
-    assert pixel_stats(b"RIFF\0\0\0\0WAVE") is None
+    with pytest.raises(ValueError):  # wav missing fmt/data chunks
+        pixel_stats(b"RIFF\0\0\0\0WAVE")
+    assert pixel_stats(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+
+
+def test_gif_lzw_and_wav_pcm_content_decode():
+    """Full GIF LZW (variable width, CLEAR resets at 4096, KwKwK) and
+    16-bit PCM WAV content decode, pure stdlib: synthesized streams
+    round-trip bit-exactly and pixel/sample sums match closed forms."""
+    import random
+
+    from octofludb_spark.scale.multimodal import (
+        _lzw_decode, _lzw_encode, decode_gif_pixels, decode_wav_samples,
+        pixel_stats, synth_gif, synth_wav)
+
+    rng = random.Random(7)
+    for _ in range(30):  # long streams force table resets + KwKwK
+        data = bytes(rng.randrange(4) for _ in range(rng.randrange(1, 9000)))
+        assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+    for _ in range(5):  # 8-bit alphabet hits the 12-bit width cap
+        data = bytes(rng.randrange(256) for _ in range(15000))
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+    # multi-frame GIF: parity pattern, per-frame palette mapping
+    for mid in (0, 1, 5, 17, 254, 1001):
+        w, h, fr = 16 + mid % 48, 16 + (mid * 7) % 48, 1 + mid % 8
+        g = synth_gif(w, h, fr, index_fn=lambda x, y, f, m=mid: (m + y + f) % 2)
+        d = decode_gif_pixels(g)
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, fr)
+        exp = 765 * w * (fr * (h // 2)
+                         + (h % 2) * ((fr // 2) + (fr % 2) * (mid % 2)))
+        assert pixel_stats(g) == {"n_pixels": w * h * fr, "pixel_sum": exp}
+
+    # WAV: signed int16 ramp, mod wrap closed form
+    for mid in (1, 4, 100, 255, 256, 901):
+        nc, ns = 1 + mid % 2, 100 + mid % 900
+        n = ns * nc
+        wav = synth_wav(nc, 8000, ns,
+                        sample_fn=lambda j, m=mid: (m + j) % 256 - 128)
+        s = decode_wav_samples(wav)
+        assert (s["n_channels"], s["n_samples"]) == (nc, ns)
+        a, q, rem = mid % 256, n // 256, n % 256
+        exp = (q * 32640 + rem * a + rem * (rem - 1) // 2
+               - 256 * max(0, a + rem - 256) - 128 * n)
+        assert pixel_stats(wav) == {"sample_sum": exp}
+        assert sum(s["samples"]) == exp
 
 
 def test_topk_lsh_ranked_matches_numpy_path(spark):
