@@ -4141,6 +4141,43 @@ def event_cooccurrence(spark, sf):
     return cooccurrence_lift(t(spark, sf, "events"))
 
 
+_JPEG_SQL = """
+WITH p AS (SELECT doc_id,
+                  CAST(2 + doc_id % 6 AS BIGINT) AS wb,
+                  CAST(2 + (doc_id * 3) % 6 AS BIGINT) AS hb
+           FROM documents),
+s AS (SELECT doc_id,
+             CAST(64 * SUM((doc_id + 16 * bx.i + 29 * by.j) % 256)
+                  AS BIGINT) AS pixel_sum
+      FROM p, range(8) bx(i), range(8) by(j)
+      WHERE bx.i < p.wb AND by.j < p.hb
+      GROUP BY doc_id)
+SELECT p.doc_id AS media_id, 'jpeg' AS format,
+       8 * wb AS width, 8 * hb AS height,
+       64 * wb * hb AS n_pixels, s.pixel_sum AS pixel_sum
+FROM p JOIN s USING (doc_id)
+"""
+
+
+@q("multimodal_jpeg", _JPEG_SQL)
+def multimodal_jpeg(spark, sf):
+    """REAL baseline-JPEG codec, hash-oracled: payloads are encoded
+    with a pure stdlib+numpy grayscale JPEG encoder (forward DCT,
+    uniform quantization, T.81 Annex K Huffman tables) and decoded
+    back by a full marker-walk + canonical-Huffman + IDCT decoder
+    (scale/multimodal.py synth_jpeg/decode_jpeg_pixels).  Images are
+    8x8-block-constant, which survive quantization exactly, so the
+    DuckDB oracle states the decoded pixel sums in closed form — a
+    green row proves the lossy codec path recovers exact content.
+    Both steps are Arrow-batched mapInPandas."""
+    from octofludb_spark.scale.multimodal import (decode_media,
+                                                  synth_jpeg_media)
+
+    m = decode_media(synth_jpeg_media(t(spark, sf, "documents")))
+    return m.select("media_id", "format", "width", "height",
+                    "n_pixels", "pixel_sum")
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

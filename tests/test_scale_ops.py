@@ -573,6 +573,9 @@ def test_stdlib_container_decoders_roundtrip():
     # unknown container: still raises without fake
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42 video-ish")
+    # malformed jpeg: recognized but unparseable
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
@@ -682,7 +685,9 @@ def test_png_pixel_decode_all_filters_and_types():
     assert sb["pixel_sum"] == 3 * sp["pixel_sum"]
     with pytest.raises(ValueError):  # wav missing fmt/data chunks
         pixel_stats(b"RIFF\0\0\0\0WAVE")
-    assert pixel_stats(b"\xff\xd8\xff\xe0 jpeg-ish") is None
+    with pytest.raises(ValueError):  # jpeg magic but no markers
+        pixel_stats(b"\xff\xd8\xff\xe0 jpeg-ish")
+    assert pixel_stats(b"\x00\x00\x00\x18ftypmp42 video-ish") is None
 
 
 def test_gif_lzw_and_wav_pcm_content_decode():
@@ -726,6 +731,55 @@ def test_gif_lzw_and_wav_pcm_content_decode():
                - 256 * max(0, a + rem - 256) - 128 * n)
         assert pixel_stats(wav) == {"sample_sum": exp}
         assert sum(s["samples"]) == exp
+
+
+def test_baseline_jpeg_codec():
+    """Real baseline grayscale JPEG both ways: block-constant images
+    survive the lossy path bit-exactly (DC-only blocks quantize
+    evenly), arbitrary images round-trip within the quantization
+    error, headers parse, and non-baseline features raise."""
+    import numpy as np
+    import pytest
+
+    from octofludb_spark.scale.multimodal import (
+        decode_header, decode_jpeg_pixels, pixel_stats, sniff_format,
+        synth_jpeg)
+
+    # block-constant: exact reconstruction through the lossy codec
+    for mid in (0, 3, 17, 100, 255, 999):
+        w, h = 8 * (2 + mid % 6), 8 * (2 + (mid * 3) % 6)
+        fn = lambda x, y, m=mid: (m + 16 * (x // 8) + 29 * (y // 8)) % 256
+        j = synth_jpeg(w, h, fn)
+        assert sniff_format(j) == "jpeg"
+        assert decode_header(j) == {"format": "jpeg", "width": w,
+                                    "height": h}
+        d = decode_jpeg_pixels(j)
+        assert d["pixels"] == bytes(fn(x, y)
+                                    for y in range(h) for x in range(w))
+        exp = sum(fn(x, y) for y in range(h) for x in range(w))
+        assert pixel_stats(j) == {"n_pixels": w * h, "pixel_sum": exp}
+
+    # arbitrary content (incl. non-multiple-of-8 dims -> edge padding,
+    # high-frequency noise -> long AC runs, ZRL, every Huffman class):
+    # bounded error, exact dims after crop
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        w, h = int(rng.integers(9, 70)), int(rng.integers(9, 70))
+        img = rng.integers(0, 256, (h, w))
+        d = decode_jpeg_pixels(synth_jpeg(w, h, lambda x, y: int(img[y, x])))
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(h, w)
+        assert np.abs(got.astype(int) - img).max() <= 60
+    # smooth gradients compress near-losslessly at q=8
+    img = np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256
+    d = decode_jpeg_pixels(synth_jpeg(56, 40, lambda x, y: int(img[y, x])))
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(40, 56)
+    assert np.abs(got.astype(int) - img).max() <= 2
+
+    # honest scope: progressive SOF2 raises
+    j = bytearray(synth_jpeg(16, 16))
+    j[j.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(j))
 
 
 def test_topk_lsh_ranked_matches_numpy_path(spark):
