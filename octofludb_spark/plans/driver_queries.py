@@ -4178,6 +4178,73 @@ def multimodal_jpeg(spark, sf):
                     "n_pixels", "pixel_sum")
 
 
+_RESIZE_SQL = """
+WITH p AS (SELECT doc_id,
+                  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
+                  CAST(CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 1 END
+                       AS BIGINT) AS ch
+           FROM documents WHERE doc_id % 3 = 0),
+s AS (SELECT doc_id,
+             CAST(SUM((doc_id + (yy.y * h) // 11) % 256) AS BIGINT) AS rowsum
+      FROM p, range(11) yy(y)
+      GROUP BY doc_id)
+SELECT p.doc_id AS media_id, 'png' AS format,
+       CAST(13 AS BIGINT) AS width, CAST(11 AS BIGINT) AS height,
+       CAST(143 AS BIGINT) AS n_pixels,
+       ch * 13 * s.rowsum AS pixel_sum
+FROM p JOIN s USING (doc_id)
+"""
+
+
+@q("multimodal_resize", _RESIZE_SQL)
+def multimodal_resize(spark, sf):
+    """REAL image resize, hash-oracled end to end: bmp/png payloads
+    decode to pixels, resample nearest-neighbor (src = dst*sw//tw,
+    pure integer), re-encode as PNG, then decode AGAIN — the gate
+    value-hashes the pixel sums of the re-decoded output, proving the
+    whole decode -> resample -> encode -> decode chain.  Source rows
+    are the (doc_id + y) % 256 gradient, so the resized sums have the
+    closed form the oracle states.  All Arrow-batched mapInPandas;
+    payload bytes never visit the driver."""
+    from octofludb_spark.scale.multimodal import (decode_media,
+                                                  resize_images,
+                                                  synth_media)
+
+    m = resize_images(synth_media(t(spark, sf, "documents")),
+                      width=13, height=11, fake=False, method="nearest")
+    return decode_media(m.select("media_id", "payload")).select(
+        "media_id", "format", "width", "height", "n_pixels", "pixel_sum")
+
+
+_FRAMES_SQL = """
+WITH p AS (SELECT doc_id,
+                  CAST(16 + doc_id % 48 AS BIGINT) AS w,
+                  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
+                  CAST(1 + doc_id % 8 AS BIGINT) AS nf
+           FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id AS media_id, CAST(ff.f AS INTEGER) AS frame_idx,
+       w * h * 3 AS n_bytes,
+       765 * w * (h // 2 + (h % 2) * ((doc_id + ff.f) % 2))
+         AS frame_pixel_sum
+FROM p, range(8) ff(f)
+WHERE ff.f < p.nf AND ff.f % 2 = 0
+"""
+
+
+@q("multimodal_frames", _FRAMES_SQL)
+def multimodal_frames(spark, sf):
+    """REAL video frame sampling, hash-oracled: every stride-2 frame
+    of each multi-frame GIF payload is LZW-decoded and its exact RGB
+    byte sum emitted — the one-row-per-frame explode shape.  Frame f
+    of media m is the row-parity pattern (m + y + f) % 2, so per-frame
+    white-row counts (and therefore sums) are closed-form."""
+    from octofludb_spark.scale.multimodal import sample_frames, synth_media
+
+    m = synth_media(t(spark, sf, "documents"))
+    return sample_frames(m, stride=2, fake=False).select(
+        "media_id", "frame_idx", "n_bytes", "frame_pixel_sum")
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

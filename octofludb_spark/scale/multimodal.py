@@ -912,6 +912,76 @@ def synth_png(width: int, height: int, pixel_fn=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def encode_png(pixels: bytes, width: int, height: int,
+               channels: int) -> bytes:
+    """General PNG writer for decoded pixel grids: 8-bit grayscale
+    (channels=1, color type 0) or RGB (channels=3, color type 2),
+    filter 0 rows, zlib-deflated, correct CRCs."""
+    if channels not in (1, 3):
+        raise ValueError(f"encode_png supports 1 or 3 channels, "
+                         f"got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ctype = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b""))
+
+
+def resize_pixels(d: dict, tw: int, th: int, method: str = "auto") -> dict:
+    """Deterministic integer resampling of a decoded pixel grid
+    ({width, height, channels, pixels}): exact box average (floor
+    mean) when both scale factors divide evenly, else nearest
+    neighbor (src = dst * src_dim // dst_dim).  method pins one
+    strategy ("nearest" | "box"); "auto" picks.  Pure integer math,
+    so an external engine can state the output pixels in closed
+    form."""
+    import numpy as np
+
+    sw, sh, ch = d["width"], d["height"], d["channels"]
+    img = np.frombuffer(d["pixels"][:sw * sh * ch], np.uint8).reshape(
+        sh, sw, ch)
+    if method == "box" and (sw % tw or sh % th):
+        raise ValueError("box resampling needs evenly dividing factors")
+    if method != "nearest" and sw % tw == 0 and sh % th == 0:
+        fx, fy = sw // tw, sh // th
+        out = (img.reshape(th, fy, tw, fx, ch).astype(np.int64)
+               .sum(axis=(1, 3)) // (fx * fy)).astype(np.uint8)
+    else:
+        xs = np.arange(tw) * sw // tw
+        ys = np.arange(th) * sh // th
+        out = img[ys][:, xs]
+    return {"width": tw, "height": th, "channels": ch,
+            "pixels": out.tobytes()}
+
+
+def decode_pixels(b: bytes) -> dict:
+    """Decoded pixel grid for any supported still-image container
+    (png/bmp/jpeg; gif decodes to its FIRST frame)."""
+    f = sniff_format(b)
+    if f == "png":
+        return decode_png_pixels(b)
+    if f == "bmp":
+        return decode_bmp_pixels(b)
+    if f == "jpeg":
+        return decode_jpeg_pixels(b)
+    if f == "gif":
+        d = decode_gif_pixels(b)
+        first = d["width"] * d["height"] * 3
+        return {"width": d["width"], "height": d["height"],
+                "channels": 3, "pixels": d["pixels"][:first]}
+    raise NotImplementedError(f"no pixel decoder for {f or 'unknown'}")
+
+
 def synth_wav(n_channels: int, sample_rate: int, n_samples: int,
               sample_fn=None) -> bytes:
     """A valid 16-bit PCM WAV.  ``sample_fn(j) -> int16`` sets the
@@ -1128,33 +1198,47 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("frame_idx", T.IntegerType()),
     T.StructField("frame_sha256", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("frame_pixel_sum", T.LongType()),  # real path only
 ])
 
 
 def _fake_resize(payload: bytes, width: int, height: int,
                  fake: bool) -> bytes:
-    """Stub: real resize needs PIL (absent).  fake=True produces a
-    deterministic digest-derived payload so downstream plumbing
-    (binary column, recomputed metadata) is exercised for real."""
+    """Digest fake for payloads that are NOT decodable containers
+    (e.g. to_media_table's raw text bytes): deterministic bytes so
+    downstream plumbing (binary column, recomputed metadata) is
+    exercised for real.  fake=False refuses — the real path is
+    resize_images(fake=False) over decodable containers."""
     if not fake:
         raise NotImplementedError(
-            "image resize requires PIL, not available in this container"
+            "this payload is not a decodable container; real resize "
+            "needs bmp/png/gif/jpeg bytes (resize_images(fake=False))"
         )
     seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
     return seed * 4  # 64 deterministic bytes standing in for pixels
 
 
+def _real_resize(payload: bytes, width: int, height: int,
+                 method: str = "auto") -> bytes:
+    """REAL resize: decode the container to pixels, integer box /
+    nearest-neighbor resample, re-encode as PNG."""
+    d = resize_pixels(decode_pixels(payload), width, height, method)
+    return encode_png(d["pixels"], width, height, d["channels"])
+
+
 def resize_images(media: DataFrame, width: int = 224, height: int = 224,
-                  fake: bool = True) -> DataFrame:
+                  fake: bool = True, method: str = "auto") -> DataFrame:
     """Resize every image payload (Arrow-batched mapInPandas).  Only
     image rows pass through — the filter is JVM-side so non-image
-    payload bytes never cross into python.  Metadata (n_bytes, sha256)
-    is recomputed from the new payload."""
+    payload bytes never cross into python.  fake=False runs the REAL
+    pixel path (decode -> integer resample -> PNG re-encode); metadata
+    (n_bytes, sha256) is recomputed from the new payload either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                _fake_resize(bytes(p), width, height, fake)
+                _fake_resize(bytes(p), width, height, True) if fake
+                else _real_resize(bytes(p), width, height, method)
                 for p in pdf["payload"]
             ]
             out = pdf[["media_id"]].copy()
@@ -1174,31 +1258,49 @@ def sample_frames(media: DataFrame, stride: int = 4,
                   fake: bool = True) -> DataFrame:
     """Frame sampling for video payloads: one OUTPUT row per sampled
     frame (the one-to-many explode shape that matters at scale —
-    memory is bounded per Arrow batch, never per video).  The decode
-    is the same stub as decode_image; frame identity is a
-    deterministic digest of (payload, frame_idx)."""
+    memory is bounded per Arrow batch, never per video).  fake=False
+    runs the REAL path over GIF containers: every stride-th frame's
+    LZW stream is decoded, frame identity is the sha256 of the frame's
+    raw RGB bytes and frame_pixel_sum their exact sum.  fake=True
+    keeps the digest stand-in for undecodable payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_sha256": [],
-                   "n_bytes": []}
+                   "n_bytes": [], "frame_pixel_sum": []}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, _h = decode_image(payload, fake=fake)
-                n_frames = 1 + (w % 16)  # same derivation as features
+                if fake:
+                    w, _h = decode_image(payload, fake=True)
+                    n_frames = 1 + (w % 16)  # same derivation as features
+                    frames = None
+                else:
+                    d = decode_gif_pixels(payload)
+                    n_frames = d["n_frames"]
+                    fsize = d["width"] * d["height"] * 3
+                    frames = [d["pixels"][i * fsize:(i + 1) * fsize]
+                              for i in range(n_frames)]
                 for idx in range(0, n_frames, stride):
-                    fp = hashlib.md5(
-                        payload + idx.to_bytes(4, "big")).hexdigest()
+                    if frames is None:
+                        fp = hashlib.md5(
+                            payload + idx.to_bytes(4, "big")).hexdigest()
+                        nb, psum = len(payload), None
+                    else:
+                        fp = hashlib.sha256(frames[idx]).hexdigest()
+                        nb, psum = len(frames[idx]), sum(frames[idx])
                     out["media_id"].append(int(media_id))
                     out["frame_idx"].append(idx)
                     out["frame_sha256"].append(fp)
-                    out["n_bytes"].append(len(payload))
+                    out["n_bytes"].append(nb)
+                    out["frame_pixel_sum"].append(psum)
             yield pd.DataFrame({
                 "media_id": pd.array(out["media_id"], dtype="int64"),
                 "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
                 "frame_sha256": out["frame_sha256"] or
                     pd.Series(dtype=object),
                 "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+                "frame_pixel_sum": pd.array(out["frame_pixel_sum"],
+                                            dtype="Int64"),
             })
 
     return media.where(F.col("media_type") == "video").mapInPandas(

@@ -1554,3 +1554,115 @@ def test_embedding_centroids_partition_invariant(spark):
         for pos, w in enumerate(want):
             assert a[(lbl, pos)] == (n, w)
     emb.unpersist()
+
+
+def test_encode_png_roundtrip_gray_and_rgb():
+    from octofludb_spark.scale.multimodal import (decode_png_pixels,
+                                                  encode_png)
+
+    w, h = 13, 7
+    gray = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    d = decode_png_pixels(encode_png(gray, w, h, 1))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+    assert d["pixels"] == gray
+
+    rgb = bytes((x + y + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    d = decode_png_pixels(encode_png(rgb, w, h, 3))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == rgb
+
+    with pytest.raises(ValueError):
+        encode_png(gray, w, h, 4)
+    with pytest.raises(ValueError):
+        encode_png(gray[:-1], w, h, 1)
+
+
+def test_resize_pixels_box_and_nearest_closed_form():
+    from octofludb_spark.scale.multimodal import resize_pixels
+
+    # 4x4 grayscale quadrant image: box-average to 2x2 == quadrant means
+    vals = [[0, 0, 100, 100],
+            [0, 4, 100, 104],
+            [200, 200, 30, 30],
+            [200, 204, 30, 34]]
+    src = {"width": 4, "height": 4, "channels": 1,
+           "pixels": bytes(v for row in vals for v in row)}
+    out = resize_pixels(src, 2, 2, method="box")
+    assert list(out["pixels"]) == [1, 101, 201, 31]
+
+    # nearest: src index = dst * src_dim // dst_dim
+    out = resize_pixels(src, 3, 3, method="nearest")
+    want = [vals[y * 4 // 3][x * 4 // 3] for y in range(3) for x in range(3)]
+    assert list(out["pixels"]) == want
+
+    # auto picks box when factors divide, nearest otherwise
+    assert resize_pixels(src, 2, 2)["pixels"] == \
+        resize_pixels(src, 2, 2, method="box")["pixels"]
+    assert resize_pixels(src, 3, 3)["pixels"] == \
+        resize_pixels(src, 3, 3, method="nearest")["pixels"]
+    with pytest.raises(ValueError):
+        resize_pixels(src, 3, 3, method="box")
+
+
+def test_decode_pixels_dispatch():
+    from octofludb_spark.scale.multimodal import (decode_pixels, synth_bmp,
+                                                  synth_gif, synth_png)
+
+    fn = lambda x, y: (7 * x + y) % 256
+    for payload, ch in [(synth_png(9, 5, fn), 1), (synth_bmp(9, 5, fn), 3)]:
+        d = decode_pixels(payload)
+        assert (d["width"], d["height"], d["channels"]) == (9, 5, ch)
+
+    # gif -> FIRST frame only, rgb
+    g = decode_pixels(synth_gif(6, 4, 3, index_fn=lambda x, y, f: (y + f) % 2))
+    assert (g["width"], g["height"], g["channels"]) == (6, 4, 3)
+    assert len(g["pixels"]) == 6 * 4 * 3
+    # frame 0 row parity: y%2==0 -> palette 0 (black), y%2==1 -> white
+    row0 = g["pixels"][:18]
+    row1 = g["pixels"][18:36]
+    assert set(row0) == {0} and set(row1) == {255}
+
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x00" * 32)
+
+
+def test_real_resize_and_frames_spark(spark):
+    import hashlib
+
+    from octofludb_spark.scale.multimodal import (decode_pixels,
+                                                  resize_images,
+                                                  sample_frames,
+                                                  synth_media)
+
+    media = synth_media(_docs(spark).limit(40)).cache()
+
+    resized = resize_images(media, width=8, height=6, fake=False,
+                            method="nearest").collect()
+    assert len(resized) == media.where("media_type = 'image'").count()
+    for r in resized:
+        out = decode_pixels(bytes(r.payload))
+        assert (out["width"], out["height"]) == (8, 6)
+        # nearest-neighbor of the (mid + y) % 256 row gradient:
+        # resized row j samples source row j*h//6
+        mid = r.media_id
+        h = 16 + (mid * 7) % 48
+        want_rows = [(mid + (j * h // 6)) % 256 for j in range(6)]
+        px = out["pixels"]
+        stride = 8 * out["channels"]
+        for j, wv in enumerate(want_rows):
+            assert set(px[j * stride:(j + 1) * stride]) == {wv}
+        assert hashlib.sha256(bytes(r.payload)).hexdigest() == r.sha256
+
+    frames = sample_frames(media, stride=2, fake=False).collect()
+    vids = {r.media_id for r in
+            media.where("media_type = 'video'").collect()}
+    assert {r.media_id for r in frames} == vids
+    for r in frames:
+        mid, f = r.media_id, r.frame_idx
+        w, h = 16 + mid % 48, 16 + (mid * 7) % 48
+        assert r.n_bytes == w * h * 3
+        # white rows where (mid + y + f) % 2 == 1
+        n_white = sum(1 for y in range(h) if (mid + y + f) % 2)
+        assert r.frame_pixel_sum == 255 * 3 * w * n_white
+    media.unpersist()
