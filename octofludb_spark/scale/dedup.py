@@ -399,7 +399,7 @@ def minhash_estimate_pairs(docs: DataFrame,
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 5,
-                        w: int = 4) -> DataFrame:
+                        w: int = 4, positions: bool = True) -> DataFrame:
     """Winnowing document fingerprints (the MOSS algorithm, Schleimer
     et al. 2003): from each window of ``w`` consecutive k-gram hashes
     keep the minimum (rightmost on ties), guaranteeing any shared run
@@ -411,7 +411,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
     inside one projection (fingerprinting parallelism == scan
     parallelism).  The rightmost-tie rule is encoded in the sort key
     itself (hash || zero-padded (10^8 - pos)), so both engines pick
-    identical positions with a plain lexicographic min."""
+    identical positions with a plain lexicographic min.
+
+    ``positions=False`` drops the position column and dedups the
+    fingerprint set INSIDE the per-doc array (array_distinct over the
+    32-char hashes) — callers that only need the per-doc fp SET
+    (winnow_pairs) skip an entire corpus-sized distinct() shuffle."""
     ws = F.split("text", " ")
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
@@ -445,6 +450,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
         starts,
         lambda s: F.array_min(F.slice(ks, s + 1, F.lit(w))),
     ))
+    if not positions:
+        fps = F.array_distinct(
+            F.transform(sel, lambda key: F.substring(key, 1, 32)))
+        return kdf.select("doc_id", F.explode(fps).alias("fp"))
     return (
         kdf.select("doc_id", F.explode(sel).alias("key"))
         .select(
@@ -468,29 +477,42 @@ def winnow_pairs(docs: DataFrame, k: int = 5, w: int = 4,
 
     Skew: a boilerplate fingerprint in d docs would create d^2
     candidate rows, so fingerprints with document frequency >
-    ``max_fp_df`` are dropped before the self-join (logged — same
-    contract as the shingle cap)."""
-    fp = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    ``max_fp_df`` are dropped before pair generation (logged — same
+    contract as the shingle cap).
+
+    Plan shape — the fingerprint chain (md5 per k-gram + window min,
+    the expensive map-side stage) is computed ONCE: group doc ids per
+    fingerprint with a single shuffle, drop over-cap groups with a
+    lazy size filter, and explode each group's C(df, 2) pairs
+    in-place (df <= max_fp_df bounds the per-group array).  The
+    previous fp-keyed self-join evaluated the fingerprint chain three
+    times (hot-count action + both join branches — map-side plans
+    have no exchange for Spark to reuse): 73 s -> 26 s at sf1.0."""
+    # positions=False dedups the fp set inside the per-doc array —
+    # no corpus-sized distinct() shuffle before the group-by
+    fp = winnow_fingerprints(docs, k, w, positions=False)
+    grouped = fp.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if max_fp_df is not None:
-        hot = (
-            fp.groupBy("fp").agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_fp_df)
-            .select("fp")
-            .persist()
-        )
-        n_hot = hot.count()
+        grouped = grouped.persist()
+        n_hot = grouped.where(F.size("ds") > max_fp_df).count()
         if n_hot:
             log.warning("winnow fp cap: dropping %d fingerprints with "
                         "df > %d", n_hot, max_fp_df)
-            fp = fp.join(hot, "fp", "left_anti")
-        else:
-            hot.unpersist()
-    a = fp.select(F.col("doc_id").alias("doc_x"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_y"), "fp")
+        grouped = grouped.where(F.size("ds") <= max_fp_df)
+    ds = F.col("ds")
+    pair_arr = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + 2, F.greatest(F.size(ds) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("doc_x"), y.alias("doc_y")),
+        ),
+    ))
     return (
-        a.join(b, "fp")
-        .where(F.col("doc_x") < F.col("doc_y"))
-        .groupBy("doc_x", "doc_y")
+        grouped.where(F.size(ds) >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_x").alias("doc_x"),
+                 F.col("p.doc_y").alias("doc_y"))
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

@@ -13,16 +13,21 @@ core counts):
     parent offset, so join fan-outs per key are IDENTICAL to sf0.1
     and query outputs grow linearly by construction.
   * region/nation: fixed dims (as in TPC-H), copied verbatim.
-  * documents.text: replicas mutate ~1/3 of word FORMS (md5(word,
-    replica) % 3 == 0 -> word + 'x<r>').  The mutation is keyed on the
+  * documents.text: replicas r > 0 suffix EVERY word form with
+    'x<r>'.  The mutation is a bijection on word forms keyed on the
     word itself, not its position, so WITHIN a replica the corpus's
-    near-duplicate families are preserved exactly (shared text mutates
-    identically in both members); ACROSS replicas only ~(4/9) of word
-    forms coincide, putting cross-replica 5-gram Jaccard near
-    0.44^5 ~= 0.016 — far under every dedup threshold.  Duplicate
-    families therefore replicate (10x the clusters, same cluster
-    SIZES), keeping candidate-pair volume linear instead of the
-    quadratic blow-up naive text replication causes.
+    duplicate structure is preserved EXACTLY (shared text mutates
+    identically in both members; set-Jaccard, exact-text equality,
+    and k-gram identity are all invariant under a word-form
+    bijection); ACROSS replicas ZERO word forms coincide, so every
+    word/k-gram-keyed pair op (exact, minhash, jaccard, winnowing,
+    duplicate spans, simhash bands) contributes 0 cross-replica
+    pairs.  Output pair counts are therefore linear by construction
+    — 10 disjoint copies of the sf0.1 pair structure.  (An earlier
+    ~1/3-of-forms mutation left (4/9)^k k-gram coincidence, which
+    RATIO-thresholded ops ignore but ABSOLUTE-count ops — winnowing
+    min_shared, duplicate-substring spans, short-doc exact dupes —
+    turned into 3-13x superlinear row inflation at sf1.0.)
   * embeddings.embedding: replica r rolls the vector by r positions —
     norms and coordinate distributions preserved, cross-replica
     nearest-neighbor collisions broken.
@@ -32,7 +37,6 @@ Output: /root/repo/.bench/sf1.0/<table>.parquet
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -78,11 +82,7 @@ def _sql_replicate(con, table: str, shifted: dict[str, str]) -> None:
 def _mutate_text(text: str, r: int) -> str:
     if r == 0:
         return text
-    out = []
-    for w in text.split(" "):
-        h = int(hashlib.md5(f"{w}:{r}".encode()).hexdigest()[:8], 16)
-        out.append(f"{w}x{r}" if h % 3 == 0 else w)
-    return " ".join(out)
+    return " ".join(f"{w}x{r}" for w in text.split(" "))
 
 
 def main() -> None:
