@@ -467,7 +467,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
 
 def winnow_pairs(docs: DataFrame, k: int = 5, w: int = 4,
                  min_shared: int = 2,
-                 max_fp_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+                 max_fp_df: int | None = MAX_SHINGLE_DF,
+                 log_hot: bool = False) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing
     fingerprints — MOSS's actual match step: because winnowing
     guarantees any shared w+k-1 token run yields a shared
@@ -483,22 +484,27 @@ def winnow_pairs(docs: DataFrame, k: int = 5, w: int = 4,
     Plan shape — the fingerprint chain (md5 per k-gram + window min,
     the expensive map-side stage) is computed ONCE: group doc ids per
     fingerprint with a single shuffle, drop over-cap groups with a
-    lazy size filter, and explode each group's C(df, 2) pairs
-    in-place (df <= max_fp_df bounds the per-group array).  The
-    previous fp-keyed self-join evaluated the fingerprint chain three
-    times (hot-count action + both join branches — map-side plans
-    have no exchange for Spark to reuse): 73 s -> 26 s at sf1.0."""
+    LAZY size filter (no action, no persist, nothing retained in the
+    cache manager), and explode each group's C(df, 2) pairs in-place
+    (df <= max_fp_df bounds the per-group array).  The previous
+    fp-keyed self-join evaluated the fingerprint chain three times
+    (hot-count action + both join branches — map-side plans have no
+    exchange for Spark to reuse): 73 s -> 27 s at sf1.0.
+
+    ``log_hot=True`` pays one extra pass to count and log the dropped
+    over-cap fingerprints (the same observability contract as the
+    shingle cap); the drop itself happens either way."""
     # positions=False dedups the fp set inside the per-doc array —
     # no corpus-sized distinct() shuffle before the group-by
     fp = winnow_fingerprints(docs, k, w, positions=False)
     grouped = fp.groupBy("fp").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if max_fp_df is not None:
-        grouped = grouped.persist()
-        n_hot = grouped.where(F.size("ds") > max_fp_df).count()
-        if n_hot:
-            log.warning("winnow fp cap: dropping %d fingerprints with "
-                        "df > %d", n_hot, max_fp_df)
+        if log_hot:
+            n_hot = grouped.where(F.size("ds") > max_fp_df).count()
+            if n_hot:
+                log.warning("winnow fp cap: dropping %d fingerprints "
+                            "with df > %d", n_hot, max_fp_df)
         grouped = grouped.where(F.size("ds") <= max_fp_df)
     ds = F.col("ds")
     pair_arr = F.flatten(F.transform(
