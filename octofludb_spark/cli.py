@@ -462,7 +462,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "ppl-buckets", "dedup-paragraphs", "url-dedup", "pq",
               "cdc-chunks", "cdc-dedup", "inverted-index",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
-              "attribution", "skew", "cooccurrence", "centroids")
+              "attribution", "skew", "cooccurrence", "centroids",
+              "bpe-train", "bpe-tokens")
 
 
 def cmd_scale(args) -> int:
@@ -569,6 +570,12 @@ def cmd_scale(args) -> int:
         # expects an embeddings parquet (vec_id, embedding, label)
         from octofludb_spark.scale.simsearch import embedding_centroids
         out = embedding_centroids(docs)
+    elif args.op == "bpe-train":
+        from octofludb_spark.scale.bpe import bpe_train, merges_df
+        out = merges_df(spark, bpe_train(docs, n_merges=args.k))
+    elif args.op == "bpe-tokens":
+        from octofludb_spark.scale.bpe import bpe_doc_token_counts, bpe_train
+        out = bpe_doc_token_counts(docs, bpe_train(docs, n_merges=args.k))
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")

@@ -4246,6 +4246,106 @@ def multimodal_frames(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# BPE tokenizer training (scale/bpe.py) — whole-trajectory oracles
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_steps_sql(n_merges: int) -> str:
+    """Unrolled CTE chain replaying BPE training in pure SQL: s{i}
+    holds every distinct word's symbol sequence after i merges as a
+    chr(31)-wrapped string ('<s>a<s><s>b<s>'), p{i} counts adjacent
+    pairs weighted by word frequency, m{i} is the deterministic
+    argmax (count DESC, lhs, rhs), and the step's replace() applies
+    the merge left-to-right non-overlapping — exactly the JVM fold in
+    scale/bpe.py._apply_merge.  chr(31) never occurs in document
+    words, so symbol boundaries cannot be forged."""
+    sep = "chr(31)"
+    out = [f"""
+WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) > 0 GROUP BY word),
+ s0 AS MATERIALIZED (SELECT word, cnt,
+               {sep} || array_to_string(string_split(word, ''),
+                                        {sep} || {sep}) || {sep} AS seq
+        FROM wf)"""]
+    for i in range(n_merges):
+        out.append(f""",
+ p{i} AS MATERIALIZED (SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+                 CAST(SUM(cnt) AS BIGINT) AS c
+          FROM (SELECT cnt,
+                       string_split(substr(seq, 2, length(seq) - 2),
+                                    {sep} || {sep}) AS syms
+                FROM s{i}),
+               range(1, 128) t(j)
+          WHERE j <= len(syms) - 1 GROUP BY 1, 2),
+ m{i} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{i}
+          ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+ s{i + 1} AS MATERIALIZED (SELECT word, cnt,
+              replace(seq,
+                      {sep} || (SELECT lhs FROM m{i}) || {sep} || {sep}
+                            || (SELECT rhs FROM m{i}) || {sep},
+                      {sep} || (SELECT lhs FROM m{i})
+                            || (SELECT rhs FROM m{i}) || {sep}) AS seq
+              FROM s{i})""")
+    return "".join(out)
+
+
+_BPE_MERGES_SQL = _bpe_steps_sql(_BPE_MERGES) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INTEGER) AS step, lhs, rhs, lhs || rhs AS merged,"
+    f" c AS pair_count FROM m{i}"
+    for i in range(_BPE_MERGES)
+)
+
+
+@q("bpe_merges", _BPE_MERGES_SQL)
+def bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (scale/bpe.py bpe_train,
+    Sennrich 2016 recipe): the full 8-step merge trajectory — every
+    learned (lhs, rhs) pair AND its corpus pair count — value-hashed
+    against a DuckDB replay of the same algorithm (unrolled argmax +
+    left-to-right replace per step).  Training never touches the
+    corpus after the one word-frequency pass; each round is one
+    vocab-sized aggregation plus a single collected argmax row."""
+    from octofludb_spark.scale.bpe import bpe_train, merges_df
+
+    m = bpe_train(t(spark, sf, "documents"), n_merges=_BPE_MERGES)
+    return merges_df(spark, m).select(
+        "step", F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+        "merged", "pair_count")
+
+
+_BPE_DOC_SQL = _bpe_steps_sql(_BPE_MERGES) + f"""
+SELECT o.doc_id,
+       CAST(SUM((length(s.seq) - length(replace(s.seq, chr(31), ''))) // 2)
+            AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) o
+JOIN s{_BPE_MERGES} s USING (word)
+WHERE length(o.word) > 0
+GROUP BY o.doc_id
+"""
+
+
+@q("bpe_doc_tokens", _BPE_DOC_SQL)
+def bpe_doc_tokens(spark, sf):
+    """BPE encoding at corpus scale (scale/bpe.py
+    bpe_doc_token_counts): per-document token counts after applying
+    the 8 learned merges.  Encoding is vocab-first — merges fold over
+    each DISTINCT word form once, documents join the broadcast-sized
+    word->n_tokens table — so the corpus is never re-tokenized per
+    occurrence.  The oracle replays training AND encoding (symbol
+    count = wrapper-character count / 2 after the same replays)."""
+    from octofludb_spark.scale.bpe import bpe_doc_token_counts, bpe_train
+
+    docs = t(spark, sf, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    return bpe_doc_token_counts(docs, merges)
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot records only the FIRST 50 keys of
