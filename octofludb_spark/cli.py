@@ -463,7 +463,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "cdc-chunks", "cdc-dedup", "inverted-index",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
               "attribution", "skew", "cooccurrence", "centroids",
-              "bpe-train", "bpe-tokens")
+              "bpe-train", "bpe-tokens", "pack")
 
 
 def cmd_scale(args) -> int:
@@ -570,6 +570,8 @@ def cmd_scale(args) -> int:
         # expects an embeddings parquet (vec_id, embedding, label)
         from octofludb_spark.scale.simsearch import embedding_centroids
         out = embedding_centroids(docs)
+    elif args.op == "pack":
+        out = TX.pack_sequences(docs, context_len=args.k or 2048)
     elif args.op == "bpe-train":
         from octofludb_spark.scale.bpe import bpe_train, merges_df
         out = merges_df(spark, bpe_train(docs, n_merges=args.k))

@@ -4345,6 +4345,41 @@ def bpe_doc_tokens(spark, sf):
     return bpe_doc_token_counts(docs, merges)
 
 
+_PACK_SQL = """
+WITH tk AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS BIGINT) + 1
+                     AS length
+            FROM documents),
+ sp AS (SELECT doc_id, length,
+               CAST(SUM(length) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        FROM tk),
+ ex AS (SELECT doc_id, length, e - length AS s,
+               unnest(range((e - length) // 64, (e - 1) // 64 + 1))
+                 AS window_id
+        FROM sp)
+SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+       CAST(GREATEST(0, window_id * 64 - s) AS BIGINT) AS tok_start,
+       CAST(LEAST(length, (window_id + 1) * 64 - s) AS BIGINT) AS tok_end,
+       CAST(LEAST(length, (window_id + 1) * 64 - s)
+            - GREATEST(0, window_id * 64 - s) AS BIGINT) AS n_tokens
+FROM ex
+"""
+
+
+@q("text_pack_sequences", _PACK_SQL)
+def text_pack_sequences(spark, sf):
+    """GPT-style sequence packing (scale/text.py pack_sequences):
+    docs concatenated in doc_id order (+1 separator token each), cut
+    into 64-token windows; one row per (window, doc) overlap with the
+    doc-relative token slice.  The running offset is a TWO-PHASE
+    distributed prefix scan (width_bucket ranges + per-bucket totals
+    + local window), not a single-task global sort — the oracle's
+    SUM() OVER (ORDER BY doc_id) states the same math."""
+    return TX.pack_sequences(t(spark, sf, "documents"), context_len=64,
+                             n_ranges=8)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

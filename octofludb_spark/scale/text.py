@@ -1105,3 +1105,85 @@ def inverted_index(docs: DataFrame, max_postings: int = 20,
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out.select("term", "df", "cf", "postings")
+
+
+def pack_sequences(docs: DataFrame, context_len: int = 2048,
+                   n_ranges: int | None = None) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): documents are
+    laid end to end in doc_id order — each contributing its
+    whitespace token count plus ONE separator token (the
+    <|endoftext|> convention) — and the resulting token stream is cut
+    into fixed ``context_len`` windows.  Output: one row per
+    (window_id, doc) overlap with the doc-relative token slice —
+    (window_id, doc_id, tok_start, tok_end, n_tokens) — exactly the
+    manifest a training loader needs to materialize packed examples.
+
+    Scale shape — the naive SUM() OVER (ORDER BY doc_id) is a
+    single-task global sort, so the running offset is a TWO-PHASE
+    distributed prefix scan instead: deterministic range buckets from
+    the doc_id span (width_bucket — no sampled RangePartitioner, so
+    re-evaluation can never reshuffle rows), per-bucket token totals
+    (one bucket-count-sized aggregation collected to the driver),
+    python prefix-sum of the bucket offsets broadcast back, and a
+    per-bucket window for the local cumsum.  Every stage is bounded:
+    driver traffic is n_ranges rows, window state is one bucket.
+    The window explode is an in-row sequence() — one output row per
+    overlap, never a corpus x windows join."""
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        (F.size(F.filter(F.split("text", " "),
+                         lambda x: x != F.lit(""))) + 1)
+        .cast("long").alias("length"),
+    )
+    bounds = toks.agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi")).collect()[0]
+    if bounds.lo is None:
+        return spark.createDataFrame(
+            [], "window_id long, doc_id long, tok_start long, "
+                "tok_end long, n_tokens long")
+    p = n_ranges or max(spark.sparkContext.defaultParallelism, 1)
+    # width_bucket is end-exclusive on hi: stretch by 1 so hi lands
+    # in bucket p, and collapse the degenerate lo == hi span
+    toks = toks.withColumn(
+        "pid", F.width_bucket("doc_id", F.lit(bounds.lo),
+                              F.lit(bounds.hi + 1), F.lit(p)))
+    per = {r.pid: r.tot for r in
+           toks.groupBy("pid").agg(F.sum("length").alias("tot")).collect()}
+    acc, offsets = 0, {}
+    for pid in sorted(per):
+        offsets[pid] = acc
+        acc += per[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("pid"))
+    w = Window.partitionBy("pid").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    spans = toks.select(
+        "doc_id", "length",
+        (off + F.sum("length").over(w)).alias("end"),
+    ).select("doc_id", "length", (F.col("end") - F.col("length"))
+             .alias("start"), "end")
+    c = F.lit(context_len)
+    win = spans.select(
+        "doc_id", "length", "start",
+        F.explode(F.sequence(
+            F.floor(F.col("start") / c),
+            F.floor((F.col("end") - 1) / c),
+        )).alias("window_id"),
+    )
+    tok_start = F.greatest(F.lit(0), F.col("window_id") * c - F.col("start"))
+    tok_end = F.least(F.col("length"),
+                      (F.col("window_id") + 1) * c - F.col("start"))
+    return win.select(
+        F.col("window_id").cast("long"),
+        "doc_id",
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        (tok_end - tok_start).cast("long").alias("n_tokens"),
+    )

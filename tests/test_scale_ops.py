@@ -1666,3 +1666,56 @@ def test_real_resize_and_frames_spark(spark):
         n_white = sum(1 for y in range(h) if (mid + y + f) % 2)
         assert r.frame_pixel_sum == 255 * 3 * w * n_white
     media.unpersist()
+
+
+def test_pack_sequences_invariants(spark):
+    from octofludb_spark.scale.text import pack_sequences
+
+    docs = _docs(spark).limit(120)
+    out = pack_sequences(docs, context_len=32, n_ranges=4).collect()
+
+    # token conservation: each doc's slices tile [0, length) exactly
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.tok_start, r.tok_end))
+    lengths = {r.doc_id: len([w for w in r.text.split(" ") if w]) + 1
+               for r in docs.collect()}
+    assert set(by_doc) == set(lengths)
+    for d, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == lengths[d]
+        assert all(a[1] == b[0] for a, b in zip(slices, slices[1:]))
+
+    # every window holds exactly context_len tokens except the last
+    per_win = {}
+    for r in out:
+        per_win[r.window_id] = per_win.get(r.window_id, 0) + r.n_tokens
+    last = max(per_win)
+    assert all(v == 32 for w, v in per_win.items() if w != last)
+    assert 1 <= per_win[last] <= 32
+    assert sum(per_win.values()) == sum(lengths.values())
+
+    # the manifest is partitioning-independent (two-phase scan ==
+    # global scan regardless of bucket count)
+    again = pack_sequences(docs.repartition(13), context_len=32,
+                           n_ranges=9).collect()
+    key = lambda rows: sorted((r.window_id, r.doc_id, r.tok_start,
+                               r.tok_end) for r in rows)
+    assert key(out) == key(again)
+
+
+def test_pack_sequences_single_doc_spanning_windows(spark):
+    from octofludb_spark.scale.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(["w"] * 100)), (9, "a b")],
+        "doc_id long, text string")
+    out = sorted(pack_sequences(docs, context_len=16).collect(),
+                 key=lambda r: (r.window_id, r.doc_id))
+    # doc 7: 101 tokens -> windows 0..6; doc 9: 3 tokens at offset 101
+    d7 = [r for r in out if r.doc_id == 7]
+    assert [r.window_id for r in d7] == list(range(7))
+    assert [r.n_tokens for r in d7] == [16] * 6 + [5]
+    d9 = [r for r in out if r.doc_id == 9]
+    assert [(r.window_id, r.tok_start, r.tok_end) for r in d9] \
+        == [(6, 0, 3)]
