@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     # register fold) and the shrinking-aggregate funnel
     "sketch_hll_distinct",
     "event_funnel",
+    # round-4 flagships: distributed BPE tokenizer training (8 merge
+    # rounds over the word-frequency table) and GPT-style sequence
+    # packing (two-phase distributed prefix scan)
+    "bpe_merges",
+    "text_pack_sequences",
 ]
 
 
