@@ -4345,6 +4345,68 @@ def bpe_doc_tokens(spark, sf):
     return bpe_doc_token_counts(docs, merges)
 
 
+_BPE_VOCAB_TAIL = """,
+ chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS token
+           FROM wf),
+ base AS (SELECT token,
+                 CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT)
+                   AS token_id
+          FROM chars),
+ nb AS (SELECT COUNT(*) AS n FROM base)
+"""
+
+_BPE_VOCAB_SQL = _bpe_steps_sql(_BPE_MERGES) + _BPE_VOCAB_TAIL + \
+    "SELECT token, token_id FROM base\n" + "".join(
+        f"UNION ALL SELECT lhs || rhs AS token,"
+        f" CAST((SELECT n FROM nb) + {i} AS BIGINT) AS token_id FROM m{i}\n"
+        for i in range(_BPE_MERGES))
+
+
+@q("bpe_vocab", _BPE_VOCAB_SQL)
+def bpe_vocab_gate(spark, sf):
+    """BPE vocabulary construction (scale/bpe.py bpe_vocab): base
+    symbols id'd lexicographically, merged tokens appended in learned
+    order — the GPT-2 vocab layout, value-hashed against the DuckDB
+    training replay."""
+    from octofludb_spark.scale.bpe import bpe_train, bpe_vocab
+
+    docs = t(spark, sf, "documents")
+    return bpe_vocab(docs, bpe_train(docs, n_merges=_BPE_MERGES))
+
+
+_BPE_IDS_SQL = _bpe_steps_sql(_BPE_MERGES) + _BPE_VOCAB_TAIL + f""",
+ vocab AS (SELECT token, token_id FROM base
+           {"".join(f"UNION ALL SELECT lhs || rhs, (SELECT n FROM nb) + {i} FROM m{i} " for i in range(_BPE_MERGES))}),
+ wt AS (SELECT word, CAST(unnest(range(len(toks))) AS BIGINT) AS tok_pos,
+               unnest(toks) AS token
+        FROM (SELECT word,
+                     string_split(substr(seq, 2, length(seq) - 2),
+                                  chr(31) || chr(31)) AS toks
+              FROM s{_BPE_MERGES})),
+ occ AS (SELECT doc_id,
+                CAST(unnest(range(len(words))) AS BIGINT) AS word_pos,
+                unnest(words) AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents))
+SELECT o.doc_id, o.word_pos, w.tok_pos, v.token_id
+FROM occ o JOIN wt w USING (word) JOIN vocab v USING (token)
+WHERE length(o.word) > 0
+"""
+
+
+@q("bpe_encode_ids", _BPE_IDS_SQL)
+def bpe_encode_ids_gate(spark, sf):
+    """Full BPE encoding to vocabulary ids (scale/bpe.py
+    bpe_encode_ids): every (doc, word_pos, tok_pos) mapped to its
+    token id — train -> vocab -> encode, the complete tokenizer
+    pipeline, whole-corpus value-hashed.  Corpus side is one
+    posexplode plus two broadcast joins (vocab-first encode)."""
+    from octofludb_spark.scale.bpe import bpe_encode_ids, bpe_train
+
+    docs = t(spark, sf, "documents")
+    return bpe_encode_ids(docs, bpe_train(docs, n_merges=_BPE_MERGES))
+
+
 _PACK_SQL = """
 WITH tk AS (SELECT doc_id,
                    CAST(len(list_filter(string_split(text, ' '),

@@ -168,3 +168,51 @@ def bpe_doc_token_counts(docs: DataFrame, merges: list[dict]) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+def bpe_vocab(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """(token, token_id): base symbols (the corpus's distinct word
+    characters, id'd in lexicographic order) followed by merged
+    tokens in learned order — the GPT-2 vocabulary layout.  The
+    global row_number runs over the VOCAB-sized distinct-char set
+    (hundreds of rows), never the corpus."""
+    from pyspark.sql import Window
+
+    chars = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .select(F.explode(F.split("word", "(?!$)")).alias("token"))
+        .distinct()
+    )
+    base = chars.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy("token")) - 1).cast("long"))
+    n_base = base.count()
+    spark = docs.sparkSession
+    merged = spark.createDataFrame(
+        [(m["merged"], n_base + m["step"]) for m in merges],
+        "token string, token_id long")
+    return base.unionByName(merged)
+
+
+def bpe_encode_ids(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """(doc_id, word_pos, tok_pos, token_id): every document encoded
+    to vocabulary ids — the materialized form sequence packing /
+    training loaders consume.  Vocab-first: merges fold over distinct
+    word forms once (bpe_word_tokens), ids come from the broadcast
+    vocab, and documents join on the word — the corpus itself is one
+    posexplode + two broadcast joins, no per-occurrence re-encode."""
+    wt = bpe_word_tokens(docs, merges).select(
+        "word", F.posexplode("tokens").alias("tok_pos", "token"))
+    vocab = bpe_vocab(docs, merges)
+    # within a word, the same token string can repeat (tok_pos keys it)
+    wt = wt.join(F.broadcast(vocab), "token").select(
+        "word", "tok_pos", "token_id")
+    occ = docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+        .alias("word_pos", "word")).where(F.length("word") > 0)
+    return (
+        occ.join(F.broadcast(wt), "word")
+        .select("doc_id", F.col("word_pos").cast("long"),
+                F.col("tok_pos").cast("long"), "token_id")
+    )

@@ -113,3 +113,29 @@ def test_bpe_fuzz_against_reference(spark):
         wt = {r.word: list(r.tokens)
               for r in B.bpe_word_tokens(_docs(spark, texts), got).collect()}
         assert wt == {w: s for w, s in ref_syms.items()}, (trial, texts)
+
+
+def test_bpe_vocab_and_ids(spark):
+    texts = ["the cat sat", "that hat", "aaa ab"]
+    docs = _docs(spark, texts)
+    merges = B.bpe_train(docs, n_merges=4)
+    vocab = {r.token: r.token_id for r in B.bpe_vocab(docs, merges).collect()}
+
+    base = sorted({c for t in texts for w in t.split(" ") for c in w})
+    assert [vocab[c] for c in base] == list(range(len(base)))
+    for m in merges:
+        assert vocab[m["merged"]] == len(base) + m["step"]
+
+    _, ref_syms = py_bpe(texts, 4)
+    ids = B.bpe_encode_ids(docs, merges).collect()
+    got = {}
+    for r in ids:
+        got.setdefault(r.doc_id, {})[(r.word_pos, r.tok_pos)] = r.token_id
+    for d, text in enumerate(texts):
+        want = {}
+        for wp, w in enumerate(text.split(" ")):
+            if not w:
+                continue
+            for tp, tok in enumerate(ref_syms[w]):
+                want[(wp, tp)] = vocab[tok]
+        assert got[d] == want, d
