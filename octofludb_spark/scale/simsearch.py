@@ -490,23 +490,35 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.35,
 
     from octofludb_spark.ops.cc import connected_components
 
-    pairs = cosine_pairs_lsh(emb, threshold, n_bands, band_planes, dim)
-    edges = pairs.select(F.col("vec_x").cast("string").alias("src"),
-                         F.col("vec_y").cast("string").alias("dst"))
-    comp = connected_components(edges)
-    members = comp.select(F.col("node").cast("long").alias("vec_id"),
-                          "component")
-    w = Window.partitionBy("component")
-    return (
-        members
-        .withColumn("cluster_id", F.min("vec_id").over(w))
-        .withColumn("n_vecs", F.count("*").over(w).cast("long"))
-        .select(
-            "vec_id", "cluster_id", "n_vecs",
-            (F.col("vec_id") == F.col("cluster_id"))
-            .cast("long").alias("keep"),
-        )
-    )
+    # Cache lifecycle (same contract as minhash_lsh_pairs): CC runs
+    # several actions over its edge input, and each would otherwise
+    # re-evaluate the whole LSH bucket + cosine-verify chain.  The
+    # pair table (near-dup-sized) is persisted for the CC rounds, the
+    # result is materialized while that cache is live, and the
+    # intermediate is unpersisted before returning.
+    pairs = cosine_pairs_lsh(emb, threshold, n_bands, band_planes,
+                             dim).persist()
+    try:
+        edges = pairs.select(F.col("vec_x").cast("string").alias("src"),
+                             F.col("vec_y").cast("string").alias("dst"))
+        comp = connected_components(edges)
+        members = comp.select(F.col("node").cast("long").alias("vec_id"),
+                              "component")
+        w = Window.partitionBy("component")
+        out = (
+            members
+            .withColumn("cluster_id", F.min("vec_id").over(w))
+            .withColumn("n_vecs", F.count("*").over(w).cast("long"))
+            .select(
+                "vec_id", "cluster_id", "n_vecs",
+                (F.col("vec_id") == F.col("cluster_id"))
+                .cast("long").alias("keep"),
+            )
+        ).persist()
+        out.count()  # materialize while the pair cache is live
+        return out
+    finally:
+        pairs.unpersist()
 
 
 # ------------------------------------------------------------------
