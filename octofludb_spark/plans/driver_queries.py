@@ -4472,16 +4472,18 @@ _DRIVER_WINDOW = [
     # events
     "event_hourly_windows", "event_sessionize", "event_asof_join",
     "event_funnel",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_prefix",
+    # dedup family (url_dedup / dedup_jaccard_prefix are
+    # interchangeable evidence with the variants kept here; they made
+    # room for the round-4 tokenizer/packing flagships below)
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash_near", "dedup_near_clusters", "dedup_paragraphs",
-    "url_dedup", "semantic_dedup",
+    "semantic_dedup",
     # similarity search
     "ann_topk_lsh_ids", "ann_topk_ivf_ids", "ann_topk_pq_ids",
     "embedding_centroids",
-    # text analysis
+    # text analysis + tokenizer pipeline
     "text_quality", "text_lang_id_hashed", "text_bm25",
-    "training_corpus_clean",
+    "training_corpus_clean", "bpe_merges", "text_pack_sequences",
     # multimodal
     "multimodal_decode",
 ]

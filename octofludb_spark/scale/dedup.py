@@ -824,6 +824,13 @@ def duplicate_spans(docs: DataFrame, k: int = 8) -> DataFrame:
             )
         ).alias("pos", "fp"),
     )
+    # The k-gram map stage runs once per branch (the count branch
+    # prunes to text-only, so its subplan can never ReuseExchange
+    # with the join branch); that is the deliberate trade — AQE
+    # broadcasts the aggregated dup-fp set, the corpus-sized gram
+    # stream is never shuffled or persisted, and both branches
+    # pipeline map-side.  An explicit pre-shuffle was measured SLOWER
+    # (it defeats the broadcast semi-join's zero-exchange left side).
     dup_fps = (
         grams.groupBy("fp").agg(F.count("*").alias("c"))
         .where(F.col("c") > 1)
