@@ -1719,3 +1719,40 @@ def test_pack_sequences_single_doc_spanning_windows(spark):
     d9 = [r for r in out if r.doc_id == 9]
     assert [(r.window_id, r.tok_start, r.tok_end) for r in d9] \
         == [(6, 0, 3)]
+
+
+def test_pack_sequences_fuzz_vs_python(spark):
+    """Randomized packing vs a transparent python replay of the same
+    rule (concat in doc_id order, +1 separator per doc, fixed-size
+    windows)."""
+    import random
+
+    from octofludb_spark.scale.text import pack_sequences as pack_sequences_mod
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(1, 25)
+        texts = []
+        for _ in range(n):
+            k = rng.randint(0, 9)
+            texts.append(" ".join(
+                rng.choice(["a", "bb", "ccc", "dddd"]) for _ in range(k)))
+        c = rng.choice([1, 3, 8, 17])
+        docs = spark.createDataFrame(
+            [(i * 3 + 1, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = sorted(
+            (r.window_id, r.doc_id, r.tok_start, r.tok_end)
+            for r in pack_sequences_mod(docs, context_len=c,
+                                        n_ranges=rng.choice([1, 4, 7]))
+            .collect())
+        want, off = [], 0
+        for i, t in enumerate(texts):
+            did = i * 3 + 1
+            length = len([w for w in t.split(" ") if w]) + 1
+            s, e = off, off + length
+            for w in range(s // c, (e - 1) // c + 1):
+                want.append((w, did, max(0, w * c - s),
+                             min(length, (w + 1) * c - s)))
+            off = e
+        assert got == sorted(want), (trial, c, texts)
+
