@@ -4245,6 +4245,158 @@ def multimodal_frames(spark, sf):
         "media_id", "frame_idx", "n_bytes", "frame_pixel_sum")
 
 
+@q("multimodal_mp4", """
+SELECT doc_id AS media_id,
+       'mp4' AS format,
+       CAST(160 + (doc_id % 32) * 8 AS BIGINT) AS width,
+       CAST(90 + (doc_id % 24) * 8 AS BIGINT) AS height,
+       CAST(1 + doc_id % 240 AS BIGINT) AS n_frames,
+       CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+       CAST((1 + doc_id % 240) * (10 + doc_id % 40) AS BIGINT)
+         AS duration,
+       CAST((1 + doc_id % 240) * (10 + doc_id % 40) * 1000
+            // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms
+FROM documents
+""")
+def multimodal_mp4(spark, sf):
+    """REAL ISO BMFF (mp4) container decode, hash-oracled: payloads
+    are synthesized as structurally valid mp4 files (ftyp + full
+    moov/trak/mdia/stbl box tree + mdat, chunk offsets pointing at
+    the true mdat payload), then the pure-struct box walker recovers
+    dimensions (16.16 fixed-point tkhd), movie timescale/duration
+    (mvhd), and the frame count from the stts run-length table
+    (cross-checked against stsz).  The oracle states every value in
+    closed form from the same media_id arithmetic.  Both steps are
+    Arrow-batched mapInPandas."""
+    from octofludb_spark.scale.multimodal import (decode_mp4_media,
+                                                  synth_mp4_media)
+
+    return decode_mp4_media(synth_mp4_media(t(spark, sf, "documents")))
+
+
+@q("multimodal_audio_features", """
+WITH p AS (SELECT doc_id,
+                  CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+                  CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sr,
+                  CAST(100 + doc_id % 900 AS BIGINT) AS ns
+           FROM documents WHERE doc_id % 3 = 1),
+     s AS (SELECT doc_id, nch, sr, ns, g.j,
+                  (doc_id + g.j) % 256 - 128 AS v,
+                  g.j % nch AS ch
+           FROM p, range(0, 1800) g(j)
+           WHERE g.j < ns * nch),
+     d AS (SELECT *,
+                  LAG(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id, ch ORDER BY j) AS pneg,
+                  CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg
+           FROM s)
+SELECT doc_id AS media_id, nch AS n_channels, sr AS sample_rate,
+       ns AS n_samples,
+       CAST(SUM(CASE WHEN pneg IS NOT NULL AND neg <> pneg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(v) AS BIGINT) AS dc_sum
+FROM d
+GROUP BY 1, 2, 3, 4
+""")
+def multimodal_audio_features(spark, sf):
+    """Integer-exact audio features over REAL 16-bit PCM decode,
+    hash-oracled: per-channel zero crossings (real de-interleaving),
+    energy (sum of squares), peak |sample| and DC sum.  The oracle
+    REPLAYS the synth sample stream (v_j = (id+j)%256 - 128, channel
+    j%nch) with generate_series + a LAG window — a genuine
+    cross-engine recomputation of the signal statistics, not a stated
+    constant.  (range upper bound 1800 = max ns*nch: ns<=999, nch<=2.)
+    """
+    from octofludb_spark.scale.multimodal import audio_features, synth_media
+
+    return audio_features(synth_media(t(spark, sf, "documents")))
+
+
+_DHASH_CTE = """
+WITH p AS (SELECT DISTINCT doc_id % 211 AS g FROM documents),
+     dims AS (SELECT g, CAST(16 + g % 17 AS BIGINT) AS w,
+                     CAST(16 + (3 * g) % 17 AS BIGINT) AS h
+              FROM p),
+     px AS (SELECT g, w, h, gx.x, gy.y,
+                   (g * 17 + 5 * gx.x * gx.x + 3 * gy.y * gy.y
+                    + gx.x * gy.y) % 256 AS v
+            FROM dims, range(0, 32) gx(x), range(0, 32) gy(y)
+            WHERE gx.x < w AND gy.y < h),
+     cells AS (SELECT g, (x * 9) // w AS cx, (y * 8) // h AS cy,
+                      SUM(v) AS s
+               FROM px GROUP BY 1, 2, 3),
+     widths AS (SELECT g, (x * 9) // w AS cx, COUNT(*) AS wi
+                FROM (SELECT DISTINCT g, w, x FROM px)
+                GROUP BY 1, 2),
+     bits AS (SELECT a.g, a.cy AS j, a.cx AS i,
+                     CASE WHEN b.s * wa.wi > a.s * wb.wi
+                          THEN 1 ELSE 0 END AS bit
+              FROM cells a
+              JOIN cells b ON a.g = b.g AND a.cy = b.cy
+                           AND b.cx = a.cx + 1
+              JOIN widths wa ON wa.g = a.g AND wa.cx = a.cx
+              JOIN widths wb ON wb.g = b.g AND wb.cx = b.cx
+              WHERE a.cx < 8),
+     hashes AS (SELECT g,
+                       CAST(SUM(CASE WHEN j * 8 + i >= 32
+                                THEN bit * (CAST(1 AS BIGINT)
+                                            << (j * 8 + i - 32))
+                                ELSE 0 END) AS BIGINT) AS hash_hi,
+                       CAST(SUM(CASE WHEN j * 8 + i < 32
+                                THEN bit * (CAST(1 AS BIGINT)
+                                            << (j * 8 + i))
+                                ELSE 0 END) AS BIGINT) AS hash_lo
+                FROM bits GROUP BY 1),
+     doc_hashes AS (SELECT d.doc_id AS media_id,
+                           dm.w AS width, dm.h AS height,
+                           hs.hash_hi, hs.hash_lo
+                    FROM documents d
+                    JOIN hashes hs ON hs.g = d.doc_id % 211
+                    JOIN dims dm ON dm.g = d.doc_id % 211)
+"""
+
+@q("image_dhash", _DHASH_CTE + """
+SELECT media_id, width, height, hash_hi, hash_lo FROM doc_hashes
+""")
+def image_dhash_gate(spark, sf):
+    """64-bit perceptual dHash over REAL PNG decode, hash-oracled:
+    grayscale = exact channel sum, 9x8 ceil-boundary box downsample,
+    division-free area-normalized gradient bits.  The oracle replays
+    the ENTIRE hash — pixel pattern, cell sums, widths, gradient
+    comparisons, bit packing — in pure SQL over generate_series, so a
+    green row proves decoder + downsample + hash bit-for-bit."""
+    from octofludb_spark.scale.multimodal import (image_dhash,
+                                                  synth_patterned_media)
+
+    return image_dhash(synth_patterned_media(t(spark, sf, "documents")))
+
+
+@q("image_dhash_neardup", _DHASH_CTE + """
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+FROM doc_hashes a JOIN doc_hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+""")
+def image_dhash_neardup(spark, sf):
+    """Perceptual near-duplicate image pairs (hamming <= 3 of 64 dHash
+    bits), hash-oracled against a BRUTE-FORCE all-pairs oracle: the
+    Spark side generates candidates only through pigeonhole band
+    equi-joins (4 bands of 16 bits; any <=3-bit pair agrees on a whole
+    band) and verifies with bit_count(XOR) — never an all-pairs join —
+    while DuckDB checks every pair.  A hash match proves the banding
+    is lossless, same structure as the SimHash gate."""
+    from octofludb_spark.scale.multimodal import (dhash_near_pairs,
+                                                  image_dhash,
+                                                  synth_patterned_media)
+
+    hashes = image_dhash(synth_patterned_media(t(spark, sf, "documents")))
+    return dhash_near_pairs(hashes, max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer training (scale/bpe.py) — whole-trajectory oracles
 # --------------------------------------------------------------------------

@@ -10,8 +10,11 @@ Decode coverage is pure stdlib (struct/zlib) + numpy, no PIL/ffmpeg:
     (variable-width LZW, every frame, palette mapping), 16-bit PCM
     wav, and baseline grayscale jpeg (marker walk, canonical-Huffman
     entropy decode, dequantize + batched IDCT).
-Only paths that genuinely need absent codec libs stay gated: video
-containers (mp4) and resampling raise NotImplementedError unless
+  * mp4 (ISO BMFF) — real box-tree walk: dimensions, timescales,
+    durations, frame counts from mvhd/tkhd/mdhd/stts/stsz; the codec
+    BITSTREAM inside mdat is the only thing not decoded.
+Only paths that genuinely need absent codec libs stay gated: mp4
+sample bitstreams and resampling raise NotImplementedError unless
 ``fake=True``, in which case a deterministic digest fake exercises the
 real Spark-side plumbing — schema, partitioning, UDF signature and
 batch shape are production-real.
@@ -72,7 +75,8 @@ import zlib
 
 
 def sniff_format(b: bytes) -> str | None:
-    """Container sniff by magic bytes: bmp | png | gif | wav | None."""
+    """Container sniff by magic bytes:
+    bmp | png | gif | wav | jpeg | mp4 | None."""
     if b[:2] == b"BM":
         return "bmp"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -83,6 +87,8 @@ def sniff_format(b: bytes) -> str | None:
         return "wav"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -173,6 +179,10 @@ def decode_header(b: bytes) -> dict:
     if f == "jpeg":
         w, h = _jpeg_dims(b)
         return {"format": "jpeg", "width": w, "height": h}
+    if f == "mp4":
+        info = decode_mp4_info(b)
+        return {"format": "mp4", "width": info["width"],
+                "height": info["height"], "n_frames": info["n_frames"]}
     raise NotImplementedError(
         f"unrecognized container (magic {b[:4]!r}): pixel-level decode "
         "of mp4/etc needs ffmpeg, not in this container")
@@ -1305,3 +1315,442 @@ def sample_frames(media: DataFrame, stride: int = 4,
 
     return media.where(F.col("media_type") == "video").mapInPandas(
         run, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------ MP4 (ISO
+# BMFF) container: pure-struct box writer + recursive box walker.  The
+# synthesized file is structurally valid ISO/IEC 14496-12 — ftyp,
+# moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf(dref(url)),
+# stbl(stsd, stts, stsc, stsz, stco))))), mdat — with real 16.16
+# fixed-point track dimensions, a real edit-free sample table, and a
+# chunk offset that actually points at the mdat payload.  The decoder
+# is a general box walker: it skips unknown boxes by size, handles
+# 64-bit largesize and version-1 (64-bit time) mvhd/mdhd/tkhd, and
+# derives n_frames from the stts run-length table (cross-checked
+# against stsz).  No codec bitstream is decoded (that genuinely needs
+# the absent codec libs); everything the container itself states —
+# dimensions, timescales, durations, frame count, handler — is real.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"dinf", b"edts", b"udta", b"mvex"}
+
+_MP4_MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                          0, 0, 0x40000000)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int,
+              payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def synth_mp4(width: int, height: int, n_frames: int,
+              timescale: int = 600, frame_dur: int = 25,
+              seed: int = 0) -> bytes:
+    """A valid minimal ISO BMFF (.mp4) file with one video track:
+    n_frames samples of frame_dur ticks each at the given timescale,
+    4-byte deterministic mdat payload per sample.  The stco chunk
+    offset points at the true mdat payload position."""
+    duration = n_frames * frame_dur
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mdat_payload = b"".join(
+        struct.pack(">I", (seed + i) & 0xFFFFFFFF) for i in range(n_frames))
+
+    def moov(chunk_off: int) -> bytes:
+        mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+            ">IIIIIH2x8x", 0, 0, timescale, duration, 0x00010000, 0x0100)
+            + _MP4_MATRIX + b"\0" * 24 + struct.pack(">I", 2))
+        tkhd = _full_box(b"tkhd", 0, 7, struct.pack(
+            ">III4xI8xHHH2x", 0, 0, 1, duration, 0, 0, 0)
+            + _MP4_MATRIX
+            + struct.pack(">II", width << 16, height << 16))
+        mdhd = _full_box(b"mdhd", 0, 0, struct.pack(
+            ">IIIIH2x", 0, 0, timescale, duration, 0x55C4))
+        hdlr = _full_box(b"hdlr", 0, 0,
+                         b"\0" * 4 + b"vide" + b"\0" * 12
+                         + b"VideoHandler\0")
+        entry = (b"\0" * 6 + struct.pack(">H", 1) + b"\0" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                 + b"\0" * 32 + struct.pack(">Hh", 24, -1))
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1)
+                         + _box(b"mp4v", entry))
+        stts = _full_box(b"stts", 0, 0,
+                         struct.pack(">III", 1, n_frames, frame_dur))
+        stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1,
+                                                    n_frames, 1))
+        stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 4, n_frames))
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">H6x", 0))
+        dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
+                         + _full_box(b"url ", 0, 1, b""))
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+    probe = moov(0)
+    chunk_off = len(ftyp) + len(probe) + 8  # first mdat payload byte
+    return ftyp + moov(chunk_off) + _box(b"mdat", mdat_payload)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each top-level box in
+    [start, end); handles largesize (size==1) and to-end (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", b, pos)[0]
+        btype = b[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = struct.unpack_from(">Q", b, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"truncated mp4 box {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4_info(b: bytes) -> dict:
+    """Walk the box tree and return everything the container states:
+    movie timescale/duration, track width/height (16.16 fixed ->
+    integer), media timescale, handler, n_frames (from stts,
+    cross-checked vs stsz), and duration_ms (floor)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an mp4 (no ftyp)")
+    out = {"format": "mp4", "width": None, "height": None,
+           "n_frames": None, "timescale": None, "duration": None,
+           "media_timescale": None, "handler": None}
+
+    def walk(start: int, end: int) -> None:
+        for btype, body, bend in _walk_boxes(b, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(body, bend)
+            elif btype == b"mvhd":
+                ver = b[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", b, body + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", b, body + 4 + 8)
+                out["timescale"], out["duration"] = ts, dur
+            elif btype == b"tkhd":
+                ver = b[body]
+                off = body + 4 + (32 if ver == 1 else 20) + 8 + 6 + 2
+                w, h = struct.unpack_from(">II", b, off + 36)
+                out["width"], out["height"] = w >> 16, h >> 16
+            elif btype == b"mdhd":
+                ver = b[body]
+                ts = struct.unpack_from(
+                    ">I", b, body + 4 + (16 if ver == 1 else 8))[0]
+                out["media_timescale"] = ts
+            elif btype == b"hdlr":
+                out["handler"] = b[body + 8:body + 12].decode(
+                    "ascii", "replace")
+            elif btype == b"stts":
+                n_entries = struct.unpack_from(">I", b, body + 4)[0]
+                total = 0
+                for i in range(n_entries):
+                    cnt = struct.unpack_from(">I", b, body + 8 + 8 * i)[0]
+                    total += cnt
+                out["n_frames"] = total
+            elif btype == b"stsz":
+                cnt = struct.unpack_from(">I", b, body + 8)[0]
+                if out["n_frames"] is not None and cnt != out["n_frames"]:
+                    raise ValueError(
+                        f"stsz count {cnt} != stts total {out['n_frames']}")
+
+    walk(0, len(b))
+    if out["timescale"]:
+        out["duration_ms"] = out["duration"] * 1000 // out["timescale"]
+    return out
+
+
+MP4_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("timescale", T.LongType()),
+    T.StructField("duration", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+def synth_mp4_media(docs: DataFrame) -> DataFrame:
+    """Documents -> real minimal .mp4 payloads, parameters derived
+    arithmetically from media_id (so an external oracle can state the
+    decoded metadata in closed form)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                payloads.append(synth_mp4(
+                    width=160 + (mid % 32) * 8,
+                    height=90 + (mid % 24) * 8,
+                    n_frames=1 + mid % 240,
+                    timescale=600 + (mid % 5) * 300,
+                    frame_dur=10 + mid % 40,
+                    seed=mid))
+            yield pd.DataFrame({
+                "media_id": pd.array([int(m) for m in pdf["doc_id"]],
+                                     dtype="int64"),
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary")
+
+
+def decode_mp4_media(media: DataFrame) -> DataFrame:
+    """Real mp4 box-tree decode over binary payloads (Arrow-batched
+    mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "n_frames", "timescale",
+                "duration", "duration_ms"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for payload in pdf["payload"]:
+                info = decode_mp4_info(bytes(payload))
+                for c in cols:
+                    out[c].append(info.get(c))
+            frame = {"media_id": pd.array(
+                [int(m) for m in pdf["media_id"]], dtype="int64"),
+                "format": out["format"]}
+            for c in cols[1:]:
+                frame[c] = pd.array(out[c], dtype="Int64")
+            yield pd.DataFrame(frame)
+
+    return media.mapInPandas(run, MP4_SCHEMA)
+
+
+# --------------------------------------------------- audio features
+# Integer-exact signal statistics over REAL decoded PCM: every value
+# is whole-number arithmetic on the int16 samples, so an external
+# engine can recompute them bit-for-bit (the oracle gate replays the
+# synth sample formula with generate_series and matches value hashes).
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("peak_abs", T.LongType()),
+    T.StructField("dc_sum", T.LongType()),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip integer-exact features from REAL 16-bit PCM decode
+    (Arrow-batched mapInPandas; only `audio` rows cross into python —
+    the filter is JVM-side):
+
+      * zero_crossings — per-CHANNEL sign changes (negative vs
+        non-negative), summed over channels; de-interleaving is real
+        (`samples[c::n_channels]`).
+      * energy — sum of squared samples (BIGINT, exact).
+      * peak_abs — max absolute sample.
+      * dc_sum — plain sample sum (DC offset numerator).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["n_channels", "sample_rate", "n_samples",
+                "zero_crossings", "energy", "peak_abs", "dc_sum"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            ids = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav_samples(bytes(payload))
+                s = np.asarray(d["samples"], dtype=np.int64)
+                nch = d["n_channels"]
+                zc = 0
+                for c in range(nch):
+                    ch = s[c::nch]
+                    if len(ch) > 1:
+                        neg = ch < 0
+                        zc += int((neg[1:] != neg[:-1]).sum())
+                ids.append(int(media_id))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_samples"].append(d["n_samples"])
+                out["zero_crossings"].append(zc)
+                out["energy"].append(int((s * s).sum()))
+                out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["dc_sum"].append(int(s.sum()))
+            frame = {"media_id": pd.array(ids, dtype="int64")}
+            for c in cols:
+                frame[c] = pd.array(out[c], dtype="int64")
+            yield pd.DataFrame(frame)
+
+    if "media_type" in media.columns:
+        media = media.where(F.col("media_type") == "audio")
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA)
+
+
+# -------------------------------------------- perceptual image hash
+# dHash (difference hash) with EXACT integer arithmetic end to end, so
+# the 64-bit fingerprint is engine-independent: grayscale is the plain
+# channel SUM (no lossy luma weights), the 9x8 downsample assigns
+# pixel x to cell (x*9)//W (ceil-boundary partition, every cell
+# non-empty for W>=9), and the gradient bit compares AREA-NORMALIZED
+# cell sums without division — bit(i,j) = s[j,i+1]*w_i > s[j,i]*w_{i+1}
+# (the shared row height cancels).  The hash is emitted as two 32-bit
+# halves (hash_hi = bits 32..63, hash_lo = bits 0..31) to keep both
+# engines in non-negative BIGINT space.
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("hash_hi", T.LongType()),
+    T.StructField("hash_lo", T.LongType()),
+])
+
+
+def dhash_pixels(d: dict) -> tuple[int, int]:
+    """(hash_hi, hash_lo) of a decoded pixel grid ({width, height,
+    channels, pixels}) — 8 rows x 8 horizontal gradients."""
+    import numpy as np
+
+    w, h, ch = d["width"], d["height"], d["channels"]
+    if w < 9 or h < 8:
+        raise ValueError(f"dhash needs >=9x8 pixels, got {w}x{h}")
+    img = np.frombuffer(d["pixels"][:w * h * ch], np.uint8).reshape(
+        h, w, ch).astype(np.int64)
+    gray = img.sum(axis=2)                      # exact channel sum
+    cx = (np.arange(w) * 9) // w                # pixel -> cell column
+    cy = (np.arange(h) * 8) // h                # pixel -> cell row
+    cell = cy[:, None] * 9 + cx[None, :]
+    sums = np.bincount(cell.ravel(), weights=gray.ravel(),
+                       minlength=72).astype(np.int64).reshape(8, 9)
+    widths = np.bincount(cx, minlength=9).astype(np.int64)
+    left, right = sums[:, :8], sums[:, 1:]
+    bits = (right * widths[:8]) > (left * widths[1:])  # 8x8 bool
+    k = np.arange(64).reshape(8, 8)                    # j*8 + i
+    lo = int(((bits & (k < 32)) << (k % 32)).sum())
+    hi = int(((bits & (k >= 32)) << (k % 32)).sum())
+    return hi, lo
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit integer-exact dHash per image payload (real container
+    decode; Arrow-batched mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_pixels(bytes(payload))
+                hi, lo = dhash_pixels(d)
+                ids.append(int(media_id))
+                ws.append(d["width"])
+                hs.append(d["height"])
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "width": pd.array(ws, dtype="int64"),
+                "height": pd.array(hs, dtype="int64"),
+                "hash_hi": pd.array(his, dtype="int64"),
+                "hash_lo": pd.array(los, dtype="int64"),
+            })
+
+    if "media_type" in media.columns:
+        media = media.where(F.col("media_type") == "image")
+    return media.select("media_id", "payload").mapInPandas(
+        run, DHASH_SCHEMA)
+
+
+def synth_patterned_media(docs: DataFrame, n_patterns: int = 211) -> DataFrame:
+    """Documents -> grayscale PNG payloads whose pixel grid is the
+    closed-form pattern (17g + 5x^2 + 3y^2 + xy) % 256 with
+    g = doc_id % n_patterns — images sharing g are byte-identical
+    (true perceptual duplicates; the quadratic texture keeps the 211
+    dHashes distinct with a handful of genuine near-misses), and an
+    external oracle can replay the dHash without parsing bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                g = int(mid) % n_patterns
+                w = 16 + g % 17
+                h = 16 + (3 * g) % 17
+                payloads.append(synth_png(
+                    w, h, lambda x, y, gg=g:
+                        (gg * 17 + 5 * x * x + 3 * y * y + x * y) % 256))
+            yield pd.DataFrame({
+                "media_id": pd.array([int(m) for m in pdf["doc_id"]],
+                                     dtype="int64"),
+                "payload": payloads,
+                "media_type": ["image"] * len(pdf),
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary, media_type string")
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All unordered pairs of images whose dHashes differ in at most
+    max_hamming of 64 bits — LSH-complete by the pigeonhole banding
+    used for SimHash: the 64 bits split into max_hamming+1 bands, any
+    pair within distance max_hamming agrees on >=1 whole band, so the
+    per-band equi-joins (never an all-pairs join) generate a candidate
+    superset and bit_count(XOR) verifies exactly.  Returns
+    (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def band(b: int):
+        # bits [s, e) of the 64-bit hash as a (lo_part, hi_part)
+        # struct assembled from the 32-bit halves (hash_lo = bits
+        # 0..31, hash_hi = 32..63) — the 64-bit value is never
+        # materialized, so nothing can overflow a signed BIGINT, and
+        # struct equality is still a plain equi-join key
+        s = b * width
+        e = 64 if b == n_bands - 1 else (b + 1) * width
+        lo_part = F.lit(0)
+        hi_part = F.lit(0)
+        if s < 32:
+            lo_part = (F.shiftrightunsigned(F.col("hash_lo"), s)
+                       % F.lit(1 << (min(e, 32) - s)))
+        if e > 32:
+            hs = max(s, 32)
+            hi_part = (F.shiftrightunsigned(F.col("hash_hi"), hs - 32)
+                       % F.lit(1 << (e - hs)))
+        return F.struct(lo_part.alias("lo"), hi_part.alias("hi"))
+
+    bands = F.array(*[band(b) for b in range(n_bands)])
+    t = (hashes.select("media_id", "hash_hi", "hash_lo",
+                       F.posexplode(bands).alias("band_idx", "band_val")))
+    a = t.alias("a")
+    b = t.alias("b")
+    cand = (a.join(b, [F.col("a.band_idx") == F.col("b.band_idx"),
+                       F.col("a.band_val") == F.col("b.band_val"),
+                       F.col("a.media_id") < F.col("b.media_id")])
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    F.col("a.hash_hi").alias("hi_a"),
+                    F.col("a.hash_lo").alias("lo_a"),
+                    F.col("b.hash_hi").alias("hi_b"),
+                    F.col("b.hash_lo").alias("lo_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,215 @@
+"""Round-4 multimodal additions: mp4 (ISO BMFF) box codec, integer
+audio features over real PCM decode, perceptual dHash + banded
+near-dup pairs.  Pure-python paths fuzz against transparent replays;
+Spark paths assert the distributed shape and cross-check a sample."""
+
+import random
+import struct
+
+import pytest
+
+pytestmark = pytest.mark.core
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- mp4
+
+def test_mp4_roundtrip_sweep():
+    from octofludb_spark.scale.multimodal import decode_mp4_info, synth_mp4
+
+    rng = random.Random(41)
+    for _ in range(40):
+        w = rng.randrange(16, 4096, 2)
+        h = rng.randrange(16, 2160, 2)
+        nf = rng.randrange(1, 2000)
+        ts = rng.randrange(100, 90000)
+        fd = rng.randrange(1, 4000)
+        b = synth_mp4(w, h, nf, ts, fd, seed=rng.randrange(1 << 30))
+        i = decode_mp4_info(b)
+        assert (i["width"], i["height"], i["n_frames"]) == (w, h, nf)
+        assert (i["timescale"], i["duration"]) == (ts, nf * fd)
+        assert i["duration_ms"] == nf * fd * 1000 // ts
+        assert i["media_timescale"] == ts and i["handler"] == "vide"
+
+
+def test_mp4_sniff_and_header():
+    from octofludb_spark.scale.multimodal import (decode_header, sniff_format,
+                                                  synth_mp4)
+
+    b = synth_mp4(320, 240, 12, 600, 25)
+    assert sniff_format(b) == "mp4"
+    meta = decode_header(b)
+    assert meta == {"format": "mp4", "width": 320, "height": 240,
+                    "n_frames": 12}
+
+
+def test_mp4_largesize_and_unknown_boxes():
+    """The walker must skip unknown boxes and honour 64-bit
+    largesize framing."""
+    from octofludb_spark.scale.multimodal import decode_mp4_info, synth_mp4
+
+    b = synth_mp4(64, 48, 3, 600, 25)
+    free = struct.pack(">I", 16) + b"free" + b"\0" * 8
+    # wrap the free payload in a largesize box too
+    big = (struct.pack(">I", 1) + b"skip" + struct.pack(">Q", 24)
+           + b"\0" * 8)
+    # insert after ftyp (24 bytes) — stco offset shifts, but we only
+    # read metadata here
+    out = b[:24] + free + big + b[24:]
+    i = decode_mp4_info(out)
+    assert (i["width"], i["height"], i["n_frames"]) == (64, 48, 3)
+
+
+def test_mp4_truncation_raises():
+    from octofludb_spark.scale.multimodal import decode_mp4_info, synth_mp4
+
+    b = synth_mp4(64, 48, 3)
+    with pytest.raises(ValueError):
+        decode_mp4_info(b[: len(b) // 2])
+    with pytest.raises(ValueError):
+        decode_mp4_info(b"\0\0\0\x08abcd")  # no ftyp
+
+
+def test_mp4_stsz_cross_check():
+    """A corrupted stsz sample count must be rejected, not ignored."""
+    from octofludb_spark.scale.multimodal import decode_mp4_info, synth_mp4
+
+    b = bytearray(synth_mp4(64, 48, 7, 600, 25))
+    at = bytes(b).find(b"stsz")
+    # sample_count field sits 12 bytes after the type (verflags 4 +
+    # sample_size 4 -> count)
+    struct.pack_into(">I", b, at + 12, 99)
+    with pytest.raises(ValueError, match="stsz"):
+        decode_mp4_info(bytes(b))
+
+
+# --------------------------------------------------- audio features
+
+def test_audio_features_vs_python_replay(spark):
+    """Distributed features == a transparent per-clip python replay
+    (sign-change definition, de-interleaving, int64 sums)."""
+    from octofludb_spark.scale.multimodal import audio_features, synth_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    rows = {r["media_id"]: r for r in
+            audio_features(synth_media(docs)).collect()}
+    checked = 0
+    for r in docs.select("doc_id").collect():
+        mid = int(r[0])
+        if mid % 3 != 1:
+            continue
+        nch = 1 + mid % 2
+        n = (100 + mid % 900) * nch
+        s = [(mid + j) % 256 - 128 for j in range(n)]
+        zc = 0
+        for c in range(nch):
+            ch = s[c::nch]
+            zc += sum((a < 0) != (b < 0) for a, b in zip(ch, ch[1:]))
+        got = rows[mid]
+        assert got["zero_crossings"] == zc
+        assert got["energy"] == sum(v * v for v in s)
+        assert got["peak_abs"] == max(abs(v) for v in s)
+        assert got["dc_sum"] == sum(s)
+        checked += 1
+    assert checked >= 30
+
+
+# ------------------------------------------------- perceptual dHash
+
+def _replay_dhash(g, w, h, pixel):
+    sums = [[0] * 9 for _ in range(8)]
+    widths = [0] * 9
+    for x in range(w):
+        widths[(x * 9) // w] += 1
+    for y in range(h):
+        for x in range(w):
+            sums[(y * 8) // h][(x * 9) // w] += pixel(x, y)
+    hi = lo = 0
+    for j in range(8):
+        for i in range(8):
+            if sums[j][i + 1] * widths[i] > sums[j][i] * widths[i + 1]:
+                k = j * 8 + i
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def test_dhash_vs_python_replay_fuzz():
+    """dhash_pixels over REAL decoded PNGs (random pixels, gray and
+    RGB) == the transparent quadratic-time replay."""
+    from octofludb_spark.scale.multimodal import (decode_pixels,
+                                                  dhash_pixels, synth_png)
+
+    rng = random.Random(7)
+    for trial in range(25):
+        w, h = rng.randrange(9, 60), rng.randrange(8, 60)
+        grid = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        png = synth_png(w, h, lambda x, y: grid[y][x])
+        got = dhash_pixels(decode_pixels(png))
+        assert got == _replay_dhash(None, w, h, lambda x, y: grid[y][x])
+
+
+def test_dhash_identical_and_perturbed():
+    from octofludb_spark.scale.multimodal import (decode_pixels,
+                                                  dhash_pixels, synth_png)
+
+    base = lambda x, y: (5 * x * x + 3 * y * y + x * y) % 256
+    a = dhash_pixels(decode_pixels(synth_png(33, 31, base)))
+    b = dhash_pixels(decode_pixels(synth_png(33, 31, base)))
+    assert a == b
+    # brightness shift is NOT identity-preserving for raw sums, but a
+    # single-pixel perturbation must stay within a few bits
+    pert = lambda x, y: 255 if (x, y) == (4, 4) else base(x, y)
+    c = dhash_pixels(decode_pixels(synth_png(33, 31, pert)))
+    d = (bin(a[0] ^ c[0]).count("1") + bin(a[1] ^ c[1]).count("1"))
+    assert d <= 4
+
+
+def test_dhash_small_image_rejected():
+    from octofludb_spark.scale.multimodal import (decode_pixels,
+                                                  dhash_pixels, synth_png)
+
+    with pytest.raises(ValueError, match="dhash"):
+        dhash_pixels(decode_pixels(synth_png(8, 8, lambda x, y: x)))
+
+
+def test_dhash_near_pairs_matches_brute_force(spark):
+    """Band-join candidate generation is LOSSLESS: pairs == the
+    brute-force O(n^2) hamming filter, for several thresholds."""
+    from octofludb_spark.scale.multimodal import (dhash_near_pairs,
+                                                  image_dhash,
+                                                  synth_patterned_media)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
+    hashes = image_dhash(synth_patterned_media(docs)).collect()
+    hs = {r["media_id"]: (r["hash_hi"] << 32) | r["hash_lo"]
+          for r in hashes}
+    ids = sorted(hs)
+    for k in (0, 3, 7):
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               dhash_near_pairs(
+                   image_dhash(synth_patterned_media(docs)),
+                   max_hamming=k).collect()}
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= k:
+                    want[(a, b)] = d
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_dhash_spark_plan_no_nlj(spark):
+    """The near-dup join must be hash-partitioned equi joins — never a
+    nested-loop / cartesian candidate generation."""
+    from octofludb_spark.scale.multimodal import (dhash_near_pairs,
+                                                  image_dhash,
+                                                  synth_patterned_media)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    df = dhash_near_pairs(image_dhash(synth_patterned_media(docs)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
