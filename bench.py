@@ -64,6 +64,14 @@ BENCH_QUERIES = [
     # packing (two-phase distributed prefix scan)
     "bpe_merges",
     "text_pack_sequences",
+    # round-4 multimodal flagship: synth real PNGs -> decode -> 64-bit
+    # dHash (payload bytes never on the driver).  image_dhash_neardup
+    # is gate-checked (lossless banding vs brute force) but excluded
+    # here for the same reason as dedup_simhash_near: the synthetic
+    # corpus reuses 211 patterns, so duplicate GROUPS grow linearly
+    # with sf and the true pair count grows quadratically — output-
+    # bound, not representative of the operator's cost on real images
+    "image_dhash",
 ]
 
 

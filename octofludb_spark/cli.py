@@ -463,7 +463,9 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "cdc-chunks", "cdc-dedup", "inverted-index",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
               "attribution", "skew", "cooccurrence", "centroids",
-              "bpe-train", "bpe-tokens", "pack")
+              "bpe-train", "bpe-tokens", "pack",
+              "mp4-info", "audio-features", "image-dhash",
+              "dhash-neardup")
 
 
 def cmd_scale(args) -> int:
@@ -578,6 +580,21 @@ def cmd_scale(args) -> int:
     elif args.op == "bpe-tokens":
         from octofludb_spark.scale.bpe import bpe_doc_token_counts, bpe_train
         out = bpe_doc_token_counts(docs, bpe_train(docs, n_merges=args.k))
+    elif args.op == "mp4-info":
+        # expects a media parquet (media_id, payload)
+        from octofludb_spark.scale.multimodal import decode_mp4_media
+        out = decode_mp4_media(docs)
+    elif args.op == "audio-features":
+        from octofludb_spark.scale.multimodal import audio_features
+        out = audio_features(docs)
+    elif args.op == "image-dhash":
+        from octofludb_spark.scale.multimodal import image_dhash
+        out = image_dhash(docs)
+    elif args.op == "dhash-neardup":
+        from octofludb_spark.scale.multimodal import (dhash_near_pairs,
+                                                      image_dhash)
+        out = dhash_near_pairs(image_dhash(docs),
+                               max_hamming=args.hamming)
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")
@@ -827,6 +844,8 @@ def main(argv=None) -> int:
                      help="funnel/attribution event types (comma list)")
     sca.add_argument("--skew-key", dest="skew_key", default="source",
                      help="skew op: the key column profiled per --key group")
+    sca.add_argument("--hamming", type=int, default=3,
+                     help="dhash-neardup: max hamming distance (of 64)")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)
