@@ -465,7 +465,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "attribution", "skew", "cooccurrence", "centroids",
               "bpe-train", "bpe-tokens", "pack",
               "mp4-info", "audio-features", "image-dhash",
-              "dhash-neardup")
+              "dhash-neardup", "shard-shuffle", "mix-epochs")
 
 
 def cmd_scale(args) -> int:
@@ -580,6 +580,12 @@ def cmd_scale(args) -> int:
     elif args.op == "bpe-tokens":
         from octofludb_spark.scale.bpe import bpe_doc_token_counts, bpe_train
         out = bpe_doc_token_counts(docs, bpe_train(docs, n_merges=args.k))
+    elif args.op == "shard-shuffle":
+        out = TX.shard_shuffle(docs, n_shards=args.k, seed=0)
+    elif args.op == "mix-epochs":
+        weights = {kv.split(":")[0]: int(kv.split(":")[1])
+                   for kv in args.weights.split(",")}
+        out = TX.mix_epochs(docs, weights, key=args.key)
     elif args.op == "mp4-info":
         # expects a media parquet (media_id, payload)
         from octofludb_spark.scale.multimodal import decode_mp4_media
@@ -844,6 +850,8 @@ def main(argv=None) -> int:
                      help="funnel/attribution event types (comma list)")
     sca.add_argument("--skew-key", dest="skew_key", default="source",
                      help="skew op: the key column profiled per --key group")
+    sca.add_argument("--weights", default="en:5,de:2,es:1,fr:1,zh:1",
+                     help="mix-epochs: integer domain weights d:w,...")
     sca.add_argument("--hamming", type=int, default=3,
                      help="dhash-neardup: max hamming distance (of 64)")
     sca.add_argument("--alpha", type=float, default=0.7)

@@ -4594,6 +4594,72 @@ def text_pack_sequences(spark, sf):
                              n_ranges=8)
 
 
+@q("text_shard_shuffle", """
+WITH s AS (SELECT doc_id,
+             CAST(('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                     1, 6)) AS BIGINT) % 64 AS shard,
+             md5('0:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM s
+""")
+def text_shard_shuffle(spark, sf):
+    """Deterministic global shuffle + sharding (scale/text.py
+    shard_shuffle): md5(seed:id) keys, first-24-bits shard
+    assignment, per-shard rank — the RNG-free corpus shuffle a
+    training loader consumes.  One map-side hash projection + one
+    shard-keyed exchange; never a global sort."""
+    return TX.shard_shuffle(t(spark, sf, "documents"), n_shards=64,
+                            seed=0)
+
+
+_MIX_WEIGHTS = {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1}
+
+@q("text_mix_epochs", """
+WITH tok AS (SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tok
+             FROM documents),
+     dom AS (SELECT lang, SUM(n_tok) AS td FROM tok GROUP BY 1),
+     tot AS (SELECT SUM(n_tok) AS t FROM tok),
+     tgt AS (SELECT lang, td,
+                    (SELECT t FROM tot)
+                    * (CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                            WHEN 'es' THEN 1 WHEN 'fr' THEN 1
+                            WHEN 'zh' THEN 1 ELSE 0 END) // 10 AS target
+             FROM dom
+             WHERE td > 0
+               AND lang IN ('en', 'de', 'es', 'fr', 'zh')),
+     base AS (SELECT lang, target // td AS n_base, target % td AS rem
+              FROM tgt),
+     ordered AS (SELECT t.doc_id, t.lang, t.n_tok, b.n_base, b.rem,
+                        COALESCE(SUM(t.n_tok) OVER (
+                          PARTITION BY t.lang
+                          ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+                 FROM tok t JOIN base b ON b.lang = t.lang),
+     n AS (SELECT doc_id, lang, n_tok,
+                  n_base + CASE WHEN cum_before < rem THEN 1 ELSE 0 END
+                    AS n_epochs
+           FROM ordered)
+SELECT doc_id, lang AS domain, g.e AS epoch, n_tok
+FROM n, range(0, 256) g(e)
+WHERE g.e < n_epochs
+""")
+def text_mix_epochs(spark, sf):
+    """Static data-mixture application with multi-epoching
+    (scale/text.py mix_epochs): integer domain weights en5/de2/es1/
+    fr1/zh1 over whitespace-token budgets; repeat counts are pure
+    integer arithmetic (floor epochs + an md5-ordered token-prefix
+    remainder), so DuckDB replays the whole assignment — domain
+    totals, targets, cumulative-prefix extras, epoch explode —
+    bit-for-bit."""
+    return TX.mix_epochs(t(spark, sf, "documents"), _MIX_WEIGHTS)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

@@ -1187,3 +1187,105 @@ def pack_sequences(docs: DataFrame, context_len: int = 2048,
         tok_end.cast("long").alias("tok_end"),
         (tok_end - tok_start).cast("long").alias("n_tokens"),
     )
+
+
+def shard_shuffle(items: DataFrame, n_shards: int = 64, seed: int = 0,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle + sharding of training examples —
+    the step after packing that breaks corpus order before the
+    training loader reads shards sequentially.  Each item's shuffle
+    key is md5(seed:id): the shard is the key's first 24 bits mod
+    n_shards and the position is the rank within the shard by (key,
+    id).  RNG-free and engine-independent, stable under re-runs, and
+    changing ``seed`` yields an unrelated permutation.
+
+    Scale shape: one hash projection (map-side) + ONE shard-keyed
+    exchange funding the per-shard rank window — state is one shard,
+    never a global sort.  Pick n_shards ~ O(corpus bytes / 1 GB) in
+    production so shards stay loader-sized.  Output: (id, shard,
+    pos)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(F.concat(F.lit(f"{seed}:"),
+                         F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 6), 16, 10).cast("long")
+             % F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (items.select(id_col, shard.alias("shard"), key.alias("_k"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_k"))
+
+
+def mix_epochs(docs: DataFrame, weights: dict[str, int],
+               key: str = "lang") -> DataFrame:
+    """Static data-mixture application with multi-epoching (the
+    DoReMi/Pile-style "domain weights -> per-document repeat counts"
+    step): given INTEGER domain weights, each domain d receives a
+    token target of total_tokens * w_d // sum(w) and every document
+    in d appears  n_base = target // domain_tokens  times, plus one
+    extra epoch for the md5-ordered document prefix whose running
+    token total fits in the remainder — so the realized token count
+    per domain lands within one document of the target, with pure
+    integer arithmetic an external engine can replay exactly.
+
+    Output: one row per (doc_id, domain, epoch, n_tok); documents in
+    zero-weight (or absent-from-``weights``) domains are dropped —
+    that IS the mixture filter.
+
+    Scale shape: one token-count projection, one domain-sized
+    aggregation collected to the driver (|domains| rows), broadcast
+    back as literal maps, and a per-domain cumsum window (the same
+    per-language window shape as perplexity_buckets); the epoch
+    explode is an in-row sequence().  Driver traffic is bounded by
+    the domain count, never the corpus."""
+    from pyspark.sql import Window
+
+    if not weights or any(int(v) != v or v < 0 for v in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    wsum = sum(int(v) for v in weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+
+    toks = docs.select(
+        "doc_id", F.col(key).alias("domain"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tok"))
+    per = {r["domain"]: r["td"] for r in
+           toks.groupBy("domain").agg(F.sum("n_tok").alias("td"))
+           .collect()}
+    total = sum(per.values())
+    n_base, rem = {}, {}
+    for d, td in per.items():
+        wd = int(weights.get(d, 0))
+        if wd == 0 or td == 0:
+            continue
+        target = total * wd // wsum
+        n_base[d], rem[d] = target // td, target % td
+    if not n_base:
+        return toks.sparkSession.createDataFrame(
+            [], "doc_id long, domain string, epoch long, n_tok long")
+
+    def lit_map(m: dict) -> F.Column:
+        return F.create_map(*[F.lit(x) for d in sorted(m)
+                              for x in (d, m[d])])
+
+    w = (Window.partitionBy("domain")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = (toks.where(F.col("domain").isin(*n_base))
+         .withColumn("cum_before",
+                     F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+         .withColumn("n_epochs",
+                     F.element_at(lit_map(n_base), F.col("domain"))
+                     + F.when(F.col("cum_before")
+                              < F.element_at(lit_map(rem), F.col("domain")),
+                              1).otherwise(0)))
+    return (t.where(F.col("n_epochs") > 0)
+            .select("doc_id", "domain",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        (F.col("n_epochs") - 1).cast("long")))
+                    .alias("epoch"),
+                    "n_tok"))
