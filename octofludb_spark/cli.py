@@ -464,7 +464,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "kmv", "hll", "cms", "dd-quantiles", "funnel", "retention",
               "attribution", "skew", "cooccurrence", "centroids",
               "bpe-train", "bpe-tokens", "pack",
-              "mp4-info", "audio-features", "image-dhash",
+              "mp4-info", "mp4-samples", "audio-features", "image-dhash",
               "dhash-neardup", "shard-shuffle", "mix-epochs")
 
 
@@ -590,6 +590,9 @@ def cmd_scale(args) -> int:
         # expects a media parquet (media_id, payload)
         from octofludb_spark.scale.multimodal import decode_mp4_media
         out = decode_mp4_media(docs)
+    elif args.op == "mp4-samples":
+        from octofludb_spark.scale.multimodal import sample_mp4
+        out = sample_mp4(docs)
     elif args.op == "audio-features":
         from octofludb_spark.scale.multimodal import audio_features
         out = audio_features(docs)

@@ -4615,6 +4615,34 @@ def text_shard_shuffle(spark, sf):
                             seed=0)
 
 
+@q("multimodal_mp4_samples", """
+WITH p AS (SELECT doc_id, CAST(1 + doc_id % 240 AS BIGINT) AS nf
+           FROM documents),
+     s AS (SELECT doc_id, g.i,
+                  (doc_id + g.i) % 4294967296 AS v
+           FROM p, range(0, 240) g(i)
+           WHERE g.i < nf)
+SELECT doc_id AS media_id, i AS sample_idx,
+       CAST(4 AS BIGINT) AS n_bytes,
+       CAST((v // 16777216) % 256 + (v // 65536) % 256
+            + (v // 256) % 256 + v % 256 AS BIGINT) AS byte_sum
+FROM s
+""")
+def multimodal_mp4_samples(spark, sf):
+    """REAL mp4 demux, hash-oracled: every sample's byte slice is
+    located through the actual sample table (stsz sizes, stsc
+    chunk-run expansion, stco absolute offsets) exactly as a demuxer
+    does — no codec — and its exact byte sum emitted.  The synthesized
+    sample i of media m is the 4 big-endian bytes of (m+i) mod 2^32,
+    so the oracle states each sample's byte sum in closed form; a
+    green row proves the demux walked the sample table to the right
+    file offsets.  One output row per sample (bounded explode)."""
+    from octofludb_spark.scale.multimodal import sample_mp4, synth_mp4_media
+
+    return sample_mp4(synth_mp4_media(t(spark, sf, "documents"))).select(
+        "media_id", "sample_idx", "n_bytes", "byte_sum")
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1}
 
 @q("text_mix_epochs", """

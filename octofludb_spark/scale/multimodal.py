@@ -1754,3 +1754,108 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (cand.withColumn("hamming", ham.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def demux_mp4_samples(b: bytes) -> list[bytes]:
+    """REAL mp4 demux (no codec): the per-sample byte slices of the
+    mdat payload, located through the sample table the way a real
+    demuxer does — stsz gives each sample's size, stsc maps samples
+    to chunks, stco gives each chunk's absolute file offset — so the
+    result is correct even for multi-chunk layouts and files whose
+    boxes were shuffled or prefixed (the stco offsets are absolute)."""
+    sizes: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    stco: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        for btype, body, bend in _walk_boxes(b, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(body, bend)
+            elif btype == b"stsz":
+                fixed, cnt = struct.unpack_from(">II", b, body + 4)
+                if fixed:
+                    sizes.extend([fixed] * cnt)
+                else:
+                    for i in range(cnt):
+                        sizes.append(struct.unpack_from(
+                            ">I", b, body + 12 + 4 * i)[0])
+            elif btype == b"stsc":
+                cnt = struct.unpack_from(">I", b, body + 4)[0]
+                for i in range(cnt):
+                    fc, spc, _desc = struct.unpack_from(
+                        ">III", b, body + 8 + 12 * i)
+                    stsc.append((fc, spc))
+            elif btype == b"stco":
+                cnt = struct.unpack_from(">I", b, body + 4)[0]
+                for i in range(cnt):
+                    stco.append(struct.unpack_from(
+                        ">I", b, body + 8 + 4 * i)[0])
+
+    walk(0, len(b))
+    if not sizes or not stco or not stsc:
+        raise ValueError("mp4 has no sample table")
+    # expand stsc runs into per-chunk sample counts
+    per_chunk: list[int] = []
+    for i, (fc, spc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(stco)
+        per_chunk.extend([spc] * (last - fc + 1))
+    out: list[bytes] = []
+    si = 0
+    for chunk_off, n_in_chunk in zip(stco, per_chunk):
+        pos = chunk_off
+        for _ in range(n_in_chunk):
+            if si >= len(sizes):
+                break
+            sz = sizes[si]
+            if pos + sz > len(b):
+                raise ValueError("sample extends past end of file")
+            out.append(b[pos:pos + sz])
+            pos += sz
+            si += 1
+    if si != len(sizes):
+        raise ValueError(f"sample table inconsistent: placed {si} of "
+                         f"{len(sizes)} samples")
+    return out
+
+
+MP4_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_idx", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("byte_sum", T.LongType()),
+    T.StructField("sample_sha256", T.StringType()),
+])
+
+
+def sample_mp4(media: DataFrame, stride: int = 1) -> DataFrame:
+    """One output row per (stride-th) demuxed mp4 sample — the same
+    bounded one-to-many explode shape as GIF frame sampling, driven
+    by the REAL sample table (stsz/stsc/stco).  byte_sum is the exact
+    integer sum of the sample's bytes (oracle-checkable in closed
+    form for synthesized files); sample_sha256 identifies content."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_idx": [], "n_bytes": [],
+                   "byte_sum": [], "sample_sha256": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = demux_mp4_samples(bytes(payload))
+                for idx in range(0, len(samples), stride):
+                    s = samples[idx]
+                    out["media_id"].append(int(media_id))
+                    out["sample_idx"].append(idx)
+                    out["n_bytes"].append(len(s))
+                    out["byte_sum"].append(sum(s))
+                    out["sample_sha256"].append(
+                        hashlib.sha256(s).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "sample_idx": pd.array(out["sample_idx"], dtype="int64"),
+                "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+                "byte_sum": pd.array(out["byte_sum"], dtype="int64"),
+                "sample_sha256": out["sample_sha256"] or
+                    pd.Series(dtype=object),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, MP4_SAMPLE_SCHEMA)

@@ -213,3 +213,75 @@ def test_dhash_spark_plan_no_nlj(spark):
     df = dhash_near_pairs(image_dhash(synth_patterned_media(docs)))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------- mp4 demux
+
+def _manual_mp4(chunks, sizes, fixed=0):
+    """Hand-build an mp4 whose sample data lives in MULTIPLE chunks
+    (synth_mp4 always writes one): ``chunks`` is a list of
+    (samples_per_chunk, payload_bytes)."""
+    from octofludb_spark.scale.multimodal import _box, _full_box, synth_mp4
+
+    ftyp = synth_mp4(16, 16, 1, 600, 25)[:24]  # a valid ftyp box
+    stsc_runs, prev = [], None
+    for ci, (spc, _) in enumerate(chunks, start=1):
+        if spc != prev:
+            stsc_runs.append((ci, spc))
+            prev = spc
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">I", len(stsc_runs))
+                     + b"".join(struct.pack(">III", fc, spc, 1)
+                                for fc, spc in stsc_runs))
+    if fixed:
+        stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", fixed,
+                                                    len(sizes)))
+    else:
+        stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes))
+                         + b"".join(struct.pack(">I", s) for s in sizes))
+
+    def build(offsets):
+        stco = _full_box(b"stco", 0, 0, struct.pack(">I", len(chunks))
+                         + b"".join(struct.pack(">I", o)
+                                    for o in offsets))
+        moov = _box(b"moov", _box(b"stbl", stsc + stsz + stco))
+        return ftyp + moov
+
+    # stco size is fixed (4 bytes per chunk), so one probe pass with
+    # zero offsets sizes the header, then the real offsets are exact
+    head_len = len(build([0] * len(chunks)))
+    offsets, pos = [], head_len + 8  # first mdat payload byte
+    for _, payload in chunks:
+        offsets.append(pos)
+        pos += len(payload)
+    return build(offsets) + _box(b"mdat", b"".join(p for _, p in chunks))
+
+
+def test_mp4_demux_multichunk_and_fixed_size():
+    from octofludb_spark.scale.multimodal import demux_mp4_samples
+
+    # chunk 1: two 3-byte samples; chunk 2: one 4-byte sample
+    b = _manual_mp4([(2, b"AAABBB"), (1, b"CCCC")], [3, 3, 4])
+    assert demux_mp4_samples(b) == [b"AAA", b"BBB", b"CCCC"]
+    # fixed-size stsz path
+    b = _manual_mp4([(2, b"XXYY"), (2, b"ZZWW")], [2, 2, 2, 2], fixed=2)
+    assert demux_mp4_samples(b) == [b"XX", b"YY", b"ZZ", b"WW"]
+
+
+def test_mp4_demux_inconsistent_table_raises():
+    from octofludb_spark.scale.multimodal import demux_mp4_samples
+
+    # stsz declares 5 samples but chunks only place 3
+    b = _manual_mp4([(2, b"AAABBB"), (1, b"CCCC")], [3, 3, 4, 1, 1])
+    with pytest.raises(ValueError, match="inconsistent"):
+        demux_mp4_samples(b)
+
+
+def test_mp4_demux_synth_roundtrip():
+    from octofludb_spark.scale.multimodal import (demux_mp4_samples,
+                                                  synth_mp4)
+
+    for nf, seed in [(1, 0), (31, 5), (240, 1234)]:
+        ss = demux_mp4_samples(synth_mp4(160, 90, nf, 600, 25, seed=seed))
+        assert len(ss) == nf
+        assert all(s == struct.pack(">I", (seed + i) & 0xFFFFFFFF)
+                   for i, s in enumerate(ss))
