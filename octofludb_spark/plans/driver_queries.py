@@ -4615,6 +4615,65 @@ def text_shard_shuffle(spark, sf):
                             seed=0)
 
 
+@q("multimodal_jpeg_color", """
+WITH p AS (SELECT doc_id,
+                  CAST(1 + doc_id % 4 AS BIGINT) AS nx,
+                  CAST(1 + (doc_id * 3) % 4 AS BIGINT) AS ny
+           FROM documents),
+     mcu AS (SELECT doc_id, nx, ny, gx.mx, gy.my,
+                    (doc_id + 7 * gx.mx + 13 * gy.my) % 256 AS r,
+                    (doc_id * 3 + 11 * gx.mx + 5 * gy.my) % 256 AS g,
+                    (doc_id * 5 + 3 * gx.mx + 17 * gy.my) % 256 AS b
+             FROM p, range(0, 4) gx(mx), range(0, 4) gy(my)
+             WHERE gx.mx < nx AND gy.my < ny),
+     ycc AS (SELECT *,
+             LEAST(255, GREATEST(0,
+               (19595*r + 38470*g + 7471*b + 32768) // 65536)) AS y,
+             LEAST(255, GREATEST(0,
+               128 + (-11059*r - 21710*g + 32768*b + 32768
+                      + 33554432) // 65536 - 512)) AS cb,
+             LEAST(255, GREATEST(0,
+               128 + (32768*r - 27439*g - 5329*b + 32768
+                      + 33554432) // 65536 - 512)) AS cr
+             FROM mcu),
+     rgb AS (SELECT doc_id, nx, ny,
+             LEAST(255, GREATEST(0,
+               y + (91881*(cr-128) + 32768 + 33554432) // 65536 - 512))
+               AS r2,
+             LEAST(255, GREATEST(0,
+               y + (-22554*(cb-128) - 46802*(cr-128) + 32768
+                    + 33554432) // 65536 - 512)) AS g2,
+             LEAST(255, GREATEST(0,
+               y + (116130*(cb-128) + 32768 + 33554432) // 65536 - 512))
+               AS b2
+             FROM ycc)
+SELECT doc_id AS media_id,
+       CAST(16 * nx AS BIGINT) AS width,
+       CAST(16 * ny AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(256 * SUM(r2) AS BIGINT) AS r_sum,
+       CAST(256 * SUM(g2) AS BIGINT) AS g_sum,
+       CAST(256 * SUM(b2) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY 1, 2, 3, 4
+""")
+def multimodal_jpeg_color(spark, sf):
+    """REAL baseline COLOR JPEG codec (4:2:0), hash-oracled end to
+    end: MCU-constant RGB images are encoded (integer BT.601 YCbCr,
+    chroma box downsample, interleaved-MCU Huffman entropy) and
+    decoded back (per-component entropy decode, IDCT, chroma
+    upsample, integer YCbCr->RGB); constant MCUs survive the lossy
+    path exactly, so DuckDB replays the color transforms per MCU in
+    closed form and value-hashes per-channel pixel sums.  A green row
+    proves the whole color pipeline — subsampling included —
+    bit-for-bit."""
+    from octofludb_spark.scale.multimodal import (color_channel_sums,
+                                                  synth_jpeg_color_media)
+
+    return color_channel_sums(
+        synth_jpeg_color_media(t(spark, sf, "documents")))
+
+
 @q("multimodal_mp4_samples", """
 WITH p AS (SELECT doc_id, CAST(1 + doc_id % 240 AS BIGINT) AS nf
            FROM documents),

@@ -8,11 +8,14 @@ Decode coverage is pure stdlib (struct/zlib) + numpy, no PIL/ffmpeg:
   * FULL CONTENT decode — png (IDAT inflate + unfiltering of all five
     scanline filter types, color types 0/2/3/4/6), 24-bit bmp, gif
     (variable-width LZW, every frame, palette mapping), 16-bit PCM
-    wav, and baseline grayscale jpeg (marker walk, canonical-Huffman
-    entropy decode, dequantize + batched IDCT).
-  * mp4 (ISO BMFF) — real box-tree walk: dimensions, timescales,
-    durations, frame counts from mvhd/tkhd/mdhd/stts/stsz; the codec
-    BITSTREAM inside mdat is the only thing not decoded.
+    wav, and baseline jpeg — grayscale AND 3-component YCbCr color at
+    4:4:4 / 4:2:0 (marker walk, per-component interleaved-MCU
+    canonical-Huffman entropy decode, dequantize + batched IDCT,
+    chroma upsample, exact integer BT.601 color transform).
+  * mp4 (ISO BMFF) — real box-tree walk (dimensions, timescales,
+    durations, frame counts from mvhd/tkhd/mdhd/stts/stsz) AND real
+    sample demux (stsz/stsc/stco -> per-sample mdat byte slices); the
+    codec BITSTREAM inside the samples is the only thing not decoded.
 Only paths that genuinely need absent codec libs stay gated: mp4
 sample bitstreams and resampling raise NotImplementedError unless
 ``fake=True``, in which case a deterministic digest fake exercises the
@@ -513,14 +516,17 @@ def decode_wav_samples(b: bytes) -> dict:
 
 
 # ------------------------------------------------- baseline JPEG codec
-# Grayscale baseline sequential JPEG (ITU-T T.81): 8x8 forward DCT +
-# uniform quantization + the spec's Annex K luminance Huffman tables
-# on the encode side; full marker parse, canonical-Huffman entropy
-# decode, dequantize + IDCT on the decode side.  Pure stdlib + numpy
+# Baseline sequential JPEG (ITU-T T.81), grayscale AND 3-component
+# YCbCr color (4:4:4 / 4:2:0): 8x8 forward DCT + uniform quantization
+# + the spec's Annex K Huffman tables on the encode side; full marker
+# parse, per-component interleaved-MCU canonical-Huffman entropy
+# decode, dequantize + IDCT, chroma upsample and an EXACT integer
+# BT.601 color transform on the decode side.  Pure stdlib + numpy
 # (the IDCT is one batched matmul over all blocks).  Block-constant
 # images survive quantization exactly (DC = 8*(v-128) with q=8), so
-# the oracle gate can state closed-form pixel sums; arbitrary images
-# round-trip within the quantization error bound (tested).
+# the oracle gates can state closed-form pixel/channel sums;
+# arbitrary images round-trip within the quantization error bound
+# (tested).
 
 
 def _zigzag() -> list[int]:
@@ -683,6 +689,123 @@ def synth_jpeg(width: int, height: int, pixel_fn=None,
             + w.flush() + b"\xff\xd9")
 
 
+def _encode_block(w: "_JpegBitWriter", zz, pred: int,
+                  dc_code: dict, ac_code: dict) -> int:
+    """Entropy-encode one zigzagged 64-coefficient block; returns the
+    new DC predictor."""
+    t, amp = _amp_bits(int(zz[0]) - pred)
+    pred = int(zz[0])
+    c, n = dc_code[t]
+    w.write(c, n)
+    if t:
+        w.write(amp, t)
+    run = 0
+    last = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, n = ac_code[0xF0]  # ZRL
+            w.write(c, n)
+            run -= 16
+        t, amp = _amp_bits(v)
+        c, n = ac_code[(run << 4) | t]
+        w.write(c, n)
+        w.write(amp, t)
+        run = 0
+    if last < 63:
+        c, n = ac_code[0x00]  # EOB
+        w.write(c, n)
+    return pred
+
+
+def synth_jpeg_color(width: int, height: int, rgb_fn=None,
+                     quant: int = 8, subsample: bool = True) -> bytes:
+    """A real baseline COLOR JPEG (3-component YCbCr, 4:2:0 when
+    ``subsample`` else 4:4:4): integer BT.601 color transform
+    (rgb_to_ycbcr_int — exact, engine-replayable), chroma box-mean
+    (floor) downsample, per-component interleaved-MCU entropy coding
+    with independent DC predictors, Annex K tables for every
+    component.  ``rgb_fn(x, y) -> (r, g, b)``; edges pad by
+    replication.  MCU-constant inputs survive the whole codec
+    EXACTLY (DC-only blocks, uniform quant divides the level-shifted
+    DC), which is what the oracle gate exploits."""
+    import numpy as np
+
+    if rgb_fn is None:
+        rgb_fn = lambda x, y: (128, 128, 128)
+    rgb = np.array([[rgb_fn(x, y) for x in range(width)]
+                    for y in range(height)], dtype=np.int64)
+    r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    # vectorized twin of rgb_to_ycbcr_int
+    y = np.clip((19595 * r_ + 38470 * g_ + 7471 * b_ + 32768) >> 16,
+                0, 255)
+    cb = np.clip(128 + (((-11059 * r_ - 21710 * g_ + 32768 * b_ + 32768)
+                         + _FX_BIAS) >> 16) - _FX_POST, 0, 255)
+    cr = np.clip(128 + (((32768 * r_ - 27439 * g_ - 5329 * b_ + 32768)
+                         + _FX_BIAS) >> 16) - _FX_POST, 0, 255)
+
+    hs = vs = 2 if subsample else 1
+    mw, mh = 8 * hs, 8 * vs  # MCU pixel size
+    mcux, mcuy = -(-width // mw), -(-height // mh)
+    pad = lambda p: np.pad(p, ((0, mcuy * mh - height),
+                               (0, mcux * mw - width)), mode="edge")
+    y = pad(y)
+    cb, cr = pad(cb), pad(cr)
+    if subsample:  # box-mean floor, exact for constant 2x2 cells
+        box = lambda p: (p.reshape(p.shape[0] // 2, 2,
+                                   p.shape[1] // 2, 2)
+                         .sum(axis=(1, 3)) // 4)
+        cb, cr = box(cb), box(cr)
+
+    m = _dct_matrix()
+
+    def coefs(plane):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (plane - 128).astype(float).reshape(
+            bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        return np.rint(np.einsum("ij,abjk,lk->abil", m, blocks, m)
+                       / quant).astype(int)
+
+    cy, ccb, ccr = coefs(y), coefs(cb), coefs(cr)
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _JpegBitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    inv_zz = _ZIGZAG
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = cy[my * vs + by, mx * hs + bx].reshape(64)[inv_zz]
+                    pred[1] = _encode_block(w, zz, pred[1],
+                                            dc_code, ac_code)
+            zz = ccb[my, mx].reshape(64)[inv_zz]
+            pred[2] = _encode_block(w, zz, pred[2], dc_code, ac_code)
+            zz = ccr[my, mx].reshape(64)[inv_zz]
+            pred[3] = _encode_block(w, zz, pred[3], dc_code, ac_code)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = bytes([quant] * 64)
+    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    hv = (hs << 4) | vs
+    sof = (struct.pack(">BHHB", 8, height, width, 3)
+           + bytes([1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xDB, bytes([0x00]) + qtab)
+            + seg(0xC0, sof)
+            + seg(0xC4, dht)
+            + seg(0xDA, sos)
+            + w.flush() + b"\xff\xd9")
+
+
 class _JpegBitReader:
     """MSB-first entropy reader: unstuffs 0xFF 0x00, stops at any
     other marker."""
@@ -725,19 +848,50 @@ def _extend(r: int, t: int) -> int:
     return r if t == 0 or r >= (1 << (t - 1)) else r - (1 << t) + 1
 
 
+# Integer fixed-point YCbCr <-> RGB (ITU BT.601 coefficients scaled by
+# 2^16, libjpeg-style).  The bias 2^25 keeps every intermediate
+# POSITIVE so the >>16 is a plain floor division in any engine —
+# python, numpy and SQL integer division all agree, which is what lets
+# the color gate's oracle replay the transform bit-for-bit.
+_FX_BIAS = 1 << 25
+_FX_POST = 1 << 9  # (1 << 25) >> 16
+
+
+def rgb_to_ycbcr_int(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = 128 + (((-11059 * r - 21710 * g + 32768 * b + 32768)
+                 + _FX_BIAS) >> 16) - _FX_POST
+    cr = 128 + (((32768 * r - 27439 * g - 5329 * b + 32768)
+                 + _FX_BIAS) >> 16) - _FX_POST
+    clip = lambda v: max(0, min(255, v))
+    return clip(y), clip(cb), clip(cr)
+
+
+def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + (((91881 * (cr - 128) + 32768) + _FX_BIAS) >> 16) - _FX_POST
+    g = y + (((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+              + _FX_BIAS) >> 16) - _FX_POST
+    b = y + (((116130 * (cb - 128) + 32768) + _FX_BIAS) >> 16) - _FX_POST
+    clip = lambda v: max(0, min(255, v))
+    return clip(r), clip(g), clip(b)
+
+
 def decode_jpeg_pixels(b: bytes) -> dict:
-    """Full stdlib+numpy baseline grayscale JPEG decode -> {width,
-    height, channels, pixels}: marker walk (DQT/SOF0/DHT/SOS), entropy
-    decode against the file's own Huffman tables, dequantize, batched
-    IDCT, level shift, crop.  Progressive / multi-component raise."""
+    """Full stdlib+numpy baseline JPEG decode -> {width, height,
+    channels, pixels}: marker walk (DQT/SOF0/DHT/SOS), per-component
+    entropy decode against the file's own Huffman tables (interleaved
+    MCUs for multi-component scans), dequantize, batched IDCT, level
+    shift, chroma upsample (replication), integer YCbCr->RGB, crop.
+    Grayscale (1 component) and 3-component YCbCr at 4:4:4 or 4:2:0
+    are supported; progressive / other samplings raise."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    w = h = qsel = 0
-    dc_sel = ac_sel = 0
+    w = h = 0
+    comps: list[dict] = []  # {id, hs, vs, qsel, dc, ac} in SOF order
     pos = 2
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -758,12 +912,19 @@ def decode_jpeg_pixels(b: bytes) -> dict:
                 o += 65
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit grayscale baseline JPEG")
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            qsel = body[8]
+                    "only 8-bit 1- or 3-component baseline JPEG")
+            for ci in range(ncomp):
+                cid, hv, qs = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0x0F,
+                              "qsel": qs})
+            samp = [(c["hs"], c["vs"]) for c in comps]
+            if ncomp == 3 and samp not in ([(1, 1)] * 3,
+                                           [(2, 2), (1, 1), (1, 1)]):
+                raise NotImplementedError(f"sampling {samp}")
+            if ncomp == 1 and samp != [(1, 1)]:
+                raise NotImplementedError(f"sampling {samp}")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)"
@@ -782,43 +943,81 @@ def decode_jpeg_pixels(b: bytes) -> dict:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG")
+            by_id = {c["id"]: c for c in comps}
+            for si in range(ns):
+                cid, sel = body[1 + 2 * si], body[2 + 2 * si]
+                by_id[cid]["dc"], by_id[cid]["ac"] = sel >> 4, sel & 0x0F
             break
     else:
         raise ValueError("no SOS marker")
 
-    quant = np.array(qtabs[qsel])
-    dct, act = htabs[(0, dc_sel)], htabs[(1, ac_sel)]
-    bh, bw = -(-h // 8), -(-w // 8)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     r = _JpegBitReader(b, pos)
-    coef = np.zeros((bh * bw, 64))
-    pred = 0
-    for i in range(bh * bw):
-        t = r.read_huff(dct)
-        pred += _extend(r.read(t), t)
-        coef[i, 0] = pred
-        k = 1
-        while k < 64:
-            rs = r.read_huff(act)
-            run, t = rs >> 4, rs & 0x0F
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            coef[i, k] = _extend(r.read(t), t)
-            k += 1
-    deq = (coef * quant)[:, np.argsort(_ZIGZAG)].reshape(-1, 8, 8)
+    # per-component coefficient planes in MCU-block layout
+    coef = {c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64))
+            for c in comps}
+    pred = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                dct = htabs[(0, c["dc"])]
+                act = htabs[(1, c["ac"])]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        blk = np.zeros(64)
+                        t = r.read_huff(dct)
+                        pred[c["id"]] += _extend(r.read(t), t)
+                        blk[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = r.read_huff(act)
+                            run, t = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow")
+                            blk[k] = _extend(r.read(t), t)
+                            k += 1
+                        coef[c["id"]][my * c["vs"] + by,
+                                      mx * c["hs"] + bx] = blk
     m = _dct_matrix()
-    px = np.einsum("ji,bjk,kl->bil", m, deq, m) + 128.0
-    px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
-    full = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
-        bh * 8, bw * 8)
-    return {"width": w, "height": h, "channels": 1,
-            "pixels": full[:h, :w].tobytes()}
+    planes = []
+    for c in comps:
+        quant = np.array(qtabs[c["qsel"]])
+        ch, cw = coef[c["id"]].shape[:2]
+        deq = (coef[c["id"]].reshape(-1, 64)
+               * quant)[:, np.argsort(_ZIGZAG)].reshape(-1, 8, 8)
+        px = np.einsum("ji,bjk,kl->bil", m, deq, m) + 128.0
+        px = np.clip(np.rint(px), 0, 255).astype(np.int64)
+        plane = px.reshape(ch, cw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            ch * 8, cw * 8)
+        # replicate up to full resolution, crop to image
+        plane = np.repeat(np.repeat(plane, vmax // c["vs"], axis=0),
+                          hmax // c["hs"], axis=1)[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return {"width": w, "height": h, "channels": 1,
+                "pixels": planes[0].astype(np.uint8).tobytes()}
+    y, cb, cr = planes
+    # vectorized twin of ycbcr_to_rgb_int (same bias-floor arithmetic)
+    rr = y + (((91881 * (cr - 128) + 32768) + _FX_BIAS) >> 16) - _FX_POST
+    gg = y + (((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+               + _FX_BIAS) >> 16) - _FX_POST
+    bb = y + (((116130 * (cb - 128) + 32768) + _FX_BIAS) >> 16) - _FX_POST
+    rgb = np.clip(np.stack([rr, gg, bb], axis=2), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 3,
+            "pixels": rgb.tobytes()}
 
 
 def pixel_stats(b: bytes) -> dict | None:
@@ -1164,6 +1363,80 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         run, "media_id long, payload binary")
+
+
+def synth_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL baseline 4:2:0 COLOR JPEG payloads.  Images
+    are MCU-constant (16x16 blocks of one RGB color, derived
+    arithmetically from media_id), so the lossy codec round-trips the
+    integer-YCbCr-projected colors EXACTLY and an external engine can
+    state per-channel pixel sums in closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                nx, ny = 1 + mid % 4, 1 + (mid * 3) % 4
+                payloads.append(synth_jpeg_color(
+                    16 * nx, 16 * ny,
+                    lambda x, y, m=mid: (
+                        (m + 7 * (x // 16) + 13 * (y // 16)) % 256,
+                        (m * 3 + 11 * (x // 16) + 5 * (y // 16)) % 256,
+                        (m * 5 + 3 * (x // 16) + 17 * (y // 16)) % 256)))
+            yield pd.DataFrame({
+                "media_id": pd.array([int(m) for m in pdf["doc_id"]],
+                                     dtype="int64"),
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary")
+
+
+CHANNEL_SUM_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+])
+
+
+def color_channel_sums(media: DataFrame) -> DataFrame:
+    """Exact per-channel pixel sums from REAL container decode
+    (Arrow-batched mapInPandas); grayscale payloads report the same
+    sum in all three channels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "channels": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_pixels(bytes(payload))
+                w, h, ch = d["width"], d["height"], d["channels"]
+                px = np.frombuffer(d["pixels"][:w * h * ch],
+                                   np.uint8).reshape(h, w, ch)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                if ch == 1:
+                    sums = [int(sums[0])] * 3
+                elif ch >= 3:
+                    sums = [int(sums[0]), int(sums[1]), int(sums[2])]
+                out["media_id"].append(int(media_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["r_sum"].append(sums[0])
+                out["g_sum"].append(sums[1])
+                out["b_sum"].append(sums[2])
+            yield pd.DataFrame({k: pd.array(v, dtype="int64")
+                                for k, v in out.items()})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, CHANNEL_SUM_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -285,3 +285,83 @@ def test_mp4_demux_synth_roundtrip():
         assert len(ss) == nf
         assert all(s == struct.pack(">I", (seed + i) & 0xFFFFFFFF)
                    for i, s in enumerate(ss))
+
+
+# --------------------------------------------------- color JPEG
+
+def _mcu_color(mid, mx, my):
+    return ((mid + 7 * mx + 13 * my) % 256,
+            (mid * 3 + 11 * mx + 5 * my) % 256,
+            (mid * 5 + 3 * mx + 17 * my) % 256)
+
+
+def test_jpeg_color_mcu_constant_exact():
+    """MCU-constant color images survive the 4:2:0 codec EXACTLY at
+    the integer-YCbCr projection of the input color."""
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (decode_jpeg_pixels,
+                                                  rgb_to_ycbcr_int,
+                                                  synth_jpeg_color,
+                                                  ycbcr_to_rgb_int)
+
+    for mid in (0, 13, 77, 200, 255):
+        w, h = 16 * (1 + mid % 4), 16 * (1 + (mid * 3) % 4)
+        fn = lambda x, y, m=mid: _mcu_color(m, x // 16, y // 16)
+        d = decode_jpeg_pixels(synth_jpeg_color(w, h, fn))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        px = np.frombuffer(d["pixels"], np.uint8).reshape(h, w, 3)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                want = ycbcr_to_rgb_int(
+                    *rgb_to_ycbcr_int(*_mcu_color(mid, mx, my)))
+                blk = px[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+                assert (blk == want).all(), (mid, mx, my)
+
+
+def test_jpeg_color_444_and_420_bounded_error():
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (decode_jpeg_pixels,
+                                                  synth_jpeg_color)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24, 3))
+    fn = lambda x, y: tuple(int(v) for v in img[y, x])
+    d = decode_jpeg_pixels(synth_jpeg_color(24, 16, fn, subsample=False))
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(16, 24, 3).astype(int)
+    # 4:4:4 stays within DCT quantization error on pure noise
+    assert np.abs(px - img).max() <= 48
+    # for 4:2:0, use a chroma-aligned image (2x2-constant cells) so
+    # the subsample is lossless and the same bound applies
+    img2 = np.repeat(np.repeat(rng.integers(0, 256, (8, 12, 3)),
+                               2, axis=0), 2, axis=1)
+    fn2 = lambda x, y: tuple(int(v) for v in img2[y, x])
+    d = decode_jpeg_pixels(synth_jpeg_color(24, 16, fn2, subsample=True))
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(16, 24, 3).astype(int)
+    assert np.abs(px - img2).max() <= 48
+
+
+def test_jpeg_color_odd_size_crop_and_gray_compat():
+    from octofludb_spark.scale.multimodal import (decode_jpeg_pixels,
+                                                  synth_jpeg,
+                                                  synth_jpeg_color)
+
+    d = decode_jpeg_pixels(synth_jpeg_color(
+        37, 21, lambda x, y: (x % 256, y % 256, (x + y) % 256)))
+    assert (d["width"], d["height"], d["channels"]) == (37, 21, 3)
+    g = decode_jpeg_pixels(synth_jpeg(40, 24, lambda x, y: (x + y) % 256))
+    assert g["channels"] == 1
+
+
+def test_ycbcr_int_transforms_pinned():
+    """The fixed-point transforms the oracle replays — pin a few
+    values so a coefficient change cannot slip through silently."""
+    from octofludb_spark.scale.multimodal import (rgb_to_ycbcr_int,
+                                                  ycbcr_to_rgb_int)
+
+    assert rgb_to_ycbcr_int(0, 0, 0) == (0, 128, 128)
+    assert rgb_to_ycbcr_int(255, 255, 255) == (255, 128, 128)
+    assert ycbcr_to_rgb_int(128, 128, 128) == (128, 128, 128)
+    assert rgb_to_ycbcr_int(255, 0, 0) == (76, 85, 255)
+    assert ycbcr_to_rgb_int(76, 85, 255) == (254, 0, 0)
