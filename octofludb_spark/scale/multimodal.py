@@ -143,9 +143,10 @@ def _wav_info(b: bytes) -> dict:
         size = struct.unpack_from("<I", b, pos + 4)[0]
         pos += 8
         if cid == b"fmt ":
-            _fmt, ch, sr = struct.unpack_from("<HHI", b, pos)
+            fmt_tag, ch, sr = struct.unpack_from("<HHI", b, pos)
             bits = struct.unpack_from("<H", b, pos + 14)[0]
-            info.update(n_channels=ch, sample_rate=sr, bits=bits)
+            info.update(fmt_tag=fmt_tag, n_channels=ch, sample_rate=sr,
+                        bits=bits)
         elif cid == b"data":
             info["data_bytes"] = size
         pos += size + (size & 1)  # chunks are word-aligned
@@ -494,12 +495,20 @@ def decode_gif_pixels(b: bytes) -> dict:
 
 
 def decode_wav_samples(b: bytes) -> dict:
-    """16-bit PCM WAV -> {n_channels, sample_rate, n_samples,
-    samples}: the data chunk parsed as signed little-endian int16s
-    (all channels interleaved, in file order)."""
+    """Integer PCM WAV -> {n_channels, sample_rate, n_samples, bits,
+    samples}: the data chunk parsed as signed samples in file order
+    (all channels interleaved).  8-bit (unsigned per spec, shifted to
+    signed), 16-bit, 24-bit (3-byte little-endian two's-complement)
+    and 32-bit int PCM are decoded; float PCM (fmt tag 3) raises —
+    float samples are not integer-exact, which every oracle here
+    relies on."""
     info = _wav_info(b)
-    if info["bits"] != 16:
-        raise NotImplementedError(f"{info['bits']}-bit WAV")
+    bits = info["bits"]
+    if info.get("fmt_tag", 1) != 1:
+        raise NotImplementedError(
+            f"WAV fmt tag {info['fmt_tag']} (only integer PCM)")
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"{bits}-bit WAV")
     pos, data = 12, b""
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
@@ -508,11 +517,22 @@ def decode_wav_samples(b: bytes) -> dict:
             data = b[pos + 8:pos + 8 + size]
             break
         pos += 8 + size + (size & 1)
-    n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[:2 * n])
+    step = bits // 8
+    n = len(data) // step
+    if bits == 8:  # spec: 8-bit PCM is UNSIGNED
+        samples = tuple(v - 128 for v in data[:n])
+    elif bits == 16:
+        samples = struct.unpack(f"<{n}h", data[:2 * n])
+    elif bits == 32:
+        samples = struct.unpack(f"<{n}i", data[:4 * n])
+    else:  # 24-bit: sign-extend each 3-byte little-endian group
+        samples = tuple(
+            int.from_bytes(data[i:i + 3], "little", signed=True)
+            for i in range(0, 3 * n, 3))
     return {"n_channels": info["n_channels"],
             "sample_rate": info["sample_rate"],
-            "n_samples": info["n_samples"], "samples": samples}
+            "n_samples": info["n_samples"], "bits": bits,
+            "samples": samples}
 
 
 # ------------------------------------------------- baseline JPEG codec
@@ -612,6 +632,12 @@ class _JpegBitWriter:
         if self.nbits:
             self.write(0x7F, 7 - ((self.nbits + 7) % 8))  # pad with 1s
         return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit the RSTm marker (unstuffed)."""
+        if self.nbits:
+            self.write(0x7F, 7 - ((self.nbits + 7) % 8))
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
 
 
 def _amp_bits(v: int) -> tuple[int, int]:
@@ -722,7 +748,8 @@ def _encode_block(w: "_JpegBitWriter", zz, pred: int,
 
 
 def synth_jpeg_color(width: int, height: int, rgb_fn=None,
-                     quant: int = 8, subsample: bool = True) -> bytes:
+                     quant: int = 8, subsample: bool = True,
+                     restart_interval: int = 0) -> bytes:
     """A real baseline COLOR JPEG (3-component YCbCr, 4:2:0 when
     ``subsample`` else 4:4:4): integer BT.601 color transform
     (rgb_to_ycbcr_int — exact, engine-replayable), chroma box-mean
@@ -775,8 +802,15 @@ def synth_jpeg_color(width: int, height: int, rgb_fn=None,
     w = _JpegBitWriter()
     pred = {1: 0, 2: 0, 3: 0}
     inv_zz = _ZIGZAG
+    mcu_i = rst_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                w.restart(rst_i)
+                rst_i += 1
+                pred = {1: 0, 2: 0, 3: 0}
+            mcu_i += 1
             for by in range(vs):
                 for bx in range(hs):
                     zz = cy[my * vs + by, mx * hs + bx].reshape(64)[inv_zz]
@@ -797,11 +831,14 @@ def synth_jpeg_color(width: int, height: int, rgb_fn=None,
     sof = (struct.pack(">BHHB", 8, height, width, 3)
            + bytes([1, hv, 0, 2, 0x11, 0, 3, 0x11, 0]))
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (b"\xff\xd8"
             + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + seg(0xDB, bytes([0x00]) + qtab)
             + seg(0xC0, sof)
             + seg(0xC4, dht)
+            + dri
             + seg(0xDA, sos)
             + w.flush() + b"\xff\xd9")
 
@@ -842,6 +879,18 @@ class _JpegBitReader:
             if (code, length) in table:
                 return table[(code, length)]
         raise ValueError("invalid Huffman code in entropy data")
+
+    def expect_rst(self, m: int) -> None:
+        """Consume the byte-aligned RSTm marker at a restart boundary
+        (drops any partial pad bits first, per T.81)."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.b[self.pos] != 0xFF
+                or self.b[self.pos + 1] != 0xD0 + (m % 8)):
+            raise ValueError(
+                f"expected RST{m % 8} at restart boundary, got "
+                f"{self.b[self.pos:self.pos + 2]!r}")
+        self.pos += 2
 
 
 def _extend(r: int, t: int) -> int:
@@ -891,6 +940,7 @@ def decode_jpeg_pixels(b: bytes) -> dict:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
     w = h = 0
+    restart_interval = 0  # MCUs between RST markers (DRI), 0 = none
     comps: list[dict] = []  # {id, hs, vs, qsel, dc, ac} in SOF order
     pos = 2
     while pos < len(b):
@@ -941,7 +991,7 @@ def decode_jpeg_pixels(b: bytes) -> dict:
                 htabs[(cls, tid)] = {(c, n): v for (c, n), v in inv.items()}
                 o += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps):
@@ -963,8 +1013,15 @@ def decode_jpeg_pixels(b: bytes) -> dict:
     coef = {c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64))
             for c in comps}
     pred = {c["id"]: 0 for c in comps}
+    mcu_i = rst_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                r.expect_rst(rst_i)
+                rst_i += 1
+                pred = {c["id"]: 0 for c in comps}
+            mcu_i += 1
             for c in comps:
                 dct = htabs[(0, c["dc"])]
                 act = htabs[(1, c["ac"])]
@@ -1192,17 +1249,29 @@ def decode_pixels(b: bytes) -> dict:
 
 
 def synth_wav(n_channels: int, sample_rate: int, n_samples: int,
-              sample_fn=None) -> bytes:
-    """A valid 16-bit PCM WAV.  ``sample_fn(j) -> int16`` sets the
-    j-th interleaved sample value (all channels, file order); default
-    is silence."""
+              sample_fn=None, bits: int = 16) -> bytes:
+    """A valid integer-PCM WAV (8/16/24/32-bit).  ``sample_fn(j) ->
+    signed int`` sets the j-th interleaved sample value (all channels,
+    file order); default is silence.  8-bit is stored unsigned per the
+    spec (value + 128)."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported bit depth {bits}")
     n = n_samples * n_channels
-    if sample_fn is None:
-        data = bytes(n * 2)
+    vals = [0] * n if sample_fn is None else [sample_fn(j)
+                                              for j in range(n)]
+    if bits == 8:
+        data = bytes(v + 128 for v in vals)
+    elif bits == 16:
+        data = struct.pack(f"<{n}h", *vals)
+    elif bits == 32:
+        data = struct.pack(f"<{n}i", *vals)
     else:
-        data = struct.pack(f"<{n}h", *(sample_fn(j) for j in range(n)))
+        data = b"".join(v.to_bytes(3, "little", signed=True)
+                        for v in vals)
+    step = bits // 8
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
-                      sample_rate * n_channels * 2, n_channels * 2, 16)
+                      sample_rate * n_channels * step,
+                      n_channels * step, bits)
     return (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
             + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)

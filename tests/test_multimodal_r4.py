@@ -365,3 +365,58 @@ def test_ycbcr_int_transforms_pinned():
     assert ycbcr_to_rgb_int(128, 128, 128) == (128, 128, 128)
     assert rgb_to_ycbcr_int(255, 0, 0) == (76, 85, 255)
     assert ycbcr_to_rgb_int(76, 85, 255) == (254, 0, 0)
+
+
+# ------------------------------------- restart intervals + WAV depths
+
+def test_jpeg_restart_intervals_decode_identical():
+    """DRI/RSTn handling: a file with restart markers decodes to the
+    SAME pixels as the same image without them (predictors reset and
+    byte alignment honoured at every boundary)."""
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (decode_jpeg_pixels,
+                                                  synth_jpeg_color)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3))
+    fn = lambda x, y: tuple(int(v) for v in img[y, x])
+    plain = decode_jpeg_pixels(synth_jpeg_color(48, 32, fn))
+    for ri in (1, 2, 5):
+        assert decode_jpeg_pixels(
+            synth_jpeg_color(48, 32, fn, restart_interval=ri)) == plain
+
+
+def test_jpeg_missing_rst_marker_rejected():
+    from octofludb_spark.scale.multimodal import (decode_jpeg_pixels,
+                                                  synth_jpeg_color)
+
+    b = bytearray(synth_jpeg_color(48, 32, restart_interval=2))
+    at = bytes(b).find(b"\xff\xd0")  # first RST0
+    b[at + 1] = 0xD4  # wrong restart ordinal
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_pixels(bytes(b))
+
+
+def test_wav_bit_depths_roundtrip():
+    from octofludb_spark.scale.multimodal import (decode_wav_samples,
+                                                  synth_wav)
+
+    for bits, lo, hi in [(8, -128, 127), (16, -32768, 32767),
+                         (24, -(1 << 23), (1 << 23) - 1),
+                         (32, -(1 << 31), (1 << 31) - 1)]:
+        vals = [lo, hi, 0, -1, 1, lo // 3, hi // 7]
+        d = decode_wav_samples(synth_wav(1, 8000, len(vals),
+                                         lambda j: vals[j], bits=bits))
+        assert d["bits"] == bits and list(d["samples"]) == vals
+
+
+def test_wav_float_pcm_rejected():
+    from octofludb_spark.scale.multimodal import (decode_wav_samples,
+                                                  synth_wav)
+
+    b = bytearray(synth_wav(1, 8000, 4, bits=32))
+    at = bytes(b).find(b"fmt ") + 8
+    struct.pack_into("<H", b, at, 3)  # fmt tag 3 = IEEE float
+    with pytest.raises(NotImplementedError, match="fmt tag 3"):
+        decode_wav_samples(bytes(b))
