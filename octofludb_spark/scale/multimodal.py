@@ -213,6 +213,10 @@ def _jpeg_dims(b: bytes) -> tuple[int, int]:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace passes as (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
 
 def _png_unfilter(ftype: int, cur: bytearray, prev: bytes,
                   bpp: int) -> bytearray:
@@ -248,9 +252,10 @@ def _png_unfilter(ftype: int, cur: bytearray, prev: bytes,
 def decode_png_pixels(b: bytes) -> dict:
     """Full stdlib PNG decode -> {width, height, channels, pixels}.
     Handles 8-bit depth, color types 0/2/3/4/6 (palette expanded to
-    RGB), non-interlaced — the deflate stream is reassembled from all
-    IDAT chunks, inflated, and every scanline unfiltered.  16-bit and
-    Adam7 raise NotImplementedError (honest scope, not silent junk)."""
+    RGB), plain AND Adam7-interlaced — the deflate stream is
+    reassembled from all IDAT chunks, inflated, and every scanline
+    unfiltered (per pass for Adam7, then scattered).  16-bit raises
+    NotImplementedError (honest scope, not silent junk)."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, idat, plte, hdr = 8, [], None, None
@@ -273,26 +278,52 @@ def decode_png_pixels(b: bytes) -> dict:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace}: only 8-bit "
-            "non-interlaced is decoded here")
+            "is decoded here")
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         raise ValueError(f"bad PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    prev = bytes(stride)
-    rows = []
-    for y in range(h):
-        off = y * (stride + 1)
-        line = _png_unfilter(raw[off], bytearray(raw[off + 1:off + 1 + stride]),
-                             prev, ch)
-        prev = bytes(line)
-        rows.append(prev)
-    pixels = b"".join(rows)
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        prev = bytes(stride)
+        rows = []
+        for y in range(h):
+            off = y * (stride + 1)
+            line = _png_unfilter(
+                raw[off], bytearray(raw[off + 1:off + 1 + stride]),
+                prev, ch)
+            prev = bytes(line)
+            rows.append(prev)
+        pixels = b"".join(rows)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        out = bytearray(w * h * ch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * ch
+            prev = bytes(stride)
+            for ry in range(ph):
+                line = _png_unfilter(
+                    raw[off], bytearray(raw[off + 1:off + 1 + stride]),
+                    prev, ch)
+                off += stride + 1
+                prev = bytes(line)
+                y = y0 + ry * dy
+                for rx in range(pw):
+                    x = x0 + rx * dx
+                    o = (y * w + x) * ch
+                    out[o:o + ch] = line[rx * ch:(rx + 1) * ch]
+        if off != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
+        pixels = bytes(out)
     if ctype == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -437,11 +468,18 @@ def _lzw_decode(data: bytes, min_code: int) -> bytes:
         # just keeps reading at the capped 12-bit width until it does
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF 4-pass interlace: the actual row index of each stored
+    data row, in storage order."""
+    return ([*range(0, h, 8)] + [*range(4, h, 8)]
+            + [*range(2, h, 4)] + [*range(1, h, 2)])
+
+
 def decode_gif_pixels(b: bytes) -> dict:
     """Full stdlib GIF decode -> {width, height, channels, n_frames,
     pixels}: every frame's LZW stream inflated, indices mapped through
-    the active color table to RGB bytes (frames concatenated).
-    Interlaced frames raise NotImplementedError."""
+    the active color table to RGB bytes (frames concatenated);
+    interlaced frames are de-interlaced (4-pass row scatter)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh = struct.unpack_from("<HH", b, 6)
@@ -471,8 +509,7 @@ def decode_gif_pixels(b: bytes) -> dict:
             n = 2 << (lpacked & 0x07)
             lct = b[pos:pos + 3 * n]
             pos += 3 * n
-        if lpacked & 0x40:
-            raise NotImplementedError("interlaced GIF frames")
+        interlaced = bool(lpacked & 0x40)
         min_code = b[pos]
         pos += 1
         data = bytearray()
@@ -488,6 +525,12 @@ def decode_gif_pixels(b: bytes) -> dict:
             raise ValueError("GIF frame pixel data short")
         if lct is None:
             raise ValueError("GIF frame without a color table")
+        if interlaced:  # data rows arrive in 4-pass order; scatter
+            idx = idx[:fw * fh]
+            deinter: list = [None] * fh
+            for k, y in enumerate(_gif_interlace_order(fh)):
+                deinter[y] = idx[k * fw:(k + 1) * fw]
+            idx = b"".join(deinter)
         frames.append(b"".join(
             lct[3 * i:3 * i + 3] for i in idx[:fw * fh]))
     return {"width": sw, "height": sh, "channels": 3,
@@ -1152,23 +1195,42 @@ def _png_filter(ftype: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def synth_png(width: int, height: int, pixel_fn=None) -> bytes:
+def synth_png(width: int, height: int, pixel_fn=None,
+              interlace: bool = False) -> bytes:
     """A valid 8-bit grayscale PNG (zlib-deflated, correct CRCs) —
     fully real, viewable bytes.  ``pixel_fn(x, y) -> 0..255`` sets the
     gray value and rows cycle through all five scanline filter types
     (so a decode-side filter bug cannot pass); default is zero pixels
-    with filter 0."""
+    with filter 0.  ``interlace`` writes a real Adam7 file (seven
+    independently-filtered passes)."""
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    if pixel_fn is None:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0,
+                       1 if interlace else 0)
+    px = pixel_fn or (lambda x, y: 0)
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = bytes(pw)
+            for ry in range(ph):
+                cur = bytes(px(x0 + rx * dx, y0 + ry * dy) & 0xFF
+                            for rx in range(pw))
+                ft = ry % 5
+                lines.append(bytes([ft]) + _png_filter(ft, cur, prev, 1))
+                prev = cur
+        raw = b"".join(lines)
+    elif pixel_fn is None:
         raw = (b"\x00" + b"\x00" * width) * height  # filter 0 + pixels
     else:
         lines, prev = [], bytes(width)
         for y in range(height):
-            cur = bytes(pixel_fn(x, y) & 0xFF for x in range(width))
+            cur = bytes(px(x, y) & 0xFF for x in range(width))
             ft = y % 5
             lines.append(bytes([ft]) + _png_filter(ft, cur, prev, 1))
             prev = cur
@@ -1278,18 +1340,22 @@ def synth_wav(n_channels: int, sample_rate: int, n_samples: int,
 
 
 def synth_gif(width: int, height: int, n_frames: int,
-              index_fn=None) -> bytes:
+              index_fn=None, interlace: bool = False) -> bytes:
     """A valid multi-frame GIF89a: 2-entry global color table (black,
     white) and genuinely LZW-compressed frames.  ``index_fn(x, y, f)
     -> 0|1`` sets the palette index of pixel (x, y) in frame f;
-    default all-black frames."""
+    default all-black frames.  ``interlace`` stores rows in the real
+    4-pass order with the descriptor flag set."""
     out = [b"GIF89a", struct.pack("<HHBBB", width, height, 0x80, 0, 0),
            b"\x00\x00\x00\xff\xff\xff"]  # 2-entry GCT
+    row_order = (_gif_interlace_order(height) if interlace
+                 else range(height))
     for f in range(n_frames):
-        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                         0x40 if interlace else 0))
         idx = bytes(
             (index_fn(x, y, f) & 1) if index_fn else 0
-            for y in range(height) for x in range(width))
+            for y in row_order for x in range(width))
         lzw = _lzw_encode(idx, 2)  # GIF minimum code size floor is 2
         out.append(b"\x02")
         for i in range(0, len(lzw), 255):

@@ -420,3 +420,37 @@ def test_wav_float_pcm_rejected():
     struct.pack_into("<H", b, at, 3)  # fmt tag 3 = IEEE float
     with pytest.raises(NotImplementedError, match="fmt tag 3"):
         decode_wav_samples(bytes(b))
+
+
+# ------------------------------------------- interlaced PNG and GIF
+
+def test_adam7_png_equals_plain():
+    """Real Adam7 files (seven independently-filtered passes, filters
+    cycling within each pass) decode pixel-identical to the plain
+    encoding — including widths/heights below one pass cell."""
+    from octofludb_spark.scale.multimodal import (decode_png_pixels,
+                                                  synth_png)
+
+    rng = random.Random(9)
+    for _ in range(30):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 40)
+        grid = [[rng.randrange(256) for _ in range(w)]
+                for _ in range(h)]
+        fn = lambda x, y: grid[y][x]
+        assert (decode_png_pixels(synth_png(w, h, fn, interlace=True))
+                == decode_png_pixels(synth_png(w, h, fn)))
+
+
+def test_interlaced_gif_equals_plain():
+    from octofludb_spark.scale.multimodal import (decode_gif_pixels,
+                                                  synth_gif)
+
+    rng = random.Random(10)
+    for _ in range(15):
+        w = rng.randrange(1, 30)
+        h = rng.randrange(1, 30)
+        nf = rng.randrange(1, 4)
+        fn = lambda x, y, f: (x + y + f) % 2
+        assert (decode_gif_pixels(synth_gif(w, h, nf, fn,
+                                            interlace=True))
+                == decode_gif_pixels(synth_gif(w, h, nf, fn)))

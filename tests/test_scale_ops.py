@@ -615,7 +615,7 @@ def test_png_pixel_decode_all_filters_and_types():
     """Full stdlib PNG pixel decode: a gradient image synthesized with
     all five scanline filters round-trips bit-exactly, and hand-built
     RGB / palette / gray+alpha / RGBA containers decode to the exact
-    channel bytes.  16-bit and interlaced raise (honest scope)."""
+    channel bytes.  16-bit raises (honest scope); Adam7 decodes."""
     import struct as S
     import zlib as Z
 
@@ -664,11 +664,12 @@ def test_png_pixel_decode_all_filters_and_types():
     rgba = bytes(range(8))
     assert decode_png_pixels(png(2, 1, 8, 6, b"\x00" + rgba))["pixels"] == rgba
 
-    # honest failures: 16-bit, Adam7, corrupted CRC
+    # honest failure: 16-bit; corrupted CRC rejected; Adam7 now
+    # DECODES (a 1x1 interlaced image is a single pass-1 pixel)
     with pytest.raises(NotImplementedError):
         decode_png_pixels(png(1, 1, 16, 0, b"\x00\x00\x00"))
-    with pytest.raises(NotImplementedError):
-        decode_png_pixels(png(1, 1, 8, 0, b"\x00\x00", interlace=1))
+    assert decode_png_pixels(
+        png(1, 1, 8, 0, b"\x00\x07", interlace=1))["pixels"] == b"\x07"
     bad = bytearray(synth_png(4, 4, fn))
     bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
     with pytest.raises(ValueError):
