@@ -465,7 +465,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "attribution", "skew", "cooccurrence", "centroids",
               "bpe-train", "bpe-tokens", "pack",
               "mp4-info", "mp4-samples", "audio-features", "image-dhash",
-              "dhash-neardup", "shard-shuffle", "mix-epochs")
+              "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
+              "avi-frames")
 
 
 def cmd_scale(args) -> int:
@@ -599,6 +600,12 @@ def cmd_scale(args) -> int:
     elif args.op == "image-dhash":
         from octofludb_spark.scale.multimodal import image_dhash
         out = image_dhash(docs)
+    elif args.op == "kmeans":
+        from octofludb_spark.scale.simsearch import kmeans_lloyd
+        out = kmeans_lloyd(docs, k=args.k, iters=args.iters)["assign"]
+    elif args.op == "avi-frames":
+        from octofludb_spark.scale.multimodal import avi_frame_color_sums
+        out = avi_frame_color_sums(docs, stride=args.stride)
     elif args.op == "dhash-neardup":
         from octofludb_spark.scale.multimodal import (dhash_near_pairs,
                                                       image_dhash)
@@ -857,6 +864,10 @@ def main(argv=None) -> int:
                      help="mix-epochs: integer domain weights d:w,...")
     sca.add_argument("--hamming", type=int, default=3,
                      help="dhash-neardup: max hamming distance (of 64)")
+    sca.add_argument("--iters", type=int, default=3,
+                     help="kmeans: Lloyd rounds")
+    sca.add_argument("--stride", type=int, default=1,
+                     help="avi-frames: decode every stride-th frame")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)

@@ -4747,6 +4747,177 @@ def text_mix_epochs(spark, sf):
     return TX.mix_epochs(t(spark, sf, "documents"), _MIX_WEIGHTS)
 
 
+_KMEANS_TRAJ_SQL = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings),
+c1 AS (
+  SELECT CAST(s.rn - 1 AS BIGINT) AS cid, q.pos, q.qv AS cv
+  FROM (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+        FROM embeddings) s
+  JOIN q ON q.vec_id = s.vec_id
+  WHERE s.rn <= 8),
+a1 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c1 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+c2 AS (
+  SELECT a.cid, q.pos, SUM(q.qv) // COUNT(*) AS cv
+  FROM a1 a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c2 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+c3 AS (
+  SELECT a.cid, q.pos, SUM(q.qv) // COUNT(*) AS cv
+  FROM a2 a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+a3 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c3 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+SELECT CAST(1 AS BIGINT) AS iter, cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS tot_dist
+FROM a1 GROUP BY cid
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS iter, cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS tot_dist
+FROM a2 GROUP BY cid
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS iter, cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS tot_dist
+FROM a3 GROUP BY cid
+"""
+
+_KMEANS_ASSIGN_SQL = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings),
+c1 AS (
+  SELECT CAST(s.rn - 1 AS BIGINT) AS cid, q.pos, q.qv AS cv
+  FROM (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+        FROM embeddings) s
+  JOIN q ON q.vec_id = s.vec_id
+  WHERE s.rn <= 8),
+a1 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c1 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+c2 AS (
+  SELECT a.cid, q.pos, SUM(q.qv) // COUNT(*) AS cv
+  FROM a1 a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c2 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+c3 AS (
+  SELECT a.cid, q.pos, SUM(q.qv) // COUNT(*) AS cv
+  FROM a2 a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+a3 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+    FROM q JOIN c3 c ON q.pos = c.pos GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, cid, CAST(dist AS BIGINT) AS dist FROM a3
+"""
+
+
+@q("embedding_kmeans", _KMEANS_TRAJ_SQL)
+def embedding_kmeans_gate(spark, sf):
+    """Distributed Lloyd k-means (scale/simsearch.kmeans_lloyd, k=8,
+    3 rounds) — WHOLE trajectory value-hashed: per round and cluster,
+    member count and exact-BIGINT total squared distance.  Seeds are
+    the k smallest md5('km:'||vec_id); assignment is a map-side
+    projection (centroid state rides along as a literal — the same
+    bounded-driver-state shape as the BPE merge table); update is
+    integer truncating division.  Any mis-assignment at any round
+    anywhere changes the hash.  The oracle unrolls all three rounds
+    as CTEs over the exploded micro-unit table."""
+    out = S.kmeans_lloyd(t(spark, sf, "embeddings"), k=8, iters=3)
+    return out["trajectory"]
+
+
+@q("embedding_kmeans_assign", _KMEANS_ASSIGN_SQL)
+def embedding_kmeans_assign_gate(spark, sf):
+    """Final-round k-means assignment (vec_id, cid, exact squared
+    distance) — every vector's cluster membership value-hashed.  The
+    returned plan is map-side only: the final centroid literal is
+    baked in, so lineage is shallow (no recursion into prior rounds).
+    """
+    out = S.kmeans_lloyd(t(spark, sf, "embeddings"), k=8, iters=3)
+    return out["assign"]
+
+
+@q("multimodal_video_frames", """
+WITH p AS (SELECT doc_id,
+                  CAST(1 + doc_id % 3 AS BIGINT) AS nx,
+                  CAST(1 + (doc_id * 3) % 3 AS BIGINT) AS ny,
+                  CAST(1 + doc_id % 6 AS BIGINT) AS nf
+           FROM documents),
+     mcu AS (SELECT doc_id, nx, ny, fr.f, gx.mx, gy.my,
+                    (doc_id + 29 * fr.f + 7 * gx.mx + 13 * gy.my) % 256 AS r,
+                    (doc_id * 3 + 23 * fr.f + 11 * gx.mx + 5 * gy.my) % 256 AS g,
+                    (doc_id * 5 + 19 * fr.f + 3 * gx.mx + 17 * gy.my) % 256 AS b
+             FROM p, range(0, 6) fr(f), range(0, 3) gx(mx), range(0, 3) gy(my)
+             WHERE fr.f < nf AND gx.mx < nx AND gy.my < ny),
+     ycc AS (SELECT *,
+             LEAST(255, GREATEST(0,
+               (19595*r + 38470*g + 7471*b + 32768) // 65536)) AS y,
+             LEAST(255, GREATEST(0,
+               128 + (-11059*r - 21710*g + 32768*b + 32768
+                      + 33554432) // 65536 - 512)) AS cb,
+             LEAST(255, GREATEST(0,
+               128 + (32768*r - 27439*g - 5329*b + 32768
+                      + 33554432) // 65536 - 512)) AS cr
+             FROM mcu),
+     rgb AS (SELECT doc_id, f, nx, ny,
+             LEAST(255, GREATEST(0,
+               y + (91881*(cr-128) + 32768 + 33554432) // 65536 - 512))
+               AS r2,
+             LEAST(255, GREATEST(0,
+               y + (-22554*(cb-128) - 46802*(cr-128) + 32768
+                    + 33554432) // 65536 - 512)) AS g2,
+             LEAST(255, GREATEST(0,
+               y + (116130*(cb-128) + 32768 + 33554432) // 65536 - 512))
+               AS b2
+             FROM ycc)
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(16 * nx AS BIGINT) AS width,
+       CAST(16 * ny AS BIGINT) AS height,
+       CAST(256 * SUM(r2) AS BIGINT) AS r_sum,
+       CAST(256 * SUM(g2) AS BIGINT) AS g_sum,
+       CAST(256 * SUM(b2) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY 1, 2, 3, 4
+""")
+def multimodal_video_frames(spark, sf):
+    """REAL video -> pixels, hash-oracled end to end: MJPEG AVI files
+    (RIFF writer with honest avih/strh/strf/movi/idx1) are demuxed
+    through a strict cross-checking walker, every frame entropy-
+    decoded + IDCT'd + chroma-upsampled + integer-YCbCr->RGB'd by the
+    baseline JPEG codec, and exact per-frame channel sums emitted.
+    MCU-constant frames survive the lossy path exactly, so DuckDB
+    states each frame's sums in closed form.  A green row proves
+    container demux AND codec, per frame, bit-for-bit — the video
+    analogue of multimodal_jpeg_color."""
+    from octofludb_spark.scale.multimodal import (avi_frame_color_sums,
+                                                  synth_avi_media)
+
+    return avi_frame_color_sums(synth_avi_media(t(spark, sf, "documents")))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

@@ -865,3 +865,157 @@ def embedding_centroids(emb: DataFrame, key: str = "label") -> DataFrame:
             F.expr("s DIV n_vecs").cast("long").alias("centroid_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means in exact fixed-point arithmetic
+# --------------------------------------------------------------------------
+
+KMEANS_MAX_K = 4096  # centroid state collected per round is k*dim longs
+
+
+def _kmeans_cent_lit(cents: list[tuple[int, list[int]]]):
+    """Literal array<struct<cid,cvec>> from collected centroid state.
+
+    Centroids are driver state in every k-means implementation (like
+    the BPE merge table); baking each round's k*dim longs back in as a
+    LITERAL keeps the assignment step a pure map-side projection and —
+    critically — makes every round's plan SHALLOW: lineage never
+    recurses into the previous round."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("long").alias("cid"),
+            F.array(*[F.lit(int(v)).cast("long") for v in cvec]).alias("cvec"),
+        )
+        for cid, cvec in cents
+    ])
+
+
+def _kmeans_assign(q: DataFrame, cents) -> DataFrame:
+    """Map-side assignment: per row, exact integer squared distance to
+    every centroid (zip_with/aggregate — JVM expressions), then the
+    lexicographic array_min of (dist, cid) structs picks the nearest
+    centroid with the deterministic smallest-cid tie-break.  Zero
+    joins, zero shuffles."""
+    return (
+        q.select(
+            "vec_id", "qvec",
+            F.array_min(
+                F.transform(
+                    _kmeans_cent_lit(cents),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("qvec"), c["cvec"],
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("vec_id", "qvec",
+                F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    )
+
+
+def kmeans_lloyd(emb: DataFrame, k: int = 8, iters: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd k-means over an embedding column, EXACT and
+    deterministic end-to-end (the clustering step data-curation
+    pipelines like SemDeDup/DoReMi cluster-and-balance need — float
+    k-means drifts with partition order, this one is bit-identical at
+    any parallelism):
+
+      * components quantized to integer micro-units
+        (floor(x*10^6 + 0.5), the embedding_centroids convention);
+      * seeds = the k vectors with the smallest md5('km:'||vec_id)
+        (RNG-free, replayable in any engine);
+      * assignment = exact BIGINT squared euclidean distance,
+        ties broken by smallest cid — a map-side projection per
+        round (centroids ride along as a literal, no join at all);
+      * update = per-(cid, pos) BIGINT component sums with integer
+        truncating division (order-independent);
+      * empty clusters drop out of later rounds (documented policy,
+        mirrored by the SQL oracle's natural GROUP BY semantics).
+
+    Per round the ONLY shuffles are the two aggregations over the
+    assigned table (k-row stats, k*dim-row centroid update); both
+    collect bounded driver state (guarded by KMEANS_MAX_K), exactly
+    the footprint a 1000-executor run needs.  Squared-distance sums
+    stay far inside BIGINT for micro-unit embeddings (|x|<=2 ->
+    dist <= dim*16e12); the per-cluster tot_dist would want DECIMAL
+    only beyond ~10^5 * dim vectors per cluster at |x|~2.
+
+    Returns a dict:
+      trajectory: DataFrame (iter, cid, n_vecs, tot_dist) — the whole
+        per-round assignment trajectory (any mis-assignment anywhere
+        changes it);
+      assign: DataFrame (vec_id, cid, dist) — final-round assignment,
+        lazily recomputable (map-side) from the final centroid state;
+      centroids: DataFrame (cid, pos, centroid_micro) — post-update
+        centroids of the final round, recomputed distributed.
+    """
+    if k > KMEANS_MAX_K:
+        raise ValueError(f"k={k} exceeds KMEANS_MAX_K={KMEANS_MAX_K}")
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qvec"),
+    )
+    seed_rows = (
+        q.select(
+            "vec_id", "qvec",
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+            .alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [(cid, list(r.qvec)) for cid, r in enumerate(seed_rows)]
+
+    traj_rows: list[tuple[int, int, int, int]] = []
+    last_cents = cents
+    for it in range(1, iters + 1):
+        last_cents = cents
+        assign = _kmeans_assign(q, cents).persist()
+        stats = assign.groupBy("cid").agg(
+            F.count("*").alias("n"), F.sum("dist").alias("td")).collect()
+        traj_rows += [(it, int(r.cid), int(r.n), int(r.td)) for r in stats]
+        newc = (
+            assign.select("cid", F.posexplode("qvec").alias("pos", "qv"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("SUM(qv) DIV COUNT(*)").alias("cv"))
+            .collect()
+        )
+        assign.unpersist()
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in newc:
+            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = int(r.cv)
+        cents = [
+            (cid, [d[p] for p in sorted(d)])
+            for cid, d in sorted(by_cid.items())
+        ]
+
+    trajectory = spark.createDataFrame(
+        traj_rows, "iter long, cid long, n_vecs long, tot_dist long")
+    final_assign = _kmeans_assign(q, last_cents).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "dist")
+    centroids = (
+        _kmeans_assign(q, last_cents)
+        .select("cid", F.posexplode("qvec").alias("pos", "qv"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("SUM(qv) DIV COUNT(*)").alias("centroid_micro"))
+        .select(F.col("cid").cast("long").alias("cid"),
+                F.col("pos").cast("long").alias("pos"),
+                F.col("centroid_micro").cast("long").alias("centroid_micro"))
+    )
+    return {"trajectory": trajectory, "assign": final_assign,
+            "centroids": centroids}

@@ -454,3 +454,119 @@ def test_interlaced_gif_equals_plain():
         assert (decode_gif_pixels(synth_gif(w, h, nf, fn,
                                             interlace=True))
                 == decode_gif_pixels(synth_gif(w, h, nf, fn)))
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) MJPEG: writer/demuxer/frame pixel decode
+# ---------------------------------------------------------------------------
+
+
+def _avi_frames(n, w=32, h=16, seed=0):
+    from octofludb_spark.scale.multimodal import synth_jpeg_color
+
+    return [synth_jpeg_color(w, h, lambda x, y, f=f: (
+        (seed + 29 * f + 7 * (x // 16)) % 256,
+        (seed * 3 + 23 * f) % 256,
+        (seed * 5 + 19 * f + 17 * (y // 16)) % 256)) for f in range(n)]
+
+
+def test_avi_roundtrip_sweep():
+    from octofludb_spark.scale.multimodal import demux_avi, synth_avi
+
+    rnd = random.Random(11)
+    for _ in range(20):
+        nf = rnd.randint(1, 7)
+        w, h = 16 * rnd.randint(1, 3), 16 * rnd.randint(1, 3)
+        frames = _avi_frames(nf, w, h, seed=rnd.randint(0, 255))
+        d = demux_avi(synth_avi(w, h, frames, us_per_frame=40000))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        assert d["handler"] == "MJPG"
+        assert d["frames"] == frames
+
+
+def test_avi_odd_sized_frame_word_alignment():
+    # a frame with an odd byte length forces the RIFF pad byte; the
+    # demuxer must still walk past it and slice the exact payload
+    from octofludb_spark.scale.multimodal import demux_avi, synth_avi
+
+    frames = _avi_frames(3)
+    frames[1] = frames[1] + b"\x00"  # JPEG decoders ignore trailing pad
+    if len(frames[1]) % 2 == 0:
+        frames[1] += b"\x00"
+    assert len(frames[1]) % 2 == 1
+    d = demux_avi(synth_avi(32, 16, frames))
+    assert d["frames"] == frames
+
+
+def test_avi_corruption_raises():
+    from octofludb_spark.scale.multimodal import demux_avi, synth_avi
+
+    avi = synth_avi(32, 16, _avi_frames(2))
+    with pytest.raises(ValueError):
+        demux_avi(avi[:40])  # truncated
+    bad = bytearray(avi)
+    i = avi.index(b"avih")
+    bad[i + 8 + 16:i + 8 + 20] = struct.pack("<I", 99)  # lie: totalFrames
+    with pytest.raises(ValueError):
+        demux_avi(bytes(bad))
+    bad = bytearray(avi)
+    i = avi.index(b"idx1")
+    bad[i + 8 + 8:i + 8 + 12] = struct.pack("<I", 12345)  # lie: idx offset
+    with pytest.raises(ValueError):
+        demux_avi(bytes(bad))
+    with pytest.raises(ValueError):
+        demux_avi(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
+
+
+def test_avi_frame_pixels_exact():
+    # MCU-constant colors survive the MJPEG path exactly: decode each
+    # demuxed frame and compare every pixel to the integer YCbCr
+    # round-trip of the source color.
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (
+        decode_jpeg_pixels, demux_avi, rgb_to_ycbcr_int, synth_avi,
+        ycbcr_to_rgb_int)
+
+    frames = _avi_frames(4, w=16, h=16, seed=9)
+    d = demux_avi(synth_avi(16, 16, frames))
+    for f, payload in enumerate(d["frames"]):
+        px = decode_jpeg_pixels(payload)
+        arr = np.frombuffer(px["pixels"], np.uint8).reshape(16, 16, 3)
+        src = ((9 + 29 * f) % 256, (27 + 23 * f) % 256,
+               (45 + 19 * f) % 256)
+        exp = ycbcr_to_rgb_int(*rgb_to_ycbcr_int(*src))
+        assert (arr == np.array(exp, np.uint8)).all()
+
+
+def test_avi_spark_frame_sums(spark):
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.scale.multimodal import (
+        avi_frame_color_sums, synth_avi_media)
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    out = avi_frame_color_sums(synth_avi_media(docs))
+    rows = out.collect()
+    # frame counts: 1 + doc_id % 6
+    by_mid = {}
+    for r in rows:
+        by_mid.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_mid.items():
+        assert len(rs) == 1 + mid % 6
+        assert rs[0].width == 16 * (1 + mid % 3)
+    # plan: single mapInPandas chain, no exchange/join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_avi_spark_stride_sampling(spark):
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.scale.multimodal import (
+        avi_frame_color_sums, synth_avi_media)
+
+    docs = spark.range(6, 12).select(F.col("id").alias("doc_id"))
+    out = avi_frame_color_sums(synth_avi_media(docs), stride=2)
+    for r in out.collect():
+        assert r.frame_idx % 2 == 0
