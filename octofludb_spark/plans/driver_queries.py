@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from octofludb_spark.scale import dedup as D
 from octofludb_spark.scale import simsearch as S
+from octofludb_spark.scale import stats as ST
 from octofludb_spark.scale import text as TX
 
 
@@ -4916,6 +4917,210 @@ def multimodal_video_frames(spark, sf):
                                                   synth_avi_media)
 
     return avi_frame_color_sums(synth_avi_media(t(spark, sf, "documents")))
+
+
+# --------------------------------------------------------------------------
+# Round-4 session-3: web-extraction / closed-form stats / JL projection /
+# soft dedup
+# --------------------------------------------------------------------------
+
+_HTML_SYNTH_SQL = """
+SELECT doc_id,
+  '<html><head><title>d</title><style type="text/css">p { color: red; }</style>'
+  || '<script type="text/javascript">var x = "<p>not body text</p>"; if (1 < 2) { x = "&amp;"; }</script>'
+  || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+  || '</h1><!-- boilerplate
+ comment --><p class="main">' || text
+  || ' &amp; &lt;raw&gt; &quot;q&quot;&nbsp;tail&#39;s</p><a href="/d/'
+  || CAST(doc_id AS VARCHAR) || '">self</a>'
+  || CASE WHEN doc_id % 2 = 0 THEN '<a
+href="/more">more</a>' ELSE '' END
+  || '</body></html>' AS html
+FROM documents
+"""
+
+_HTML_EXTRACT_SQL = f"""
+WITH h AS ({_HTML_SYNTH_SQL}),
+ s1 AS (SELECT doc_id,
+   CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT) AS n_links,
+   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+     '(?s)<!--.*?-->', ' ', 'g'),
+     '(?s)<[^>]*>', ' ', 'g') AS s FROM h),
+ s2 AS (SELECT doc_id, n_links,
+   trim(regexp_replace(
+     replace(replace(replace(replace(replace(replace(s,
+       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       '&#39;', CHR(39)), '&amp;', '&'),
+     '\\s+', ' ', 'g')) AS clean FROM s1)
+SELECT doc_id, n_links, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean
+FROM s2
+"""
+
+
+def _synth_html(d: DataFrame) -> DataFrame:
+    """Deterministic raw-HTML wrapper around the documents table:
+    script/style/comment boilerplate, entities, conditional second
+    link, embedded newlines — the synthesis the oracle restates
+    verbatim so extraction is judged on identical input."""
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>d</title><style type="text/css">'
+                  'p { color: red; }</style>'
+                  '<script type="text/javascript">var x = '
+                  '"<p>not body text</p>"; if (1 < 2) { x = "&amp;"; }'
+                  '</script>'
+                  '</head><body><h1>Doc '), did,
+            F.lit('</h1><!-- boilerplate\n comment --><p class="main">'),
+            F.col("text"),
+            F.lit(' &amp; &lt;raw&gt; &quot;q&quot;&nbsp;tail&#39;s'
+                  '</p><a href="/d/'), did, F.lit('">self</a>'),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit('<a\nhref="/more">more</a>')).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+@q("text_html_extract", _HTML_EXTRACT_SQL)
+def text_html_extract(spark, sf):
+    """WET-style HTML -> text extraction (scale/text.py html_extract):
+    script/style/comment blocks and tags stripped, six core entities
+    decoded in fixed order, whitespace collapsed; emits the clean-text
+    md5 + length + anchor count.  The oracle replays synthesis AND
+    extraction with the same RE2-safe grammar — a value-hash over the
+    whole extraction, character-exact."""
+    x = TX.html_extract(_synth_html(t(spark, sf, "documents")))
+    return x.select("doc_id", "n_links",
+                    F.md5("text_clean").alias("clean_md5"),
+                    "n_chars_clean")
+
+
+_LINFIT_SQL = """
+WITH f AS (SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             n_chars
+           FROM documents),
+ a AS (SELECT lang AS grp, COUNT(*) AS n,
+         SUM(n_chars) AS sx, SUM(n_tok) AS sy,
+         SUM(n_chars * n_chars) AS sxx, SUM(n_chars * n_tok) AS sxy,
+         SUM(n_tok * n_tok) AS syy
+       FROM f GROUP BY lang)
+SELECT grp, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+  END, 6) AS slope,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+    (CAST(sy AS DOUBLE)
+     - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+       * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE)
+  END, 6) AS intercept,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+  END, 6) AS r2
+FROM a
+"""
+
+
+@q("stats_linear_fit", _LINFIT_SQL)
+def stats_linear_fit(spark, sf):
+    """Closed-form distributed linear regression (scale/stats.py
+    group_linear_fit): token count ~ byte length per language via
+    exact BIGINT sufficient statistics — ONE map-side-combinable
+    aggregation, float only in the final closed-form division, so the
+    fit is bit-identical at any parallelism and in any engine."""
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+        "n_chars",
+    )
+    return ST.group_linear_fit(feats, "n_chars", "n_tok", "lang")
+
+
+_MOMENTS_SQL = """
+WITH a AS (SELECT source AS grp, COUNT(*) AS n,
+             SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2,
+             SUM(n_chars * n_chars * n_chars) AS s3
+           FROM documents GROUP BY source)
+SELECT grp, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+  ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+    AS variance,
+  ROUND(CASE WHEN n * s2 - s1 * s1 > 0 THEN
+    (CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+     / CAST(n * n * n AS DOUBLE))
+    / POWER(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE), 1.5)
+  END, 6) AS skewness
+FROM a
+"""
+
+
+@q("stats_moments", _MOMENTS_SQL)
+def stats_moments(spark, sf):
+    """One-pass distributed moments (scale/stats.py group_moments):
+    per-source mean/variance/skewness of document length from exact
+    raw power sums — the merge-anywhere sufficient-statistics shape,
+    integer until the final closed-form float step."""
+    return ST.group_moments(t(spark, sf, "documents"), "n_chars", "source")
+
+
+_JL_SQL = """
+WITH q AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS qv
+           FROM embeddings),
+ js AS (SELECT UNNEST(range(16)) AS j),
+ xs AS (SELECT UNNEST(range(64)) AS i),
+ sgn AS (SELECT j, i,
+           CASE WHEN substring(md5('jl:' || CAST(j AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE -1 END AS s
+         FROM js, xs)
+SELECT vec_id, CAST(j AS BIGINT) AS out_pos,
+       CAST(SUM(qv[i + 1] * s) AS BIGINT) AS comp_micro
+FROM q, sgn GROUP BY vec_id, j
+"""
+
+
+@q("embedding_jl_project", _JL_SQL)
+def embedding_jl_project(spark, sf):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims
+    (scale/simsearch.py jl_project): deterministic md5-derived
+    Rademacher signs, exact fixed-point BIGINT dot products; the sign
+    matrix is a compile-time literal so the Spark side is one
+    zero-shuffle projection while the oracle rebuilds the same signs
+    from md5 in SQL."""
+    return S.jl_project(t(spark, sf, "embeddings"), out_dim=16, in_dim=64)
+
+
+_SOFT_DEDUP_SQL = f"""
+WITH cl AS ({_CLUSTER_SQL})
+SELECT d.doc_id,
+       CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(COALESCE(cl.n_docs, 1) AS BIGINT) AS n_dups,
+       ROUND(CAST(1 AS DOUBLE) / COALESCE(cl.n_docs, 1), 6) AS weight
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+"""
+
+
+@q("dedup_soft_weights", _SOFT_DEDUP_SQL)
+def dedup_soft_weights(spark, sf):
+    """Soft deduplication (scale/dedup.py soft_dedup_weights):
+    inverse-multiplicity training weights 1/k over near-dup clusters,
+    full-corpus output with singleton weight 1.0; the oracle reuses
+    the recursive-CTE component labeling of dedup_near_clusters and
+    left-joins it back to the corpus."""
+    return D.soft_dedup_weights(t(spark, sf, "documents"), threshold=0.2)
 
 
 # --------------------------------------------------------------------------

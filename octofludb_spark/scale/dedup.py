@@ -976,3 +976,37 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
         hits.groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_bloom_hits"))
     )
+
+
+def soft_dedup_weights(docs: DataFrame, threshold: float = 0.2,
+                       max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """Soft deduplication (SoftDeDup / inverse-multiplicity
+    reweighting): instead of DROPPING near-duplicates, every document
+    keeps a training weight 1/k where k is the size of its near-dup
+    cluster — the curation strategy that preserves rare-but-repeated
+    content while removing the gradient bias of duplicated text.
+
+    Output: (doc_id, cluster_id, n_dups, weight) for EVERY document —
+    singletons get cluster_id = doc_id, n_dups = 1, weight = 1.0;
+    cluster members share the numeric-min representative id and
+    weight = round(1/k, 6).
+
+    Scale shape: near_dedup_clusters' pair-graph CC touches only
+    verified near-dup pairs (far smaller than the corpus); attaching
+    the weights back is ONE left join where the cluster side is
+    near-dup-sized — broadcastable in practice, AQE picks the build
+    side.  The corpus is never shuffled on anything but doc_id."""
+    clusters = near_dedup_clusters(docs, threshold, max_df=max_df)
+    return (
+        docs.select("doc_id")
+        .join(clusters.select("doc_id", "cluster_id", "n_docs"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("long")
+            .alias("cluster_id"),
+            F.coalesce("n_docs", F.lit(1)).cast("long").alias("n_dups"),
+            F.round(F.lit(1.0) / F.coalesce("n_docs", F.lit(1)), 6)
+            .alias("weight"),
+        )
+    )

@@ -1019,3 +1019,71 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, iters: int = 3,
     )
     return {"trajectory": trajectory, "assign": final_assign,
             "centroids": centroids}
+
+
+# --------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) embedding compression
+# --------------------------------------------------------------------------
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic Rademacher sign for output dim j, input dim i:
+    +1 iff the first hex digit of md5('jl:j:i') is < 8 (i.e. the top
+    bit of the digest is 0).  Replayable in any engine with an md5
+    function — no RNG, no seed state."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0] \
+        in "01234567" else -1
+
+
+def jl_project(emb: DataFrame, out_dim: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               in_dim: int | None = None) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a deterministic
+    dense Rademacher (+-1) matrix — the standard embedding-compression
+    step before LSH/IVF indexing at 10^12-vector scale (Achlioptas
+    2003: +-1 entries preserve pairwise distances within (1+-eps) for
+    out_dim = O(log n / eps^2), and need no float matrix at all).
+
+    EXACT fixed-point arithmetic end-to-end (the embedding_centroids
+    convention): components quantized to integer micro-units, the
+    projection y_j = sum_i sign(j,i) * q_i is a BIGINT dot product, so
+    the result is bit-identical at any parallelism and in any engine.
+
+    Output: (vec_id, out_pos, comp_micro) — one row per projected
+    dimension, consumers re-assemble with array_agg ordered by pos.
+
+    Scale shape: the sign matrix is COMPILE-TIME literal (out_dim x
+    in_dim ints baked into the plan), so the whole projection is one
+    zero-shuffle, zero-join map-side projection — exactly what you
+    want in front of a shuffling index build.  |q_i| <= 2e6 and
+    in_dim <= 4096 keeps |y_j| <= 8e9, far inside BIGINT."""
+    if in_dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        in_dim = int(first[0].d) if first else 0
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT))"
+    )
+    outs = F.array(*[
+        F.struct(
+            F.lit(j).cast("long").alias("out_pos"),
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.array(*[F.lit(_jl_sign(j, i)).cast("long")
+                              for i in range(in_dim)]),
+                    lambda a, s: a * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("comp_micro"),
+        )
+        for j in range(out_dim)
+    ])
+    return (
+        emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                   F.explode(outs).alias("o"))
+        .select("vec_id", F.col("o.out_pos").alias("out_pos"),
+                F.col("o.comp_micro").alias("comp_micro"))
+    )

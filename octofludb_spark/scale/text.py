@@ -1289,3 +1289,51 @@ def mix_epochs(docs: DataFrame, weights: dict[str, int],
                         (F.col("n_epochs") - 1).cast("long")))
                     .alias("epoch"),
                     "n_tok"))
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (WET-style boilerplate stripping)
+# --------------------------------------------------------------------------
+
+# RE2-safe grammar (no backreferences, no lookaround) so the DuckDB
+# oracle and Hyperscan-style prefilters run the SAME patterns.
+HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)<[^>]*>"
+HTML_LINK_RE = r"(?i)<a[\s>]"
+
+# fixed decode order; '&amp;' LAST (standard single-pass entity
+# decoding: '&amp;lt;' becomes '&lt;' literally, same in any engine).
+HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def html_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Main-content extraction from raw HTML — the first stage of
+    every web-crawl training pipeline (Common Crawl WARC -> WET):
+    script/style/comment blocks removed, tags stripped, the six
+    core character entities decoded, whitespace collapsed.
+
+    Output: (doc_id, text_clean, n_links, n_chars_clean).
+
+    Scale shape: a pure map-side regexp/replace projection — zero
+    shuffles, whole-stage codegen; at 100 TB this pass is IO-bound,
+    exactly as it should be.  The grammar is RE2-safe: script/style
+    bodies use non-greedy repetition instead of a backreference, so
+    the same regexes run verbatim on RE2 engines (the DuckDB oracle).
+    """
+    h = F.col(html_col)
+    n_links = F.size(F.regexp_extract_all(h, F.lit(HTML_LINK_RE), 0)) \
+        .cast("long").alias("n_links")
+    s = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
+    s = F.regexp_replace(s, HTML_STYLE_RE, " ")
+    s = F.regexp_replace(s, HTML_COMMENT_RE, " ")
+    s = F.regexp_replace(s, HTML_TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return docs.select(
+        "doc_id", n_links, s.alias("text_clean"),
+        F.length(s).cast("long").alias("n_chars_clean"),
+    )
