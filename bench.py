@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     # packing (two-phase distributed prefix scan)
     "bpe_merges",
     "text_pack_sequences",
+    # round-4 web-source flagship: WARC synth -> gzip-member walk ->
+    # record parse -> HTTP split -> html_extract (the Common Crawl
+    # crawl-to-text hop; map-side explode + JVM regexp projection)
+    "web_warc_pipeline",
     # round-4 multimodal flagship: synth real PNGs -> decode -> 64-bit
     # dHash (payload bytes never on the driver).  image_dhash_neardup
     # is gate-checked (lossless banding vs brute force) but excluded

@@ -466,7 +466,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "bpe-train", "bpe-tokens", "pack",
               "mp4-info", "mp4-samples", "audio-features", "image-dhash",
               "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
-              "avi-frames")
+              "avi-frames", "warc-records", "warc-responses", "warc-text")
 
 
 def cmd_scale(args) -> int:
@@ -611,6 +611,16 @@ def cmd_scale(args) -> int:
                                                       image_dhash)
         out = dhash_near_pairs(image_dhash(docs),
                                max_hamming=args.hamming)
+    elif args.op == "warc-records":
+        # expects a media parquet (media_id, payload: .warc or .warc.gz)
+        from octofludb_spark.scale.web import warc_records
+        out = warc_records(docs, compressed=args.gz)
+    elif args.op == "warc-responses":
+        from octofludb_spark.scale.web import http_responses
+        out = http_responses(docs, compressed=args.gz).drop("body")
+    elif args.op == "warc-text":
+        from octofludb_spark.scale.web import warc_html_pipeline
+        out = warc_html_pipeline(docs, compressed=args.gz)
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")
@@ -868,6 +878,8 @@ def main(argv=None) -> int:
                      help="kmeans: Lloyd rounds")
     sca.add_argument("--stride", type=int, default=1,
                      help="avi-frames: decode every stride-th frame")
+    sca.add_argument("--gz", action="store_true",
+                     help="warc-*: payloads are member-per-record .warc.gz")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)

@@ -5124,6 +5124,168 @@ def dedup_soft_weights(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# WARC web-crawl source (scale/web.py) — Common Crawl's container
+# format: record parse, splittable gzip-member walk, HTTP split,
+# crawl->text pipeline.  Synthesis parameters are closed-form in
+# doc_id, so the oracles rebuild every payload STRING byte-for-byte
+# and md5 it — a genuine cross-engine reconstruction of the container.
+# --------------------------------------------------------------------------
+
+# shared synthesis CTEs: d1 = per-file fields, pg3 = per-page request/
+# response payload strings identical to web.synth_http_request/response
+_WARC_SYNTH_CTE = """
+c0 AS (SELECT chr(13) || chr(10) AS c),
+d1 AS (SELECT doc_id AS d, 1 + doc_id % 3 AS np,
+         '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':00:00Z' AS wdate,
+         'software: octofludb-spark/1.0' || c
+           || 'format: WARC File Format 1.0' || c
+           || 'isPartOf: synth-crawl-' || (doc_id % 10) || c AS winfo
+       FROM documents, c0),
+pg AS (SELECT d, np, wdate, g.p, c,
+         'https://example-' || (d % 97) || '.org/doc/' || d
+           || '/page/' || g.p AS uri
+       FROM d1, c0, range(3) g(p) WHERE g.p < np),
+pg2 AS (SELECT *,
+         'GET /doc/' || d || '/page/' || p || ' HTTP/1.1' || c
+           || 'Host: example-' || (d % 97) || '.org' || c
+           || 'User-Agent: octofludb-spark/1.0' || c
+           || 'Accept: text/html' || c || c AS req,
+         CASE WHEN (d + p) % 7 = 3 THEN 'not found ' || d || '/' || p
+         ELSE '<html><head><title>Doc ' || d || ' page ' || p
+           || '</title><style>p { color: #222; }</style><script>var x = '
+           || d || ';</script></head><body><!-- note ' || p
+           || ' --><h1>Doc ' || d || ' page ' || p
+           || '</h1><p>alpha beta gamma ' || (d * 31 + p)
+           || ' delta.</p> '
+           || CASE WHEN (d + p) % 2 = 0
+              THEN '<a href="https://example.org/more">more</a> '
+              ELSE '' END
+           || '&amp; fin</body></html>' END AS body
+       FROM pg),
+pg3 AS (SELECT *,
+         CASE WHEN (d + p) % 7 = 3 THEN 'HTTP/1.1 404 Not Found'
+              ELSE 'HTTP/1.1 200 OK' END || c
+           || 'Content-Type: '
+           || CASE WHEN (d + p) % 7 = 3 THEN 'text/plain'
+              ELSE 'text/html' END || c
+           || 'Content-Length: ' || length(body) || c
+           || 'Server: synthd/1.0' || c || c || body AS resp
+       FROM pg2)
+"""
+
+_WARC_RECORDS_SQL = f"""
+WITH {_WARC_SYNTH_CTE},
+recs AS (
+  SELECT d, 0 AS rec_idx, 'warcinfo' AS warc_type, wdate,
+         CAST(NULL AS VARCHAR) AS target_uri, winfo AS payload FROM d1
+  UNION ALL
+  SELECT d, 2 * p + 1, 'request', wdate, uri, req FROM pg3
+  UNION ALL
+  SELECT d, 2 * p + 2, 'response', wdate, uri, resp FROM pg3)
+SELECT d AS media_id, CAST(rec_idx AS INTEGER) AS rec_idx, warc_type,
+       md5(CAST(d AS VARCHAR) || ':' || CAST(rec_idx AS VARCHAR))
+         AS record_id,
+       target_uri, wdate AS warc_date,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       md5(payload) AS payload_md5
+FROM recs
+"""
+
+
+@q("web_warc_records", _WARC_RECORDS_SQL)
+def web_warc_records(spark, sf):
+    """WARC container parse (scale/web.py): synthesized ISO-28500
+    files (warcinfo + request/response records, real header blocks,
+    Content-Length-delimited payloads) exploded map-side into typed
+    record rows.  The oracle rebuilds every payload string
+    byte-for-byte from doc_id arithmetic and md5s it — header parse,
+    record walk, and payload slicing are all value-hashed."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    return W.warc_records(m)
+
+
+@q("web_warc_gz_records", _WARC_RECORDS_SQL)
+def web_warc_gz_records(spark, sf):
+    """Same records through the Common Crawl `.warc.gz` layout: each
+    record its own gzip member (deterministic mtime=0), walked with
+    decompressobj unused_data.  Identical oracle to the plain gate —
+    proving the splittable-compression path changes nothing.  The
+    magic-scan re-sync splitter (what a cluster reader uses to start
+    mid-file) is pinned equal to this walk in pytest."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), compress=True)
+    return W.warc_records(m, compressed=True)
+
+
+_WARC_HTTP_SQL = f"""
+WITH {_WARC_SYNTH_CTE}
+SELECT d AS media_id, CAST(p AS INTEGER) AS page,
+       CAST(CASE WHEN (d + p) % 7 = 3 THEN 404 ELSE 200 END AS INTEGER)
+         AS http_status,
+       CASE WHEN (d + p) % 7 = 3 THEN 'text/plain'
+            ELSE 'text/html' END AS content_type,
+       CAST(length(body) AS BIGINT) AS body_len,
+       md5(body) AS body_md5
+FROM pg3
+"""
+
+
+@q("web_http_responses", _WARC_HTTP_SQL)
+def web_http_responses(spark, sf):
+    """HTTP response split inside WARC response records (status line,
+    headers, body; page index parsed from the target URI, not record
+    order).  Body bytes are value-hashed against the oracle's
+    closed-form reconstruction; 404/200 and text/plain vs text/html
+    faces both covered."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    return W.http_responses(m).drop("body")
+
+
+_WARC_PIPELINE_SQL = f"""
+WITH {_WARC_SYNTH_CTE}
+SELECT d AS media_id, CAST(p AS INTEGER) AS page,
+       CAST(CASE WHEN (d + p) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_links,
+       md5('Doc ' || d || ' page ' || p || ' Doc ' || d || ' page '
+           || p || ' alpha beta gamma ' || (d * 31 + p) || ' delta.'
+           || CASE WHEN (d + p) % 2 = 0 THEN ' more' ELSE '' END
+           || ' & fin') AS clean_md5,
+       CAST(length('Doc ' || d || ' page ' || p || ' Doc ' || d
+           || ' page ' || p || ' alpha beta gamma ' || (d * 31 + p)
+           || ' delta.'
+           || CASE WHEN (d + p) % 2 = 0 THEN ' more' ELSE '' END
+           || ' & fin') AS BIGINT) AS n_chars_clean
+FROM pg3 WHERE (d + p) % 7 <> 3
+"""
+
+
+@q("web_warc_pipeline", _WARC_PIPELINE_SQL)
+def web_warc_pipeline(spark, sf):
+    """The full crawl-to-text hop — WARC parse -> HTTP 200 text/html
+    filter -> html_extract (script/style/comment strip, entity
+    decode, whitespace collapse).  The oracle states the CLEAN TEXT
+    itself in closed form and md5s it: an end-to-end value hash over
+    container walk, HTTP split, and extraction grammar.  Everything
+    after the map-side record explode is JVM-side regexp projection —
+    at 100 TB this is one scan-shaped stage, IO-bound as it should
+    be."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    x = W.warc_html_pipeline(m)
+    return x.select("media_id", "page", "n_links",
+                    F.md5("text_clean").alias("clean_md5"),
+                    "n_chars_clean")
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot records only the FIRST 50 keys of

@@ -1,0 +1,391 @@
+"""WARC (Web ARChive, ISO 28500) container support — the source
+format of every web-scale crawl corpus (Common Crawl ships ~100 TB
+per snapshot as `.warc.gz`).  Pure stdlib: synthesis, strict record
+parsing, HTTP response splitting, and the gzip *member-per-record*
+layout that makes multi-gigabyte WARC files splittable.
+
+Reference scope note: the reference engine (flu-crew/octofludb) has
+no web-crawl ingestion — this module is part of the training-data
+pipeline extension mandated alongside SURVEY.md §2 (dedup / quality /
+multimodal / web sources), mirroring the reference's *recipe* pattern
+(extract/recipes.py style: parse container -> typed rows).
+
+Scale shape
+-----------
+* A WARC file is a concatenation of self-delimiting records
+  (header block + Content-Length payload).  Common Crawl compresses
+  EACH record as its own gzip member, so any byte offset in a .warc.gz
+  can be re-synchronised by scanning for the next member magic and
+  validating — that is what lets a 1 GiB file split across executors.
+  `scan_gzip_member_offsets` implements exactly that re-sync scan and
+  is test-pinned against the sequential `decompressobj` member walk.
+* All parsing here is Arrow-batched `mapInPandas` over binary
+  payload columns: record bytes never visit the driver, the explode
+  from files to records happens map-side, and everything downstream
+  (HTTP split, HTML extraction) is ordinary JVM-side projection.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CRLF = "\r\n"
+BCRLF = b"\r\n"
+
+
+# ------------------------------------------------------------------
+# deterministic synthesis (closed-form parameters from media_id so an
+# external engine can reconstruct every payload string exactly)
+# ------------------------------------------------------------------
+
+def synth_page_html(d: int, p: int) -> str:
+    """The response body for page p of doc d.  Every byte is a
+    closed-form function of (d, p): the DuckDB oracles rebuild this
+    exact string with `||` concatenation."""
+    v = d * 31 + p
+    link = ('<a href="https://example.org/more">more</a> '
+            if (d + p) % 2 == 0 else "")
+    return (
+        f"<html><head><title>Doc {d} page {p}</title>"
+        "<style>p { color: #222; }</style>"
+        f"<script>var x = {d};</script></head>"
+        f"<body><!-- note {p} --><h1>Doc {d} page {p}</h1>"
+        f"<p>alpha beta gamma {v} delta.</p> "
+        f"{link}&amp; fin</body></html>"
+    )
+
+
+def synth_http_response(d: int, p: int) -> str:
+    """Full HTTP/1.1 response message (status line + headers + body)."""
+    if (d + p) % 7 == 3:
+        status, ctype = "HTTP/1.1 404 Not Found", "text/plain"
+        body = f"not found {d}/{p}"
+    else:
+        status, ctype = "HTTP/1.1 200 OK", "text/html"
+        body = synth_page_html(d, p)
+    return (f"{status}{CRLF}Content-Type: {ctype}{CRLF}"
+            f"Content-Length: {len(body)}{CRLF}"
+            f"Server: synthd/1.0{CRLF}{CRLF}{body}")
+
+
+def synth_http_request(d: int, p: int) -> str:
+    return (f"GET /doc/{d}/page/{p} HTTP/1.1{CRLF}"
+            f"Host: example-{d % 97}.org{CRLF}"
+            f"User-Agent: octofludb-spark/1.0{CRLF}"
+            f"Accept: text/html{CRLF}{CRLF}")
+
+
+def synth_warcinfo(d: int) -> str:
+    return (f"software: octofludb-spark/1.0{CRLF}"
+            f"format: WARC File Format 1.0{CRLF}"
+            f"isPartOf: synth-crawl-{d % 10}{CRLF}")
+
+
+def _record_id(d: int, idx: int) -> str:
+    return hashlib.md5(f"{d}:{idx}".encode()).hexdigest()
+
+
+def _warc_date(d: int) -> str:
+    return f"2026-01-{(d % 28) + 1:02d}T{d % 24:02d}:00:00Z"
+
+
+def _record_bytes(d: int, idx: int, warc_type: str, payload: bytes,
+                  target_uri: str | None) -> bytes:
+    wct = {
+        "warcinfo": "application/warc-fields",
+        "request": "application/http; msgtype=request",
+        "response": "application/http; msgtype=response",
+    }[warc_type]
+    hdr = [f"WARC/1.0",
+           f"WARC-Type: {warc_type}",
+           f"WARC-Record-ID: <urn:uuid:{_record_id(d, idx)}>",
+           f"WARC-Date: {_warc_date(d)}"]
+    if target_uri is not None:
+        hdr.append(f"WARC-Target-URI: {target_uri}")
+    hdr.append(f"Content-Type: {wct}")
+    hdr.append(f"Content-Length: {len(payload)}")
+    head = (CRLF.join(hdr) + CRLF + CRLF).encode()
+    # spec: two CRLFs terminate the record after the payload block
+    return head + payload + BCRLF + BCRLF
+
+
+def n_pages(d: int) -> int:
+    return 1 + d % 3
+
+
+def synth_warc(d: int, compress: bool = False) -> bytes:
+    """One WARC file for doc d: warcinfo, then (request, response)
+    per page.  compress=True emits the Common Crawl layout — each
+    record its own gzip member (mtime=0 for determinism)."""
+    recs = [_record_bytes(d, 0, "warcinfo",
+                          synth_warcinfo(d).encode(), None)]
+    for p in range(n_pages(d)):
+        uri = f"https://example-{d % 97}.org/doc/{d}/page/{p}"
+        recs.append(_record_bytes(d, 2 * p + 1, "request",
+                                  synth_http_request(d, p).encode(), uri))
+        recs.append(_record_bytes(d, 2 * p + 2, "response",
+                                  synth_http_response(d, p).encode(), uri))
+    if compress:
+        return b"".join(gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
+# ------------------------------------------------------------------
+# strict record parsing
+# ------------------------------------------------------------------
+
+def iter_warc_records(b: bytes) -> Iterator[dict]:
+    """Walk a (plain) WARC byte stream record by record.  Strict:
+    version line must be WARC/0.x or WARC/1.x, Content-Length is
+    mandatory, truncated payloads raise."""
+    pos, n = 0, len(b)
+    while pos < n:
+        while b[pos:pos + 2] == BCRLF:       # inter-record padding
+            pos += 2
+        if pos >= n:
+            return
+        end = b.find(BCRLF + BCRLF, pos)
+        if end < 0:
+            raise ValueError(f"unterminated WARC header at offset {pos}")
+        block = b[pos:end].decode("utf-8", "replace")
+        lines = block.split(CRLF)
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at offset {pos}: "
+                             f"{lines[0][:40]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers["content-length"])
+        start = end + 4
+        payload = b[start:start + clen]
+        if len(payload) < clen:
+            raise ValueError(f"truncated record at offset {pos}: "
+                             f"want {clen}, have {len(payload)}")
+        yield {"offset": pos, "version": lines[0],
+               "headers": headers, "payload": payload}
+        pos = start + clen
+
+
+def parse_http_message(payload: bytes) -> dict:
+    """Split an HTTP/1.1 message into status/headers/body."""
+    end = payload.find(BCRLF + BCRLF)
+    if end < 0:
+        raise ValueError("no HTTP header terminator")
+    lines = payload[:end].decode("utf-8", "replace").split(CRLF)
+    first = lines[0]
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    body = payload[end + 4:]
+    out = {"headers": headers, "body": body}
+    if first.startswith("HTTP/"):
+        parts = first.split(" ", 2)
+        out["status"] = int(parts[1])
+    else:                                     # request line
+        parts = first.split(" ")
+        out["method"], out["path"] = parts[0], parts[1]
+    return out
+
+
+# ------------------------------------------------------------------
+# gzip member walking (the splittable-read machinery)
+# ------------------------------------------------------------------
+
+def iter_gzip_members(b: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Sequential exact member walk via decompressobj unused_data:
+    yields (offset, compressed_len, uncompressed_bytes)."""
+    pos, n = 0, len(b)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(b[pos:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = (n - pos) - len(d.unused_data)
+        yield pos, consumed, out
+        pos += consumed
+
+
+GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def scan_gzip_member_offsets(b: bytes) -> list[int]:
+    """Offset re-synchronisation for splittable .warc.gz reads: scan
+    for the member magic and VALIDATE each candidate by attempting a
+    full member decompress (a random \\x1f\\x8b\\x08 inside deflate
+    data fails validation and is skipped).  On a cluster each split
+    scans forward from its assigned byte range to the first valid
+    member and stops at the first valid member past its end — no
+    coordination, no index file.  Test-pinned == iter_gzip_members."""
+    offsets, pos = [], 0
+    while True:
+        hit = b.find(GZ_MAGIC, pos)
+        if hit < 0:
+            return offsets
+        d = zlib.decompressobj(wbits=31)
+        try:
+            d.decompress(b[hit:])
+            ok = d.eof
+        except zlib.error:
+            ok = False
+        if ok:
+            offsets.append(hit)
+            consumed = len(b) - hit - len(d.unused_data)
+            pos = hit + consumed
+        else:
+            pos = hit + 1
+
+
+# ------------------------------------------------------------------
+# DataFrame operators
+# ------------------------------------------------------------------
+
+WARC_SCHEMA = ("media_id long, rec_idx int, warc_type string, "
+               "record_id string, target_uri string, warc_date string, "
+               "content_length long, payload_md5 string")
+
+
+def synth_warc_media(docs: DataFrame, compress: bool = False) -> DataFrame:
+    """documents -> one synthetic WARC file per doc_id (binary
+    payload column), Arrow-batched; compress=True gives the
+    member-per-record .warc.gz layout."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "payload": [synth_warc(d, compress=compress) for d in ids],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary")
+
+
+def warc_records(media: DataFrame, compressed: bool = False) -> DataFrame:
+    """Explode WARC files into typed records, map-side.  compressed=
+    True walks gzip members first (one record per member — the
+    Common Crawl contract), proving the splittable path end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "rec_idx", "warc_type", "record_id",
+                "target_uri", "warc_date", "content_length", "payload_md5"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if compressed:
+                    stream = b"".join(
+                        u for _, _, u in iter_gzip_members(raw))
+                else:
+                    stream = raw
+                for i, rec in enumerate(iter_warc_records(stream)):
+                    h = rec["headers"]
+                    rid = h.get("warc-record-id", "")
+                    out["media_id"].append(int(mid))
+                    out["rec_idx"].append(i)
+                    out["warc_type"].append(h.get("warc-type"))
+                    out["record_id"].append(
+                        rid.removeprefix("<urn:uuid:").removesuffix(">"))
+                    out["target_uri"].append(h.get("warc-target-uri"))
+                    out["warc_date"].append(h.get("warc-date"))
+                    out["content_length"].append(int(h["content-length"]))
+                    out["payload_md5"].append(
+                        hashlib.md5(rec["payload"]).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "rec_idx": pd.array(out["rec_idx"], dtype="int32"),
+                "warc_type": out["warc_type"],
+                "record_id": out["record_id"],
+                "target_uri": out["target_uri"],
+                "warc_date": out["warc_date"],
+                "content_length": pd.array(out["content_length"],
+                                           dtype="int64"),
+                "payload_md5": out["payload_md5"],
+            })
+
+    return media.mapInPandas(run, WARC_SCHEMA)
+
+
+HTTP_SCHEMA = ("media_id long, page int, http_status int, "
+               "content_type string, body_len long, body_md5 string, "
+               "body string")
+
+
+def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
+    """WARC files -> one row per HTTP response: status, content type,
+    body (string — the crawl-to-text handoff column).  Page index is
+    parsed from the target URI, not assumed from record order."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "page", "http_status", "content_type",
+                "body_len", "body_md5", "body"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if compressed:
+                    stream = b"".join(
+                        u for _, _, u in iter_gzip_members(raw))
+                else:
+                    stream = raw
+                for rec in iter_warc_records(stream):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    msg = parse_http_message(rec["payload"])
+                    uri = h.get("warc-target-uri", "")
+                    page = int(uri.rsplit("/", 1)[-1])
+                    body = msg["body"]
+                    out["media_id"].append(int(mid))
+                    out["page"].append(page)
+                    out["http_status"].append(msg["status"])
+                    out["content_type"].append(
+                        msg["headers"].get("content-type"))
+                    out["body_len"].append(len(body))
+                    out["body_md5"].append(hashlib.md5(body).hexdigest())
+                    out["body"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "page": pd.array(out["page"], dtype="int32"),
+                "http_status": pd.array(out["http_status"], dtype="int32"),
+                "content_type": out["content_type"],
+                "body_len": pd.array(out["body_len"], dtype="int64"),
+                "body_md5": out["body_md5"],
+                "body": out["body"],
+            })
+
+    return media.mapInPandas(run, HTTP_SCHEMA)
+
+
+def warc_html_pipeline(media: DataFrame, compressed: bool = False
+                       ) -> DataFrame:
+    """The full crawl-to-text hop: WARC -> HTTP 200 text/html bodies
+    -> html_extract (script/style/comment strip, entity decode,
+    whitespace collapse).  Everything after the record explode is
+    JVM-side regexp projection — at 100 TB this is one scan stage.
+
+    Output: (media_id, page, n_links, text_clean, n_chars_clean).
+    """
+    from octofludb_spark.scale.text import html_extract
+
+    resp = http_responses(media, compressed=compressed)
+    pages = (resp
+             .where((F.col("http_status") == 200)
+                    & (F.col("content_type") == "text/html"))
+             .select((F.col("media_id") * 8 + F.col("page"))
+                     .cast("long").alias("doc_id"),
+                     F.col("body").alias("html")))
+    x = html_extract(pages, html_col="html")
+    return x.select(
+        (F.col("doc_id") / 8).cast("long").alias("media_id"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("page"),
+        "n_links", "text_clean", "n_chars_clean")

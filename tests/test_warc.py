@@ -1,0 +1,162 @@
+"""WARC container support (scale/web.py): record walk, gzip member
+walk, magic-scan re-sync splitter, HTTP split, crawl-to-text pipeline.
+
+Trust model: pure-python structural tests on tiny inputs (malformed /
+truncated faces the DuckDB gates can't reach), plus Spark-side
+equivalence — compressed path == plain path, pipeline == direct
+html_extract of the bodies.
+"""
+
+import gzip
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from octofludb_spark.scale import text as TX
+from octofludb_spark.scale import web as W
+
+pytestmark = [pytest.mark.spark, pytest.mark.core]
+
+
+# --------------------------------------------------------------------------
+# pure-python container walk
+# --------------------------------------------------------------------------
+
+def test_record_walk_counts_and_headers():
+    for d in (0, 1, 2, 5, 97, 1234):
+        recs = list(W.iter_warc_records(W.synth_warc(d)))
+        assert len(recs) == 1 + 2 * W.n_pages(d)
+        assert recs[0]["headers"]["warc-type"] == "warcinfo"
+        assert "warc-target-uri" not in recs[0]["headers"]
+        for i, r in enumerate(recs):
+            assert r["version"] == "WARC/1.0"
+            assert int(r["headers"]["content-length"]) == len(r["payload"])
+            rid = r["headers"]["warc-record-id"]
+            assert rid == ("<urn:uuid:"
+                           + hashlib.md5(f"{d}:{i}".encode()).hexdigest()
+                           + ">")
+        types = [r["headers"]["warc-type"] for r in recs[1:]]
+        assert types == ["request", "response"] * W.n_pages(d)
+
+
+def test_truncated_payload_raises():
+    b = W.synth_warc(3)
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.iter_warc_records(b[:-40]))
+
+
+def test_bad_version_line_raises():
+    with pytest.raises(ValueError, match="version"):
+        list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_unterminated_header_raises():
+    with pytest.raises(ValueError, match="unterminated"):
+        list(W.iter_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n"))
+
+
+def test_http_split_request_and_response():
+    req = W.parse_http_message(W.synth_http_request(7, 1).encode())
+    assert req["method"] == "GET" and req["path"] == "/doc/7/page/1"
+    assert req["body"] == b""
+    resp = W.parse_http_message(W.synth_http_response(7, 1).encode())
+    assert resp["status"] == 200
+    assert resp["headers"]["content-type"] == "text/html"
+    assert int(resp["headers"]["content-length"]) == len(resp["body"])
+    # 404 face: (d + p) % 7 == 3
+    resp = W.parse_http_message(W.synth_http_response(2, 1).encode())
+    assert resp["status"] == 404
+    assert resp["body"] == b"not found 2/1"
+
+
+# --------------------------------------------------------------------------
+# gzip member machinery (the splittable-read path)
+# --------------------------------------------------------------------------
+
+def test_member_walk_roundtrip_and_scan_agreement():
+    for d in (0, 1, 2, 9, 97, 555):
+        plain = W.synth_warc(d)
+        gz = W.synth_warc(d, compress=True)
+        members = list(W.iter_gzip_members(gz))
+        assert len(members) == 1 + 2 * W.n_pages(d)  # one record each
+        assert b"".join(u for _, _, u in members) == plain
+        # offsets tile the file exactly
+        pos = 0
+        for off, clen, _ in members:
+            assert off == pos
+            pos += clen
+        assert pos == len(gz)
+        # the mid-file re-sync scanner finds exactly the true offsets
+        assert W.scan_gzip_member_offsets(gz) == [o for o, _, _ in members]
+
+
+def test_scan_rejects_false_magic_inside_members():
+    # craft a member whose DEFLATE payload contains the gzip magic:
+    # stored (uncompressed) deflate blocks embed raw bytes verbatim.
+    raw = b"A" * 10 + W.GZ_MAGIC + b"B" * 10
+    c = zlib.compressobj(0, zlib.DEFLATED, 31)  # level 0 -> stored blocks
+    member = c.compress(raw) + c.flush()
+    assert W.GZ_MAGIC in member[10:]            # the trap is really there
+    blob = member + gzip.compress(b"tail", mtime=0)
+    offs = W.scan_gzip_member_offsets(blob)
+    assert offs == [0, len(member)]
+
+
+def test_truncated_member_raises():
+    gz = W.synth_warc(4, compress=True)
+    with pytest.raises(ValueError, match="truncated gzip"):
+        list(W.iter_gzip_members(gz[:-5]))
+
+
+# --------------------------------------------------------------------------
+# Spark-side equivalences
+# --------------------------------------------------------------------------
+
+def _media(spark, n=12, compress=False):
+    docs = spark.range(n).toDF("doc_id")
+    return W.synth_warc_media(docs, compress=compress)
+
+
+def test_warc_records_plain_equals_gz(spark):
+    a = W.warc_records(_media(spark)).orderBy("media_id", "rec_idx")
+    b = W.warc_records(_media(spark, compress=True),
+                       compressed=True).orderBy("media_id", "rec_idx")
+    assert a.collect() == b.collect()
+
+
+def test_http_responses_status_and_page_parse(spark):
+    rows = W.http_responses(_media(spark)).collect()
+    for r in rows:
+        want_404 = (r.media_id + r.page) % 7 == 3
+        assert r.http_status == (404 if want_404 else 200)
+        assert r.content_type == ("text/plain" if want_404 else "text/html")
+        assert r.body_md5 == hashlib.md5(
+            W.synth_http_response(r.media_id, r.page)
+            .split("\r\n\r\n", 1)[1].encode()).hexdigest()
+    # every (d, p) page appears exactly once
+    assert len(rows) == sum(W.n_pages(d) for d in range(12))
+
+
+def test_pipeline_equals_direct_html_extract(spark):
+    out = {(r.media_id, r.page): r
+           for r in W.warc_html_pipeline(_media(spark)).collect()}
+    docs = [(d * 8 + p, W.synth_page_html(d, p))
+            for d in range(12) for p in range(W.n_pages(d))
+            if (d + p) % 7 != 3]
+    direct = {(r.doc_id // 8, r.doc_id % 8): r
+              for r in TX.html_extract(
+                  spark.createDataFrame(docs, "doc_id long, html string")
+              ).collect()}
+    assert out.keys() == direct.keys()
+    for k, r in out.items():
+        assert (r.text_clean, r.n_links, r.n_chars_clean) == (
+            direct[k].text_clean, direct[k].n_links,
+            direct[k].n_chars_clean)
+
+
+def test_pipeline_excludes_404_pages(spark):
+    rows = W.warc_html_pipeline(_media(spark, n=30)).collect()
+    assert rows, "pipeline produced no pages"
+    assert all((r.media_id + r.page) % 7 != 3 for r in rows)
