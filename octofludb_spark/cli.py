@@ -466,7 +466,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "bpe-train", "bpe-tokens", "pack",
               "mp4-info", "mp4-samples", "audio-features", "image-dhash",
               "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
-              "avi-frames", "warc-records", "warc-responses", "warc-text")
+              "avi-frames", "warc-records", "warc-responses", "warc-text",
+              "warc-linkgraph")
 
 
 def cmd_scale(args) -> int:
@@ -621,6 +622,9 @@ def cmd_scale(args) -> int:
     elif args.op == "warc-text":
         from octofludb_spark.scale.web import warc_html_pipeline
         out = warc_html_pipeline(docs, compressed=args.gz)
+    elif args.op == "warc-linkgraph":
+        from octofludb_spark.scale.web import host_link_graph, http_responses
+        out = host_link_graph(http_responses(docs, compressed=args.gz))
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")

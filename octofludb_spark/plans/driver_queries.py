@@ -5224,7 +5224,7 @@ def web_warc_gz_records(spark, sf):
 
 _WARC_HTTP_SQL = f"""
 WITH {_WARC_SYNTH_CTE}
-SELECT d AS media_id, CAST(p AS INTEGER) AS page,
+SELECT d AS media_id, CAST(p AS INTEGER) AS page, uri AS target_uri,
        CAST(CASE WHEN (d + p) % 7 = 3 THEN 404 ELSE 200 END AS INTEGER)
          AS http_status,
        CASE WHEN (d + p) % 7 = 3 THEN 'text/plain'
@@ -5283,6 +5283,90 @@ def web_warc_pipeline(spark, sf):
     return x.select("media_id", "page", "n_links",
                     F.md5("text_clean").alias("clean_md5"),
                     "n_chars_clean")
+
+
+# link-farm bodies: page p of doc d links to hosts
+# (d + 31p + 17i + 1) % 97 for i < 1 + (d+p) % 3 (web.synth_link_html)
+_LINKFARM_EDGE_CTE = """
+lf AS (SELECT doc_id AS d, g.p, i.i,
+              (doc_id + 31 * g.p + 17 * i.i + 1) % 97 AS hd
+       FROM documents, range(3) g(p), range(3) i(i)
+       WHERE g.p < 1 + doc_id % 3 AND i.i < 1 + (doc_id + g.p) % 3),
+ledges AS (SELECT 'example-' || (d % 97) || '.org' AS src_host,
+                  'example-' || hd || '.org' AS dst_host,
+                  CAST(COUNT(*) AS BIGINT) AS n_links
+           FROM lf GROUP BY 1, 2)
+"""
+
+_LINK_GRAPH_SQL = f"""
+WITH {_LINKFARM_EDGE_CTE}
+SELECT src_host, dst_host, n_links FROM ledges
+"""
+
+
+@q("web_link_graph", _LINK_GRAPH_SQL)
+def web_link_graph(spark, sf):
+    """Host-level link graph from the crawl: WARC parse -> HTTP split
+    -> href regexp explode (JVM-side) -> (src_host, dst_host,
+    n_links) keyed agg with map-side partials.  The oracle rebuilds
+    the closed-form outlink lattice — edge multiplicities included —
+    so extraction AND aggregation are value-hashed.  At web scale
+    this is the classic host-graph build: one explode + one shuffle,
+    no joins."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), linkfarm=True)
+    return W.host_link_graph(W.http_responses(m))
+
+
+_WEBPR_ITERS = 3
+
+
+def _web_pagerank_sql() -> str:
+    """Unrolled integer PageRank over the closed-form host edges,
+    mirroring ops/graph_analytics.pagerank bit-for-bit (BIGINT floor
+    division at every step)."""
+    parts = [f"""
+WITH {_LINKFARM_EDGE_CTE},
+ e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ledges
+       WHERE src_host <> dst_host),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ cnt AS (SELECT COUNT(*) AS n FROM nodes),
+ outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+ r0 AS (SELECT node,
+               1000000000000 // (SELECT n FROM cnt) AS r
+        FROM nodes)"""]
+    for k in range(1, _WEBPR_ITERS + 1):
+        parts.append(f""",
+ r{k} AS (SELECT n.node,
+            (1000000000000 * 15 // 100) // (SELECT n FROM cnt)
+            + COALESCE(s.in_r, 0) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((r.r * 85) // 100) // od.od) AS in_r
+            FROM e JOIN r{k - 1} r ON r.node = e.src
+                   JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{_WEBPR_ITERS}""")
+    return "".join(parts)
+
+
+@q("web_host_pagerank", _web_pagerank_sql())
+def web_host_pagerank(spark, sf):
+    """Host importance over the crawl's link graph: the WARC -> link
+    extraction chain feeding ops/graph_analytics.pagerank (integer
+    micro-unit power iterations).  The full 3-round fixpoint
+    trajectory is value-hashed against an unrolled SQL replay —
+    crawl parsing, edge building, and the iterative algorithm proven
+    together, bit-identical at any parallelism."""
+    from octofludb_spark.ops.graph_analytics import pagerank
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), linkfarm=True)
+    edges = W.host_link_graph(W.http_responses(m)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return pagerank(edges, iters=_WEBPR_ITERS)
 
 
 # --------------------------------------------------------------------------

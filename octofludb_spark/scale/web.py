@@ -62,9 +62,28 @@ def synth_page_html(d: int, p: int) -> str:
     )
 
 
-def synth_http_response(d: int, p: int) -> str:
+N_HOSTS = 97
+
+
+def synth_link_html(d: int, p: int) -> str:
+    """Link-farm body for the host-graph gates: page p of doc d emits
+    1 + (d+p) % 3 outlinks whose target hosts are closed-form in
+    (d, p, i) — so an external engine can rebuild the whole host-level
+    edge list (and therefore the PageRank trajectory) exactly."""
+    k = 1 + (d + p) % 3
+    links = "".join(
+        f'<a href="https://example-{(d + 31 * p + 17 * i + 1) % N_HOSTS}'
+        f'.org/in/{d}">out</a> '
+        for i in range(k))
+    return f"<html><body><h1>Hub {d} {p}</h1>{links}</body></html>"
+
+
+def synth_http_response(d: int, p: int, linkfarm: bool = False) -> str:
     """Full HTTP/1.1 response message (status line + headers + body)."""
-    if (d + p) % 7 == 3:
+    if linkfarm:
+        status, ctype = "HTTP/1.1 200 OK", "text/html"
+        body = synth_link_html(d, p)
+    elif (d + p) % 7 == 3:
         status, ctype = "HTTP/1.1 404 Not Found", "text/plain"
         body = f"not found {d}/{p}"
     else:
@@ -120,18 +139,22 @@ def n_pages(d: int) -> int:
     return 1 + d % 3
 
 
-def synth_warc(d: int, compress: bool = False) -> bytes:
+def synth_warc(d: int, compress: bool = False,
+               linkfarm: bool = False) -> bytes:
     """One WARC file for doc d: warcinfo, then (request, response)
     per page.  compress=True emits the Common Crawl layout — each
-    record its own gzip member (mtime=0 for determinism)."""
+    record its own gzip member (mtime=0 for determinism).
+    linkfarm=True swaps the bodies for closed-form outlink pages
+    (the host-graph gates)."""
     recs = [_record_bytes(d, 0, "warcinfo",
                           synth_warcinfo(d).encode(), None)]
     for p in range(n_pages(d)):
-        uri = f"https://example-{d % 97}.org/doc/{d}/page/{p}"
+        uri = f"https://example-{d % N_HOSTS}.org/doc/{d}/page/{p}"
         recs.append(_record_bytes(d, 2 * p + 1, "request",
                                   synth_http_request(d, p).encode(), uri))
-        recs.append(_record_bytes(d, 2 * p + 2, "response",
-                                  synth_http_response(d, p).encode(), uri))
+        recs.append(_record_bytes(
+            d, 2 * p + 2, "response",
+            synth_http_response(d, p, linkfarm=linkfarm).encode(), uri))
     if compress:
         return b"".join(gzip.compress(r, mtime=0) for r in recs)
     return b"".join(recs)
@@ -253,7 +276,8 @@ WARC_SCHEMA = ("media_id long, rec_idx int, warc_type string, "
                "content_length long, payload_md5 string")
 
 
-def synth_warc_media(docs: DataFrame, compress: bool = False) -> DataFrame:
+def synth_warc_media(docs: DataFrame, compress: bool = False,
+                     linkfarm: bool = False) -> DataFrame:
     """documents -> one synthetic WARC file per doc_id (binary
     payload column), Arrow-batched; compress=True gives the
     member-per-record .warc.gz layout."""
@@ -263,7 +287,8 @@ def synth_warc_media(docs: DataFrame, compress: bool = False) -> DataFrame:
             ids = [int(m) for m in pdf["doc_id"]]
             yield pd.DataFrame({
                 "media_id": pd.array(ids, dtype="int64"),
-                "payload": [synth_warc(d, compress=compress) for d in ids],
+                "payload": [synth_warc(d, compress=compress,
+                                       linkfarm=linkfarm) for d in ids],
             })
 
     return docs.select("doc_id").mapInPandas(
@@ -315,9 +340,9 @@ def warc_records(media: DataFrame, compressed: bool = False) -> DataFrame:
     return media.mapInPandas(run, WARC_SCHEMA)
 
 
-HTTP_SCHEMA = ("media_id long, page int, http_status int, "
-               "content_type string, body_len long, body_md5 string, "
-               "body string")
+HTTP_SCHEMA = ("media_id long, page int, target_uri string, "
+               "http_status int, content_type string, body_len long, "
+               "body_md5 string, body string")
 
 
 def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
@@ -326,8 +351,8 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
     parsed from the target URI, not assumed from record order."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "page", "http_status", "content_type",
-                "body_len", "body_md5", "body"]
+        cols = ["media_id", "page", "target_uri", "http_status",
+                "content_type", "body_len", "body_md5", "body"]
         for pdf in batches:
             out: dict = {c: [] for c in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -347,6 +372,7 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
                     body = msg["body"]
                     out["media_id"].append(int(mid))
                     out["page"].append(page)
+                    out["target_uri"].append(uri)
                     out["http_status"].append(msg["status"])
                     out["content_type"].append(
                         msg["headers"].get("content-type"))
@@ -356,6 +382,7 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pd.array(out["media_id"], dtype="int64"),
                 "page": pd.array(out["page"], dtype="int32"),
+                "target_uri": out["target_uri"],
                 "http_status": pd.array(out["http_status"], dtype="int32"),
                 "content_type": out["content_type"],
                 "body_len": pd.array(out["body_len"], dtype="int64"),
@@ -364,6 +391,35 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
             })
 
     return media.mapInPandas(run, HTTP_SCHEMA)
+
+
+HREF_RE = r'href="([^"]+)"'
+HOST_RE = r"^https?://([^/]+)/"
+
+
+def extract_links(resp: DataFrame, body_col: str = "body") -> DataFrame:
+    """One row per outlink: (media_id, page, src_host, href) — pure
+    JVM-side regexp explode over the response bodies (whole-stage
+    codegen; Python never touches the hot path)."""
+    return resp.select(
+        "media_id", "page",
+        F.regexp_extract("target_uri", HOST_RE, 1).alias("src_host"),
+        F.explode(F.regexp_extract_all(
+            F.col(body_col), F.lit(HREF_RE), 1)).alias("href"))
+
+
+def host_link_graph(resp: DataFrame) -> DataFrame:
+    """Host-level link graph from crawl responses: aggregate outlinks
+    to (src_host, dst_host, n_links).  One explode + one keyed agg
+    (map-side partial); at web scale this is the classic host-graph
+    build — no joins, no driver state."""
+    links = extract_links(resp)
+    return (links
+            .select("src_host",
+                    F.regexp_extract("href", HOST_RE, 1).alias("dst_host"))
+            .where(F.col("dst_host") != "")
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("long").alias("n_links")))
 
 
 def warc_html_pipeline(media: DataFrame, compressed: bool = False

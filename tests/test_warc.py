@@ -160,3 +160,51 @@ def test_pipeline_excludes_404_pages(spark):
     rows = W.warc_html_pipeline(_media(spark, n=30)).collect()
     assert rows, "pipeline produced no pages"
     assert all((r.media_id + r.page) % 7 != 3 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# link graph + pagerank composition
+# --------------------------------------------------------------------------
+
+def _py_edges(n):
+    from collections import Counter
+    c = Counter()
+    for d in range(n):
+        for p in range(W.n_pages(d)):
+            for i in range(1 + (d + p) % 3):
+                hd = (d + 31 * p + 17 * i + 1) % W.N_HOSTS
+                c[(f"example-{d % W.N_HOSTS}.org",
+                   f"example-{hd}.org")] += 1
+    return c
+
+
+def test_host_link_graph_matches_python_replay(spark):
+    n = 25
+    media = W.synth_warc_media(spark.range(n).toDF("doc_id"),
+                               linkfarm=True)
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in W.host_link_graph(W.http_responses(media)).collect()}
+    assert got == dict(_py_edges(n))
+
+
+def test_extract_links_carries_source_host(spark):
+    media = W.synth_warc_media(spark.range(5).toDF("doc_id"),
+                               linkfarm=True)
+    rows = W.extract_links(W.http_responses(media)).collect()
+    for r in rows:
+        assert r.src_host == f"example-{r.media_id % W.N_HOSTS}.org"
+        assert r.href.startswith("https://example-")
+
+
+def test_host_pagerank_composition_is_deterministic(spark):
+    from octofludb_spark.ops.graph_analytics import pagerank
+    media = W.synth_warc_media(spark.range(40).toDF("doc_id"),
+                               linkfarm=True)
+    edges = W.host_link_graph(W.http_responses(media)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    a = sorted((r.node, r.rank_micro)
+               for r in pagerank(edges, iters=3).collect())
+    b = sorted((r.node, r.rank_micro)
+               for r in pagerank(edges.repartition(7), iters=3).collect())
+    assert a == b                      # parallelism-invariant integers
+    assert sum(r for _, r in a) > 0
