@@ -5369,6 +5369,136 @@ def web_host_pagerank(spark, sf):
     return pagerank(edges, iters=_WEBPR_ITERS)
 
 
+# robots.txt bodies are closed-form in the host index h (web.synth_robots_txt):
+# User-agent: * / Crawl-delay: 1+h%4 / Disallow: /private/
+# plus /doc/ on every 5th host and /doc/{h} on every 3rd.
+_ROBOTS_RULES_SQL = """
+WITH h AS (SELECT DISTINCT doc_id % 97 AS h FROM documents),
+ r AS (
+  SELECT h, 'user-agent' AS directive, '*' AS value FROM h
+  UNION ALL SELECT h, 'crawl-delay', CAST(1 + h % 4 AS VARCHAR) FROM h
+  UNION ALL SELECT h, 'disallow', '/private/' FROM h
+  UNION ALL SELECT h, 'disallow', '/doc/' FROM h WHERE h % 5 = 0
+  UNION ALL SELECT h, 'disallow', '/doc/' || h FROM h WHERE h % 3 = 0)
+SELECT 'example-' || h || '.org' AS host, directive, value FROM r
+"""
+
+
+@q("web_robots_rules", _ROBOTS_RULES_SQL)
+def web_robots_rules(spark, sf):
+    """Crawl politeness, parse half (scale/web.py robots_rules): a
+    dedicated robots-fetch WARC archive per host (Common Crawl keeps
+    robots responses in their own WARC set) -> HTTP split -> JVM-side
+    line explode into the (host, directive, value) rules table.  The
+    oracle restates every directive closed-form from the host index —
+    WARC walk, HTTP split, and REP line grammar all value-hashed."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    return W.robots_rules(W.http_responses(W.synth_robots_media(d)))
+
+
+# frontier pages are the crawl's own target URIs:
+# https://example-{d%97}.org/doc/{d}/page/{p} for p < 1 + d%3.
+_FRONTIER_PG_CTE = """
+pg AS (SELECT doc_id AS d, g.p, doc_id % 97 AS h,
+              '/doc/' || doc_id || '/page/' || g.p AS path
+       FROM documents, range(3) g(p) WHERE g.p < 1 + doc_id % 3),
+ allowed AS (
+  SELECT * FROM pg
+  WHERE NOT (h % 5 = 0)
+    AND NOT (h % 3 = 0 AND starts_with(path, '/doc/' || h)))
+"""
+
+_FRONTIER_SQL = f"""
+WITH {_FRONTIER_PG_CTE}
+SELECT CAST(d AS BIGINT) AS media_id, CAST(p AS INTEGER) AS page,
+       'example-' || h || '.org' AS host, path
+FROM allowed
+"""
+
+
+@q("web_crawl_frontier", _FRONTIER_SQL)
+def web_crawl_frontier(spark, sf):
+    """Crawl politeness, filter half (scale/web.py
+    crawl_frontier_filter): frontier URLs joined against their host's
+    Disallow prefixes — broadcast hash join on host with the REP
+    string-prefix test as residual, left_anti keeps allowed pages, so
+    the (huge) frontier side never shuffles.  The /doc/{h} rule
+    exercises character-prefix (not path-segment) semantics: host 9
+    blocks /doc/9* including /doc/90..../doc/96 pages it hosts.  The
+    oracle replays rule synthesis AND the prefix algebra."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    pages = (W.http_responses(W.synth_warc_media(d))
+             .select("media_id", "page", "target_uri"))
+    rules = W.robots_rules(W.http_responses(W.synth_robots_media(d)))
+    return (W.crawl_frontier_filter(pages, rules)
+            .select("media_id", "page", "host", "path"))
+
+
+_SCHEDULE_SQL = f"""
+WITH {_FRONTIER_PG_CTE}
+SELECT 'example-' || h || '.org' AS host,
+       CAST(d AS BIGINT) AS media_id, CAST(p AS INTEGER) AS page,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY d, p) AS INTEGER)
+         AS slot,
+       CAST((ROW_NUMBER() OVER (PARTITION BY h ORDER BY d, p) - 1)
+            * (1 + h % 4) AS BIGINT) AS fetch_offset_s
+FROM allowed
+"""
+
+
+@q("web_politeness_schedule", _SCHEDULE_SQL)
+def web_politeness_schedule(spark, sf):
+    """Crawl politeness, schedule half (scale/web.py
+    politeness_schedule): the k-th allowed URL of a host fetches at
+    (k-1)*Crawl-delay seconds — one window keyed by host (the same
+    shard key a polite fetcher's per-host queues use) plus a
+    broadcast join for the per-host delays.  Value-hashed against a
+    SQL replay of the whole chain: robots parse -> frontier filter ->
+    ROW_NUMBER -> delay arithmetic."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    pages = (W.http_responses(W.synth_warc_media(d))
+             .select("media_id", "page", "target_uri"))
+    rules = W.robots_rules(W.http_responses(W.synth_robots_media(d)))
+    return W.politeness_schedule(pages, rules)
+
+
+# link-farm anchors: link i of page (d, p) carries text
+# a{(d + 7p + 13i) % 23} and points at host (d + 31p + 17i + 1) % 97
+_ANCHOR_SQL = """
+WITH lf AS (SELECT doc_id AS d, g.p, i.i,
+              (doc_id + 31 * g.p + 17 * i.i + 1) % 97 AS hd,
+              (doc_id + 7 * g.p + 13 * i.i) % 23 AS an
+            FROM documents, range(3) g(p), range(3) i(i)
+            WHERE g.p < 1 + doc_id % 3 AND i.i < 1 + (doc_id + g.p) % 3)
+SELECT 'example-' || hd || '.org' AS dst_host, 'a' || an AS anchor,
+       CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM lf GROUP BY 1, 2
+"""
+
+
+@q("web_anchor_text", _ANCHOR_SQL)
+def web_anchor_text(spark, sf):
+    """WAT-style anchor-text aggregation (scale/web.py anchor_text):
+    the text pages link WITH, keyed to the host they link TO — the
+    classic crawl ranking signal (anchor text describes the target
+    better than the target describes itself).  JVM regexp explode of
+    <a> tags + one keyed agg with map-side partials: scan + single
+    shuffle at 100 TB, same shape as the host-graph build.  The
+    oracle rebuilds the closed-form (host, anchor) lattice with
+    multiplicities."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    m = W.synth_warc_media(d, linkfarm=True)
+    return W.anchor_text(W.http_responses(m))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5392,8 +5522,11 @@ _DRIVER_WINDOW = [
     "lineitem_agg", "group_concat_segments", "earliest_order",
     "distinct_pairs", "customers_without_orders",
     "orders_with_optional_segment", "union_branches", "revenue_3hop",
-    "semi_join_orders", "incremental_user_diff", "quarter_rollup",
+    "semi_join_orders", "incremental_user_diff",
     "priority_pivot", "auto_salted_join",
+    # web crawl family (round-4 WARC source; quarter_rollup made room —
+    # it is interchangeable relational evidence with priority_pivot)
+    "web_warc_pipeline",
     # recognizer extraction (§2.2)
     "extract_accessions",
     # events

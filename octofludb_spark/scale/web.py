@@ -67,13 +67,14 @@ N_HOSTS = 97
 
 def synth_link_html(d: int, p: int) -> str:
     """Link-farm body for the host-graph gates: page p of doc d emits
-    1 + (d+p) % 3 outlinks whose target hosts are closed-form in
-    (d, p, i) — so an external engine can rebuild the whole host-level
-    edge list (and therefore the PageRank trajectory) exactly."""
+    1 + (d+p) % 3 outlinks whose target hosts AND anchor texts are
+    closed-form in (d, p, i) — so an external engine can rebuild the
+    whole host-level edge list (and therefore the PageRank trajectory
+    and the anchor-text lattice) exactly."""
     k = 1 + (d + p) % 3
     links = "".join(
         f'<a href="https://example-{(d + 31 * p + 17 * i + 1) % N_HOSTS}'
-        f'.org/in/{d}">out</a> '
+        f'.org/in/{d}">a{(d + 7 * p + 13 * i) % 23}</a> '
         for i in range(k))
     return f"<html><body><h1>Hub {d} {p}</h1>{links}</body></html>"
 
@@ -155,6 +156,48 @@ def synth_warc(d: int, compress: bool = False,
         recs.append(_record_bytes(
             d, 2 * p + 2, "response",
             synth_http_response(d, p, linkfarm=linkfarm).encode(), uri))
+    if compress:
+        return b"".join(gzip.compress(r, mtime=0) for r in recs)
+    return b"".join(recs)
+
+
+# ------------------------------------------------------------------
+# robots.txt (crawl politeness) — Common Crawl keeps robots fetches
+# in a dedicated WARC archive; mirrored here as one file per host.
+# Every directive is closed-form in the host index h so a DuckDB
+# oracle can rebuild the full rules table.
+# ------------------------------------------------------------------
+
+def synth_robots_txt(h: int) -> str:
+    """robots.txt body for host example-{h}.org.  Three rule shapes:
+    a universal never-matching prefix (/private/), a whole-site page
+    block on every 5th host (/doc/), and a raw string-prefix rule
+    (/doc/{h}) on every 3rd host — the last one deliberately exercises
+    REP's character-prefix (not path-segment) match semantics."""
+    lines = ["User-agent: *",
+             f"Crawl-delay: {1 + h % 4}",
+             "Disallow: /private/"]
+    if h % 5 == 0:
+        lines.append("Disallow: /doc/")
+    if h % 3 == 0:
+        lines.append(f"Disallow: /doc/{h}")
+    return "\n".join(lines) + "\n"
+
+
+def synth_warc_robots(h: int, compress: bool = False) -> bytes:
+    """One robots-fetch WARC (warcinfo, request, response) for host h."""
+    uri = f"https://example-{h}.org/robots.txt"
+    req = (f"GET /robots.txt HTTP/1.1{CRLF}Host: example-{h}.org{CRLF}"
+           f"User-Agent: octofludb-spark/1.0{CRLF}"
+           f"Accept: text/plain{CRLF}{CRLF}")
+    body = synth_robots_txt(h)
+    resp = (f"HTTP/1.1 200 OK{CRLF}Content-Type: text/plain{CRLF}"
+            f"Content-Length: {len(body)}{CRLF}"
+            f"Server: synthd/1.0{CRLF}{CRLF}{body}")
+    recs = [_record_bytes(h, 0, "warcinfo", synth_warcinfo(h).encode(),
+                          None),
+            _record_bytes(h, 1, "request", req.encode(), uri),
+            _record_bytes(h, 2, "response", resp.encode(), uri)]
     if compress:
         return b"".join(gzip.compress(r, mtime=0) for r in recs)
     return b"".join(recs)
@@ -295,6 +338,27 @@ def synth_warc_media(docs: DataFrame, compress: bool = False,
         run, "media_id long, payload binary")
 
 
+def synth_robots_media(docs: DataFrame, compress: bool = False) -> DataFrame:
+    """documents -> one robots-fetch WARC per DISTINCT host (doc_id %
+    N_HOSTS).  The distinct projects a single tiny column before its
+    shuffle; the synthesized archive mirrors Common Crawl's separate
+    robotstxt WARC set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [int(h) for h in pdf["host_id"]]
+            yield pd.DataFrame({
+                "media_id": pd.array(hs, dtype="int64"),
+                "payload": [synth_warc_robots(h, compress=compress)
+                            for h in hs],
+            })
+
+    hosts = (docs.select((F.col("doc_id") % N_HOSTS)
+                         .cast("long").alias("host_id"))
+                 .distinct())
+    return hosts.mapInPandas(run, "media_id long, payload binary")
+
+
 def warc_records(media: DataFrame, compressed: bool = False) -> DataFrame:
     """Explode WARC files into typed records, map-side.  compressed=
     True walks gzip members first (one record per member — the
@@ -368,7 +432,8 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
                         continue
                     msg = parse_http_message(rec["payload"])
                     uri = h.get("warc-target-uri", "")
-                    page = int(uri.rsplit("/", 1)[-1])
+                    tail = uri.rsplit("/", 1)[-1]
+                    page = int(tail) if tail.isdigit() else -1
                     body = msg["body"]
                     out["media_id"].append(int(mid))
                     out["page"].append(page)
@@ -445,3 +510,98 @@ def warc_html_pipeline(media: DataFrame, compressed: bool = False
         (F.col("doc_id") / 8).cast("long").alias("media_id"),
         F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("page"),
         "n_links", "text_clean", "n_chars_clean")
+
+
+# ------------------------------------------------------------------
+# politeness (robots rules -> frontier filter -> fetch schedule)
+# ------------------------------------------------------------------
+
+def robots_rules(resp: DataFrame) -> DataFrame:
+    """robots.txt responses -> (host, directive, value) rule rows.
+    One JVM-side line explode + two regexp projections; the output is
+    the tiny per-host rules table every politeness stage broadcasts."""
+    lines = (resp
+             .where(F.col("target_uri").endswith("/robots.txt"))
+             .select(F.regexp_extract("target_uri", HOST_RE, 1)
+                     .alias("host"),
+                     F.explode(F.split("body", "\n")).alias("line")))
+    return (lines
+            .select("host",
+                    F.lower(F.regexp_extract(
+                        "line", r"^([A-Za-z-]+):", 1)).alias("directive"),
+                    F.trim(F.regexp_extract(
+                        "line", r"^[A-Za-z-]+:\s*(.*)$", 1)).alias("value"))
+            .where(F.col("directive") != ""))
+
+
+def crawl_frontier_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Drop frontier URLs disallowed by their host's robots rules
+    (REP string-prefix semantics).  The rules side is one-row-per-
+    host×rule — broadcast hash join on host with the prefix test as
+    residual condition, left_anti keeps the allowed pages.  At crawl
+    scale the pages side never shuffles."""
+    dis = (rules
+           .where((F.col("directive") == "disallow")
+                  & (F.col("value") != ""))
+           .select(F.col("host").alias("r_host"),
+                   F.col("value").alias("prefix")))
+    pg = (pages
+          .withColumn("host", F.regexp_extract("target_uri", HOST_RE, 1))
+          .withColumn("path", F.regexp_replace(
+              "target_uri", r"^https?://[^/]+", "")))
+    cond = ((pg["host"] == dis["r_host"])
+            & pg["path"].startswith(dis["prefix"]))
+    return pg.join(F.broadcast(dis), cond, "left_anti")
+
+
+def politeness_schedule(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Per-host fetch schedule honoring Crawl-delay: the k-th allowed
+    URL of a host fetches at offset (k-1)*delay seconds.  One window
+    keyed by host over the filtered frontier — the same shard key a
+    polite fetcher uses for its per-host queues — plus a broadcast
+    join for the delays."""
+    from pyspark.sql import Window
+
+    delay = (rules
+             .where(F.col("directive") == "crawl-delay")
+             .select(F.col("host").alias("d_host"),
+                     F.col("value").cast("int").alias("delay_s")))
+    allowed = crawl_frontier_filter(pages, rules)
+    w = Window.partitionBy("host").orderBy("media_id", "page")
+    return (allowed
+            .select("host", "media_id", "page")
+            .withColumn("slot", F.row_number().over(w).cast("int"))
+            .join(F.broadcast(delay), F.col("host") == F.col("d_host"),
+                  "left")
+            .select("host", "media_id", "page", "slot",
+                    ((F.col("slot") - 1)
+                     * F.coalesce("delay_s", F.lit(1)))
+                    .cast("long").alias("fetch_offset_s")))
+
+
+# ------------------------------------------------------------------
+# anchor text (the WAT-style inbound-link signal)
+# ------------------------------------------------------------------
+
+ANCHOR_TAG_RE = r'<a href="[^"]+">[^<]*</a>'
+
+
+def anchor_text(resp: DataFrame, body_col: str = "body") -> DataFrame:
+    """Aggregate the text people link WITH to the host they link TO:
+    (dst_host, anchor, n_refs).  The classic crawl-ranking signal
+    (anchor text describes the target better than the target does).
+    Pure JVM regexp explode + one keyed agg with map-side partials —
+    at 100 TB this is scan + single shuffle, same shape as the host
+    graph build."""
+    tags = resp.select(
+        F.explode(F.regexp_extract_all(
+            F.col(body_col), F.lit(ANCHOR_TAG_RE), 0)).alias("tag"))
+    return (tags
+            .select(F.regexp_extract(
+                        "tag", r'href="https?://([^/"]+)', 1)
+                    .alias("dst_host"),
+                    F.regexp_extract("tag", r">([^<]*)</a>", 1)
+                    .alias("anchor"))
+            .where(F.col("dst_host") != "")
+            .groupBy("dst_host", "anchor")
+            .agg(F.count("*").cast("long").alias("n_refs")))

@@ -208,3 +208,83 @@ def test_host_pagerank_composition_is_deterministic(spark):
                for r in pagerank(edges.repartition(7), iters=3).collect())
     assert a == b                      # parallelism-invariant integers
     assert sum(r for _, r in a) > 0
+
+
+# --------------------------------------------------------------------------
+# robots.txt politeness + anchor text
+# --------------------------------------------------------------------------
+
+def _robots_resp(spark, n=25):
+    docs = spark.range(n).toDF("doc_id")
+    return W.http_responses(W.synth_robots_media(docs))
+
+
+def test_robots_rules_parse_matches_synthesis(spark):
+    n = 25
+    got = {(r.host, r.directive, r.value)
+           for r in W.robots_rules(_robots_resp(spark, n)).collect()}
+    want = set()
+    for h in range(n):          # n <= N_HOSTS: hosts are 0..n-1
+        for ln in W.synth_robots_txt(h).strip().split("\n"):
+            k, _, v = ln.partition(":")
+            want.add((f"example-{h}.org", k.lower(), v.strip()))
+    assert got == want
+
+
+def test_frontier_filter_rep_prefix_semantics(spark):
+    n = 40
+    docs = spark.range(n).toDF("doc_id")
+    pages = (W.http_responses(W.synth_warc_media(docs))
+             .select("media_id", "page", "target_uri"))
+    rules = W.robots_rules(_robots_resp(spark, n))
+    got = {(r.media_id, r.page)
+           for r in W.crawl_frontier_filter(pages, rules).collect()}
+    want = set()
+    for d in range(n):
+        h = d % W.N_HOSTS
+        for p in range(W.n_pages(d)):
+            path = f"/doc/{d}/page/{p}"
+            if h % 5 == 0:
+                continue                      # whole-site /doc/ block
+            if h % 3 == 0 and path.startswith(f"/doc/{h}"):
+                continue                      # char-prefix rule
+            want.add((d, p))
+    assert got == want
+    # host 9 pages blocked by its own char-prefix rule; host 10 (if
+    # reached) by the /doc/ rule — both absent above. sanity:
+    assert all(m % W.N_HOSTS % 5 != 0 for m, _ in got)
+
+
+def test_politeness_schedule_slots_and_offsets(spark):
+    n = 40
+    docs = spark.range(n).toDF("doc_id")
+    pages = (W.http_responses(W.synth_warc_media(docs))
+             .select("media_id", "page", "target_uri"))
+    rules = W.robots_rules(_robots_resp(spark, n))
+    rows = W.politeness_schedule(pages, rules).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        h = int(host.split("-")[1].split(".")[0])
+        rs.sort(key=lambda r: (r.media_id, r.page))
+        for k, r in enumerate(rs, start=1):
+            assert r.slot == k
+            assert r.fetch_offset_s == (k - 1) * (1 + h % 4)
+
+
+def test_anchor_text_matches_python_replay(spark):
+    from collections import Counter
+    n = 30
+    docs = spark.range(n).toDF("doc_id")
+    resp = W.http_responses(W.synth_warc_media(docs, linkfarm=True))
+    got = {(r.dst_host, r.anchor): r.n_refs
+           for r in W.anchor_text(resp).collect()}
+    want: Counter = Counter()
+    for d in range(n):
+        for p in range(W.n_pages(d)):
+            for i in range(1 + (d + p) % 3):
+                hd = (d + 31 * p + 17 * i + 1) % W.N_HOSTS
+                want[(f"example-{hd}.org",
+                      f"a{(d + 7 * p + 13 * i) % 23}")] += 1
+    assert got == dict(want)
