@@ -5499,6 +5499,126 @@ def web_anchor_text(spark, sf):
     return W.anchor_text(W.http_responses(m))
 
 
+_URL_NORM_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'https' END
+  || '://Example-' || (doc_id % 97) || '.ORG'
+  || CASE WHEN doc_id % 3 = 0 THEN
+       CASE WHEN doc_id % 2 = 1 THEN ':80' ELSE ':443' END ELSE '' END
+  || '/a//b' || doc_id || '/./c/../d' || doc_id
+  || CASE WHEN doc_id % 4 = 0 THEN '?b=' || doc_id || '&a=1' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+  CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END
+  || '://example-' || (doc_id % 97) || '.org'
+  || '/a/b' || doc_id || '/d' || doc_id
+  || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=' || doc_id ELSE '' END
+    AS url_canon
+FROM documents
+"""
+
+
+@q("web_url_normalize", _URL_NORM_SQL)
+def web_url_normalize(spark, sf):
+    """Frontier URL canonicalization (scale/web.py url_normalize):
+    lowercase scheme+host, default-port strip, fragment drop,
+    duplicate-slash collapse, ./ and ../ dot-segment resolution (an
+    `aggregate` fold over path segments — JVM-side, no explode, no
+    Python), query-param sort, empty-trailing-segment drop.  The
+    Spark side synthesizes every messy face closed-form from doc_id
+    (case, :80/:443, //, ./, ../, unsorted query, #fragment) and the
+    oracle states BOTH the messy input and the canonical answer in
+    closed form — input and output value-hashed together."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 1, F.lit("HTTP"))
+         .otherwise(F.lit("https")),
+        F.lit("://Example-"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".ORG"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.when(F.col("doc_id") % 2 == 1, F.lit(":80"))
+                .otherwise(F.lit(":443"))).otherwise(F.lit("")),
+        F.lit("/a//b"), did, F.lit("/./c/../d"), did,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?b="), did, F.lit("&a=1")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+         .otherwise(F.lit("")))
+    return W.url_normalize(d.select("doc_id", messy.alias("url")))
+
+
+# WET record/file oracle: the clean text is the _WARC_PIPELINE_SQL
+# closed form; the serialization is restated byte-for-byte in SQL.
+_WET_REC_CTE = f"""
+{_WARC_SYNTH_CTE},
+ txt AS (SELECT d, p, c,
+          'Doc ' || d || ' page ' || p || ' Doc ' || d || ' page ' || p
+          || ' alpha beta gamma ' || (d * 31 + p) || ' delta.'
+          || CASE WHEN (d + p) % 2 = 0 THEN ' more' ELSE '' END
+          || ' & fin' AS t
+         FROM pg3 WHERE (d + p) % 7 <> 3),
+ rec AS (SELECT d, p,
+          'WARC/1.0' || c || 'WARC-Type: conversion' || c
+          || 'WARC-Record-ID: <urn:uuid:'
+          || md5('wet:' || d || ':' || p) || '>' || c
+          || 'WARC-Target-URI: https://example-' || (d % 97)
+          || '.org/doc/' || d || '/page/' || p || c
+          || 'Content-Type: text/plain' || c
+          || 'Content-Length: ' || length(t) || c || c
+          || t || c || c AS r
+         FROM txt)
+"""
+
+_WET_RECORDS_SQL = f"""
+WITH {_WET_REC_CTE}
+SELECT d AS media_id, CAST(p AS INTEGER) AS page,
+       CAST(length(r) AS BIGINT) AS record_len, md5(r) AS record_md5
+FROM rec
+"""
+
+
+@q("web_wet_records", _WET_RECORDS_SQL)
+def web_wet_records(spark, sf):
+    """WET sink, record half (scale/web.py wet_records): crawl-to-
+    text output serialized back out as WARC `conversion` records —
+    the format Common Crawl publishes its extracted text in.  The
+    record assembly is pure JVM concat (whole-stage codegen), so the
+    sink's hot path is scan-shaped at 100 TB.  The oracle rebuilds
+    every record string byte-for-byte — WARC headers, record-ID
+    derivation, Content-Length, payload — and md5s it."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    pages = W.warc_html_pipeline(m)
+    return W.wet_records(pages).select(
+        "media_id", "page", "record_len", "record_md5")
+
+
+_WET_FILES_SQL = f"""
+WITH {_WET_REC_CTE}
+SELECT d AS media_id,
+       CAST(length(f) AS BIGINT) AS file_len, md5(f) AS file_md5
+FROM (SELECT d, string_agg(r, '' ORDER BY p) AS f FROM rec GROUP BY d)
+"""
+
+
+@q("web_wet_files", _WET_FILES_SQL)
+def web_wet_files(spark, sf):
+    """WET sink, file half (scale/web.py wet_files): one WET file
+    body per source WARC — conversion records in page order,
+    concatenated.  The page-order sort rides the single exchange via
+    sort_array over (page, record) structs; no window, no second
+    shuffle.  File bytes value-hashed against the oracle's ordered
+    string_agg replay."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    pages = W.warc_html_pipeline(m)
+    return W.wet_files(pages)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

@@ -605,3 +605,104 @@ def anchor_text(resp: DataFrame, body_col: str = "body") -> DataFrame:
             .where(F.col("dst_host") != "")
             .groupBy("dst_host", "anchor")
             .agg(F.count("*").cast("long").alias("n_refs")))
+
+
+# ------------------------------------------------------------------
+# URL canonicalization (frontier normalization before dedup)
+# ------------------------------------------------------------------
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """RFC 3986-flavored URL canonicalization, entirely JVM-side —
+    the normalize-before-dedup step every frontier needs (the same
+    page reachable as HTTP://Example.ORG:80/a//b/./c?b=2&a=1#frag
+    and https://example.org/a/b/c?a=1&b=2 must collapse to one key).
+
+    Steps: lowercase scheme+host, strip default port, drop fragment,
+    collapse duplicate slashes, resolve ./ and ../ dot-segments
+    (an `aggregate` fold over path segments — no Python, no explode),
+    sort query parameters.  Adds `url_canon` next to the input column.
+    """
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    hostport = F.lower(F.regexp_extract(url_col, r"^[^:]+://([^/?#]*)", 1))
+    host = (F.when((scheme == "http") & hostport.endswith(":80"),
+                   hostport.substr(F.lit(1), F.length(hostport) - 3))
+            .when((scheme == "https") & hostport.endswith(":443"),
+                  hostport.substr(F.lit(1), F.length(hostport) - 4))
+            .otherwise(hostport))
+    rest = F.regexp_extract(url_col, r"^[^:]+://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    # duplicate-slash collapse, then dot-segment fold over segments
+    squashed = F.regexp_replace(path, "/{2,}", "/")
+    segs = F.split(squashed, "/")
+    folded = F.aggregate(
+        segs,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: (
+            F.when(x == ".", acc)
+             .when(x == "..", F.slice(acc, F.lit(1),
+                                      F.greatest(F.size(acc) - 1, F.lit(0))))
+             .otherwise(F.concat(acc, F.array(x)))),
+    )
+    canon_path = F.when(squashed == "", F.lit("/")).otherwise(
+        F.concat(F.lit("/"), F.array_join(
+            F.filter(folded, lambda s: s != ""), "/")))
+    canon_query = F.when(
+        query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(
+            F.array_sort(F.split(query, "&")), "&")))
+    return df.withColumn(
+        "url_canon",
+        F.concat(scheme, F.lit("://"), host, canon_path, canon_query))
+
+
+# ------------------------------------------------------------------
+# WET sink (crawl-to-text serialized back out as conversion records)
+# ------------------------------------------------------------------
+
+def wet_records(pages: DataFrame) -> DataFrame:
+    """Serialize extracted page text as WARC `conversion` records —
+    the WET format Common Crawl publishes alongside each crawl.
+    Input: (media_id, page, text_clean).  Output adds the full
+    record string plus its md5/length.  Pure JVM concat: the sink's
+    hot path is string assembly inside whole-stage codegen, so a
+    100 TB WET write is scan-shaped (records then stream to the
+    file sink partitioned by media_id)."""
+    uri = F.concat(F.lit("https://example-"),
+                   F.pmod(F.col("media_id"), F.lit(N_HOSTS)),
+                   F.lit(".org/doc/"), F.col("media_id"),
+                   F.lit("/page/"), F.col("page"))
+    rid = F.md5(F.concat(F.lit("wet:"), F.col("media_id"),
+                         F.lit(":"), F.col("page")))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"
+              "WARC-Record-ID: <urn:uuid:"), rid,
+        F.lit(">\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.length("text_clean").cast("string"),
+        F.lit("\r\n\r\n"), F.col("text_clean"), F.lit("\r\n\r\n"))
+    return pages.select(
+        "media_id", "page",
+        rec.alias("wet_record"),
+        F.length(rec).cast("long").alias("record_len"),
+        F.md5(rec).alias("record_md5"))
+
+
+def wet_files(pages: DataFrame) -> DataFrame:
+    """Assemble one WET FILE body per media_id: conversion records
+    ordered by page, concatenated — the grouped sink layout (one WET
+    per source WARC).  One keyed agg over the record rows; the
+    page-order sort rides the shuffle via sort_array on (page, rec)
+    structs, so file assembly costs a single exchange."""
+    recs = wet_records(pages)
+    return (recs
+            .groupBy("media_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("page", "wet_record"))),
+                         lambda s: s["wet_record"]), "")
+                 .alias("wet_file"))
+            .select("media_id",
+                    F.length("wet_file").cast("long").alias("file_len"),
+                    F.md5("wet_file").alias("file_md5")))

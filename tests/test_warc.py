@@ -288,3 +288,56 @@ def test_anchor_text_matches_python_replay(spark):
                 want[(f"example-{hd}.org",
                       f"a{(d + 7 * p + 13 * i) % 23}")] += 1
     assert got == dict(want)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + WET sink
+# --------------------------------------------------------------------------
+
+def test_url_normalize_edge_faces(spark):
+    cases = [
+        ("HTTP://Example.ORG:80/a//b/./c/../d?b=2&a=1#frag",
+         "http://example.org/a/b/d?a=1&b=2"),
+        ("https://x.org:443/", "https://x.org/"),
+        ("https://x.org", "https://x.org/"),          # bare host -> /
+        ("http://y.net/p/q/", "http://y.net/p/q"),    # trailing slash drop
+        ("https://z.io/a/b/../../c?z=9", "https://z.io/c?z=9"),
+        ("https://h.io/../x", "https://h.io/x"),      # .. past root clamps
+        ("http://a.b:8080/x", "http://a.b:8080/x"),   # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.url_canon for r in W.url_normalize(df).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_wet_records_reparse_roundtrip(spark):
+    """The WET sink's output must be valid WARC: re-parse every
+    serialized record with our own strict walker and recover the
+    exact clean text and target URI."""
+    pages = W.warc_html_pipeline(_media(spark, n=10))
+    texts = {(r.media_id, r.page): r.text_clean for r in pages.collect()}
+    for r in W.wet_records(pages).collect():
+        recs = list(W.iter_warc_records(r.wet_record.encode()))
+        assert len(recs) == 1
+        h = recs[0]["headers"]
+        assert h["warc-type"] == "conversion"
+        assert h["warc-target-uri"] == (
+            f"https://example-{r.media_id % W.N_HOSTS}.org"
+            f"/doc/{r.media_id}/page/{r.page}")
+        assert recs[0]["payload"].decode() == texts[(r.media_id, r.page)]
+        assert r.record_len == len(r.wet_record)
+        assert r.record_md5 == hashlib.md5(
+            r.wet_record.encode()).hexdigest()
+
+
+def test_wet_files_concatenate_in_page_order(spark):
+    pages = W.warc_html_pipeline(_media(spark, n=10))
+    recs = {}
+    for r in W.wet_records(pages).collect():
+        recs.setdefault(r.media_id, []).append((r.page, r.wet_record))
+    want = {m: "".join(w for _, w in sorted(v)) for m, v in recs.items()}
+    for r in W.wet_files(pages).collect():
+        assert r.file_len == len(want[r.media_id])
+        assert r.file_md5 == hashlib.md5(
+            want[r.media_id].encode()).hexdigest()
