@@ -467,7 +467,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "mp4-info", "mp4-samples", "audio-features", "image-dhash",
               "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
               "avi-frames", "warc-records", "warc-responses", "warc-text",
-              "warc-linkgraph")
+              "warc-linkgraph", "robots-rules", "frontier", "politeness",
+              "anchor-text", "url-normalize", "wet", "wet-files")
 
 
 def cmd_scale(args) -> int:
@@ -625,6 +626,40 @@ def cmd_scale(args) -> int:
     elif args.op == "warc-linkgraph":
         from octofludb_spark.scale.web import host_link_graph, http_responses
         out = host_link_graph(http_responses(docs, compressed=args.gz))
+    elif args.op == "robots-rules":
+        # expects a robots-fetch media parquet (media_id, payload)
+        from octofludb_spark.scale.web import http_responses, robots_rules
+        out = robots_rules(http_responses(docs, compressed=args.gz))
+    elif args.op in ("frontier", "politeness"):
+        # input: crawl media parquet; --robots: robots media parquet
+        from octofludb_spark.scale.web import (crawl_frontier_filter,
+                                               http_responses,
+                                               politeness_schedule,
+                                               robots_rules)
+        if not args.robots:
+            raise SystemExit(f"scale {args.op} needs --robots "
+                             "(robots-fetch media parquet)")
+        pages = (http_responses(docs, compressed=args.gz)
+                 .select("media_id", "page", "target_uri"))
+        rules = robots_rules(http_responses(
+            spark.read.parquet(args.robots), compressed=args.gz))
+        if args.op == "frontier":
+            out = crawl_frontier_filter(pages, rules).select(
+                "media_id", "page", "host", "path")
+        else:
+            out = politeness_schedule(pages, rules)
+    elif args.op == "anchor-text":
+        from octofludb_spark.scale.web import anchor_text, http_responses
+        out = anchor_text(http_responses(docs, compressed=args.gz))
+    elif args.op == "url-normalize":
+        from octofludb_spark.scale.web import url_normalize
+        out = url_normalize(docs, url_col=args.url_col)
+    elif args.op == "wet":
+        from octofludb_spark.scale.web import warc_html_pipeline, wet_records
+        out = wet_records(warc_html_pipeline(docs, compressed=args.gz))
+    elif args.op == "wet-files":
+        from octofludb_spark.scale.web import warc_html_pipeline, wet_files
+        out = wet_files(warc_html_pipeline(docs, compressed=args.gz))
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")
@@ -884,6 +919,10 @@ def main(argv=None) -> int:
                      help="avi-frames: decode every stride-th frame")
     sca.add_argument("--gz", action="store_true",
                      help="warc-*: payloads are member-per-record .warc.gz")
+    sca.add_argument("--robots",
+                     help="frontier/politeness: robots-fetch media parquet")
+    sca.add_argument("--url-col", dest="url_col", default="url",
+                     help="url-normalize: column holding the URL")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)
