@@ -5619,6 +5619,45 @@ def web_wet_files(spark, sf):
     return W.wet_files(pages)
 
 
+# recrawl lattice (web.synth_warc rev=1): (d+p)%9==5 pages gone,
+# every 6th doc gains page n_pages(d), (d+p)%4==0 bodies change.
+_CRAWL_DIFF_SQL = """
+WITH pgA AS (SELECT doc_id AS d, g.p FROM documents, range(3) g(p)
+             WHERE g.p < 1 + doc_id % 3),
+ pgB AS (SELECT d, p FROM pgA WHERE (d + p) % 9 <> 5
+         UNION ALL
+         SELECT doc_id AS d, 1 + doc_id % 3 AS p FROM documents
+         WHERE doc_id % 6 = 0),
+ u AS (SELECT COALESCE(a.d, b.d) AS d, COALESCE(a.p, b.p) AS p,
+              a.d IS NOT NULL AS in_a, b.d IS NOT NULL AS in_b
+       FROM pgA a FULL OUTER JOIN pgB b ON a.d = b.d AND a.p = b.p)
+SELECT 'https://example-' || (d % 97) || '.org/doc/' || d
+         || '/page/' || p AS target_uri,
+       CASE WHEN NOT in_a THEN 'new' WHEN NOT in_b THEN 'gone'
+            WHEN (d + p) % 4 = 0 THEN 'changed' ELSE 'same' END AS status
+FROM u
+"""
+
+
+@q("web_crawl_diff", _CRAWL_DIFF_SQL)
+def web_crawl_diff(spark, sf):
+    """Cross-snapshot recrawl diff (scale/web.py crawl_diff): two
+    crawl revisions parsed from their WARC archives, every page URI
+    classed new / gone / changed / same by content hash — the CDC
+    step that reduces a 100 TB snapshot pair to its delta before any
+    downstream work.  Both sides project to (uri, md5) map-side;
+    ONE uri-keyed full-outer join is the only shuffle.  The oracle
+    states the whole change lattice closed-form (dropped pages,
+    added pages, suffixed bodies) and the statuses are value-hashed
+    through real WARC parsing on BOTH snapshots."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    a = W.http_responses(W.synth_warc_media(d))
+    b = W.http_responses(W.synth_warc_media(d, rev=1))
+    return W.crawl_diff(a, b).select("target_uri", "status")
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

@@ -79,8 +79,12 @@ def synth_link_html(d: int, p: int) -> str:
     return f"<html><body><h1>Hub {d} {p}</h1>{links}</body></html>"
 
 
-def synth_http_response(d: int, p: int, linkfarm: bool = False) -> str:
-    """Full HTTP/1.1 response message (status line + headers + body)."""
+def synth_http_response(d: int, p: int, linkfarm: bool = False,
+                        rev: int = 0) -> str:
+    """Full HTTP/1.1 response message (status line + headers + body).
+    rev > 0 models a RECRAWL snapshot: every (d+p) % 4 == 0 page's
+    body gains a ' rev{rev}' suffix (a changed page); everything else
+    is byte-identical to rev 0."""
     if linkfarm:
         status, ctype = "HTTP/1.1 200 OK", "text/html"
         body = synth_link_html(d, p)
@@ -90,6 +94,8 @@ def synth_http_response(d: int, p: int, linkfarm: bool = False) -> str:
     else:
         status, ctype = "HTTP/1.1 200 OK", "text/html"
         body = synth_page_html(d, p)
+    if rev and (d + p) % 4 == 0:
+        body += f" rev{rev}"
     return (f"{status}{CRLF}Content-Type: {ctype}{CRLF}"
             f"Content-Length: {len(body)}{CRLF}"
             f"Server: synthd/1.0{CRLF}{CRLF}{body}")
@@ -141,21 +147,30 @@ def n_pages(d: int) -> int:
 
 
 def synth_warc(d: int, compress: bool = False,
-               linkfarm: bool = False) -> bytes:
+               linkfarm: bool = False, rev: int = 0) -> bytes:
     """One WARC file for doc d: warcinfo, then (request, response)
     per page.  compress=True emits the Common Crawl layout — each
     record its own gzip member (mtime=0 for determinism).
     linkfarm=True swaps the bodies for closed-form outlink pages
-    (the host-graph gates)."""
+    (the host-graph gates).  rev > 0 is a recrawl snapshot: pages
+    with (d+p) % 9 == 5 are GONE, every 6th doc gains one NEW page
+    at index n_pages(d), and (d+p) % 4 == 0 bodies CHANGE (suffix);
+    the rest are byte-identical — the crawl-diff lattice."""
     recs = [_record_bytes(d, 0, "warcinfo",
                           synth_warcinfo(d).encode(), None)]
-    for p in range(n_pages(d)):
+    pages = list(range(n_pages(d)))
+    if rev:
+        pages = [p for p in pages if (d + p) % 9 != 5]
+        if d % 6 == 0:
+            pages.append(n_pages(d))
+    for p in pages:
         uri = f"https://example-{d % N_HOSTS}.org/doc/{d}/page/{p}"
         recs.append(_record_bytes(d, 2 * p + 1, "request",
                                   synth_http_request(d, p).encode(), uri))
         recs.append(_record_bytes(
             d, 2 * p + 2, "response",
-            synth_http_response(d, p, linkfarm=linkfarm).encode(), uri))
+            synth_http_response(d, p, linkfarm=linkfarm,
+                                rev=rev).encode(), uri))
     if compress:
         return b"".join(gzip.compress(r, mtime=0) for r in recs)
     return b"".join(recs)
@@ -320,10 +335,11 @@ WARC_SCHEMA = ("media_id long, rec_idx int, warc_type string, "
 
 
 def synth_warc_media(docs: DataFrame, compress: bool = False,
-                     linkfarm: bool = False) -> DataFrame:
+                     linkfarm: bool = False, rev: int = 0) -> DataFrame:
     """documents -> one synthetic WARC file per doc_id (binary
     payload column), Arrow-batched; compress=True gives the
-    member-per-record .warc.gz layout."""
+    member-per-record .warc.gz layout; rev > 0 the recrawl snapshot
+    (see synth_warc)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -331,7 +347,8 @@ def synth_warc_media(docs: DataFrame, compress: bool = False,
             yield pd.DataFrame({
                 "media_id": pd.array(ids, dtype="int64"),
                 "payload": [synth_warc(d, compress=compress,
-                                       linkfarm=linkfarm) for d in ids],
+                                       linkfarm=linkfarm, rev=rev)
+                            for d in ids],
             })
 
     return docs.select("doc_id").mapInPandas(
@@ -706,3 +723,32 @@ def wet_files(pages: DataFrame) -> DataFrame:
             .select("media_id",
                     F.length("wet_file").cast("long").alias("file_len"),
                     F.md5("wet_file").alias("file_md5")))
+
+
+# ------------------------------------------------------------------
+# recrawl diff (cross-snapshot CDC — the 100 TB recrawl primitive)
+# ------------------------------------------------------------------
+
+def crawl_diff(resp_old: DataFrame, resp_new: DataFrame) -> DataFrame:
+    """Diff two crawl snapshots by page identity (WARC-Target-URI)
+    and content hash: every URI classed new / gone / changed / same.
+    This is the operator a recrawl pipeline runs before anything
+    else — only `changed` + `new` flow downstream, so a 100 TB
+    snapshot pair reduces to the (small) delta before extraction,
+    dedup, or indexing spend a cycle.
+
+    Shape: both sides project to (uri, md5) map-side, then ONE
+    uri-keyed full-outer sort-merge join — the unavoidable shuffle,
+    each side carrying two short columns.  On a real cluster the
+    snapshots would be bucketed by uri hash at write time, making
+    this join exchange-free."""
+    a = resp_old.select("target_uri", F.col("body_md5").alias("md5_old"))
+    b = resp_new.select("target_uri", F.col("body_md5").alias("md5_new"))
+    j = a.join(b, "target_uri", "full_outer")
+    return j.select(
+        "target_uri",
+        F.when(F.col("md5_old").isNull(), F.lit("new"))
+         .when(F.col("md5_new").isNull(), F.lit("gone"))
+         .when(F.col("md5_old") != F.col("md5_new"), F.lit("changed"))
+         .otherwise(F.lit("same")).alias("status"),
+        "md5_old", "md5_new")

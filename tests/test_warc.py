@@ -341,3 +341,42 @@ def test_wet_files_concatenate_in_page_order(spark):
         assert r.file_len == len(want[r.media_id])
         assert r.file_md5 == hashlib.md5(
             want[r.media_id].encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# recrawl diff
+# --------------------------------------------------------------------------
+
+def test_crawl_diff_matches_python_replay(spark):
+    n = 36
+    docs = spark.range(n).toDF("doc_id")
+    a = W.http_responses(W.synth_warc_media(docs))
+    b = W.http_responses(W.synth_warc_media(docs, rev=1))
+    got = {r.target_uri: r.status
+           for r in W.crawl_diff(a, b).collect()}
+    want = {}
+    for d in range(n):
+        base = set(range(W.n_pages(d)))
+        new = {p for p in base if (d + p) % 9 != 5}
+        if d % 6 == 0:
+            new.add(W.n_pages(d))
+        for p in base | new:
+            uri = (f"https://example-{d % W.N_HOSTS}.org"
+                   f"/doc/{d}/page/{p}")
+            if p not in base:
+                want[uri] = "new"
+            elif p not in new:
+                want[uri] = "gone"
+            elif (d + p) % 4 == 0:
+                want[uri] = "changed"
+            else:
+                want[uri] = "same"
+    assert got == want
+    assert set(want.values()) == {"new", "gone", "changed", "same"}
+
+
+def test_crawl_diff_identical_snapshots_all_same(spark):
+    docs = spark.range(12).toDF("doc_id")
+    a = W.http_responses(W.synth_warc_media(docs))
+    b = W.http_responses(W.synth_warc_media(docs))
+    assert {r.status for r in W.crawl_diff(a, b).collect()} == {"same"}
