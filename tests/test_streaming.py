@@ -241,3 +241,48 @@ def test_click_attribution_stream_matches_batch(spark, tmp_path):
             .select("user_id", "view_ts", "click_ts", "lag_s").collect()))
     assert got == want
     assert len(got) == 10  # sf0.001 pinned pair count
+
+
+def test_stream_crawl_to_text_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming crawl ingest == batch warc_html_pipeline on the same
+    archives, and a SAME-checkpoint re-run re-emits nothing (file-source
+    exactly-once: the north_rule's resumability on the crawl path)."""
+    from octofludb_spark.scale import web as W
+    from octofludb_spark.streaming.pipeline import stream_crawl_to_text
+
+    docs = spark.range(14).toDF("doc_id")
+    media_dir = str(tmp_path / "warc_in")
+    W.synth_warc_media(docs).coalesce(3).write.parquet(media_dir)
+
+    out_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_crawl_to_text(spark, media_dir, out_dir, ckpt,
+                             max_files=2).start()
+    q.awaitTermination(180)
+
+    cols = ["media_id", "page", "n_links", "text_clean", "n_chars_clean"]
+    got = sorted(map(tuple,
+                     spark.read.parquet(out_dir).select(*cols).collect()))
+    want = sorted(map(tuple,
+                      W.warc_html_pipeline(
+                          spark.read.parquet(media_dir))
+                      .select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # resume with the same checkpoint: no files left, nothing re-emitted
+    q2 = stream_crawl_to_text(spark, media_dir, out_dir, ckpt,
+                              max_files=2).start()
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == len(want)
+
+    # compressed face flows through the same streaming plan
+    gz_dir = str(tmp_path / "warc_gz")
+    W.synth_warc_media(docs, compress=True).coalesce(3).write.parquet(gz_dir)
+    q3 = stream_crawl_to_text(spark, gz_dir, str(tmp_path / "pages_gz"),
+                              str(tmp_path / "ckpt_gz"),
+                              compressed=True).start()
+    q3.awaitTermination(180)
+    got_gz = sorted(map(tuple,
+                        spark.read.parquet(str(tmp_path / "pages_gz"))
+                        .select(*cols).collect()))
+    assert got_gz == want
