@@ -468,7 +468,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
               "avi-frames", "warc-records", "warc-responses", "warc-text",
               "warc-linkgraph", "robots-rules", "frontier", "politeness",
-              "anchor-text", "url-normalize", "wet", "wet-files")
+              "anchor-text", "url-normalize", "wet", "wet-files",
+              "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed")
 
 
 def cmd_scale(args) -> int:
@@ -660,6 +661,31 @@ def cmd_scale(args) -> int:
     elif args.op == "wet-files":
         from octofludb_spark.scale.web import warc_html_pipeline, wet_files
         out = wet_files(warc_html_pipeline(docs, compressed=args.gz))
+    elif args.op == "cdx":
+        from octofludb_spark.scale.web import cdx_index
+        out = cdx_index(docs, compressed=args.gz)
+    elif args.op == "cdx-shards":
+        from octofludb_spark.scale.web import (cdx_index, cdx_shards,
+                                               cdx_secondary_index)
+        out = cdx_secondary_index(
+            cdx_shards(cdx_index(docs, compressed=args.gz)))
+    elif args.op == "sitemap-urls":
+        # input: a parquet of (host_id?, sitemap_xml) documents
+        from octofludb_spark.scale.web import sitemap_urls
+        out = sitemap_urls(docs)
+    elif args.op == "sitemap-seed":
+        # input: sitemap parquet; --robots reused as the crawled
+        # media parquet (media_id, payload) for the anti-join side
+        from octofludb_spark.scale.web import (frontier_seed,
+                                               http_responses,
+                                               sitemap_urls)
+        if not args.robots:
+            raise SystemExit("scale sitemap-seed needs --robots "
+                             "(crawled WARC media parquet)")
+        out = frontier_seed(
+            sitemap_urls(docs),
+            http_responses(spark.read.parquet(args.robots),
+                           compressed=args.gz))
     elif args.op == "attribution":
         from octofludb_spark.streaming.pipeline import click_attribution
         st = args.stages.split(",")

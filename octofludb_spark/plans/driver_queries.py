@@ -5658,6 +5658,72 @@ def web_crawl_diff(spark, sf):
     return W.crawl_diff(a, b).select("target_uri", "status")
 
 
+_CDX_INDEX_SQL = f"""
+WITH {_WARC_SYNTH_CTE}
+SELECT 'org,example-' || (d % 97) || ')/doc/' || d || '/page/' || p
+         AS surt_key,
+       '202601' || lpad(CAST(d % 28 + 1 AS VARCHAR), 2, '0')
+         || lpad(CAST(d % 24 AS VARCHAR), 2, '0') || '0000' AS ts,
+       uri AS url,
+       CAST(CASE WHEN (d + p) % 7 = 3 THEN 404 ELSE 200 END AS INTEGER)
+         AS http_status,
+       CASE WHEN (d + p) % 7 = 3 THEN 'text/plain'
+            ELSE 'text/html' END AS mime,
+       md5(body) AS digest,
+       d AS media_id
+FROM pg3
+"""
+
+
+@q("web_cdx_index", _CDX_INDEX_SQL)
+def web_cdx_index(spark, sf):
+    """CDX capture index (scale/web.py cdx_index): WARC containers ->
+    one SURT-keyed row per HTTP response capture (surt_key, 14-digit
+    ts, url, status, mime, body digest) — what makes a 100 TB archive
+    random-accessible.  Scan-shaped: the container walk is map-side
+    mapInPandas and the SURT/ts columns are JVM regexp projections;
+    zero shuffles.  The oracle rebuilds key, timestamp compaction,
+    status/mime lattice, and body digest closed-form from doc_id
+    arithmetic.  Byte offsets/lengths are excluded here (no SQL can
+    see container byte positions) and pinned instead by the re-slice
+    self-consistency test, incl. the .warc.gz member-extent face;
+    shard total-order invariants likewise (tests/test_warc.py)."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    return W.cdx_index(m).drop("offset", "length")
+
+
+_SITEMAP_SEED_SQL = """
+SELECT 'https://example-' || (doc_id % 97) || '.org/doc/' || doc_id
+         || '/page/' || (1 + doc_id % 3) AS url,
+       'example-' || (doc_id % 97) || '.org' AS host,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod
+FROM documents
+"""
+
+
+@q("web_sitemap_seed", _SITEMAP_SEED_SQL)
+def web_sitemap_seed(spark, sf):
+    """Sitemap-driven frontier seeding (scale/web.py sitemap_urls +
+    frontier_seed): per-host sitemaps.org urlsets synthesized JVM-side
+    advertise one page per doc beyond what the WARC archives hold;
+    regexp-explode parse -> url_normalize both sides -> LEFT ANTI on
+    the canonical key leaves exactly the uncrawled URL per doc, which
+    the oracle states closed-form.  The crawled side is a real WARC
+    parse (http_responses), so the gate spans sitemap parse, URL
+    canonicalization, and the discovery anti-join in one value-hashed
+    path.  Canonicalization immunity (case/port/query-order variants
+    of a crawled URL still suppress the seed) is test-pinned."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    sm = W.sitemap_urls(W.synth_sitemap_media(d))
+    crawled = W.http_responses(W.synth_warc_media(d))
+    return W.frontier_seed(sm, crawled)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

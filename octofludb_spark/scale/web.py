@@ -752,3 +752,240 @@ def crawl_diff(resp_old: DataFrame, resp_new: DataFrame) -> DataFrame:
          .when(F.col("md5_old") != F.col("md5_new"), F.lit("changed"))
          .otherwise(F.lit("same")).alias("status"),
         "md5_old", "md5_new")
+
+
+# ------------------------------------------------------------------
+# CDX capture index (Common Crawl cdxj: SURT key -> capture row)
+# ------------------------------------------------------------------
+
+CDX_SCHEMA = ("media_id long, offset long, length long, url string, "
+              "warc_date string, http_status int, mime string, "
+              "digest string")
+
+
+def cdx_records(media: DataFrame, compressed: bool = False) -> DataFrame:
+    """One row per WARC *response* record with its exact byte extent
+    inside the container — the raw material of a CDX capture index
+    (what makes a 100 TB archive random-accessible: a reader fetches
+    `length` bytes at `offset` instead of scanning the file).
+
+    Extents are container-native: in the `.warc.gz` layout (one gzip
+    member per record — the Common Crawl contract) offset/length are
+    the member's compressed span, so a ranged GET + gunzip yields
+    exactly one record; in the plain layout they span the record
+    through its trailing CRLF CRLF.  Self-consistency (re-slicing the
+    container at [offset, offset+length) re-parses to the same
+    digest) is test-pinned, since no SQL oracle can see byte
+    positions.  digest is md5 of the HTTP body (the repo-wide digest
+    convention; Common Crawl ships SHA1-B32 — same role).
+
+    Map-side only: the walk is mapInPandas over (media_id, payload);
+    nothing shuffles, payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "offset", "length", "url", "warc_date",
+                "http_status", "mime", "digest"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if compressed:
+                    spans = []           # (offset, length, record bytes)
+                    for off, clen, unz in iter_gzip_members(raw):
+                        spans.append((off, clen, unz))
+                else:
+                    recs = list(iter_warc_records(raw))
+                    spans = []
+                    for i, rec in enumerate(recs):
+                        start = rec["offset"]
+                        end = (recs[i + 1]["offset"]
+                               if i + 1 < len(recs) else len(raw))
+                        spans.append((start, end - start,
+                                      raw[start:end]))
+                for off, length, blob in spans:
+                    for rec in iter_warc_records(blob):
+                        h = rec["headers"]
+                        if h.get("warc-type") != "response":
+                            continue
+                        msg = parse_http_message(rec["payload"])
+                        out["media_id"].append(int(mid))
+                        out["offset"].append(off)
+                        out["length"].append(length)
+                        out["url"].append(h.get("warc-target-uri", ""))
+                        out["warc_date"].append(h.get("warc-date", ""))
+                        out["http_status"].append(msg["status"])
+                        out["mime"].append(
+                            msg["headers"].get("content-type"))
+                        out["digest"].append(
+                            hashlib.md5(msg["body"]).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "offset": pd.array(out["offset"], dtype="int64"),
+                "length": pd.array(out["length"], dtype="int64"),
+                "url": out["url"],
+                "warc_date": out["warc_date"],
+                "http_status": pd.array(out["http_status"],
+                                        dtype="int32"),
+                "mime": out["mime"],
+                "digest": out["digest"],
+            })
+
+    return media.mapInPandas(run, CDX_SCHEMA)
+
+
+def surt_key(url_col) -> "F.Column":
+    """SURT-form sort key for a URL column, pure JVM expressions:
+    scheme dropped, host lowercased / www-stripped / default-port
+    stripped, host labels REVERSED comma-joined, then `)` + path.
+    `https://www.news.example.org:443/a/b?x=1` ->
+    `org,example,news)/a/b?x=1`.  SURT order clusters captures of a
+    registrable domain together — the property every CDX range scan
+    ("give me */example.org/*") depends on."""
+    col = url_col if not isinstance(url_col, str) else F.col(url_col)
+    hostport = F.lower(F.regexp_extract(col, r"^[^:]+://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", "")
+    rest = F.lower(F.regexp_extract(col, r"^[^:]+://[^/?#]*([^#]*)", 1))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(rest == "", F.lit("/")).otherwise(rest))
+
+
+def cdx_index(media: DataFrame, compressed: bool = False) -> DataFrame:
+    """The CDX(J) capture index over a set of WARC containers:
+    (surt_key, ts, url, status, mime, digest, media_id, offset,
+    length), one row per HTTP response capture.  ts is the 14-digit
+    compaction of WARC-Date (Common Crawl's timestamp form).  Scan-
+    shaped: the container walk is map-side and the key/ts columns are
+    JVM projections — building the index over 100 TB of archives is
+    one pass with zero shuffles; sorting/sharding is `cdx_shards`."""
+    r = cdx_records(media, compressed=compressed)
+    return r.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        F.regexp_replace("warc_date", r"[^0-9]", "").alias("ts"),
+        "url", "http_status", "mime", "digest",
+        "media_id", "offset", "length")
+
+
+def cdx_shards(cdx: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Total-order shard assembly: range-partition the index on
+    (surt_key, ts) into n_shards, sort within each shard, and emit
+    one line per capture tagged with its shard id and its rank inside
+    the shard — exactly the layout of Common Crawl's sorted cdx-NNNNN
+    shard files.  repartitionByRange + sortWithinPartitions is
+    Spark's scalable total sort (sampled boundaries, no single-node
+    sort); at 100 TB this is the same one-shuffle plan.  Shard
+    boundary invariants (every shard internally sorted, max of shard
+    k <= min of shard k+1, no captures lost) are test-pinned —
+    boundaries come from range sampling, so they are layout, not
+    semantics, and no value oracle covers them."""
+    line = F.concat_ws(
+        " ", "surt_key", "ts",
+        F.to_json(F.struct("url", "http_status", "mime", "digest",
+                           "media_id", "offset", "length")))
+    ranked = (cdx
+              .repartitionByRange(n_shards, "surt_key", "ts", "digest")
+              .sortWithinPartitions("surt_key", "ts", "digest")
+              .withColumn("shard", F.spark_partition_id())
+              .withColumn("cdx_line", line))
+    return ranked.select("shard", "surt_key", "ts", "cdx_line")
+
+
+def cdx_secondary_index(shards: DataFrame) -> DataFrame:
+    """zipnum-style cluster.idx over the shard table: per shard its
+    first/last SURT key and capture count, plus an order-insensitive
+    content digest (md5 of the sorted line list).  A query for one
+    URL binary-searches THIS tiny table to pick the one shard file to
+    range-read — the index of the index.  One shard-keyed agg with
+    map-side partials; collect_list is bounded by shard size (an
+    index line is ~200 bytes: a 4 GiB shard file is the operator's
+    working set ceiling, same as Common Crawl's real shards)."""
+    return (shards
+            .groupBy("shard")
+            .agg(F.min("surt_key").alias("first_key"),
+                 F.max("surt_key").alias("last_key"),
+                 F.count(F.lit(1)).alias("n_captures"),
+                 F.md5(F.array_join(
+                     F.sort_array(F.collect_list("cdx_line")), "\n"))
+                 .alias("lines_md5"))
+            .orderBy("shard"))
+
+
+# ------------------------------------------------------------------
+# sitemap.xml (frontier seeding — the pull side of crawl discovery)
+# ------------------------------------------------------------------
+
+def synth_sitemap_media(docs: DataFrame) -> DataFrame:
+    """One sitemaps.org `urlset` document per host: every doc on the
+    host lists pages 0..n_pages(d) INCLUSIVE — one page more than any
+    crawl archive holds, so the sitemap always advertises exactly one
+    uncrawled URL per doc (the frontier-seed lattice).  Entirely JVM:
+    sequence-explode for the page fan-out, one host-keyed agg whose
+    collect_list is sorted into deterministic (d, p) document order.
+    lastmod is the WARC capture date of the doc (closed-form)."""
+    base = docs.select(
+        F.col("doc_id").alias("d"),
+        (F.col("doc_id") % N_HOSTS).alias("host_id"),
+        F.date_format(
+            F.make_date(F.lit(2026), F.lit(1),
+                        (F.col("doc_id") % 28 + 1).cast("int")),
+            "yyyy-MM-dd").alias("lastmod"))
+    entries = base.select(
+        "host_id", "d",
+        F.explode(F.sequence(
+            F.lit(0), (F.lit(1) + F.col("d") % 3).cast("int"))).alias("p"),
+        "lastmod")
+    entry = F.concat(
+        F.lit("<url><loc>https://example-"), "host_id",
+        F.lit(".org/doc/"), "d", F.lit("/page/"), "p",
+        F.lit("</loc><lastmod>"), "lastmod", F.lit("</lastmod></url>"))
+    return (entries
+            .select("host_id", F.struct("d", "p",
+                                        entry.alias("e")).alias("s"))
+            .groupBy("host_id")
+            .agg(F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                      '<urlset xmlns="http://www.sitemaps.org/'
+                      'schemas/sitemap/0.9">'),
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list("s")),
+                                lambda s: s["e"]), ""),
+                F.lit("</urlset>")).alias("sitemap_xml")))
+
+
+def sitemap_urls(sitemaps: DataFrame,
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse `urlset` documents into (host, url, lastmod) rows: one
+    regexp_extract_all explode per `<url>` block, then per-block field
+    extraction — all whole-stage-codegen projections, no Python and
+    no XML library in the hot path (the subset a crawler needs is
+    regular).  Host is derived from the loc itself, so a sitemap
+    advertising cross-host URLs still lands on the right shard key."""
+    blocks = sitemaps.select(
+        F.explode(F.expr(
+            f"regexp_extract_all({xml_col}, '<url>(.*?)</url>', 1)"))
+        .alias("block"))
+    url = F.regexp_extract("block", r"<loc>([^<]*)</loc>", 1)
+    return blocks.select(
+        url.alias("url"),
+        F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("block", r"<lastmod>([^<]*)</lastmod>", 1)
+        .alias("lastmod"))
+
+
+def frontier_seed(sm_urls: DataFrame, crawled: DataFrame,
+                  crawled_url_col: str = "target_uri") -> DataFrame:
+    """Sitemap-advertised URLs not yet captured: canonicalize both
+    sides (url_normalize — case/port/dot-segment/query-order immune)
+    and LEFT ANTI join on the canonical key.  The crawled side
+    projects to one short column map-side before its shuffle; at
+    100 TB both sides hash-partition on url_canon and the anti join
+    is the only exchange.  Output feeds crawl_frontier_filter /
+    politeness_schedule unchanged (same url/host columns)."""
+    sm = url_normalize(sm_urls, "url")
+    seen = (url_normalize(
+        crawled.select(F.col(crawled_url_col).alias("url")), "url")
+        .select("url_canon"))
+    return (sm.join(seen, "url_canon", "left_anti")
+            .select("url", "host", "lastmod"))

@@ -380,3 +380,120 @@ def test_crawl_diff_identical_snapshots_all_same(spark):
     a = W.http_responses(W.synth_warc_media(docs))
     b = W.http_responses(W.synth_warc_media(docs))
     assert {r.status for r in W.crawl_diff(a, b).collect()} == {"same"}
+
+
+# --------------------------------------------------------------------------
+# CDX capture index
+# --------------------------------------------------------------------------
+
+def test_cdx_offsets_reslice_to_same_record_plain_and_gz(spark):
+    """The property a CDX index exists for: fetching [offset,
+    offset+length) out of the container and re-parsing yields exactly
+    the indexed capture."""
+    docs = spark.range(9).toDF("doc_id")
+    for compress in (False, True):
+        media = {r["media_id"]: bytes(r["payload"])
+                 for r in W.synth_warc_media(docs, compress=compress)
+                 .collect()}
+        rows = W.cdx_records(
+            W.synth_warc_media(docs, compress=compress),
+            compressed=compress).collect()
+        assert len(rows) == sum(W.n_pages(d) for d in range(9))
+        for r in rows:
+            blob = media[r["media_id"]][r["offset"]:r["offset"] + r["length"]]
+            if compress:
+                blob = gzip.decompress(blob)
+            (rec,) = list(W.iter_warc_records(blob))
+            assert rec["headers"]["warc-type"] == "response"
+            msg = W.parse_http_message(rec["payload"])
+            assert hashlib.md5(msg["body"]).hexdigest() == r["digest"]
+            assert msg["status"] == r["http_status"]
+            assert rec["headers"]["warc-target-uri"] == r["url"]
+
+
+def test_surt_key_forms(spark):
+    df = spark.createDataFrame(
+        [("https://www.news.example.org:443/a/b?x=1",),
+         ("http://Example.ORG:80/",),
+         ("https://example-5.org/doc/5/page/0",)], ["url"])
+    got = [r[0] for r in df.select(W.surt_key("url")).collect()]
+    assert got == ["org,example,news)/a/b?x=1",
+                   "org,example)/",
+                   "org,example-5)/doc/5/page/0"]
+
+
+def test_cdx_index_closed_form(spark):
+    rows = W.cdx_index(W.synth_warc_media(spark.range(20).toDF("doc_id"))
+                       ).collect()
+    by_key = {(r["media_id"], r["url"]): r for r in rows}
+    for d in range(20):
+        for p in range(W.n_pages(d)):
+            r = by_key[(d, f"https://example-{d % W.N_HOSTS}.org"
+                           f"/doc/{d}/page/{p}")]
+            assert r["surt_key"] == (f"org,example-{d % W.N_HOSTS})"
+                                     f"/doc/{d}/page/{p}")
+            assert r["ts"] == f"202601{(d % 28) + 1:02d}{d % 24:02d}0000"
+            assert r["http_status"] == (404 if (d + p) % 7 == 3 else 200)
+
+
+def test_cdx_shards_total_order_and_secondary_index(spark):
+    cdx = W.cdx_index(W.synth_warc_media(spark.range(60).toDF("doc_id")))
+    shards = W.cdx_shards(cdx, n_shards=5).persist()
+    try:
+        # nothing lost, nothing duplicated
+        n = cdx.count()
+        assert shards.count() == n
+        assert shards.select("cdx_line").distinct().count() == n
+        sec = W.cdx_secondary_index(shards).collect()
+        assert sum(r["n_captures"] for r in sec) == n
+        # each shard internally covers [first,last]; shards don't overlap
+        ordered = sorted(sec, key=lambda r: r["shard"])
+        for r in ordered:
+            assert r["first_key"] <= r["last_key"]
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["last_key"] <= b["first_key"]
+        # within-shard sortedness of the emitted line order
+        for sid in [r["shard"] for r in ordered]:
+            keys = [(r["surt_key"], r["ts"]) for r in
+                    shards.where(F.col("shard") == sid)
+                    .select("surt_key", "ts").collect()]
+            assert keys == sorted(keys)
+    finally:
+        shards.unpersist()
+
+
+# --------------------------------------------------------------------------
+# sitemap frontier seeding
+# --------------------------------------------------------------------------
+
+def test_sitemap_roundtrip_and_seed_lattice(spark):
+    docs = spark.range(25).toDF("doc_id")
+    sm = W.synth_sitemap_media(docs)
+    # one urlset per distinct host
+    assert sm.count() == docs.select(
+        (F.col("doc_id") % W.N_HOSTS)).distinct().count()
+    urls = W.sitemap_urls(sm)
+    # every doc advertises n_pages(d) + 1 locs, host parsed from loc
+    want = {(f"https://example-{d % W.N_HOSTS}.org/doc/{d}/page/{p}",
+             f"example-{d % W.N_HOSTS}.org",
+             f"2026-01-{(d % 28) + 1:02d}")
+            for d in range(25) for p in range(W.n_pages(d) + 1)}
+    assert {tuple(r) for r in urls.collect()} == want
+
+    crawled = W.http_responses(W.synth_warc_media(docs))
+    seed = W.frontier_seed(W.sitemap_urls(sm), crawled).collect()
+    # exactly the one uncrawled page per doc survives the anti join
+    assert {r["url"] for r in seed} == {
+        f"https://example-{d % W.N_HOSTS}.org/doc/{d}/page/{W.n_pages(d)}"
+        for d in range(25)}
+
+
+def test_frontier_seed_is_canonicalization_immune(spark):
+    sm = spark.createDataFrame(
+        [("https://example-1.org/a/./b?z=1&a=2", "example-1.org", "2026-01-01"),
+         ("https://example-1.org/c", "example-1.org", "2026-01-01")],
+        ["url", "host", "lastmod"])
+    crawled = spark.createDataFrame(
+        [("HTTPS://EXAMPLE-1.ORG:443/a/b?a=2&z=1",)], ["target_uri"])
+    got = W.frontier_seed(sm, crawled).collect()
+    assert [r["url"] for r in got] == ["https://example-1.org/c"]
