@@ -454,6 +454,38 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """KG quality gate (plans/validation.py): run the SHACL-lite
+    shape set over the store's triples under RDFS entailment and
+    print the violation report; `--materialize-entailment` also
+    writes the entailed graph into the store as `triples_entailed`
+    (the table a reasoner-free SPARQL endpoint would serve).  The
+    reference delegates both jobs to GraphDB; here they are explicit
+    DataFrame plans."""
+    from octofludb_spark.plans.formatting import as_table_text
+    from octofludb_spark.plans.validation import rdfs_entail, shacl_validate
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(args.store)
+    spark = _spark(args.cores)
+    table = "triples" if args.no_sameas else "triples_canonical"
+    triples = store.read(spark, table) or store.read(spark, "triples")
+    if triples is None:
+        print("store has no triples table", file=sys.stderr)
+        return 1
+    triples = triples.select("subject", "predicate", "object_lex",
+                             "object_dtype")
+    ent = rdfs_entail(triples)
+    if args.materialize_entailment:
+        store.write(ent, "triples_entailed")
+        print("materialized triples_entailed", file=sys.stderr)
+    report = shacl_validate(triples, entailed=ent)
+    print(as_table_text(report))
+    n_bad = report.count()
+    print(f"{n_bad} violation(s)", file=sys.stderr)
+    return 0 if n_bad == 0 else 3
+
+
 _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "clean", "quality", "lang-id", "tfidf", "sample", "chunks",
               "pii-scrub", "profile", "survivors", "containment",
@@ -909,6 +941,13 @@ def main(argv=None) -> int:
     sr.add_argument("store")
     sr.add_argument("--no-sameas", dest="no_sameas", action="store_true")
     sr.set_defaults(fn=cmd_report)
+
+    sv = sub.add_parser("validate")
+    sv.add_argument("store")
+    sv.add_argument("--no-sameas", dest="no_sameas", action="store_true")
+    sv.add_argument("--materialize-entailment",
+                    dest="materialize_entailment", action="store_true")
+    sv.set_defaults(fn=cmd_validate)
 
     ss = sub.add_parser("store")
     ss.add_argument("op", choices=["compact", "vacuum", "lookup",

@@ -5694,6 +5694,149 @@ def web_cdx_index(spark, sf):
     return W.cdx_index(m).drop("offset", "length")
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+# Shared RDFS-entailment restatement: recursive closures over the
+# schema lattice READ FROM THE SAME STAGED TRIPLES the Spark side
+# uses (the store holds schema.ttl alongside the data, mirroring the
+# reference's upload step) — fully relational on both engines.
+_ENTAIL_CTE = f"""
+t AS (SELECT subject, predicate, object_lex, object_dtype
+      FROM read_parquet('{_STAGED}/kg_triples.parquet/*.parquet')),
+sp AS (SELECT DISTINCT subject AS sub, object_lex AS sup FROM t
+       WHERE predicate = '{_RDFS}subPropertyOf'
+         AND object_dtype = 'uri'),
+spc(sub, sup) AS (SELECT sub, sup FROM sp
+                  UNION
+                  SELECT c.sub, s.sup FROM spc c
+                  JOIN sp s ON c.sup = s.sub),
+sc AS (SELECT DISTINCT subject AS sub, object_lex AS sup FROM t
+       WHERE predicate = '{_RDFS}subClassOf'
+         AND object_dtype = 'uri'),
+scc(sub, sup) AS (SELECT sub, sup FROM sc
+                  UNION
+                  SELECT c.sub, s.sup FROM scc c
+                  JOIN sc s ON c.sup = s.sub),
+dom AS (SELECT DISTINCT subject AS pred, object_lex AS cls FROM t
+        WHERE predicate = '{_RDFS}domain' AND object_dtype = 'uri'),
+rng AS (SELECT DISTINCT subject AS pred, object_lex AS cls FROM t
+        WHERE predicate = '{_RDFS}range' AND object_dtype = 'uri'),
+expanded AS (
+  SELECT subject, predicate, object_lex, object_dtype FROM t
+  UNION ALL
+  SELECT t2.subject, c.sup, t2.object_lex, t2.object_dtype
+  FROM t t2 JOIN spc c ON t2.predicate = c.sub),
+ty AS (
+  SELECT subject, object_lex AS cls FROM t
+  WHERE predicate = '{_RDF_TYPE}'
+  UNION ALL
+  SELECT e.subject, d.cls FROM expanded e JOIN dom d
+    ON e.predicate = d.pred
+  UNION ALL
+  SELECT e.object_lex, r.cls FROM expanded e JOIN rng r
+    ON e.predicate = r.pred WHERE e.object_dtype = 'uri'),
+tyall AS (
+  SELECT * FROM ty
+  UNION ALL
+  SELECT y.subject, c.sup FROM ty y JOIN scc c ON y.cls = c.sub),
+ent AS (
+  SELECT DISTINCT subject, predicate, object_lex, object_dtype FROM (
+    SELECT * FROM expanded
+    UNION ALL
+    SELECT subject, '{_RDF_TYPE}', cls, 'uri' FROM tyall))
+"""
+
+_ENTAIL_SQL = f"""
+WITH RECURSIVE {_ENTAIL_CTE}
+SELECT * FROM ent
+"""
+
+
+@q("kg_rdfs_entailment", _ENTAIL_SQL)
+def kg_rdfs_entailment(spark, sf):
+    """RDFS-entailed graph (plans/validation.py rdfs_entail):
+    subPropertyOf expansion (rdfs5/7), domain/range typing (rdfs2/3),
+    and subClassOf type propagation (rdfs9/11) over the staged store
+    — the reasoning regime the reference delegates to GraphDB
+    (schema.ttl:73-106 uploaded at ui.py:396-402), re-expressed as
+    three broadcast joins + one distinct.  The schema lattice is
+    closed driver-side (a bounded schema-sized dimension — the
+    collect is capped and raises past 100k rows) while the fact side
+    never shuffles except the final distinct.  The oracle recomputes
+    the SAME fixpoint with DuckDB recursive CTEs from identical
+    staged bytes — a genuine cross-engine check of the closure."""
+    from octofludb_spark.plans.validation import rdfs_entail
+
+    triples, _ = _stage_kg(spark)
+    return rdfs_entail(triples)
+
+
+_NTT = _NT
+_SHACL_SQL = f"""
+WITH RECURSIVE {_ENTAIL_CTE},
+types AS (SELECT subject AS focus, object_lex AS cls FROM ent
+          WHERE predicate = '{_RDF_TYPE}'),
+strain AS (SELECT DISTINCT focus FROM types
+           WHERE cls = '{_NTT}Strain'),
+seg AS (SELECT DISTINCT focus FROM types
+        WHERE cls = '{_NTT}Segment'),
+hs AS (SELECT subject, object_lex, object_dtype FROM ent
+       WHERE predicate = '{_NTT}has_segment')
+SELECT 'CollectionDateIsFullDate' AS shape_id,
+       'datatype' AS "constraint", subject AS focus,
+       '{_NTT}collection_date' AS pred, object_lex AS value
+FROM ent WHERE predicate = '{_NTT}collection_date'
+  AND object_dtype <> 'xsd:date'
+UNION ALL
+SELECT 'SegmentNumberInRange', 'pattern', subject,
+       '{_NTT}segment_number', object_lex
+FROM ent WHERE predicate = '{_NTT}segment_number'
+  AND NOT regexp_matches(object_lex, '^[1-8]$')
+UNION ALL
+SELECT 'HasSegmentIsIRI', 'nodeKind', subject,
+       '{_NTT}has_segment', object_lex
+FROM hs WHERE object_dtype <> 'uri'
+UNION ALL
+SELECT 'HasSegmentTargetsSegment', 'class', subject,
+       '{_NTT}has_segment', object_lex
+FROM hs WHERE object_dtype = 'uri'
+  AND object_lex NOT IN (SELECT focus FROM seg)
+UNION ALL
+SELECT 'SegmentIsReferenced', 'inverseMinCount', focus,
+       '{_NTT}has_segment', CAST(NULL AS VARCHAR)
+FROM seg WHERE focus NOT IN
+  (SELECT object_lex FROM hs WHERE object_dtype = 'uri')
+UNION ALL
+SELECT 'StrainHasASegment', 'minCount', focus,
+       '{_NTT}has_segment', CAST(NULL AS VARCHAR)
+FROM strain WHERE focus NOT IN (SELECT subject FROM hs)
+UNION ALL
+SELECT 'StrainAtMost8Segments', 'maxCount', g.subject,
+       '{_NTT}has_segment', CAST(g.n AS VARCHAR)
+FROM (SELECT subject, COUNT(*) AS n FROM hs GROUP BY subject) g
+WHERE g.n > 8 AND g.subject IN (SELECT focus FROM strain)
+"""
+
+
+@q("kg_shacl_report", _SHACL_SQL)
+def kg_shacl_report(spark, sf):
+    """SHACL-lite validation report (plans/validation.py
+    shacl_validate): 7 shapes over the ENTAILED graph — datatype,
+    pattern, nodeKind, class, inverse-reference, and min/max
+    cardinality — one violation row each.  Two shapes fire naturally
+    on the corpus (mixed date precisions; hub strains past the
+    8-segment biology bound), the rest prove conformance; the oracle
+    restates every shape in SQL over the same recursive-CTE
+    entailment.  Value shapes are single-scan filters, class /
+    inverse shapes keyed anti joins, cardinality shapes one
+    subject-keyed agg — nothing quadratic at any scale."""
+    from octofludb_spark.plans.validation import shacl_validate
+
+    triples, _ = _stage_kg(spark)
+    return shacl_validate(triples)
+
+
 _SITEMAP_SEED_SQL = """
 SELECT 'https://example-' || (doc_id % 97) || '.org/doc/' || doc_id
          || '/page/' || (1 + doc_id % 3) AS url,

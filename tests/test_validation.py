@@ -1,0 +1,130 @@
+"""RDFS entailment + SHACL-lite validation (plans/validation.py).
+
+Trust model: hand-built micro-graphs where the entailed closure and
+every violation row can be stated by inspection; the full-corpus
+cross-engine check is the kg_rdfs_entailment / kg_shacl_report DuckDB
+gates (recursive-CTE restatement over identical staged bytes).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from octofludb_spark.plans import validation as V
+
+pytestmark = [pytest.mark.spark, pytest.mark.core]
+
+NT = V.NT
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object_lex string, "
+              "object_dtype string")
+
+
+def test_transitive_closure_chain_and_diamond():
+    assert V._transitive_closure([("a", "b"), ("b", "c"), ("c", "d")]) == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d")]
+    # diamond: both paths found once
+    got = V._transitive_closure([("x", "l"), ("x", "r"),
+                                 ("l", "t"), ("r", "t")])
+    assert ("x", "t") in got and len(got) == 5
+    assert V._transitive_closure([]) == []
+
+
+def test_entailment_rules_micro_graph(spark):
+    t = _triples(spark, [
+        # schema: p1 < p2 < p3; C1 < C2; p1 domain C1; p3 range CR
+        ("p1", V.SUB_PROP, "p2", "uri"),
+        ("p2", V.SUB_PROP, "p3", "uri"),
+        ("C1", V.SUB_CLASS, "C2", "uri"),
+        ("p1", V.DOMAIN, "C1", "uri"),
+        ("p3", V.RANGE, "CR", "uri"),
+        # data
+        ("s", "p1", "o", "uri"),
+        ("lit_s", "p1", "five", ""),          # literal object: no range type
+        ("x", V.RDF_TYPE, "C1", "uri"),       # asserted type propagates
+    ])
+    ent = {tuple(r) for r in V.rdfs_entail(t).collect()}
+    # rdfs7 through the CLOSED lattice: p2 AND p3
+    assert ("s", "p2", "o", "uri") in ent
+    assert ("s", "p3", "o", "uri") in ent
+    # rdfs2 on the base predicate, rdfs3 on the DERIVED p3 triple
+    assert ("s", V.RDF_TYPE, "C1", "uri") in ent
+    assert ("o", V.RDF_TYPE, "CR", "uri") in ent
+    # literal object never typed by range
+    assert ("five", V.RDF_TYPE, "CR", "uri") not in ent
+    # rdfs9/11: asserted AND derived types propagate up subClassOf
+    assert ("x", V.RDF_TYPE, "C2", "uri") in ent
+    assert ("s", V.RDF_TYPE, "C2", "uri") in ent
+    # base triples survive; result is distinct
+    assert ("s", "p1", "o", "uri") in ent
+    df = V.rdfs_entail(t)
+    assert df.count() == df.distinct().count()
+
+
+def test_schema_lattice_cap():
+    assert V.MAX_SCHEMA_ROWS == 100_000  # documented bound
+
+
+def test_shacl_every_kind_fires_on_poisoned_graph(spark):
+    hs, sn, cd = (NT + "has_segment", NT + "segment_number",
+                  NT + "collection_date")
+    t = _triples(spark, [
+        # schema needed for typing
+        (NT + "strain_name", V.DOMAIN, NT + "Strain", "uri"),
+        (NT + "segment_name", V.DOMAIN, NT + "Segment", "uri"),
+        (hs, V.RANGE, NT + "Segment", "uri"),
+        # strain A: fine (1 segment, full date)
+        ("A", NT + "strain_name", "a", ""),
+        ("A", hs, "segA", "uri"),
+        ("segA", NT + "segment_name", "HA", ""),
+        ("A", cd, "2026-01-01", "xsd:date"),
+        # strain B: year-only date (datatype), no segment (minCount)
+        ("B", NT + "strain_name", "b", ""),
+        ("B", cd, "2026", "xsd:gYear"),
+        # strain C: 9 segments (maxCount) incl. a LITERAL one (nodeKind)
+        ("C", NT + "strain_name", "c", ""),
+        *[("C", hs, f"seg{i}", "uri") for i in range(8)],
+        ("C", hs, "not-an-iri", ""),
+        # orphan segment: typed via its own name, referenced by nobody
+        ("segX", NT + "segment_name", "NA", ""),
+        # bad segment number (pattern)
+        ("segA", sn, "9", ""),
+    ])
+    rep = V.shacl_validate(t)
+    got = {(r["shape_id"], r["focus"]) for r in rep.collect()}
+    assert ("CollectionDateIsFullDate", "B") in got
+    assert ("StrainHasASegment", "B") in got
+    assert ("StrainAtMost8Segments", "C") in got
+    assert ("HasSegmentIsIRI", "C") in got
+    assert ("SegmentNumberInRange", "segA") in got
+    assert ("SegmentIsReferenced", "segX") in got
+    # the range axiom types every IRI object, so the class shape stays
+    # silent under entailment (documented circularity)...
+    assert not any(s == "HasSegmentTargetsSegment" for s, _ in got)
+    # conforming strain A appears in no violation
+    assert not any(f == "A" for _, f in got)
+
+
+def test_shacl_class_shape_fires_without_range_axiom(spark):
+    hs = NT + "has_segment"
+    t = _triples(spark, [
+        # no range axiom: Segment membership only via segment_name
+        (NT + "segment_name", V.DOMAIN, NT + "Segment", "uri"),
+        ("A", hs, "segKnown", "uri"),
+        ("segKnown", NT + "segment_name", "HA", ""),
+        ("A", hs, "segMystery", "uri"),       # object of unknown class
+    ])
+    rep = V.shacl_validate(t).where(
+        F.col("shape_id") == "HasSegmentTargetsSegment").collect()
+    assert [(r["focus"], r["value"]) for r in rep] == [
+        ("A", "segMystery")]
+
+
+def test_shacl_unknown_kind_raises(spark):
+    t = _triples(spark, [("s", "p", "o", "")])
+    with pytest.raises(ValueError, match="unknown shape kind"):
+        V.shacl_validate(t, shapes=[{"shape_id": "x", "kind": "nope",
+                                     "pred": "p"}])
