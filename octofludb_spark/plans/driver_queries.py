@@ -5867,6 +5867,71 @@ def web_sitemap_seed(spark, sf):
     return W.frontier_seed(sm, crawled)
 
 
+_NB_SQL = """
+WITH wx AS (
+  SELECT doc_id, lang AS label,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) < 13421773 AS is_train,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents),
+ vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM wx
+                          WHERE is_train GROUP BY w)
+           ORDER BY c DESC, w ASC LIMIT 16),
+ vv AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+ mx AS (SELECT doc_id, label, is_train,
+          CASE WHEN w IN (SELECT w FROM vocab) THEN w
+               ELSE '<unk>' END AS mw
+        FROM wx),
+ cw AS (SELECT label, mw, COUNT(*) AS c_lw FROM mx
+        WHERE is_train GROUP BY 1, 2),
+ cl AS (SELECT label AS cand, SUM(c_lw) AS c_l FROM cw GROUP BY 1),
+ es AS (SELECT w AS mw FROM vocab UNION ALL SELECT '<unk>'),
+ wt AS (SELECT cl.cand, es.mw,
+          CAST(floor(ln((COALESCE(cw.c_lw, 0) + 1.0)
+                        / (cl.c_l + (SELECT v FROM vv)))
+                     * 1000000 + 0.5) AS BIGINT) AS lp
+        FROM cl CROSS JOIN es
+        LEFT JOIN cw ON cw.label = cl.cand AND cw.mw = es.mw),
+ nt AS (SELECT lang AS cand, COUNT(*) AS n_l FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 6)) AS BIGINT) < 13421773
+        GROUP BY 1),
+ tt AS (SELECT SUM(n_l) AS n FROM nt),
+ pri AS (SELECT cand,
+           CAST(floor(ln(n_l * 1.0 / (SELECT n FROM tt))
+                      * 1000000 + 0.5) AS BIGINT) AS prior
+         FROM nt),
+ sc AS (SELECT m.doc_id, m.label, wt.cand, SUM(wt.lp) AS s
+        FROM mx m JOIN wt USING (mw)
+        WHERE NOT m.is_train
+        GROUP BY 1, 2, 3),
+ fin AS (SELECT sc.doc_id, sc.label, sc.cand,
+           sc.s + pri.prior AS score,
+           ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                              ORDER BY sc.s + pri.prior DESC,
+                                       sc.cand ASC) AS rn
+         FROM sc JOIN pri USING (cand))
+SELECT doc_id, label, cand AS pred, CAST(score AS BIGINT) AS score_micro
+FROM fin WHERE rn = 1
+"""
+
+
+@q("text_naive_bayes", _NB_SQL)
+def text_naive_bayes(spark, sf):
+    """Multinomial Naive Bayes trained and applied in one relational
+    plan (scale/text.py naive_bayes_classify): the fastText/CCNet-
+    style supervised curation classifier — md5-banded 80/20 split,
+    top-16 vocab + '<unk>' event space, add-one smoothing, integer-
+    micro log-likelihoods (bit-identical sums on any engine), argmax
+    with class-asc tie break.  The oracle retrains the identical
+    model in SQL — counts, smoothing, priors, and the held-out argmax
+    all replayed — so the gate value-hashes the entire learn+infer
+    path, not just a scoring pass.  vocab_k=16 binds below the
+    synthetic corpus's vocab so the OOV path is genuinely exercised."""
+    return TX.naive_bayes_classify(t(spark, sf, "documents"),
+                                   vocab_k=16)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

@@ -1337,3 +1337,111 @@ def html_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
         "doc_id", n_links, s.alias("text_clean"),
         F.length(s).cast("long").alias("n_chars_clean"),
     )
+
+
+def naive_bayes_classify(docs: DataFrame, label_col: str = "lang",
+                         vocab_k: int = 2000,
+                         train_frac: float = 0.8) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND applied in
+    one relational plan — the fastText/CCNet-style supervised curation
+    primitive (quality/language/domain classifiers that decide what
+    enters a training corpus).  Returns the HELD-OUT split scored:
+    (doc_id, label, pred, score_micro) where label is the true
+    ``label_col``, pred the argmax class, and score_micro the winning
+    class's integer-micro log-posterior (add-one smoothing, OOV token
+    '<unk>').
+
+    Determinism: the train/test split is the first-24-bits-of-md5
+    band used by ``split_corpus`` (stable under corpus growth,
+    RNG-free); per-token log-likelihoods are floor(ln(x)*1e6 + 0.5)
+    BIGINTs (the ``bigram_logprob`` discipline) so summed scores are
+    bit-identical on any engine at any parallelism; argmax ties break
+    by class name asc; the top-``vocab_k`` vocabulary boundary breaks
+    ties by word asc.
+
+    Scale shape: ONE pass over the exploded train tokens builds the
+    vocab counts (top-K via TakeOrderedAndProject) and one keyed agg
+    the (class, word) table; the weight matrix is a CROSS JOIN of two
+    bounded dims — L classes x (K+1) vocab rows — left-joined onto the
+    observed counts so classes that never saw a word still carry its
+    smoothed weight.  Scoring joins the exploded test tokens against
+    the BROADCAST weight matrix (the standard L-times token blowup, L
+    tiny) and funds exactly one (doc_id, class) aggregation; priors
+    attach by broadcast after the agg.  Nothing in the plan grows
+    faster than tokens x classes.
+    """
+    band = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                              1, 6), 16, 10).cast("long")
+    bound = int(train_frac * 16_777_216 + 0.5)
+    words = docs.select(
+        "doc_id", F.col(label_col).alias("label"),
+        (band < F.lit(bound)).alias("is_train"),
+        F.explode(F.split("text", " ")).alias("w"))
+
+    # materialize the K-bounded vocabulary on the driver (<= vocab_k
+    # rows — this IS the broadcast table, the unigram_logprob
+    # discipline) so the returned plan carries it as literal rows and
+    # the train tokens are scanned once here, once in the agg below
+    vocab_rows = [(r[0],) for r in
+                  (words.where("is_train").groupBy("w")
+                   .agg(F.count("*").alias("c"))
+                   .orderBy(F.col("c").desc(), F.col("w").asc())
+                   .limit(int(vocab_k))
+                   .select("w").collect())]
+    vocab = docs.sparkSession.createDataFrame(
+        vocab_rows, "w string") if vocab_rows else \
+        docs.sparkSession.createDataFrame([], "w string")
+    v_smooth = float(len(vocab_rows) + 1)   # '<unk>' joins the event space
+
+    mapped = (words
+              .join(F.broadcast(vocab.withColumn("_in", F.lit(1))),
+                    "w", "left")
+              .select("doc_id", "label", "is_train",
+                      F.when(F.col("_in").isNotNull(), F.col("w"))
+                      .otherwise(F.lit("<unk>")).alias("mw")))
+
+    cw = (mapped.where("is_train").groupBy("label", "mw")
+          .agg(F.count("*").alias("c_lw")))
+    cl = cw.groupBy("label").agg(F.sum("c_lw").alias("c_l"))
+    classes = cl.select(F.col("label").alias("cand"), "c_l")
+    event_space = vocab.select("w").unionByName(
+        docs.sparkSession.createDataFrame([("<unk>",)], ["w"]))
+    weights = (classes.crossJoin(event_space)
+               .join(F.broadcast(cw), (F.col("cand") == cw["label"])
+                     & (F.col("w") == cw["mw"]), "left")
+               .select(
+                   "cand", F.col("w").alias("mw"),
+                   F.floor(F.log((F.coalesce(F.col("c_lw"), F.lit(0))
+                                  + F.lit(1.0))
+                                 / (F.col("c_l") + F.lit(v_smooth)))
+                           * 1_000_000 + 0.5)
+                   .cast("long").alias("lp")))
+
+    n_train = (docs.where(band < F.lit(bound))
+               .groupBy(F.col(label_col).alias("cand"))
+               .agg(F.count("*").alias("n_l")))
+    total = n_train.agg(F.sum("n_l")).first()[0] or 0
+    if total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, label string, pred string, "
+                "score_micro long")
+    priors = n_train.select(
+        "cand",
+        F.floor(F.log(F.col("n_l") / F.lit(float(total)))
+                * 1_000_000 + 0.5).cast("long").alias("prior"))
+
+    from pyspark.sql import Window
+    scored = (mapped.where(~F.col("is_train"))
+              .join(F.broadcast(weights), "mw")
+              .groupBy("doc_id", "label", "cand")
+              .agg(F.sum("lp").alias("s"))
+              .join(F.broadcast(priors), "cand")
+              .select("doc_id", "label", "cand",
+                      (F.col("s") + F.col("prior")).alias("score")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc())
+    out = (scored.withColumn("_rn", F.row_number().over(win))
+           .where(F.col("_rn") == 1)
+           .select("doc_id", "label", F.col("cand").alias("pred"),
+                   F.col("score").cast("long").alias("score_micro")))
+    return out
