@@ -501,7 +501,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "avi-frames", "warc-records", "warc-responses", "warc-text",
               "warc-linkgraph", "robots-rules", "frontier", "politeness",
               "anchor-text", "url-normalize", "wet", "wet-files",
-              "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed")
+              "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
+              "blocklist", "host-rep", "naive-bayes")
 
 
 def cmd_scale(args) -> int:
@@ -693,6 +694,41 @@ def cmd_scale(args) -> int:
     elif args.op == "wet-files":
         from octofludb_spark.scale.web import warc_html_pipeline, wet_files
         out = wet_files(warc_html_pipeline(docs, compressed=args.gz))
+    elif args.op == "blocklist":
+        # input: pages parquet with --url-col; --blocklist: parquet
+        # with a `domain` column (UT1-style registrable domains)
+        from octofludb_spark.scale.web import blocklist_filter
+        if not args.blocklist:
+            raise SystemExit("scale blocklist needs --blocklist "
+                             "(parquet with a domain column)")
+        out = blocklist_filter(docs,
+                               spark.read.parquet(args.blocklist),
+                               url_col=args.url_col,
+                               annotate=args.annotate)
+    elif args.op == "host-rep":
+        # input: crawl media parquet; quality from the extracted text
+        from octofludb_spark.scale.text import quality_scores
+        from octofludb_spark.scale.web import (HOST_RE, host_link_graph,
+                                               host_reputation,
+                                               http_responses,
+                                               warc_html_pipeline)
+        resp = http_responses(docs, compressed=args.gz)
+        pages = warc_html_pipeline(docs, compressed=args.gz).select(
+            (F.col("media_id") * 8 + F.col("page")).alias("doc_id"),
+            F.col("text_clean").alias("text"))
+        host = resp.select(
+            (F.col("media_id") * 8 + F.col("page")).alias("doc_id"),
+            F.regexp_extract("target_uri", HOST_RE, 1).alias("host"))
+        pq = (quality_scores(pages)
+              .select("doc_id", F.floor(F.col("quality") * 1_000_000
+                                        + F.lit(0.5)).cast("long")
+                      .alias("quality_micro"))
+              .join(host, "doc_id"))
+        out = host_reputation(pq, host_link_graph(resp))
+    elif args.op == "naive-bayes":
+        from octofludb_spark.scale.text import naive_bayes_classify
+        out = naive_bayes_classify(docs, label_col=args.key,
+                                   vocab_k=args.vocab_k)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
@@ -987,7 +1023,13 @@ def main(argv=None) -> int:
     sca.add_argument("--robots",
                      help="frontier/politeness: robots-fetch media parquet")
     sca.add_argument("--url-col", dest="url_col", default="url",
-                     help="url-normalize: column holding the URL")
+                     help="url-normalize/blocklist: URL column")
+    sca.add_argument("--blocklist",
+                     help="blocklist: parquet with a domain column")
+    sca.add_argument("--annotate", action="store_true",
+                     help="blocklist: tag blocked_by instead of dropping")
+    sca.add_argument("--vocab-k", dest="vocab_k", type=int, default=2000,
+                     help="naive-bayes: vocabulary cap")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)

@@ -5867,6 +5867,100 @@ def web_sitemap_seed(spark, sf):
     return W.frontier_seed(sm, crawled)
 
 
+_BLOCKLIST_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'https://sub' || (doc_id % 3) || '.example-' || (doc_id % 97)
+           || '.org/doc/' || doc_id AS url
+  FROM documents),
+ bl AS (
+  SELECT DISTINCT 'example-' || (doc_id % 97) || '.org' AS domain
+  FROM documents WHERE doc_id % 97 % 7 = 0
+  UNION ALL SELECT 'sub1.example-3.org'),
+ m AS (
+  SELECT p.doc_id, p.url, bl.domain,
+         len(string_split(bl.domain, '.')) AS depth
+  FROM p LEFT JOIN bl
+    ON regexp_extract(p.url, '^https?://([^/]+)/', 1) = bl.domain
+    OR ends_with(regexp_extract(p.url, '^https?://([^/]+)/', 1),
+                 '.' || bl.domain))
+SELECT doc_id, url, arg_max(domain, depth) AS blocked_by
+FROM m GROUP BY doc_id, url
+"""
+
+
+@q("web_blocklist_filter", _BLOCKLIST_SQL)
+def web_blocklist_filter(spark, sf):
+    """UT1/RefinedWeb-style domain blocklist (scale/web.py
+    blocklist_filter, annotate face): subdomain-suffix matching with
+    longest-entry-wins attribution, executed as max_labels chained
+    BroadcastHashJoins — the pages side never explodes and never
+    shuffles.  The blocklist mixes registrable-domain entries
+    (example-N.org for N % 7 == 0) with one deeper host entry so the
+    depth-3 band and the longest-match tie both execute.  The oracle
+    restates suffix matching with ends_with + arg_max over label
+    depth."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://sub"), (F.col("doc_id") % 3),
+                 F.lit(".example-"), (F.col("doc_id") % 97),
+                 F.lit(".org/doc/"), F.col("doc_id")).alias("url"))
+    blocked = (d.where(F.col("doc_id") % 97 % 7 == 0)
+               .select(F.concat(F.lit("example-"), F.col("doc_id") % 97,
+                                F.lit(".org")).alias("domain"))
+               .distinct()
+               .unionByName(spark.createDataFrame(
+                   [("sub1.example-3.org",)], ["domain"])))
+    return W.blocklist_filter(pages, blocked, annotate=True)
+
+
+_HOSTREP_SQL = f"""
+WITH {_LINKFARM_EDGE_CTE},
+ pq AS (SELECT 'example-' || (doc_id % 97) || '.org' AS host,
+               (doc_id % 13) * 77000 + 50000 AS qm
+        FROM documents),
+ own AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                SUM(qm) // COUNT(*) AS quality_micro
+         FROM pq GROUP BY host),
+ nbr AS (SELECT e.dst_host AS host,
+                SUM(e.n_links * o.quality_micro) // SUM(e.n_links)
+                  AS nbr_q
+         FROM ledges e JOIN own o ON e.src_host = o.host
+         GROUP BY e.dst_host)
+SELECT own.host, own.n_pages,
+       CAST(own.quality_micro AS BIGINT) AS quality_micro,
+       CAST(CASE WHEN nbr.nbr_q IS NULL THEN own.quality_micro
+            ELSE (own.quality_micro * 50 + nbr.nbr_q * 50) // 100
+            END AS BIGINT) AS rep_micro
+FROM own LEFT JOIN nbr ON own.host = nbr.host
+"""
+
+
+@q("web_host_reputation", _HOSTREP_SQL)
+def web_host_reputation(spark, sf):
+    """Host reputation rollup (scale/web.py host_reputation): per-host
+    page count + mean quality in BIGINT micros, smoothed one step
+    along the REAL crawl host graph (WARC parse -> href explode ->
+    edge agg) with link-weighted in-neighbour quality.  Integral
+    ``div`` arithmetic end-to-end, so the whole rollup value-hashes
+    against the oracle's closed-form edge lattice + `//` replay.  One
+    page-scale agg, then dimension-on-dimension host joins."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    pq = d.select(
+        F.concat(F.lit("example-"), F.col("doc_id") % 97,
+                 F.lit(".org")).alias("host"),
+        ((F.col("doc_id") % 13) * 77000 + 50000).cast("long")
+        .alias("quality_micro"))
+    graph = W.host_link_graph(
+        W.http_responses(W.synth_warc_media(d, linkfarm=True)))
+    return W.host_reputation(pq, graph)
+
+
 _NB_SQL = """
 WITH wx AS (
   SELECT doc_id, lang AS label,

@@ -989,3 +989,95 @@ def frontier_seed(sm_urls: DataFrame, crawled: DataFrame,
         .select("url_canon"))
     return (sm.join(seen, "url_canon", "left_anti")
             .select("url", "host", "lastmod"))
+
+
+# ------------------------------------------------------------------
+# curation: domain blocklist + host reputation
+# ------------------------------------------------------------------
+
+def blocklist_filter(pages: DataFrame, blocked: DataFrame,
+                     url_col: str = "url", max_labels: int = 6,
+                     annotate: bool = False) -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist: drop (or, with
+    ``annotate=True``, tag) pages whose URL host equals — or is a
+    subdomain of — any domain in ``blocked`` (one ``domain`` column).
+
+    Scale shape: NO explode of the page rows and NO shuffle of the
+    pages side.  For each label depth k = 1..``max_labels`` the page's
+    last-k-labels host suffix is a map-side projection, and the
+    blocklist's exactly-k-label entries are a distinct broadcast dim —
+    so the whole match is ``max_labels`` BroadcastHashJoins chained on
+    the scan, each against a disjoint slice of the blocklist.  The
+    longest (most specific) matching entry wins the ``blocked_by``
+    tag.  Blocklist entries deeper than ``max_labels`` labels cannot
+    match and are rejected loudly rather than silently ignored.
+    """
+    deep = blocked.where(
+        F.size(F.split("domain", r"\.")) > max_labels).limit(1).count()
+    if deep:
+        raise ValueError(
+            f"blocklist has entries deeper than {max_labels} labels; "
+            "raise max_labels")
+    parts = F.split(F.regexp_extract(F.col(url_col), HOST_RE, 1), r"\.")
+    out = pages
+    bcols: list[str] = []
+    for k in range(1, max_labels + 1):
+        bk = (blocked
+              .where(F.size(F.split("domain", r"\.")) == k)
+              .select(F.col("domain").alias(f"_b{k}"))
+              .distinct())
+        sfx = F.when(F.size(parts) >= k,
+                     F.array_join(F.slice(parts, -k, k), "."))
+        out = out.join(F.broadcast(bk),
+                       sfx == F.col(f"_b{k}"), "left")
+        bcols.append(f"_b{k}")
+    blocked_by = F.coalesce(
+        *[F.col(c) for c in reversed(bcols)])  # longest match wins
+    if annotate:
+        return out.select(*pages.columns, blocked_by.alias("blocked_by"))
+    return out.where(blocked_by.isNull()).select(*pages.columns)
+
+
+def host_reputation(page_quality: DataFrame, graph: DataFrame,
+                    own_weight_pct: int = 50) -> DataFrame:
+    """Host-level reputation for crawl curation: per-host page count
+    and mean quality, smoothed ONE step along the host link graph —
+    (host, n_pages, quality_micro, rep_micro) where
+
+      quality_micro = floor(sum(page quality_micro) / n_pages)
+      rep_micro     = floor((own*P + in-neighbour*(100-P)) / 100),
+
+    the in-neighbour term being the link-weighted mean of the linking
+    hosts' OWN quality (hosts nobody links to keep their own score).
+    All arithmetic is BIGINT integral division (Spark ``div``), exact
+    past 2^53 where a double round-trip would drift — so results are
+    bit-identical at any parallelism on any engine.  ``quality_micro``
+    must be non-negative (integral division of mixed signs differs
+    across engines).
+
+    Scale shape: one host-keyed agg over the pages (map-side partials;
+    the only pass over data-scale rows), then dimension-on-dimension
+    hash joins between the host table and the host graph — both
+    already host-keyed, so AQE plans them without touching page rows
+    again.  ``page_quality`` needs (host, quality_micro) columns."""
+    if not 0 <= own_weight_pct <= 100:
+        raise ValueError("own_weight_pct must be in [0, 100]")
+    own = (page_quality.groupBy("host")
+           .agg(F.count("*").cast("long").alias("n_pages"),
+                F.expr("sum(quality_micro) div count(*)")
+                .alias("quality_micro")))
+    nbr = (graph
+           .join(own.select(F.col("host").alias("src_host"),
+                            F.col("quality_micro").alias("src_q")),
+                 "src_host")
+           .groupBy(F.col("dst_host").alias("host"))
+           .agg(F.expr("sum(n_links * src_q) div sum(n_links)")
+                .alias("nbr_q")))
+    p = int(own_weight_pct)
+    return (own.join(nbr, "host", "left")
+            .select("host", "n_pages", "quality_micro",
+                    F.when(F.col("nbr_q").isNull(), F.col("quality_micro"))
+                    .otherwise(F.expr(
+                        f"(quality_micro * {p} + nbr_q * {100 - p}) "
+                        "div 100"))
+                    .alias("rep_micro")))

@@ -206,3 +206,73 @@ def test_soft_dedup_weights_full_corpus_and_singletons(spark):
     # total weight of a cluster is ~1: the reweighting invariant
     members = [r for r in out.values() if r.cluster_id == 0]
     assert sum(r.weight for r in members) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_blocklist_suffix_semantics(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.b.spam.org/x"), (2, "https://good.org/y"),
+         (3, "https://spam.org/z"), (4, "https://notspam.org/w"),
+         (5, "https://deep.sub.bad.example.net/q")],
+        ["id", "url"])
+    bl = spark.createDataFrame(
+        [("spam.org",), ("bad.example.net",)], ["domain"])
+    kept = {r.id for r in W.blocklist_filter(pages, bl).collect()}
+    # label-wise suffixes only: notspam.org is NOT blocked by spam.org
+    assert kept == {2, 4}
+    tags = {r.id: r.blocked_by for r in
+            W.blocklist_filter(pages, bl, annotate=True).collect()}
+    assert tags == {1: "spam.org", 2: None, 3: "spam.org",
+                    4: None, 5: "bad.example.net"}
+
+
+def test_blocklist_longest_match_wins(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.spam.org/x")], ["id", "url"])
+    bl = spark.createDataFrame(
+        [("spam.org",), ("a.spam.org",)], ["domain"])
+    [r] = W.blocklist_filter(pages, bl, annotate=True).collect()
+    assert r.blocked_by == "a.spam.org"
+
+
+def test_blocklist_rejects_too_deep_entries(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame([(1, "https://x.org/")], ["id", "url"])
+    bl = spark.createDataFrame([("a.b.c.d.spam.org",)], ["domain"])
+    with pytest.raises(ValueError):
+        W.blocklist_filter(pages, bl, max_labels=4)
+
+
+def test_blocklist_plan_never_shuffles_pages(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame(
+        [(i, f"https://h{i}.org/p") for i in range(50)], ["id", "url"])
+    bl = spark.createDataFrame([("h1.org",)], ["domain"])
+    plan = (W.blocklist_filter(pages, bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_reputation_integer_exact(spark):
+    from octofludb_spark.scale import web as W
+
+    pq = spark.createDataFrame(
+        [("h1", 800000), ("h1", 600000), ("h2", 200000),
+         ("h3", 1000000)], ["host", "quality_micro"])
+    g = spark.createDataFrame(
+        [("h3", "h2", 3), ("h1", "h2", 1), ("h2", "h1", 2)],
+        ["src_host", "dst_host", "n_links"])
+    out = {r.host: r for r in W.host_reputation(pq, g).collect()}
+    assert out["h1"].quality_micro == 700000
+    assert out["h1"].rep_micro == (700000 + 200000) // 2
+    # h2's in-neighbours: h3 (3 links, q=1000000) + h1 (1 link, 700000)
+    nbr = (3 * 1000000 + 1 * 700000) // 4
+    assert out["h2"].rep_micro == (200000 * 50 + nbr * 50) // 100
+    assert out["h3"].rep_micro == 1000000   # nobody links to h3
