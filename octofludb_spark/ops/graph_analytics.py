@@ -626,3 +626,73 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         seeds.unpersist()
         nodes.unpersist()
         e.unpersist()
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 walks_per_node: int = 1, seed: int = 0) -> DataFrame:
+    """DeepWalk/node2vec-style random-walk corpus over a directed
+    graph: (walk_id, start, path) where path is the ' '-joined node
+    sequence of a ``walk_len``-step walk.  This is the sentence
+    generator that graph-embedding training consumes — emitted as a
+    DataFrame so it feeds the same pack/shuffle/dedup pipeline as any
+    text corpus.
+
+    Determinism (the whole point of this variant): the step-t choice
+    of walk w standing at a node of out-degree d is
+    ``md5("{seed}:{w}:{t}") mod d`` over the node's neighbours ranked
+    by destination id asc — RNG-free, so corpora are bit-identical at
+    any parallelism and replayable by any engine (the DuckDB oracle
+    walks the same lattice).  Walks stop early at sinks (out-degree
+    0); the path keeps the visited prefix.
+
+    Scale shape: neighbour ranking is ONE (src)-keyed window over the
+    edge list; each step is ONE keyed equi-join of the walk frontier
+    against the ranked edges on (current node, chosen rank) — walk_len
+    is a small constant, so the plan is walk_len unrolled joins, all
+    hash joins on graph-scale keys with no fan-out (exactly one match
+    per frontier row).  State carried per walk is (ids + the growing
+    path string); nothing is ever collected."""
+    from pyspark.sql import Window
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    w_rank = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    ranked = (edges.select("src", "dst").distinct()
+              .withColumn("rank",
+                          F.row_number().over(w_rank).cast("long") - 1)
+              .withColumn("deg",
+                          F.count("*").over(
+                              Window.partitionBy("src")).cast("long")))
+
+    starts = edges.select(F.col("src").alias("start")).distinct()
+    reps = F.explode(F.sequence(
+        F.lit(0), F.lit(int(walks_per_node) - 1))).alias("rep")
+    frontier = (starts.select("start", reps)
+                .select(
+                    F.concat_ws(":", F.col("start"), F.col("rep"))
+                    .alias("walk_id"),
+                    F.col("start"),
+                    F.col("start").cast("string").alias("path"),
+                    F.col("start").alias("cur")))
+
+    for t in range(int(walk_len)):
+        choice_of = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(int(seed)), F.col("walk_id"),
+                              F.lit(t))), 1, 12), 16, 10)
+            .cast("long"))
+        step = (frontier
+                .join(ranked, (frontier["cur"] == ranked["src"]),
+                      "left")
+                .where(F.col("src").isNull()
+                       | (F.col("rank") == F.pmod(choice_of,
+                                                  F.col("deg"))))
+                .select(
+                    "walk_id", "start",
+                    F.when(F.col("dst").isNull(), F.col("path"))
+                    .otherwise(F.concat_ws(" ", F.col("path"),
+                                           F.col("dst"))).alias("path"),
+                    F.col("dst").alias("cur")))
+        frontier = step
+    return frontier.select("walk_id", "start", "path")

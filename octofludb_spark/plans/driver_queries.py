@@ -5867,6 +5867,64 @@ def web_sitemap_seed(spark, sf):
     return W.frontier_seed(sm, crawled)
 
 
+_WALK_LEN = 4
+
+
+def _random_walk_sql() -> str:
+    """Unrolled deterministic random-walk replay over the closed-form
+    host edges, mirroring ops/graph_analytics.random_walks step for
+    step (md5 mod out-degree over dst-asc-ranked neighbours)."""
+    steps = []
+    for t in range(_WALK_LEN):
+        prev = f"f{t}"
+        steps.append(f"""
+ f{t + 1} AS (SELECT f.walk_id, f.start,
+               CASE WHEN rk.dst IS NULL THEN f.path
+                    ELSE f.path || ' ' || rk.dst END AS path,
+               rk.dst AS cur
+        FROM {prev} f LEFT JOIN rk
+          ON f.cur = rk.src
+         AND rk.rnk = CAST(('0x' || substr(md5('0:' || f.walk_id
+                                               || ':{t}'), 1, 12))
+                           AS BIGINT) % rk.deg)""")
+    return f"""
+WITH {_LINKFARM_EDGE_CTE},
+ e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ledges),
+ rk AS (SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) - 1
+            AS rnk,
+          COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM e),
+ s0 AS (SELECT DISTINCT src AS start FROM e),
+ f0 AS (SELECT start || ':' || r.rep AS walk_id, start,
+               CAST(start AS VARCHAR) AS path, start AS cur
+        FROM s0, range(2) r(rep)),{','.join(steps)}
+SELECT walk_id, start, path FROM f{_WALK_LEN}
+"""
+
+
+@q("graph_random_walks", _random_walk_sql())
+def graph_random_walks(spark, sf):
+    """DeepWalk-style random-walk corpus over the REAL crawl host
+    graph (ops/graph_analytics.py random_walks): RNG-free step choice
+    md5(seed:walk:t) mod out-degree over dst-ranked neighbours, so the
+    whole corpus is bit-identical at any parallelism and the oracle
+    REWALKS every path with the same arithmetic.  One (src)-keyed
+    ranking window, then walk_len unrolled keyed equi-joins — no
+    fan-out (exactly one match per frontier row), nothing collected.
+    This is the sentence generator graph-embedding training consumes,
+    emitted as a corpus the pack/shuffle/dedup ops take downstream."""
+    from octofludb_spark.ops.graph_analytics import random_walks
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), linkfarm=True)
+    edges = (W.host_link_graph(W.http_responses(m))
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+    return random_walks(edges, walk_len=_WALK_LEN, walks_per_node=2,
+                        seed=0)
+
+
 _BLOCKLIST_SQL = """
 WITH p AS (
   SELECT doc_id,

@@ -188,3 +188,70 @@ def test_personalized_pagerank_seeds_hold_teleport_mass(spark):
                personalized_pagerank(edges, nodes, iters=3).collect()}
     pr = {x.node: x.rank_micro for x in pagerank(edges, iters=3).collect()}
     assert ppr_all == pr
+
+
+def test_random_walks_match_python_replay(spark):
+    import hashlib
+
+    from octofludb_spark.ops.graph_analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("d", "e")], ["src", "dst"])
+    rows = random_walks(edges, walk_len=5, walks_per_node=3,
+                        seed=11).collect()
+    adj = {"a": ["b", "c"], "b": ["c"], "c": ["a", "d"], "d": ["e"]}
+
+    def replay(start, rep):
+        wid, path, cur = f"{start}:{rep}", [start], start
+        for t in range(5):
+            nb = adj.get(cur)
+            if not nb:
+                break
+            c = int(hashlib.md5(
+                f"11:{wid}:{t}".encode()).hexdigest()[:12], 16) % len(nb)
+            cur = sorted(nb)[c]
+            path.append(cur)
+        return " ".join(path)
+
+    assert len(rows) == 4 * 3  # every non-sink node starts 3 walks
+    for r in rows:
+        s, rep = r.walk_id.rsplit(":", 1)
+        assert r.path == replay(s, int(rep))
+        assert r.start == s
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from octofludb_spark.ops.graph_analytics import random_walks
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    [r] = random_walks(edges, walk_len=4).collect()
+    assert r.path == "a b"  # b is a sink: walk keeps its prefix
+
+
+def test_random_walks_parallelism_invariant(spark):
+    from octofludb_spark.ops.graph_analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)],
+        ["src", "dst"])
+    a = sorted((r.walk_id, r.path) for r in
+               random_walks(edges, walk_len=3, seed=2).collect())
+    b = sorted((r.walk_id, r.path) for r in
+               random_walks(edges.repartition(13), walk_len=3,
+                            seed=2).collect())
+    assert a == b
+
+
+def test_random_walks_no_fanout_join(spark):
+    """Each step joins the frontier to exactly one ranked edge — the
+    plan must stay equi-join (no nested loop / cartesian)."""
+    from octofludb_spark.ops.graph_analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 30}") for i in range(30)],
+        ["src", "dst"])
+    plan = (random_walks(edges, walk_len=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
