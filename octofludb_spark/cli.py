@@ -502,7 +502,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "warc-linkgraph", "robots-rules", "frontier", "politeness",
               "anchor-text", "url-normalize", "wet", "wet-files",
               "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
-              "blocklist", "host-rep", "naive-bayes")
+              "blocklist", "host-rep", "naive-bayes", "walks",
+              "skipgrams")
 
 
 def cmd_scale(args) -> int:
@@ -729,6 +730,14 @@ def cmd_scale(args) -> int:
         from octofludb_spark.scale.text import naive_bayes_classify
         out = naive_bayes_classify(docs, label_col=args.key,
                                    vocab_k=args.vocab_k)
+    elif args.op == "walks":
+        # input: edges parquet (src, dst)
+        from octofludb_spark.ops.graph_analytics import random_walks
+        out = random_walks(docs, walk_len=args.k, seed=args.seed)
+    elif args.op == "skipgrams":
+        # input: walks parquet (walk_id, start, path)
+        from octofludb_spark.ops.graph_analytics import walk_skipgrams
+        out = walk_skipgrams(docs, window=args.window)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
@@ -1030,6 +1039,10 @@ def main(argv=None) -> int:
                      help="blocklist: tag blocked_by instead of dropping")
     sca.add_argument("--vocab-k", dest="vocab_k", type=int, default=2000,
                      help="naive-bayes: vocabulary cap")
+    sca.add_argument("--seed", type=int, default=0,
+                     help="walks: deterministic md5 seed")
+    sca.add_argument("--window", type=int, default=2,
+                     help="skipgrams: context window")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)

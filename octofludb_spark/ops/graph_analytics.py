@@ -696,3 +696,39 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
                     F.col("dst").alias("cur")))
         frontier = step
     return frontier.select("walk_id", "start", "path")
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus (the
+    word2vec/DeepWalk objective's input): one row per (center,
+    context) occurrence within ``window`` positions inside a walk,
+    with a global count — (center, context, n_pairs).
+
+    Scale shape: pair generation is PURE map-side array algebra —
+    split the path, then for each position explode the +/-window
+    slice around it (self excluded) via transform + flatten; no
+    self-join, no shuffle until the single (center, context) count
+    agg with map-side partials.  At 100 TB of walks this is scan +
+    one exchange, the same shape as a bigram count."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.split(F.col("path"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 1)
+    pairs = F.flatten(F.transform(
+        idx,
+        lambda i: F.transform(
+            F.filter(
+                F.sequence(
+                    F.greatest(i - F.lit(int(window)), F.lit(0)),
+                    F.least(i + F.lit(int(window)), n - 1)),
+                lambda j: j != i),
+            lambda j: F.struct(
+                F.element_at(toks, i + 1).alias("center"),
+                F.element_at(toks, j + 1).alias("context")))))
+    return (walks
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.center").alias("center"),
+                    F.col("p.context").alias("context"))
+            .groupBy("center", "context")
+            .agg(F.count("*").cast("long").alias("n_pairs")))

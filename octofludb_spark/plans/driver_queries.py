@@ -5870,10 +5870,11 @@ def web_sitemap_seed(spark, sf):
 _WALK_LEN = 4
 
 
-def _random_walk_sql() -> str:
-    """Unrolled deterministic random-walk replay over the closed-form
-    host edges, mirroring ops/graph_analytics.random_walks step for
-    step (md5 mod out-degree over dst-asc-ranked neighbours)."""
+def _random_walk_cte() -> str:
+    """WITH-clause body for the unrolled deterministic random-walk
+    replay over the closed-form host edges, mirroring
+    ops/graph_analytics.random_walks step for step (md5 mod
+    out-degree over dst-asc-ranked neighbours)."""
     steps = []
     for t in range(_WALK_LEN):
         prev = f"f{t}"
@@ -5887,8 +5888,7 @@ def _random_walk_sql() -> str:
          AND rk.rnk = CAST(('0x' || substr(md5('0:' || f.walk_id
                                                || ':{t}'), 1, 12))
                            AS BIGINT) % rk.deg)""")
-    return f"""
-WITH {_LINKFARM_EDGE_CTE},
+    return f"""{_LINKFARM_EDGE_CTE},
  e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ledges),
  rk AS (SELECT src, dst,
           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) - 1
@@ -5898,12 +5898,16 @@ WITH {_LINKFARM_EDGE_CTE},
  s0 AS (SELECT DISTINCT src AS start FROM e),
  f0 AS (SELECT start || ':' || r.rep AS walk_id, start,
                CAST(start AS VARCHAR) AS path, start AS cur
-        FROM s0, range(2) r(rep)),{','.join(steps)}
+        FROM s0, range(2) r(rep)),{','.join(steps)}"""
+
+
+_RANDOM_WALK_SQL = f"""
+WITH {_random_walk_cte()}
 SELECT walk_id, start, path FROM f{_WALK_LEN}
 """
 
 
-@q("graph_random_walks", _random_walk_sql())
+@q("graph_random_walks", _RANDOM_WALK_SQL)
 def graph_random_walks(spark, sf):
     """DeepWalk-style random-walk corpus over the REAL crawl host
     graph (ops/graph_analytics.py random_walks): RNG-free step choice
@@ -5923,6 +5927,45 @@ def graph_random_walks(spark, sf):
                      F.col("dst_host").alias("dst")))
     return random_walks(edges, walk_len=_WALK_LEN, walks_per_node=2,
                         seed=0)
+
+
+_SKIPGRAM_SQL = f"""
+WITH {_random_walk_cte()},
+ tk AS (SELECT string_split(path, ' ') AS ws FROM f{_WALK_LEN}),
+ px AS (SELECT ws, CAST(UNNEST(range(len(ws))) AS INT) AS i FROM tk),
+ pr AS (SELECT ws[i + 1] AS center, ws[j + 1] AS context
+        FROM (SELECT ws, i,
+                     CAST(UNNEST(range(greatest(i - 2, 0),
+                                       least(i + 2, len(ws) - 1) + 1))
+                          AS INT) AS j
+              FROM px)
+        WHERE j <> i)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1, 2
+"""
+
+
+@q("graph_walk_skipgrams", _SKIPGRAM_SQL)
+def graph_walk_skipgrams(spark, sf):
+    """Skip-gram training pairs from the random-walk corpus — the
+    word2vec/DeepWalk objective's actual input (ops/graph_analytics.py
+    walk_skipgrams): +/-2-window (center, context) pairs generated by
+    PURE map-side array algebra (sequence/filter/transform/flatten —
+    no self-join), then ONE (center, context) count agg with map-side
+    partials.  The oracle re-walks every path AND re-expands every
+    window, so walk generation and pair extraction value-hash
+    together end-to-end."""
+    from octofludb_spark.ops.graph_analytics import (random_walks,
+                                                     walk_skipgrams)
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), linkfarm=True)
+    edges = (W.host_link_graph(W.http_responses(m))
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+    walks = random_walks(edges, walk_len=_WALK_LEN, walks_per_node=2,
+                         seed=0)
+    return walk_skipgrams(walks, window=2)
 
 
 _BLOCKLIST_SQL = """

@@ -255,3 +255,32 @@ def test_random_walks_no_fanout_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_walk_skipgrams_window_semantics(spark):
+    from octofludb_spark.ops.graph_analytics import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [("w1", "a", "a b c d"), ("w2", "b", "b c")],
+        ["walk_id", "start", "path"])
+    got = {(r.center, r.context): r.n_pairs
+           for r in walk_skipgrams(walks, window=2).collect()}
+    exp = {}
+    for path in ("a b c d", "b c"):
+        ws = path.split(" ")
+        for i, c in enumerate(ws):
+            for j in range(max(0, i - 2), min(i + 2, len(ws) - 1) + 1):
+                if j != i:
+                    exp[(c, ws[j])] = exp.get((c, ws[j]), 0) + 1
+    assert got == exp
+
+
+def test_walk_skipgrams_plan_is_joinless(spark):
+    from octofludb_spark.ops.graph_analytics import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [("w", "a", "a b c")], ["walk_id", "start", "path"])
+    plan = (walk_skipgrams(walks)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # the count agg's partial/final
