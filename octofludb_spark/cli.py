@@ -503,7 +503,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "anchor-text", "url-normalize", "wet", "wet-files",
               "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
               "blocklist", "host-rep", "naive-bayes", "walks",
-              "skipgrams")
+              "skipgrams", "fim", "license", "secrets", "redact",
+              "strip-comments")
 
 
 def cmd_scale(args) -> int:
@@ -738,6 +739,23 @@ def cmd_scale(args) -> int:
         # input: walks parquet (walk_id, start, path)
         from octofludb_spark.ops.graph_analytics import walk_skipgrams
         out = walk_skipgrams(docs, window=args.window)
+    elif args.op == "fim":
+        from octofludb_spark.scale.code import fim_transform
+        out = fim_transform(docs, rate_pct=int(args.frac * 100),
+                            seed=args.seed, text_col=args.text_col)
+    elif args.op == "license":
+        from octofludb_spark.scale.code import license_detect
+        out = license_detect(docs, text_col=args.text_col)
+    elif args.op == "secrets":
+        from octofludb_spark.scale.code import secret_scan
+        out = secret_scan(docs, text_col=args.text_col)
+    elif args.op == "redact":
+        from octofludb_spark.scale.code import secret_redact
+        out = secret_redact(docs, text_col=args.text_col)
+    elif args.op == "strip-comments":
+        from octofludb_spark.scale.code import strip_comments
+        out = strip_comments(docs, lang=args.lang_family,
+                             text_col=args.text_col)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
@@ -1043,6 +1061,10 @@ def main(argv=None) -> int:
                      help="walks: deterministic md5 seed")
     sca.add_argument("--window", type=int, default=2,
                      help="skipgrams: context window")
+    sca.add_argument("--text-col", dest="text_col", default="content",
+                     help="code ops: source text column")
+    sca.add_argument("--lang-family", dest="lang_family", default="c",
+                     help="strip-comments: comment grammar (c/python/sql)")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)
