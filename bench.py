@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     # with sf and the true pair count grows quadratically — output-
     # bound, not representative of the operator's cost on real images
     "image_dhash",
+    # session-5 flagships: Naive Bayes trained+applied in one plan
+    # (vocab top-K pass, L x (K+1) broadcast weights, one scoring
+    # agg) and the DeepWalk walk->skip-gram corpus over the crawl
+    # host graph (ranking window + unrolled no-fan-out equi-joins +
+    # map-side window expansion)
+    "text_naive_bayes",
+    "graph_walk_skipgrams",
 ]
 
 
