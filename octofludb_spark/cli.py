@@ -469,16 +469,29 @@ def cmd_validate(args) -> int:
     store = TripleStore(args.store)
     spark = _spark(args.cores)
     table = "triples" if args.no_sameas else "triples_canonical"
-    triples = store.read(spark, table) or store.read(spark, "triples")
+    triples = store.read(spark, table)
+    if triples is None:
+        table = "triples"
+        triples = store.read(spark, table)
     if triples is None:
         print("store has no triples table", file=sys.stderr)
         return 1
     triples = triples.select("subject", "predicate", "object_lex",
                              "object_dtype")
+    if args.refresh_entailment:
+        from octofludb_spark.plans.validation import entailment_refresh
+
+        res = entailment_refresh(spark, store, table=table)
+        print(f"entailment refresh: {res['mode']} "
+              f"(+{res['rows_appended']} rows)", file=sys.stderr)
     ent = rdfs_entail(triples)
     if args.materialize_entailment:
-        store.write(ent, "triples_entailed")
-        print("materialized triples_entailed", file=sys.stderr)
+        from octofludb_spark.plans.validation import (
+            entailment_materialize)
+
+        n = entailment_materialize(spark, store, table=table)
+        print(f"materialized triples_entailed ({n} rows)",
+              file=sys.stderr)
     report = shacl_validate(triples, entailed=ent)
     print(as_table_text(report))
     n_bad = report.count()
@@ -1010,6 +1023,10 @@ def main(argv=None) -> int:
     sv.add_argument("--no-sameas", dest="no_sameas", action="store_true")
     sv.add_argument("--materialize-entailment",
                     dest="materialize_entailment", action="store_true")
+    sv.add_argument("--refresh-entailment",
+                    dest="refresh_entailment", action="store_true",
+                    help="fold triple changes into triples_entailed "
+                         "at O(changes) before validating")
     sv.set_defaults(fn=cmd_validate)
 
     ss = sub.add_parser("store")

@@ -5837,6 +5837,44 @@ def kg_shacl_report(spark, sf):
     return shacl_validate(triples)
 
 
+@q("kg_incremental_entailment", _ENTAIL_SQL)
+def kg_incremental_entailment(spark, sf):
+    """Incrementally-maintained RDFS entailment (plans/validation.py
+    entailment_refresh): batch A full-builds a store and materializes
+    `triples_entailed`; batch B folds in incrementally; the entailed
+    graph is refreshed at O(changes) — exact, because every rule in
+    this RDFS subset has one data-triple premise, so entail(T+D) =
+    entail(T) + entail(D) under an unchanged schema (deletes and
+    lattice edits downgrade to a logged rematerialize).  The result
+    must equal the SAME full-corpus recursive-CTE entailment oracle
+    as kg_rdfs_entailment: incremental == batch, cross-engine.
+    Raises if the refresh fell back, so a green row really exercised
+    the delta path."""
+    import shutil
+
+    from octofludb_spark.build import build_graph, incremental_update
+    from octofludb_spark.plans.validation import (ENTAILED_TABLE,
+                                                  entailment_materialize,
+                                                  entailment_refresh)
+
+    _stage_kg(spark)  # ensure the oracle's staged files
+    source = _kg_source(spark)
+    part_a = source.where(F.xxhash64("path") % 3 != 0)
+    part_b = source.where(F.xxhash64("path") % 3 == 0)
+    root = os.path.join(_STAGED, "incr_entail_store")
+    shutil.rmtree(root, ignore_errors=True)
+    store = build_graph(spark, part_a, root, run_ts="2026-01-01T00:00:00")
+    entailment_materialize(spark, store)
+    incremental_update(spark, part_b, root,
+                       run_ts="2026-01-01T00:00:00", batch_id="gate-b")
+    res = entailment_refresh(spark, store)
+    if res["mode"] != "incremental":
+        raise RuntimeError(f"refresh fell back to {res['mode']!r} — "
+                           "the incremental path was not exercised")
+    return (store.read(spark, ENTAILED_TABLE)
+            .select("subject", "predicate", "object_lex", "object_dtype"))
+
+
 _SITEMAP_SEED_SQL = """
 SELECT 'https://example-' || (doc_id % 97) || '.org/doc/' || doc_id
          || '/page/' || (1 + doc_id % 3) AS url,

@@ -289,3 +289,97 @@ def shacl_validate(triples: DataFrame,
     for p in parts[1:]:
         report = report.unionByName(p)
     return report
+
+
+# ----------------------------------------------------------------------
+# incremental entailment maintenance (store-changelog wired, the
+# masterlist_refresh / sketch-refresh discipline)
+# ----------------------------------------------------------------------
+
+ENTAILED_TABLE = "triples_entailed"
+SCHEMA_PREDS = (SUB_PROP, SUB_CLASS, DOMAIN, RANGE)
+
+
+def entailment_materialize(spark: SparkSession, store,
+                           table: str = "triples") -> int:
+    """Full-build the RDFS-entailed graph into the store as
+    ``triples_entailed`` and record the base manifest seq.  Returns
+    the row count."""
+    from octofludb_spark.plans.incremental_sketches import (
+        _write_base_seq)
+
+    triples = store.read(spark, table).select(
+        "subject", "predicate", "object_lex", "object_dtype")
+    seq = store.manifest().get("seq", 0)
+    ent = rdfs_entail(triples)
+    store.write(ent, ENTAILED_TABLE)
+    _write_base_seq(store, seq, ENTAILED_TABLE)
+    return store.read(spark, ENTAILED_TABLE).count()
+
+
+def entailment_refresh(spark: SparkSession, store,
+                       table: str = "triples") -> dict:
+    """Fold triple-table changes since the materialized base into the
+    entailed graph at O(changes).  Returns {"mode", "rows_appended"}.
+
+    Why insert-only maintenance is EXACT here: every rule in this
+    RDFS subset has exactly ONE data-triple premise (all other
+    premises are schema-lattice rows), so entail(T + D) =
+    entail(T) + entail(D) whenever the schema is unchanged — the new
+    derivations are entail(D) minus what the table already holds, one
+    anti join.  Two cases honestly DOWNGRADE to a logged full
+    rematerialize instead of being papered over:
+
+      * deletes — a derived triple can have multiple derivations, so
+        removal needs over-delete/re-derive (DRed); recompute is the
+        honest small-code answer (same stance as the HLL sketch's
+        delete path);
+      * schema-lattice changes — a new subClassOf edge re-types
+        EXISTING entities, which is not expressible as entail(D).
+
+    Scale shape: the delta entailment is the same broadcast-joins
+    plan as rdfs_entail over O(changes) rows; the anti join against
+    the entailed table is the one table-scale touch (keyed, and
+    bucket-prunable where the store buckets by subject hash)."""
+    import logging
+
+    from octofludb_spark.plans.incremental_sketches import (
+        _read_base_seq, _write_base_seq)
+
+    log = logging.getLogger(__name__)
+    cols = ["subject", "predicate", "object_lex", "object_dtype"]
+    base = _read_base_seq(store, ENTAILED_TABLE)
+    if base is None:
+        n = entailment_materialize(spark, store, table=table)
+        return {"mode": "full", "rows_appended": n}
+    next_base = store.manifest().get("seq", 0)
+    try:
+        changes = store.read_changelog(spark, table, since=base)
+    except ValueError:
+        log.info("entailment_refresh: changelog broken since base — "
+                 "full rematerialize")
+        n = entailment_materialize(spark, store, table=table)
+        return {"mode": "full", "rows_appended": n}
+    if changes is None:
+        return {"mode": "noop", "rows_appended": 0}
+    has_delete = bool(changes.where(
+        F.col("_change_type") == "delete").limit(1).count())
+    touches_schema = bool(changes.where(
+        F.col("predicate").isin(*SCHEMA_PREDS)).limit(1).count())
+    if has_delete or touches_schema:
+        why = "deletes" if has_delete else "schema-lattice change"
+        log.info("entailment_refresh: %s in changelog — full "
+                 "rematerialize", why)
+        n = entailment_materialize(spark, store, table=table)
+        return {"mode": "full", "rows_appended": n}
+    lattice = schema_lattice(
+        store.read(spark, table).select(cols))
+    delta_ent = rdfs_entail(changes.select(cols), lattice=lattice)
+    existing = store.read(spark, ENTAILED_TABLE).select(cols)
+    new_rows = delta_ent.join(existing, cols, "left_anti").persist()
+    n = new_rows.count()
+    if n:
+        store.append_rows(new_rows, ENTAILED_TABLE)
+    new_rows.unpersist()
+    _write_base_seq(store, next_base, ENTAILED_TABLE)
+    return {"mode": "incremental", "rows_appended": n}

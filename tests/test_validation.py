@@ -128,3 +128,72 @@ def test_shacl_unknown_kind_raises(spark):
     with pytest.raises(ValueError, match="unknown shape kind"):
         V.shacl_validate(t, shapes=[{"shape_id": "x", "kind": "nope",
                                      "pred": "p"}])
+
+
+@pytest.fixture()
+def entail_store(spark, tmp_path):
+    """A tiny store with schema + data, entailment materialized."""
+    from octofludb_spark.sources.store import TripleStore
+
+    store = TripleStore(str(tmp_path / "store"))
+    base = _triples(spark, [
+        ("p_date", V.SUB_PROP, "p_any", "uri"),
+        ("ClsA", V.SUB_CLASS, "ClsB", "uri"),
+        ("p_date", V.DOMAIN, "ClsA", "uri"),
+        ("s1", "p_date", "2020-01-01", "xsd:date"),
+    ])
+    store.write(base, "triples")
+    V.entailment_materialize(spark, store)
+    return store
+
+
+def _ent_set(spark, store):
+    return {tuple(r) for r in store.read(spark, V.ENTAILED_TABLE)
+            .select("subject", "predicate", "object_lex",
+                    "object_dtype").collect()}
+
+
+def test_incremental_entailment_equals_full(spark, entail_store):
+    """Insert-only delta refresh must equal a from-scratch recompute."""
+    delta = _triples(spark, [
+        ("s2", "p_date", "2021-02-02", "xsd:date"),
+        ("s3", V.RDF_TYPE, "ClsA", "uri"),
+    ])
+    entail_store.append_rows(delta, "triples")
+    res = V.entailment_refresh(spark, entail_store)
+    assert res["mode"] == "incremental" and res["rows_appended"] > 0
+    got = _ent_set(spark, entail_store)
+    full = {tuple(r) for r in V.rdfs_entail(
+        entail_store.read(spark, "triples")
+        .select("subject", "predicate", "object_lex", "object_dtype"))
+        .collect()}
+    assert got == full
+    # s2 derivations landed: p_any expansion + domain typing + subclass
+    assert ("s2", "p_any", "2021-02-02", "xsd:date") in got
+    assert ("s2", V.RDF_TYPE, "ClsB", "uri") in got
+    assert ("s3", V.RDF_TYPE, "ClsB", "uri") in got
+    # second refresh with nothing new is a noop
+    assert V.entailment_refresh(spark, entail_store)["mode"] == "noop"
+
+
+def test_refresh_downgrades_on_delete(spark, entail_store):
+    entail_store.delete_where(
+        spark, F.col("subject") == "s1", table="triples")
+    res = V.entailment_refresh(spark, entail_store)
+    assert res["mode"] == "full"
+    got = _ent_set(spark, entail_store)
+    assert not any(s == "s1" for s, _, _, _ in got)
+
+
+def test_refresh_downgrades_on_schema_change(spark, entail_store):
+    entail_store.append_rows(_triples(spark, [
+        ("ClsB", V.SUB_CLASS, "ClsC", "uri"),
+        ("s9", "p_date", "2022-03-03", "xsd:date"),
+    ]), "triples")
+    res = V.entailment_refresh(spark, entail_store)
+    assert res["mode"] == "full"
+    got = _ent_set(spark, entail_store)
+    # the new lattice edge re-types EXISTING entities — only a full
+    # pass can do that, which is why the downgrade exists
+    assert ("s1", V.RDF_TYPE, "ClsC", "uri") in got
+    assert ("s9", V.RDF_TYPE, "ClsC", "uri") in got
