@@ -992,6 +992,31 @@ def ann_topk_brute(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@q("ann_hard_negatives", f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_EXPR} AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) a
+  JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored WHERE cos < 0.35) WHERE rank <= 5
+""")
+def ann_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training (scale/
+    simsearch.py hard_negatives): per query the top-5 most-similar
+    vectors BELOW the near-dup threshold — rank 1 is the hardest
+    genuine negative, near-dups excluded before ranking so they never
+    crowd a real negative out.  dup_threshold=0.6 binds on the
+    synthetic corpus (its planted near-dups score above it), so both
+    the exclusion and the re-rank are genuinely exercised and value-
+    hashed."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = S.hard_negatives(emb, queries, k=5, dup_threshold=0.35)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 _QEMB_SQL = """
 WITH b AS (
   SELECT vec_id,

@@ -1087,3 +1087,39 @@ def jl_project(emb: DataFrame, out_dim: int = 16,
         .select("vec_id", F.col("o.out_pos").alias("out_pos"),
                 F.col("o.comp_micro").alias("comp_micro"))
     )
+
+
+def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   dup_threshold: float = 0.9) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query, the top-``k`` MOST similar vectors that are NOT near-
+    duplicates — (query_id, vec_id, cos, rank).  Neighbours at
+    cos >= ``dup_threshold`` are positives/near-dups and excluded
+    BEFORE ranking (so rank 1 is the hardest genuine negative, and a
+    near-dup never crowds a real negative out of the top-k).
+
+    Scale shape: identical to ``topk_brute`` — norms hoisted below
+    the join, one (query)-keyed ranking window — with one extra
+    map-side filter; queries are the small side by contract.  At
+    corpus scale substitute the LSH/IVF candidate generators
+    (cosine_pairs_lsh / topk_ivf) upstream of the same
+    filter-then-rank tail: the semantics (exclude-dups-then-rank)
+    live in this function's tail, not in the candidate source."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("eq"),
+                       _norm(F.col("embedding")).alias("nq"))
+    c = emb.select("vec_id", F.col("embedding").alias("ec"),
+                   _norm(F.col("embedding")).alias("nc"))
+    scored = q.join(c, F.col("query_id") != F.col("vec_id")).select(
+        "query_id", "vec_id",
+        F.round(_dot(F.col("eq"), F.col("ec"))
+                / (F.col("nq") * F.col("nc")), 5).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (scored
+            .where(F.col("cos") < float(dup_threshold))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k)))

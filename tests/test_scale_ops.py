@@ -1757,3 +1757,23 @@ def test_pack_sequences_fuzz_vs_python(spark):
             off = e
         assert got == sorted(want), (trial, c, texts)
 
+
+
+def test_hard_negatives_exclude_dups_before_ranking(spark):
+    from octofludb_spark.scale.simsearch import hard_negatives, topk_brute
+
+    # q's neighbours: d (cos 1.0 dup), n1 (0.8), n2 (0.6), n3 (0.0)
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [0.8, 0.6]), (3, [0.6, 0.8]), (4, [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    neg = hard_negatives(emb, q, k=2, dup_threshold=0.9).collect()
+    assert [(r.vec_id, r.rank) for r in
+            sorted(neg, key=lambda r: r.rank)] == [(2, 1), (3, 2)]
+    # vs plain top-k: the dup occupies rank 1 there
+    top = topk_brute(emb, q, k=2).collect()
+    assert sorted(r.vec_id for r in top) == [1, 2]
+    # threshold binds, not clips: everything below stays rankable
+    all3 = hard_negatives(emb, q, k=10, dup_threshold=0.9).collect()
+    assert sorted(r.vec_id for r in all3) == [2, 3, 4]
