@@ -6125,6 +6125,70 @@ def web_host_reputation(spark, sf):
     return W.host_reputation(pq, graph)
 
 
+_DSIR_CTE = """
+wx AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+       FROM documents),
+ wb AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 4096 AS b
+        FROM wx),
+ src AS (SELECT b, COUNT(*) AS cs FROM wb GROUP BY b),
+ twb AS (SELECT CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 4096
+           AS b
+         FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+               FROM documents WHERE lang = 'en')),
+ tgt AS (SELECT b, COUNT(*) AS ct FROM twb GROUP BY b),
+ ns AS (SELECT SUM(cs) AS n FROM src),
+ nt AS (SELECT SUM(ct) AS n FROM tgt),
+ ratio AS (SELECT src.b,
+    CAST(floor((ln((COALESCE(tgt.ct, 0) + 1.0)
+                   / ((SELECT n FROM nt) + 4096.0))
+                - ln((src.cs + 1.0)
+                     / ((SELECT n FROM ns) + 4096.0)))
+               * 1000000 + 0.5) AS BIGINT) AS r
+   FROM src LEFT JOIN tgt ON src.b = tgt.b),
+ dscore AS (SELECT wb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(r) AS BIGINT) AS dsir_micro
+            FROM wb JOIN ratio ON wb.b = ratio.b GROUP BY wb.doc_id)
+"""
+
+_DSIR_SQL = f"""
+WITH {_DSIR_CTE}
+SELECT doc_id, n_tokens, dsir_micro FROM dscore
+"""
+
+
+@q("text_dsir_scores", _DSIR_SQL)
+def text_dsir_scores(spark, sf):
+    """DSIR importance scores for domain-targeted data selection
+    (scale/text.py dsir_scores; Xie et al. 2023): hashed-unigram
+    log-ratio between the en-language target sample's distribution
+    and the whole corpus, documents scored by summed token ratios in
+    integer micros.  4096 hashed buckets (the feature space is FIXED
+    — the point of DSIR at web scale); one corpus token pass, a
+    broadcast ratio table, one doc agg.  The oracle retrains both
+    distributions and rescores every document in SQL."""
+    d = t(spark, sf, "documents")
+    return TX.dsir_scores(d, d.where(F.col("lang") == "en"),
+                          n_buckets=4096)
+
+
+_DSIR_TOP_SQL = f"""
+WITH {_DSIR_CTE}
+SELECT doc_id, n_tokens, dsir_micro FROM dscore
+ORDER BY dsir_micro DESC, doc_id ASC LIMIT 50
+"""
+
+
+@q("text_dsir_select", _DSIR_TOP_SQL)
+def text_dsir_select(spark, sf):
+    """The DSIR selection face: top-50 highest-importance documents
+    (TakeOrderedAndProject — local top-N per partition, driver
+    merge; ties broken doc_id asc for cross-engine determinism)."""
+    d = t(spark, sf, "documents")
+    return TX.dsir_select(d, d.where(F.col("lang") == "en"), n=50,
+                          n_buckets=4096)
+
+
 # closed-form code-shaped corpus (scale/code.py synth_code_content):
 # license header by doc_id % 4, C body, planted secret by doc_id % 5
 _CODE_CTE = """

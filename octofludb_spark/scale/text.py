@@ -1445,3 +1445,70 @@ def naive_bayes_classify(docs: DataFrame, label_col: str = "lang",
            .select("doc_id", "label", F.col("cand").alias("pred"),
                    F.col("score").cast("long").alias("score_micro")))
     return out
+
+
+def dsir_scores(docs: DataFrame, target: DataFrame,
+                n_buckets: int = 65536) -> DataFrame:
+    """DSIR-style importance scores for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): hashed unigram features, per-feature
+    log-ratio between the TARGET domain sample's distribution and the
+    raw corpus distribution, documents scored by the sum of their
+    tokens' ratios — (doc_id, n_tokens, dsir_micro).  A positive
+    score means "looks more like the target than like the corpus".
+
+    Determinism: features hash by the md5-16-bit convention
+    (bucket = first 4 hex of md5(word) mod n_buckets); ratios are
+    add-one-smoothed and stored as floor(ln(pt/ps)*1e6 + 0.5) BIGINTs
+    (the bigram_logprob discipline), so summed scores are
+    bit-identical on any engine at any parallelism.
+
+    Scale shape: ONE pass over the exploded corpus tokens funds both
+    the per-bucket source counts and (reused) the scoring join; the
+    target sample is small by contract (a domain exemplar set).  The
+    ratio table is bounded by ``n_buckets`` — broadcast by
+    construction — and scoring is one broadcast join + one doc-keyed
+    agg.  Nothing here grows with vocabulary: hashing fixes the
+    feature space, which is the entire point of DSIR at web scale."""
+    def bucket(col):
+        return (F.conv(F.substring(F.md5(col), 1, 4), 16, 10)
+                .cast("long") % F.lit(int(n_buckets)))
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    src = (words.groupBy(bucket(F.col("w")).alias("b"))
+           .agg(F.count("*").alias("cs")))
+    tgt = (target.select(F.explode(F.split("text", " ")).alias("w"))
+           .groupBy(bucket(F.col("w")).alias("b"))
+           .agg(F.count("*").alias("ct")))
+    n_src = src.agg(F.sum("cs")).first()[0] or 0
+    n_tgt = tgt.agg(F.sum("ct")).first()[0] or 0
+    if n_src == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, dsir_micro long")
+    bsz = float(n_buckets)
+    ratio = (src.join(tgt, "b", "left")
+             .select("b", F.floor(
+                 (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / F.lit(float(n_tgt) + bsz))
+                  - F.log((F.col("cs") + 1.0)
+                          / F.lit(float(n_src) + bsz)))
+                 * 1_000_000 + 0.5).cast("long").alias("r_micro")))
+    return (words
+            .select("doc_id", bucket(F.col("w")).alias("b"))
+            .join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("r_micro").cast("long").alias("dsir_micro")))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, n: int,
+                n_buckets: int = 65536) -> DataFrame:
+    """The selection face: the ``n`` highest-importance documents
+    (score desc, doc_id asc) — a TakeOrderedAndProject (per-partition
+    local top-N, driver merge), the right shape for a selection list;
+    use NTILE-style banding instead when the keep-set itself must
+    stay distributed."""
+    s = dsir_scores(docs, target, n_buckets=n_buckets)
+    return (s.orderBy(F.col("dsir_micro").desc(), F.col("doc_id").asc())
+            .limit(int(n)))

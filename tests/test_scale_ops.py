@@ -1777,3 +1777,37 @@ def test_hard_negatives_exclude_dups_before_ranking(spark):
     # threshold binds, not clips: everything below stays rankable
     all3 = hard_negatives(emb, q, k=10, dup_threshold=0.9).collect()
     assert sorted(r.vec_id for r in all3) == [2, 3, 4]
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    from octofludb_spark.scale.text import dsir_scores, dsir_select
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta" if i % 2 == 0
+          else "zeta eta theta iota") for i in range(40)],
+        ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(100 + j, "alpha beta alpha gamma") for j in range(4)],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.dsir_micro
+           for r in dsir_scores(corpus, target, n_buckets=256).collect()}
+    assert len(got) == 40
+    evens = [got[i] for i in range(0, 40, 2)]
+    odds = [got[i] for i in range(1, 40, 2)]
+    # target-like docs must strictly outscore the rest (absolute sign
+    # is not an invariant — smoothing shifts it; selection only needs
+    # the ordering)
+    assert min(evens) > max(odds)
+    top = dsir_select(corpus, target, n=20, n_buckets=256).collect()
+    assert sorted(r.doc_id for r in top) == list(range(0, 40, 2))
+
+
+def test_dsir_ratio_table_is_broadcast(spark):
+    from octofludb_spark.scale.text import dsir_scores
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1}") for i in range(30)], ["doc_id", "text"])
+    plan = (dsir_scores(corpus, corpus.limit(3), n_buckets=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
