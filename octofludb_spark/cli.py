@@ -517,7 +517,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
               "blocklist", "host-rep", "naive-bayes", "walks",
               "skipgrams", "fim", "license", "secrets", "redact",
-              "strip-comments")
+              "strip-comments", "dsir", "hard-negatives")
 
 
 def cmd_scale(args) -> int:
@@ -769,6 +769,23 @@ def cmd_scale(args) -> int:
         from octofludb_spark.scale.code import strip_comments
         out = strip_comments(docs, lang=args.lang_family,
                              text_col=args.text_col)
+    elif args.op == "dsir":
+        # --target: in-domain exemplar parquet (doc_id, text)
+        from octofludb_spark.scale.text import dsir_scores, dsir_select
+        if not args.target:
+            raise SystemExit("scale dsir needs --target "
+                             "(domain exemplar parquet)")
+        tgt = spark.read.parquet(args.target)
+        out = (dsir_select(docs, tgt, n=args.limit)
+               if args.out is None else dsir_scores(docs, tgt))
+    elif args.op == "hard-negatives":
+        # input: embeddings parquet; --target: query-vector parquet
+        from octofludb_spark.scale.simsearch import hard_negatives
+        if not args.target:
+            raise SystemExit("scale hard-negatives needs --target "
+                             "(query embeddings parquet)")
+        out = hard_negatives(docs, spark.read.parquet(args.target),
+                             k=args.k, dup_threshold=args.threshold)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
@@ -1082,6 +1099,8 @@ def main(argv=None) -> int:
                      help="code ops: source text column")
     sca.add_argument("--lang-family", dest="lang_family", default="c",
                      help="strip-comments: comment grammar (c/python/sql)")
+    sca.add_argument("--target",
+                     help="dsir/hard-negatives: exemplar/query parquet")
     sca.add_argument("--alpha", type=float, default=0.7)
     sca.add_argument("--frac", type=float, default=0.5)
     sca.add_argument("--limit", type=int, default=20)

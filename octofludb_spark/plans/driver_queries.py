@@ -6329,6 +6329,78 @@ def code_fim_transform(spark, sf):
     return C.fim_transform(t(spark, sf, "documents"), rate_pct=50)
 
 
+_CODE_PIPE_SQL = f"""
+WITH {_CODE_CTE},
+ lic AS (SELECT doc_id,
+   CASE doc_id % 4
+     WHEN 0 THEN CASE WHEN doc_id % 8 = 0 THEN 'MIT' ELSE 'Apache-2.0' END
+     WHEN 1 THEN 'Apache-2.0'
+     WHEN 2 THEN 'GPL'
+     ELSE 'unknown' END AS license
+   FROM documents),
+ kept AS (SELECT c.doc_id, c.content, l.license
+          FROM code c JOIN lic l USING (doc_id)
+          WHERE l.license IN ('MIT', 'Apache-2.0')),
+ red AS (SELECT doc_id, license,
+   regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+     'AKIA[0-9A-Z]{{16}}', '[SECRET:aws_access_key]', 'g'),
+     'ghp_[A-Za-z0-9]{{36}}', '[SECRET:github_token]', 'g'),
+     '-----BEGIN [A-Z ]*PRIVATE KEY-----', '[SECRET:private_key]', 'g'),
+     '(?:api_key|secret|token)\\s*=\\s*"[0-9a-f]{{32}}"',
+     '[SECRET:hex_secret]', 'g') AS content
+   FROM kept),
+ st AS (SELECT doc_id, license,
+   regexp_replace(regexp_replace(regexp_replace(content,
+     '/\\*(?s:.)*?\\*/', '', 'g'), '//[^\\n]*', '', 'g'),
+     '[ \\t]+\\n', chr(10), 'g') AS text
+   FROM red),
+ fs AS (SELECT doc_id, license, text, length(text) AS n,
+   CAST(('0x' || substring(md5('0:' || doc_id), 1, 6)) AS BIGINT)
+     AS band,
+   CAST(('0x' || substring(md5('0:' || doc_id || ':a'), 1, 12))
+        AS BIGINT) % (length(text) + 1) AS a,
+   CAST(('0x' || substring(md5('0:' || doc_id || ':b'), 1, 12))
+        AS BIGINT) % (length(text) + 1) AS b
+   FROM st),
+ fc AS (SELECT doc_id, license, text, n, band,
+               least(a, b) AS p1, greatest(a, b) AS p2 FROM fs)
+SELECT doc_id, license,
+  CASE WHEN band < 8388608 THEN 'psm' ELSE 'plain' END AS fim_mode,
+  CASE WHEN band < 8388608 THEN
+    '<|fim_prefix|>' || substring(text, 1, p1)
+    || '<|fim_suffix|>' || substring(text, p2 + 1, n - p2)
+    || '<|fim_middle|>' || substring(text, p1 + 1, p2 - p1)
+  ELSE text END AS text
+FROM fc
+"""
+
+
+@q("code_corpus_pipeline", _CODE_PIPE_SQL)
+def code_corpus_pipeline(spark, sf):
+    """The composed code-corpus prep path, end-to-end value-hashed:
+    license filter (keep MIT/Apache-2.0 — drop copyleft/unknown) ->
+    secret redaction -> C-comment stripping -> 50% FIM reorder.  Every
+    stage is the real operator from scale/code.py chained on the same
+    DataFrame; the oracle replays license ground truth, both regex
+    batteries, and the FIM substring arithmetic in sequence — proving
+    the ops COMPOSE, not just pass alone.  The whole chain is
+    map-side except the one license semi-join (itself a projection at
+    scale when license rides the same select)."""
+    from octofludb_spark.scale import code as C
+
+    d = t(spark, sf, "documents")
+    c = C.synth_code_content(d)
+    lic = C.license_detect(c)
+    kept = (c.join(lic.where(F.col("license")
+                             .isin("MIT", "Apache-2.0")), "doc_id"))
+    red = C.secret_redact(kept.select("doc_id", "content"))
+    stripped = C.strip_comments(red, "c")
+    fim = C.fim_transform(stripped.select("doc_id", "text"),
+                          rate_pct=50)
+    return fim.join(lic, "doc_id").select(
+        "doc_id", "license", "fim_mode", "text")
+
+
 _NB_SQL = """
 WITH wx AS (
   SELECT doc_id, lang AS label,
