@@ -532,3 +532,50 @@ def stream_crawl_to_text(spark: SparkSession, directory: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_validation(spark: SparkSession, directory: str,
+                      out_dir: str, checkpoint_dir: str,
+                      max_files: int = 16):
+    """Streaming KG quality monitor: triple files land in a
+    directory; each micro-batch runs the ROW-LOCAL SHACL shapes
+    (datatype / pattern / nodeKind — plans/validation.py
+    DEFAULT_SHAPES minus the graph-global ones) and appends the
+    violation rows to parquet.  Row-local shapes are per-triple
+    filters, so the chain is STATELESS and stream == batch exactly;
+    the class/cardinality shapes need the whole graph and stay in the
+    batch `validate` path (honest split, mirroring the HLL-delete
+    stance: what cannot be maintained per-batch is not pretended).
+
+    This is the continuous-ingest deployment's early-warning face: a
+    malformed date or out-of-range segment number is flagged within
+    one micro-batch of landing, long before the nightly full
+    validation."""
+    import pyspark.sql.types as T
+
+    from octofludb_spark.plans.validation import (DEFAULT_SHAPES,
+                                                  shacl_validate)
+
+    schema = T.StructType([
+        T.StructField("subject", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("object_lex", T.StringType()),
+        T.StructField("object_dtype", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(directory)
+    )
+    local = [s for s in DEFAULT_SHAPES
+             if s["kind"] in ("datatype", "pattern", "nodeKind")]
+    # entailed=stream: row-local shapes only filter on predicate /
+    # object columns, so entailment is the identity for them — passing
+    # the stream itself keeps the plan stateless (no schema collect)
+    report = shacl_validate(stream, shapes=local, entailed=stream)
+    return (
+        report.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -286,3 +286,49 @@ def test_stream_crawl_to_text_matches_batch_and_resumes(spark, tmp_path):
                         spark.read.parquet(str(tmp_path / "pages_gz"))
                         .select(*cols).collect()))
     assert got_gz == want
+
+
+def test_stream_validation_matches_batch_row_local_shapes(spark, tmp_path):
+    """Streaming SHACL monitor == batch shacl_validate restricted to
+    the row-local shapes, on the same triple files; checkpoint re-run
+    re-emits nothing."""
+    from octofludb_spark.plans.validation import (DEFAULT_SHAPES, NT,
+                                                  shacl_validate)
+    from octofludb_spark.streaming.pipeline import stream_validation
+
+    rows = []
+    for i in range(30):
+        # mixed-precision dates (violations) + in/out-of-range segments
+        rows.append((f"s{i}", NT + "collection_date",
+                     f"2020-0{i % 9 + 1}" if i % 3 == 0 else "2020-01-02",
+                     "xsd:gYearMonth" if i % 3 == 0 else "xsd:date"))
+        rows.append((f"s{i}", NT + "segment_number",
+                     str(i % 12), "string"))
+    tdir = str(tmp_path / "triples_in")
+    spark.createDataFrame(
+        rows, "subject string, predicate string, object_lex string, "
+              "object_dtype string").coalesce(3).write.parquet(tdir)
+
+    out_dir = str(tmp_path / "violations")
+    ckpt = str(tmp_path / "vckpt")
+    q = stream_validation(spark, tdir, out_dir, ckpt, max_files=1).start()
+    q.awaitTermination(180)
+
+    cols = ["shape_id", "constraint", "focus", "pred", "value"]
+    got = sorted(map(tuple,
+                     spark.read.parquet(out_dir).select(*cols).collect()))
+    batch = spark.read.parquet(tdir)
+    local = [s for s in DEFAULT_SHAPES
+             if s["kind"] in ("datatype", "pattern", "nodeKind")]
+    want = sorted(map(tuple,
+                      shacl_validate(batch, shapes=local, entailed=batch)
+                      .select(*cols).collect()))
+    assert got == want and len(got) > 0
+    # both violation families fired
+    fired = {t[0] for t in got}
+    assert {"CollectionDateIsFullDate", "SegmentNumberInRange"} <= fired
+
+    # same-checkpoint resume: nothing re-emitted
+    q2 = stream_validation(spark, tdir, out_dir, ckpt, max_files=1).start()
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == len(want)
