@@ -5874,24 +5874,32 @@ def kg_incremental_entailment(spark, sf):
     must equal the SAME full-corpus recursive-CTE entailment oracle
     as kg_rdfs_entailment: incremental == batch, cross-engine.
     Raises if the refresh fell back, so a green row really exercised
-    the delta path."""
+    the delta path.
+
+    The batches are hash-splits of the STAGED triples written straight
+    into a store (extraction's own incremental path is
+    kg_incremental_build's subject — re-running it here would only
+    re-pay its cost): batch B deliberately excludes the schema-lattice
+    rows so the insert-only fast path is the one exercised."""
     import shutil
 
-    from octofludb_spark.build import build_graph, incremental_update
     from octofludb_spark.plans.validation import (ENTAILED_TABLE,
+                                                  SCHEMA_PREDS,
                                                   entailment_materialize,
                                                   entailment_refresh)
+    from octofludb_spark.sources.store import TripleStore
 
-    _stage_kg(spark)  # ensure the oracle's staged files
-    source = _kg_source(spark)
-    part_a = source.where(F.xxhash64("path") % 3 != 0)
-    part_b = source.where(F.xxhash64("path") % 3 == 0)
+    staged, _ = _stage_kg(spark)  # also ensures the oracle's files
+    cols = ["subject", "predicate", "object_lex", "object_dtype"]
+    staged = staged.select(cols)
+    is_b = (F.xxhash64("subject", "predicate", "object_lex") % 3 == 0) \
+        & ~F.col("predicate").isin(*SCHEMA_PREDS)
     root = os.path.join(_STAGED, "incr_entail_store")
     shutil.rmtree(root, ignore_errors=True)
-    store = build_graph(spark, part_a, root, run_ts="2026-01-01T00:00:00")
+    store = TripleStore(root)
+    store.write(staged.where(~is_b), "triples")
     entailment_materialize(spark, store)
-    incremental_update(spark, part_b, root,
-                       run_ts="2026-01-01T00:00:00", batch_id="gate-b")
+    store.append_rows(staged.where(is_b), "triples")
     res = entailment_refresh(spark, store)
     if res["mode"] != "incremental":
         raise RuntimeError(f"refresh fell back to {res['mode']!r} — "
