@@ -6490,7 +6490,11 @@ _DRIVER_WINDOW = [
     # flagship KG construction / reporting / SPARQL path
     "kg_extract_triples", "kg_canonical_triples", "masterlist_wide",
     "kg_wgs_report", "sparql_compile_wgs", "sparql_path_closure",
-    "sparql_having_subquery", "kg_subtype_report", "kg_incremental_report",
+    # kg_shacl_report replaced sparql_having_subquery here in round 4:
+    # the window keeps two SPARQL representatives (compile_wgs, path
+    # closure) and gains the validation family's composed face (SHACL
+    # over RDFS entailment); having+subquery stays in the full registry
+    "kg_shacl_report", "kg_subtype_report", "kg_incremental_report",
     "kg_incremental_build", "kg_degree_stats", "kg_lineage_metrics",
     "kg_pagerank", "kg_skew_report", "kg_hll_degree_sketch",
     # relational operator families (§2.3-2.5)
