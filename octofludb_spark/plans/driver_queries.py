@@ -6133,6 +6133,42 @@ def web_host_reputation(spark, sf):
     return W.host_reputation(pq, graph)
 
 
+_ZORDER_SQL = """
+WITH st AS (SELECT MIN(l_orderkey) AS xlo, MAX(l_orderkey) AS xhi,
+                   MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi
+            FROM lineitem),
+ bk AS (SELECT l_orderkey, l_suppkey, l_linenumber,
+          ((l_orderkey - st.xlo) * 255) // (st.xhi - st.xlo) AS bx,
+          ((l_suppkey - st.ylo) * 255) // (st.yhi - st.ylo) AS by
+        FROM lineitem, st)
+SELECT l_orderkey, l_suppkey, l_linenumber,
+  CAST(list_sum(list_transform(range(0, 8), b ->
+    ((bx // (CAST(1 AS BIGINT) << b)) % 2)
+      * (CAST(1 AS BIGINT) << (2 * b))
+    + ((by // (CAST(1 AS BIGINT) << b)) % 2)
+      * (CAST(1 AS BIGINT) << (2 * b + 1)))) AS BIGINT) AS zkey
+FROM bk
+"""
+
+
+@q("layout_zorder_key", _ZORDER_SQL)
+def layout_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key over (l_orderkey, l_suppkey)
+    (ops/layout.py zorder_key): 8-bit affine integer buckets of each
+    column's [min, max], bits interleaved by pure BIGINT div/mod
+    algebra — the lakehouse multi-dimension clustering primitive (a
+    file sorted by zkey has tight min/max envelopes in EVERY
+    clustered column, so manifests prune on all of them).  One tiny
+    min/max agg drives a purely map-side key; the clustered write is
+    repartitionByRange + sortWithinPartitions (the cdx_shards shape).
+    The oracle replays bucket and interleave arithmetic exactly."""
+    from octofludb_spark.ops.layout import zorder_key
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber")
+    return zorder_key(li, ["l_orderkey", "l_suppkey"], bits=8)
+
+
 _DSIR_CTE = """
 wx AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
        FROM documents),
