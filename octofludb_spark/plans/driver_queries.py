@@ -6133,6 +6133,39 @@ def web_host_reputation(spark, sf):
     return W.host_reputation(pq, graph)
 
 
+_SPANCORR_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ b AS (SELECT doc_id, ws,
+         CAST(ceil(len(ws) / 5.0) AS BIGINT) AS nb FROM w)
+SELECT doc_id,
+  array_to_string(flatten(list_transform(range(0, nb), j ->
+    CASE WHEN ((CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) > 0) THEN
+      list_slice(list_slice(ws, j * 5 + 1, j * 5 + 5), 1, ((CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) // 7) % (least(len(ws) - j * 5, 5) - (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) + 1)))
+      || ['<extra_id_' || (CASE WHEN j = 0 THEN 0 ELSE len(list_filter(range(0, j), i -> ((CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || i), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - i * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || i), 1, 12)) AS BIGINT) % 3 ELSE 0 END) > 0))) END) || '>']
+      || list_slice(list_slice(ws, j * 5 + 1, j * 5 + 5), ((CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) // 7) % (least(len(ws) - j * 5, 5) - (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) + 1)) + (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) + 1, least(len(ws) - j * 5, 5))
+    ELSE list_slice(ws, j * 5 + 1, j * 5 + 5) END)), ' ') AS input,
+  array_to_string(flatten(list_transform(
+    list_filter(range(0, nb), j -> ((CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) > 0)), j ->
+      ['<extra_id_' || (CASE WHEN j = 0 THEN 0 ELSE len(list_filter(range(0, j), i -> ((CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || i), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - i * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || i), 1, 12)) AS BIGINT) % 3 ELSE 0 END) > 0))) END) || '>'] || list_slice(list_slice(ws, j * 5 + 1, j * 5 + 5), ((CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) // 7) % (least(len(ws) - j * 5, 5) - (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) + 1)) + 1,
+                            ((CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) // 7) % (least(len(ws) - j * 5, 5) - (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) + 1)) + (CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END)))), ' ') AS target,
+  CAST(len(list_filter(range(0, nb), j -> ((CASE WHEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 <= least(len(ws) - j * 5, 5) THEN CAST(('0x' || substr(md5('0:' || doc_id || ':' || j), 1, 12)) AS BIGINT) % 3 ELSE 0 END) > 0))) AS BIGINT)
+    AS n_masked
+FROM b
+"""
+
+
+@q("text_span_corruption", _SPANCORR_SQL)
+def text_span_corruption(spark, sf):
+    """T5-style span corruption (scale/text.py span_corruption): the
+    denoising-objective input/target pair generator — md5-decided
+    masked spans inside fixed 5-token blocks, sentinel ordinals by
+    prefix count, all per-document ARRAY algebra in one map-side
+    projection.  The oracle replays every decision (hash, span
+    length, start, ordinal) and rebuilds both strings with list
+    algebra — the whole objective transform value-hashed."""
+    return TX.span_corruption(t(spark, sf, "documents"), seed=0)
+
+
 _ZORDER_SQL = """
 WITH st AS (SELECT MIN(l_orderkey) AS xlo, MAX(l_orderkey) AS xhi,
                    MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi

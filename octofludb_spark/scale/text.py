@@ -1512,3 +1512,80 @@ def dsir_select(docs: DataFrame, target: DataFrame, n: int,
     s = dsir_scores(docs, target, n_buckets=n_buckets)
     return (s.orderBy(F.col("dsir_micro").desc(), F.col("doc_id").asc())
             .limit(int(n)))
+
+
+def span_corruption(docs: DataFrame, block: int = 5,
+                    seed: int = 0) -> DataFrame:
+    """T5-style span corruption (the denoising pretraining objective):
+    (doc_id, input, target, n_masked) where masked token spans in the
+    input are replaced by ``<extra_id_k>`` sentinels and the target
+    lists each sentinel followed by the tokens it hides.
+
+    Deterministic blocked variant (RNG-free, engine-replayable): the
+    token stream is cut into fixed ``block``-token blocks; block j of
+    doc d draws h = md5(seed:d:j) and masks a span of length
+    L = h mod 3 (0 = unmasked) starting at (h div 7) mod (len-L+1)
+    inside the block.  Blocks decide independently — no sequential
+    dependency, so the whole transform is per-document ARRAY algebra
+    (transform/filter/flatten/array_join) inside one map-side
+    projection; sentinel ordinals k are prefix counts of masked
+    blocks (O(blocks^2) closed form here, an `aggregate` fold in the
+    production path — documented trade for cross-engine
+    replayability).  At 100 TB this op is scan-shaped."""
+    d = F.col("doc_id")
+    ws = F.split("text", " ")
+    nb = F.ceil(F.size(ws) / F.lit(int(block))).cast("int")
+
+    def h(j):
+        return F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(int(seed)), d, j)), 1, 12), 16, 10).cast("long")
+
+    def toks(j):
+        return F.slice(ws, j * block + 1, block)
+
+    def blen(j):
+        return F.least(F.size(ws) - j * block, F.lit(int(block)))
+
+    def span_len(j):
+        raw = F.pmod(h(j), F.lit(3))
+        return F.when(raw <= blen(j), raw).otherwise(F.lit(0))
+
+    def span_start(j):  # 0-based inside the block
+        return F.pmod((h(j) / 7).cast("long"),
+                      (blen(j) - span_len(j) + 1).cast("long"))
+
+    def masked(j):
+        return span_len(j) > 0
+
+    def ordinal(j):  # masked blocks before j
+        return F.size(F.filter(F.sequence(F.lit(0), j - 1),
+                               lambda i: masked(i))) \
+            .cast("int")
+
+    seq = F.sequence(F.lit(0), nb - 1)
+    inp_blocks = F.transform(seq, lambda j: F.when(
+        masked(j),
+        F.concat(
+            F.slice(toks(j), F.lit(1), span_start(j)),
+            F.array(F.concat(F.lit("<extra_id_"),
+                             F.when(j == 0, F.lit(0)).otherwise(ordinal(j)),
+                             F.lit(">"))),
+            F.slice(toks(j), span_start(j) + span_len(j) + 1,
+                    blen(j) - span_start(j) - span_len(j)),
+        )).otherwise(toks(j)))
+    tgt_blocks = F.filter(
+        F.transform(seq, lambda j: F.when(
+            masked(j),
+            F.concat(
+                F.array(F.concat(F.lit("<extra_id_"),
+                                 F.when(j == 0, F.lit(0))
+                                 .otherwise(ordinal(j)), F.lit(">"))),
+                F.slice(toks(j), span_start(j) + 1, span_len(j)),
+            ))),
+        lambda b: b.isNotNull())
+    n_masked = F.size(F.filter(seq, lambda j: masked(j))).cast("long")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.flatten(inp_blocks), " ").alias("input"),
+        F.array_join(F.flatten(tgt_blocks), " ").alias("target"),
+        n_masked.alias("n_masked"))

@@ -1811,3 +1811,54 @@ def test_dsir_ratio_table_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_span_corruption_python_replay(spark):
+    import hashlib
+
+    from octofludb_spark.scale.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{k}" for k in range(1 + i % 13)))
+         for i in range(40)], ["doc_id", "text"])
+    out = span_corruption(docs, seed=3).collect()
+
+    def replay(doc_id, text, B=5, seed=3):
+        ws = text.split(" ")
+        nb = -(-len(ws) // B)
+        inp, tgt, k = [], [], 0
+        for j in range(nb):
+            toks = ws[j * B:(j + 1) * B]
+            bl = len(toks)
+            h = int(hashlib.md5(
+                f"{seed}:{doc_id}:{j}".encode()).hexdigest()[:12], 16)
+            span = h % 3
+            if span > bl:
+                span = 0
+            if span > 0:
+                s = (h // 7) % (bl - span + 1)
+                sen = f"<extra_id_{k}>"
+                inp += toks[:s] + [sen] + toks[s + span:]
+                tgt += [sen] + toks[s:s + span]
+                k += 1
+            else:
+                inp += toks
+        return " ".join(inp), " ".join(tgt), k
+
+    assert len(out) == 40
+    some_masked = False
+    for r in out:
+        text = " ".join(f"t{r.doc_id}_{x}" for x in range(1 + r.doc_id % 13))
+        assert (r.input, r.target, r.n_masked) == replay(r.doc_id, text)
+        some_masked |= r.n_masked > 0
+    assert some_masked
+
+
+def test_span_corruption_is_mapside(spark):
+    from octofludb_spark.scale.text import span_corruption
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")],
+                                 ["doc_id", "text"])
+    plan = (span_corruption(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
