@@ -6133,6 +6133,66 @@ def web_host_reputation(spark, sf):
     return W.host_reputation(pq, graph)
 
 
+_AUGMENT_SQL = """
+WITH p AS (SELECT DISTINCT doc_id % 211 AS g FROM documents),
+ dims AS (SELECT g, CAST(16 + g % 17 AS BIGINT) AS w,
+                 CAST(16 + (3 * g) % 17 AS BIGINT) AS h
+          FROM p),
+ px AS (SELECT g, w, h, gx.x, gy.y,
+               (g * 17 + 5 * gx.x * gx.x + 3 * gy.y * gy.y
+                + gx.x * gy.y) % 256 AS v
+        FROM dims, range(0, 32) gx(x), range(0, 32) gy(y)
+        WHERE gx.x < w AND gy.y < h),
+ dd AS (SELECT d.doc_id, d.doc_id % 211 AS g, dm.w, dm.h,
+          CAST(('0x' || substr(md5('0:' || d.doc_id), 1, 12))
+               AS BIGINT) % 3 AS mode,
+          CAST(('0x' || substr(md5('0:' || d.doc_id || ':cx'), 1, 12))
+               AS BIGINT) % (dm.w - 7) AS cx,
+          CAST(('0x' || substr(md5('0:' || d.doc_id || ':cy'), 1, 12))
+               AS BIGINT) % (dm.h - 7) AS cy
+        FROM documents d JOIN dims dm ON dm.g = d.doc_id % 211),
+ agg AS (SELECT dd.doc_id, dd.mode, dd.w, dd.h,
+   SUM(CASE WHEN dd.mode < 2
+            OR (px.x >= dd.cx AND px.x < dd.cx + 8
+                AND px.y >= dd.cy AND px.y < dd.cy + 8)
+       THEN px.v ELSE 0 END) AS ps,
+   SUM(CASE dd.mode
+       WHEN 0 THEN px.v * (px.x + 2 * px.y)
+       WHEN 1 THEN px.v * ((dd.w - 1 - px.x) + 2 * px.y)
+       ELSE CASE WHEN px.x >= dd.cx AND px.x < dd.cx + 8
+                  AND px.y >= dd.cy AND px.y < dd.cy + 8
+            THEN px.v * ((px.x - dd.cx) + 2 * (px.y - dd.cy))
+            ELSE 0 END END) AS pos
+  FROM dd JOIN px ON px.g = dd.g
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_id AS media_id,
+  CASE mode WHEN 0 THEN 'none' WHEN 1 THEN 'hflip'
+       ELSE 'crop8' END AS aug_mode,
+  CAST(CASE WHEN mode = 2 THEN 8 ELSE w END AS BIGINT) AS width,
+  CAST(CASE WHEN mode = 2 THEN 8 ELSE h END AS BIGINT) AS height,
+  CAST(ps AS BIGINT) AS pixel_sum,
+  CAST(pos AS BIGINT) AS pos_sum
+FROM agg
+"""
+
+
+@q("multimodal_augment", _AUGMENT_SQL)
+def multimodal_augment(spark, sf):
+    """Deterministic image augmentation (scale/multimodal.py
+    augment_images): per image an md5-chosen none/hflip/crop8
+    transform over the REAL decoded PNG pixel grid; the position-
+    weighted checksum sum(v*(x+2y)) over the OUTPUT detects wrong
+    flip axes and crop offsets where a plain sum cannot.  The oracle
+    replays mode/offset arithmetic AND the transformed-lattice sums
+    per document from the closed-form pattern — the transform math is
+    value-hashed through a real container decode."""
+    from octofludb_spark.scale.multimodal import (augment_images,
+                                                  synth_patterned_media)
+
+    m = synth_patterned_media(t(spark, sf, "documents"))
+    return augment_images(m, seed=0)
+
+
 _SPANCORR_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
  b AS (SELECT doc_id, ws,

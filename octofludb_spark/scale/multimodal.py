@@ -2480,3 +2480,77 @@ def avi_frame_color_sums(media: DataFrame, stride: int = 1) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, AVI_FRAME_SCHEMA)
+
+
+AUGMENT_SCHEMA = ("media_id long, aug_mode string, width long, "
+                  "height long, pixel_sum long, pos_sum long")
+
+
+def augment_images(media: DataFrame, seed: int = 0) -> DataFrame:
+    """Deterministic image augmentation for training pipelines — per
+    image an md5-chosen transform (none / horizontal flip / 8x8
+    crop at md5-chosen offsets) applied to the REAL decoded pixel
+    grid, emitting (media_id, aug_mode, width, height, pixel_sum,
+    pos_sum) where pos_sum = sum(v(x,y) * (x + 2y)) over the OUTPUT
+    image — a position-weighted checksum that detects a wrong flip
+    axis or crop offset where a plain sum cannot (a flip leaves the
+    plain sum unchanged).
+
+    RNG-free: mode = md5(seed:id) mod 3, crop offsets md5(seed:id:cx)
+    mod (w-7) etc., so an external engine replays the whole transform
+    arithmetic.  Pixels are channel-summed first (the dHash exact-
+    grayscale discipline) — integers end to end.  Arrow-batched
+    mapInPandas; payload bytes never leave the executor."""
+    import hashlib
+
+    import numpy as np
+
+    def h12(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, modes, ws, hs, sums, psums = [], [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"],
+                                         pdf["payload"]):
+                mid = int(media_id)
+                d = decode_pixels(bytes(payload))
+                w, hgt, ch = d["width"], d["height"], d["channels"]
+                raw = d["pixels"]
+                flat = (np.frombuffer(raw, dtype=np.uint8)
+                        if isinstance(raw, (bytes, bytearray))
+                        else np.asarray(raw, dtype=np.uint8))
+                arr = (flat.astype(np.int64)
+                       .reshape(hgt, w, ch).sum(axis=2))
+                mode = h12(f"{seed}:{mid}") % 3
+                if mode == 2 and (w < 8 or hgt < 8):
+                    mode = 0
+                if mode == 1:
+                    arr = arr[:, ::-1]
+                elif mode == 2:
+                    cx = h12(f"{seed}:{mid}:cx") % (w - 7)
+                    cy = h12(f"{seed}:{mid}:cy") % (hgt - 7)
+                    arr = arr[cy:cy + 8, cx:cx + 8]
+                oh, ow = arr.shape
+                xs = np.arange(ow, dtype=np.int64)
+                ys = np.arange(oh, dtype=np.int64)
+                wgt = xs[None, :] + 2 * ys[:, None]
+                ids.append(mid)
+                modes.append(["none", "hflip", "crop8"][mode])
+                ws.append(ow)
+                hs.append(oh)
+                sums.append(int(arr.sum()))
+                psums.append(int((arr * wgt).sum()))
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "aug_mode": modes,
+                "width": pd.array(ws, dtype="int64"),
+                "height": pd.array(hs, dtype="int64"),
+                "pixel_sum": pd.array(sums, dtype="int64"),
+                "pos_sum": pd.array(psums, dtype="int64"),
+            })
+
+    if "media_type" in media.columns:
+        media = media.where(F.col("media_type") == "image")
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUGMENT_SCHEMA)

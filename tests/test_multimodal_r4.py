@@ -570,3 +570,53 @@ def test_avi_spark_stride_sampling(spark):
     out = avi_frame_color_sums(synth_avi_media(docs), stride=2)
     for r in out.collect():
         assert r.frame_idx % 2 == 0
+
+
+def test_augment_images_transforms_are_real(spark):
+    """hflip/crop verified against a numpy replay of the decoded
+    grid; the position checksum distinguishes flip from identity."""
+    import hashlib
+
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (augment_images,
+                                                  synth_patterned_media,
+                                                  synth_png)
+
+    docs = spark.range(60).toDF("doc_id")
+    m = synth_patterned_media(docs)
+    out = {r.media_id: r for r in augment_images(m, seed=0).collect()}
+    assert len(out) == 60
+    modes = {r.aug_mode for r in out.values()}
+    assert modes == {"none", "hflip", "crop8"}  # all faces fired
+    for mid, r in out.items():
+        g = mid % 211
+        w, h = 16 + g % 17, 16 + (3 * g) % 17
+        arr = np.array([[(g * 17 + 5 * x * x + 3 * y * y + x * y) % 256
+                         for x in range(w)] for y in range(h)],
+                       dtype=np.int64)
+        mode = int(hashlib.md5(f"0:{mid}".encode())
+                   .hexdigest()[:12], 16) % 3
+        if mode == 1:
+            arr = arr[:, ::-1]
+        elif mode == 2:
+            cx = int(hashlib.md5(f"0:{mid}:cx".encode())
+                     .hexdigest()[:12], 16) % (w - 7)
+            cy = int(hashlib.md5(f"0:{mid}:cy".encode())
+                     .hexdigest()[:12], 16) % (h - 7)
+            arr = arr[cy:cy + 8, cx:cx + 8]
+        oh, ow = arr.shape
+        wgt = (np.arange(ow)[None, :] + 2 * np.arange(oh)[:, None])
+        assert (r.width, r.height) == (ow, oh)
+        assert r.pixel_sum == arr.sum()
+        assert r.pos_sum == (arr * wgt).sum()
+    # a flipped asymmetric image must CHANGE pos_sum but not pixel_sum
+    flipped = [r for r in out.values() if r.aug_mode == "hflip"][0]
+    g = flipped.media_id % 211
+    w, h = 16 + g % 17, 16 + (3 * g) % 17
+    arr = np.array([[(g * 17 + 5 * x * x + 3 * y * y + x * y) % 256
+                     for x in range(w)] for y in range(h)],
+                   dtype=np.int64)
+    wgt = (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+    assert flipped.pixel_sum == arr.sum()
+    assert flipped.pos_sum != (arr * wgt).sum()
