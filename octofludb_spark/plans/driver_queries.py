@@ -4340,6 +4340,61 @@ def multimodal_audio_features(spark, sf):
     return audio_features(synth_media(t(spark, sf, "documents")))
 
 
+@q("multimodal_audio_augment", """
+WITH p AS (SELECT doc_id,
+                  CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+                  CAST(100 + doc_id % 900 AS BIGINT) AS ns,
+                  CAST(('0x' || substr(md5('0:' || doc_id), 1, 12))
+                       AS BIGINT) % 3 AS mode
+           FROM documents WHERE doc_id % 3 = 1),
+     pp AS (SELECT *,
+              ns // 2 AS half,
+              CAST(('0x' || substr(md5('0:' || doc_id || ':off'),
+                                   1, 12)) AS BIGINT)
+                % (ns - ns // 2 + 1) AS off
+            FROM p),
+     s AS (SELECT doc_id, nch, ns, mode, half, off, g.j,
+                  (doc_id + g.j) % 256 - 128 AS v,
+                  g.j // nch AS frame
+           FROM pp, range(0, 1800) g(j)
+           WHERE g.j < ns * nch),
+     tv AS (SELECT doc_id, nch, ns, mode, half,
+              CASE mode
+                WHEN 1 THEN greatest(-32768, least(32767, v * 300))
+                ELSE v END AS v,
+              (mode <> 2 OR (frame >= off AND frame < off + half))
+                AS keep
+            FROM s)
+SELECT doc_id AS media_id,
+       CASE mode WHEN 0 THEN 'none' WHEN 1 THEN 'gain'
+            ELSE 'crop' END AS aug_mode,
+       nch AS n_channels,
+       CAST(CASE WHEN mode = 2 THEN half ELSE ns END AS BIGINT)
+         AS n_samples,
+       CAST(SUM(CASE WHEN keep THEN v * v ELSE 0 END) AS BIGINT)
+         AS energy,
+       CAST(MAX(CASE WHEN keep THEN ABS(v) ELSE 0 END) AS BIGINT)
+         AS peak_abs,
+       CAST(SUM(CASE WHEN keep THEN v ELSE 0 END) AS BIGINT) AS dc_sum
+FROM tv
+GROUP BY 1, 2, 3, 4
+""")
+def multimodal_audio_augment(spark, sf):
+    """Deterministic audio augmentation over REAL PCM decode
+    (scale/multimodal.py augment_audio): md5-chosen none / x300 gain
+    with int16 SATURATION (the gain is sized so clipping genuinely
+    fires — |v| > 109 saturates) / half-length frame crop at an
+    md5-chosen offset.  The oracle replays the synth sample stream
+    AND the transform algebra (clip via greatest/least, crop via
+    frame-window predicate) — augmented signal statistics value-hash
+    through a real WAV decode."""
+    from octofludb_spark.scale.multimodal import (augment_audio,
+                                                  synth_media)
+
+    return augment_audio(synth_media(t(spark, sf, "documents")),
+                         seed=0)
+
+
 _DHASH_CTE = """
 WITH p AS (SELECT DISTINCT doc_id % 211 AS g FROM documents),
      dims AS (SELECT g, CAST(16 + g % 17 AS BIGINT) AS w,

@@ -2554,3 +2554,72 @@ def augment_images(media: DataFrame, seed: int = 0) -> DataFrame:
         media = media.where(F.col("media_type") == "image")
     return media.select("media_id", "payload").mapInPandas(
         run, AUGMENT_SCHEMA)
+
+
+AUDIO_AUG_SCHEMA = ("media_id long, aug_mode string, n_channels long, "
+                    "n_samples long, energy long, peak_abs long, "
+                    "dc_sum long")
+
+
+def augment_audio(media: DataFrame, seed: int = 0,
+                  gain: int = 300) -> DataFrame:
+    """Deterministic audio augmentation over REAL decoded PCM — per
+    clip an md5-chosen transform: none / integer gain with int16
+    SATURATION (clip to [-32768, 32767] — the gain is chosen so
+    saturation genuinely fires, and the clip is exact integer algebra
+    any engine replays) / half-length crop at an md5-chosen frame
+    offset.  Emits the transformed signal's integer statistics
+    (n_samples, energy, peak, DC sum) — the features are the
+    verification surface, as in `audio_features`.
+
+    RNG-free (md5 mode/offset), Arrow-batched mapInPandas, payload
+    bytes never leave the executor."""
+    import hashlib
+
+    import numpy as np
+
+    def h12(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {k: [] for k in
+                          ("media_id", "aug_mode", "n_channels",
+                           "n_samples", "energy", "peak_abs", "dc_sum")}
+            for media_id, payload in zip(pdf["media_id"],
+                                         pdf["payload"]):
+                mid = int(media_id)
+                d = decode_wav_samples(bytes(payload))
+                nch, ns = d["n_channels"], d["n_samples"]
+                s = np.asarray(d["samples"], dtype=np.int64)
+                mode = h12(f"{seed}:{mid}") % 3
+                if mode == 2 and ns < 2:
+                    mode = 0
+                if mode == 1:
+                    s = np.clip(s * gain, -32768, 32767)
+                elif mode == 2:
+                    half = ns // 2
+                    off = h12(f"{seed}:{mid}:off") % (ns - half + 1)
+                    s = s[off * nch:(off + half) * nch]
+                    ns = half
+                rows["media_id"].append(mid)
+                rows["aug_mode"].append(
+                    ["none", "gain", "crop"][mode])
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(ns)
+                rows["energy"].append(int((s * s).sum()))
+                rows["peak_abs"].append(
+                    int(np.abs(s).max()) if len(s) else 0)
+                rows["dc_sum"].append(int(s.sum()))
+            frame = {"media_id": pd.array(rows["media_id"],
+                                          dtype="int64"),
+                     "aug_mode": rows["aug_mode"]}
+            for c in ("n_channels", "n_samples", "energy",
+                      "peak_abs", "dc_sum"):
+                frame[c] = pd.array(rows[c], dtype="int64")
+            yield pd.DataFrame(frame)
+
+    if "media_type" in media.columns:
+        media = media.where(F.col("media_type") == "audio")
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_AUG_SCHEMA)

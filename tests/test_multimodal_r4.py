@@ -620,3 +620,38 @@ def test_augment_images_transforms_are_real(spark):
     wgt = (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
     assert flipped.pixel_sum == arr.sum()
     assert flipped.pos_sum != (arr * wgt).sum()
+
+
+def test_augment_audio_gain_saturates_and_crop_windows(spark):
+    import hashlib
+
+    import numpy as np
+
+    from octofludb_spark.scale.multimodal import (augment_audio,
+                                                  synth_media)
+
+    docs = spark.range(120).toDF("doc_id")
+    out = {r.media_id: r
+           for r in augment_audio(synth_media(docs), seed=0).collect()}
+    assert out and {r.aug_mode for r in out.values()} == {
+        "none", "gain", "crop"}
+    for mid, r in out.items():
+        nch, ns = 1 + mid % 2, 100 + mid % 900
+        s = np.array([(mid + j) % 256 - 128
+                      for j in range(ns * nch)], dtype=np.int64)
+        mode = int(hashlib.md5(f"0:{mid}".encode())
+                   .hexdigest()[:12], 16) % 3
+        if mode == 1:
+            s = np.clip(s * 300, -32768, 32767)
+        elif mode == 2:
+            half = ns // 2
+            off = int(hashlib.md5(f"0:{mid}:off".encode())
+                      .hexdigest()[:12], 16) % (ns - half + 1)
+            s = s[off * nch:(off + half) * nch]
+        assert r.energy == (s * s).sum()
+        assert r.dc_sum == s.sum()
+        assert r.peak_abs == np.abs(s).max()
+    # saturation genuinely fires somewhere
+    gains = [r for r in out.values() if r.aug_mode == "gain"]
+    assert any(r.peak_abs == 32768 or r.peak_abs == 32767
+               for r in gains)
