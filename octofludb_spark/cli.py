@@ -517,7 +517,9 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
               "blocklist", "host-rep", "naive-bayes", "walks",
               "skipgrams", "fim", "license", "secrets", "redact",
-              "strip-comments", "dsir", "hard-negatives")
+              "strip-comments", "dsir", "hard-negatives",
+              "span-corrupt", "image-augment", "audio-augment",
+              "zorder")
 
 
 def cmd_scale(args) -> int:
@@ -786,6 +788,19 @@ def cmd_scale(args) -> int:
                              "(query embeddings parquet)")
         out = hard_negatives(docs, spark.read.parquet(args.target),
                              k=args.k, dup_threshold=args.threshold)
+    elif args.op == "span-corrupt":
+        out = TX.span_corruption(docs, seed=args.seed)
+    elif args.op == "image-augment":
+        # input: media parquet (media_id, payload[, media_type])
+        from octofludb_spark.scale.multimodal import augment_images
+        out = augment_images(docs, seed=args.seed)
+    elif args.op == "audio-augment":
+        from octofludb_spark.scale.multimodal import augment_audio
+        out = augment_audio(docs, seed=args.seed)
+    elif args.op == "zorder":
+        # --key: comma list of integer columns to cluster by
+        from octofludb_spark.ops.layout import zorder_cluster
+        out = zorder_cluster(docs, args.key.split(","), bits=8)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
