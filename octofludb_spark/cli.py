@@ -103,6 +103,16 @@ def cmd_build(args) -> int:
                             run_ts=args.run_ts)
     n = store.read(spark, "triples_canonical").count()
     print(f"built {args.store}: {n} canonical triples", file=sys.stderr)
+    if getattr(args, "validate", False):
+        # post-build quality gate: SHACL over the entailed graph
+        from octofludb_spark.plans.validation import shacl_validate
+
+        triples = store.read(spark, "triples").select(
+            "subject", "predicate", "object_lex", "object_dtype")
+        n_bad = shacl_validate(triples).count()
+        print(f"validation: {n_bad} violation(s)", file=sys.stderr)
+        if n_bad:
+            return 3
     return 0
 
 
@@ -971,6 +981,9 @@ def main(argv=None) -> int:
                     help="fold the batch into an existing store "
                          "(O(batch + affected); resumable per --batch-id)")
     sb.add_argument("--batch-id", dest="batch_id", default=None)
+    sb.add_argument("--validate", action="store_true",
+                    help="run the SHACL quality gate after the build "
+                         "(exit 3 on violations)")
     sb.set_defaults(fn=cmd_build)
 
     sm = sub.add_parser("merge")
