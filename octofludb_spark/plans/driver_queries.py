@@ -1017,6 +1017,32 @@ def ann_hard_negatives(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@q("embedding_pool", """
+WITH e AS (
+  SELECT vec_id % 50 AS grp, u.i AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, 65)) u(i)),
+ n AS (SELECT vec_id % 50 AS grp, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM embeddings GROUP BY 1)
+SELECT e.grp, n.n_members, CAST(e.dim AS INT) AS dim,
+       (SUM(e.v) - ((SUM(e.v) % n.n_members) + n.n_members)
+                   % n.n_members) // n.n_members AS mean_micro
+FROM e JOIN n ON e.grp = n.grp
+GROUP BY e.grp, n.n_members, e.dim
+""")
+def embedding_pool(spark, sf):
+    """Chunk-to-document embedding pooling (scale/simsearch.py
+    pool_embeddings): per-element fixed-point BEFORE summation, then
+    BIGINT sum div count — the mean vector exact on any engine.  One
+    groupBy carrying 64 sum-aggregates with map-side partials (the
+    vector column is never exploded on the wire).  Groups here are
+    vec_id % 50 stand-ins for chunk->document membership."""
+    emb = t(spark, sf, "embeddings")
+    out = S.pool_embeddings(emb, F.col("vec_id") % 50, dim=64)
+    return out.withColumn("dim", F.col("dim").cast("int"))
+
+
 _QEMB_SQL = """
 WITH b AS (
   SELECT vec_id,

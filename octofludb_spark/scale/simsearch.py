@@ -1123,3 +1123,40 @@ def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("cos") < float(dup_threshold))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k)))
+
+
+def pool_embeddings(emb: DataFrame, key_col, dim: int = 64) -> DataFrame:
+    """Chunk-to-document embedding pooling (the RAG-prep aggregation:
+    a document's vector is the mean of its chunks'): one row per
+    (group, dimension) — (grp, n_members, dim, mean_micro) with
+    mean_micro = floor(sum(floor(x*1e6 + 0.5)) / n) over the group's
+    vectors at that dimension.  Fixed-point per ELEMENT before any
+    sum, then pure BIGINT arithmetic; the mean uses EXPLICIT floor
+    division ((s - pmod(s, n)) div n) rather than a bare integral
+    divide — native `div`/`//` operators truncate toward zero, and
+    relying on engines agreeing about negative-operand rounding is
+    exactly the kind of implicit contract this suite refuses.
+    Bit-identical at any parallelism on any engine; elements are cast
+    to DOUBLE before the fixed-point multiply (float32 arithmetic
+    paths differ across engines — the _COS_EXPR discipline).
+
+    Scale shape: ``dim`` sum-aggregates in ONE groupBy (map-side
+    partial aggregation; a single shuffle of dim-wide partial rows)
+    — never an explode of the vector column into dim x rows on the
+    wire.  The row-per-dimension OUTPUT shape is for the oracle's
+    benefit; `F.array` the 64 columns back together for the compact
+    form."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    for i in range(1, dim + 1):
+        s = (f"sum(CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE)"
+             f" * 1000000 + 0.5) AS BIGINT))")
+        aggs.append(F.expr(
+            f"(({s}) - pmod({s}, count(*))) div count(*)")
+            .alias(f"_d{i}"))
+    g = emb.groupBy(key_col.alias("grp")).agg(*aggs)
+    dims = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("dim"), F.col(f"_d{i}").alias("mean_micro"))
+        for i in range(1, dim + 1)])).alias("e")
+    return (g.select("grp", "n_members", dims)
+            .select("grp", "n_members", F.col("e.dim").alias("dim"),
+                    F.col("e.mean_micro").alias("mean_micro")))

@@ -1862,3 +1862,22 @@ def test_span_corruption_is_mapside(spark):
     plan = (span_corruption(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_pool_embeddings_exact_means(spark):
+    import math
+
+    from octofludb_spark.scale.simsearch import pool_embeddings
+
+    rows = [(i, [(-1) ** i * (0.1 * (i + 1) + 0.001 * d)
+                 for d in range(4)]) for i in range(9)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.grp, r.dim): (r.n_members, r.mean_micro)
+           for r in pool_embeddings(emb, F.col("vec_id") % 2,
+                                    dim=4).collect()}
+    for grp in (0, 1):
+        members = [v for i, v in rows if i % 2 == grp]
+        for d in range(4):
+            s = sum(math.floor(v[d] * 1_000_000 + 0.5) for v in members)
+            exp = math.floor(s / len(members))   # FLOOR, incl. negatives
+            assert got[(grp, d + 1)] == (len(members), exp)
