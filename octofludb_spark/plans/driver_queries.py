@@ -6120,6 +6120,105 @@ def graph_walk_skipgrams(spark, sf):
     return walk_skipgrams(walks, window=2)
 
 
+_REP_SQL = """
+WITH g AS (SELECT doc_id, doc_id % 97 AS h, doc_id % 4 AS face
+           FROM documents),
+ p AS (SELECT doc_id, h,
+         CASE face WHEN 0 THEN '/doc/allowed-' || doc_id
+                   WHEN 1 THEN '/doc/x' || doc_id
+                   WHEN 2 THEN '/private/p' || doc_id
+                   ELSE '/ok/' || doc_id END AS path
+       FROM g),
+ m AS (SELECT doc_id,
+         'https://example-' || h || '.org' || path AS target_uri,
+         'example-' || h || '.org' AS host, path,
+         CASE
+           WHEN path LIKE '/doc/allowed-%' THEN
+             CASE WHEN h % 5 = 0 THEN 5 ELSE 0 END
+           WHEN path LIKE '/doc/%' THEN
+             CASE WHEN h % 5 = 0 THEN 5 ELSE 0 END
+           WHEN path LIKE '/private/%' THEN 9
+           ELSE CASE WHEN h % 11 = 0 THEN 4 ELSE 0 END
+         END AS disallow_len,
+         CASE
+           WHEN path LIKE '/doc/allowed-%' THEN
+             CASE WHEN h % 5 = 0 THEN 13 ELSE 0 END
+           WHEN path LIKE '/private/%' THEN
+             CASE WHEN h % 7 = 0 THEN 2 ELSE 0 END
+           WHEN path LIKE '/ok/%' THEN
+             CASE WHEN h % 11 = 0 THEN 4 ELSE 0 END
+           ELSE 0
+         END AS allow_len
+       FROM p)
+SELECT doc_id, target_uri, host, path,
+       disallow_len > allow_len AS blocked,
+       CAST(disallow_len AS INT) AS disallow_len,
+       CAST(allow_len AS INT) AS allow_len
+FROM m
+"""
+
+
+@q("web_frontier_rep", _REP_SQL)
+def web_frontier_rep(spark, sf):
+    """Full REP precedence (scale/web.py crawl_frontier_rep): Allow
+    AND Disallow with longest-match-wins and the Google tiebreak
+    (equal lengths favour Allow).  The rule lattice exercises every
+    face: an Allow carving an exception inside a blocked directory
+    (/doc/allowed- beats /doc/), a shorter Allow failing to unblock
+    (/p vs /private/), and an exact-tie pair (/ok/ vs /ok/) resolved
+    to allowed.  Rules collapse to ONE broadcast row per host; both
+    longest-match lengths are map-side `aggregate` folds — the pages
+    side never shuffles (the oracle states the whole precedence
+    lattice closed-form)."""
+    from octofludb_spark.scale import web as W
+
+    d = t(spark, sf, "documents")
+    h = F.col("doc_id") % 97
+    path = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/doc/allowed-"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/doc/x"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/private/p"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/ok/"), F.col("doc_id"))))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://example-"), h, F.lit(".org"), path)
+        .alias("target_uri"))
+    hosts = d.select((F.col("doc_id") % 97).alias("h")).distinct()
+    host_name = F.concat(F.lit("example-"), F.col("h"), F.lit(".org"))
+    rules = hosts.select(
+        host_name.alias("host"),
+        F.array_compact(F.array(
+            F.struct(F.lit("disallow").alias("directive"),
+                     F.lit("/private/").alias("value")),
+            F.when(F.col("h") % 5 == 0, F.struct(
+                F.lit("disallow").alias("directive"),
+                F.lit("/doc/").alias("value"))),
+            F.when(F.col("h") % 5 == 0, F.struct(
+                F.lit("allow").alias("directive"),
+                F.lit("/doc/allowed-").alias("value"))),
+            F.when(F.col("h") % 7 == 0, F.struct(
+                F.lit("allow").alias("directive"),
+                F.lit("/p").alias("value"))),
+            F.when(F.col("h") % 11 == 0, F.struct(
+                F.lit("disallow").alias("directive"),
+                F.lit("/ok/").alias("value"))),
+            F.when(F.col("h") % 11 == 0, F.struct(
+                F.lit("allow").alias("directive"),
+                F.lit("/ok/").alias("value"))),
+        )).alias("pair"))
+    rules = rules.select(
+        "host", F.explode("pair").alias("r")).select(
+        "host", F.col("r.directive").alias("directive"),
+        F.col("r.value").alias("value"))
+    out = W.crawl_frontier_rep(pages, rules, annotate=True)
+    return out.select("doc_id", "target_uri", "host", "path", "blocked",
+                      F.col("disallow_len").cast("int").alias(
+                          "disallow_len"),
+                      F.col("allow_len").cast("int").alias("allow_len"))
+
+
 _BLOCKLIST_SQL = """
 WITH p AS (
   SELECT doc_id,

@@ -1081,3 +1081,50 @@ def host_reputation(page_quality: DataFrame, graph: DataFrame,
                         f"(quality_micro * {p} + nbr_q * {100 - p}) "
                         "div 100"))
                     .alias("rep_micro")))
+
+
+def crawl_frontier_rep(pages: DataFrame, rules: DataFrame,
+                       annotate: bool = False) -> DataFrame:
+    """Full REP precedence frontier filter — Disallow AND Allow with
+    longest-match-wins (Google's documented tiebreak: equal lengths
+    favour Allow): a URL is blocked iff its longest matching Disallow
+    prefix is strictly longer than its longest matching Allow prefix.
+    `crawl_frontier_filter` remains the Disallow-only fast path.
+
+    Scale shape: rules collapse to ONE row per host (collect_list of
+    (directive, value) structs — robots files are tiny by protocol),
+    broadcast-joined on host; both longest-match lengths are then
+    map-side `aggregate` folds over the per-host rule array.  The
+    pages side never shuffles and never explodes."""
+    per_host = (rules
+                .where(F.col("directive").isin("allow", "disallow")
+                       & (F.col("value") != ""))
+                .groupBy(F.col("host").alias("r_host"))
+                .agg(F.collect_list(
+                    F.struct("directive", "value")).alias("rls")))
+    pg = (pages
+          .withColumn("host", F.regexp_extract("target_uri", HOST_RE, 1))
+          .withColumn("path", F.regexp_replace(
+              "target_uri", r"^https?://[^/]+", "")))
+
+    def longest(kind):
+        return F.aggregate(
+            F.filter(F.col("rls"),
+                     lambda r: (r["directive"] == kind)
+                     & F.col("path").startswith(r["value"])),
+            F.lit(0),
+            lambda acc, r: F.greatest(acc, F.length(r["value"])))
+
+    out = (pg.join(F.broadcast(per_host),
+                   pg["host"] == F.col("r_host"), "left")
+           .withColumn("_dl", F.when(F.col("rls").isNotNull(),
+                                     longest("disallow")).otherwise(0))
+           .withColumn("_al", F.when(F.col("rls").isNotNull(),
+                                     longest("allow")).otherwise(0)))
+    blocked = F.col("_dl") > F.col("_al")
+    cols = [c for c in pages.columns] + ["host", "path"]
+    if annotate:
+        return out.select(*cols, blocked.alias("blocked"),
+                          F.col("_dl").alias("disallow_len"),
+                          F.col("_al").alias("allow_len"))
+    return out.where(~blocked).select(*cols)

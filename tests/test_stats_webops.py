@@ -276,3 +276,48 @@ def test_host_reputation_integer_exact(spark):
     nbr = (3 * 1000000 + 1 * 700000) // 4
     assert out["h2"].rep_micro == (200000 * 50 + nbr * 50) // 100
     assert out["h3"].rep_micro == 1000000   # nobody links to h3
+
+
+def test_frontier_rep_precedence_semantics(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame([
+        (1, "https://h.org/doc/allowed-1"),   # allow 13 > dis 5: kept
+        (2, "https://h.org/doc/x2"),          # dis 5 > 0: blocked
+        (3, "https://h.org/private/p3"),      # dis 9 > allow 2: blocked
+        (4, "https://h.org/ok/4"),            # tie 4 == 4: Allow wins
+        (5, "https://other.org/doc/x5"),      # no rules host: kept
+    ], ["id", "target_uri"])
+    rules = spark.createDataFrame([
+        ("h.org", "disallow", "/private/"),
+        ("h.org", "disallow", "/doc/"),
+        ("h.org", "allow", "/doc/allowed-"),
+        ("h.org", "allow", "/p"),
+        ("h.org", "disallow", "/ok/"),
+        ("h.org", "allow", "/ok/"),
+    ], ["host", "directive", "value"])
+    kept = {r.id for r in W.crawl_frontier_rep(pages, rules).collect()}
+    assert kept == {1, 4, 5}
+    ann = {r.id: (r.blocked, r.disallow_len, r.allow_len)
+           for r in W.crawl_frontier_rep(pages, rules,
+                                         annotate=True).collect()}
+    assert ann[1] == (False, 5, 13)
+    assert ann[2] == (True, 5, 0)
+    assert ann[3] == (True, 9, 2)
+    assert ann[4] == (False, 4, 4)
+    assert ann[5] == (False, 0, 0)
+
+
+def test_frontier_rep_pages_never_shuffle(spark):
+    from octofludb_spark.scale import web as W
+
+    pages = spark.createDataFrame(
+        [(i, f"https://h{i % 5}.org/p/{i}") for i in range(50)],
+        ["id", "target_uri"])
+    rules = spark.createDataFrame(
+        [(f"h{i}.org", "disallow", "/p/") for i in range(5)],
+        ["host", "directive", "value"])
+    plan = (W.crawl_frontier_rep(pages, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
