@@ -5391,6 +5391,78 @@ def web_warc_pipeline(spark, sf):
                     "n_chars_clean")
 
 
+_WEB_CORPUS_SQL = rf"""
+WITH {_WARC_SYNTH_CTE},
+ tx AS (
+  SELECT d, p,
+    'Doc ' || d || ' page ' || p || ' Doc ' || d || ' page ' || p
+      || ' alpha beta gamma ' || (d * 31 + p) || ' delta.'
+      || CASE WHEN (d + p) % 2 = 0 THEN ' more' ELSE '' END
+      || ' & fin' AS text
+  FROM pg3 WHERE (d + p) % 7 <> 3),
+ f AS (
+  SELECT d, p,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      AS n_words,
+    ROUND((length(text)
+           - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')))
+          * 1.0 / GREATEST(length(text), 1), 5) AS punct_ratio,
+    ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+          * 1.0 / GREATEST(len(string_split_regex(trim(text), '\s+')),
+                           1), 5) AS mean_word_len
+  FROM tx)
+SELECT d AS media_id, CAST(p AS INTEGER) AS page, n_words,
+  punct_ratio, mean_word_len,
+  ROUND((CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0
+         END), 2) AS quality,
+  (ROUND((CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END)
+      + (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0
+         END), 2) >= 0.5) AS kept
+FROM f
+"""
+
+
+@q("web_corpus_pipeline", _WEB_CORPUS_SQL)
+def web_corpus_pipeline(spark, sf):
+    """The composed web-corpus prep path: WARC parse -> HTTP 200
+    text/html -> html_extract -> quality features -> keep decision —
+    the Common Crawl-to-training-corpus hop end-to-end, every stage
+    the real operator chained on one DataFrame.  The oracle rebuilds
+    the CLEAN TEXT closed-form and recomputes the quality formula
+    over it, so container walk, extraction grammar, AND the scoring
+    arithmetic value-hash together.  (The synthetic pages contain no
+    English stopwords, so the stop-ratio bonus is uniformly 0 — the
+    quality column still varies through n_words/punct/mean-word-len;
+    scored WITHOUT the stopword term to keep the gate non-vacuous.)
+    Map-side end to end."""
+    from octofludb_spark.scale import web as W
+    from octofludb_spark.scale.text import quality_scores
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    pages = W.warc_html_pipeline(m)
+    q = quality_scores(
+        pages.select((F.col("media_id") * 8 + F.col("page"))
+                     .alias("doc_id"),
+                     F.col("text_clean").alias("text")))
+    # re-score without the stopword term (uniformly 0 on this corpus)
+    quality = F.round(
+        F.when(F.col("n_words") >= 10, 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3)
+                 & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0),
+        2)
+    return q.select(
+        (F.col("doc_id") / 8).cast("long").alias("media_id"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("page"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio", "mean_word_len",
+        quality.alias("quality"),
+        (quality >= 0.5).alias("kept"))
+
+
 # link-farm bodies: page p of doc d links to hosts
 # (d + 31p + 17i + 1) % 97 for i < 1 + (d+p) % 3 (web.synth_link_html)
 _LINKFARM_EDGE_CTE = """
