@@ -1146,6 +1146,8 @@ def pool_embeddings(emb: DataFrame, key_col, dim: int = 64) -> DataFrame:
     wire.  The row-per-dimension OUTPUT shape is for the oracle's
     benefit; `F.array` the 64 columns back together for the compact
     form."""
+    if isinstance(key_col, str):
+        key_col = F.col(key_col)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
     for i in range(1, dim + 1):
         s = (f"sum(CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE)"
