@@ -533,10 +533,14 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
 
 
 def cmd_scale(args) -> int:
-    """Training-data pipeline operators over a documents parquet
-    (doc_id, text[, lang, ...]): dedup, quality, language-ID,
-    sampling, chunking — the scale/ suite as a tool.  Writes parquet
-    with --out, else prints a TSV head."""
+    """Training-data pipeline operators over a parquet input (most
+    ops: documents (doc_id, text[, lang, ...]); warc-*/cdx/host-rep:
+    crawl media; walks: edges; image/audio ops: media payloads):
+    dedup, quality, language-ID, sampling, chunking, tokenizer,
+    packing, web-crawl, code-prep, curation (naive-bayes/dsir/
+    blocklist), augmentation, and layout clustering — the scale/
+    suite as a tool.  Writes parquet with --out, else prints a TSV
+    head."""
     from pyspark.sql import functions as F  # noqa: F401 (event ops)
 
     from octofludb_spark.scale import dedup as D
