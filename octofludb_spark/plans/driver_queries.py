@@ -6856,6 +6856,176 @@ def text_naive_bayes(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# Code dependency knowledge graph (north_rule input applied literally)
+# --------------------------------------------------------------------------
+# closed-form source-repo corpus (scale/code.py synth_code_repo):
+# repo org/proj-(d%7), path src/mod<d>.c, imports j < 1 + d%3 of
+# module mod<K>, K = (d + 31j + 7) % 997, written in style (d+j)%3
+# (0: '#include "K.h"', 1: '#include <K.h>', 2: 'import K'),
+# defines i < 1 + d%2 of fn_<d>_<i>.
+
+
+def _codekg_content_sql() -> str:
+    """DuckDB expression rebuilding synth_code_repo's content bytes."""
+    segs = ["'// module mod' || doc_id || chr(10)"]
+    for j in range(3):
+        k = f"((doc_id + {31 * j + 7}) % 997)"
+        segs.append(f"""CASE WHEN {j} < 1 + doc_id % 3 THEN
+      CASE (doc_id + {j}) % 3
+        WHEN 0 THEN '#include "mod' || {k} || '.h"' || chr(10)
+        WHEN 1 THEN '#include <mod' || {k} || '.h>' || chr(10)
+        ELSE 'import mod' || {k} || chr(10) END
+      ELSE '' END""")
+    for i in range(2):
+        segs.append(f"""CASE WHEN {i} < 1 + doc_id % 2 THEN
+      'int fn_' || doc_id || '_{i}(int x) {{ return x + '
+      || ((doc_id + {i}) % 89) || '; }}' || chr(10)
+      ELSE '' END""")
+    return "\n    || ".join(segs)
+
+
+_CODEKG_CTE = f"""
+ckg AS (
+  SELECT doc_id,
+    'org/proj-' || (doc_id % 7) AS repo,
+    'org/proj-' || (doc_id % 7) || '/src/mod' || doc_id || '.c' AS file,
+    {_codekg_content_sql()} AS content
+  FROM documents),
+cimp AS (
+  SELECT c.doc_id, c.file, j.j,
+         (c.doc_id + 31 * j.j + 7) % 997 AS k,
+         (c.doc_id + j.j) % 3 AS style
+  FROM ckg c, range(3) j(j) WHERE j.j < 1 + c.doc_id % 3)
+"""
+
+_CODEKG_TRIPLES_SQL = f"""
+WITH {_CODEKG_CTE}
+SELECT repo AS subject, 'urn:code:contains' AS predicate,
+       file AS object_lex FROM ckg
+UNION ALL
+SELECT file, 'urn:code:module', 'mod' || doc_id FROM ckg
+UNION ALL
+SELECT file, 'urn:code:lang', 'c' FROM ckg
+UNION ALL
+SELECT file, 'urn:code:sha256', sha256(content) FROM ckg
+UNION ALL
+SELECT c.file, 'urn:code:defines', 'fn_' || c.doc_id || '_' || i.i
+FROM ckg c, range(2) i(i) WHERE i.i < 1 + c.doc_id % 2
+UNION ALL
+SELECT file, 'urn:code:imports',
+       CASE WHEN style = 2 THEN 'mod' || k ELSE 'mod' || k || '.h' END
+FROM cimp
+"""
+
+
+@q("code_kg_triples", _CODEKG_TRIPLES_SQL)
+def code_kg_triples(spark, sf):
+    """KG construction over the north rule's literal input — a source-
+    code repository table (repo, path, lang, content): containment,
+    module identity, language, the per-row content-sha256 invariant
+    (BASELINE.json input_hint — here cross-checked ENGINE vs ENGINE:
+    Spark sha2 vs DuckDB sha256 over independently rebuilt bytes),
+    defined symbols, and raw import aliases, all as (subject,
+    predicate, object_lex) triples.  The oracle states GROUND TRUTH
+    closed-form — which imports/defines each doc_id carries — so the
+    regexp extraction battery is checked against what the corpus
+    contains, not a re-run of itself.  Map-side: regexp projections +
+    explode + union, zero shuffles."""
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    return tr.select("subject", "predicate", "object_lex")
+
+
+_CODEKG_CANON_SQL = f"""
+WITH {_CODEKG_CTE}
+SELECT repo AS subject, 'urn:code:contains' AS predicate,
+       file AS object_lex FROM ckg
+UNION ALL
+SELECT file, 'urn:code:module', 'mod' || doc_id FROM ckg
+UNION ALL
+SELECT file, 'urn:code:lang', 'c' FROM ckg
+UNION ALL
+SELECT file, 'urn:code:sha256', sha256(content) FROM ckg
+UNION ALL
+SELECT c.file, 'urn:code:defines', 'fn_' || c.doc_id || '_' || i.i
+FROM ckg c, range(2) i(i) WHERE i.i < 1 + c.doc_id % 2
+UNION ALL
+SELECT file, 'urn:code:imports', 'mod' || k FROM cimp
+"""
+
+
+@q("code_kg_canonical_imports", _CODEKG_CANON_SQL)
+def code_kg_canonical_imports(spark, sf):
+    """Entity linking over the code KG: the three surface forms of an
+    import ('modK.h' quoted/angled includes vs bare 'import modK')
+    unified to canonical module IRIs by the SAME ops/canonicalize
+    machinery the strain-name path uses — the alias dictionary is
+    module-vocabulary-sized (module_alias_map: distinct + regexp), so
+    both rewrite joins broadcast and the triple store never shuffles
+    for the dictionary.  Oracle: the canonical graph stated closed-
+    form (every alias resolved to 'mod'||K).  Proves the north rule's
+    entity-linking stage composes with extraction on code input."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    can = canonicalize(tr, C.module_alias_map(tr))
+    return can.select("subject", "predicate", "object_lex")
+
+
+_CODEKG_PR_ITERS = 3
+
+
+def _codekg_pagerank_sql() -> str:
+    """Unrolled integer PageRank over the closed-form module import
+    edges (mirrors ops/graph_analytics.pagerank bit-for-bit, the
+    _web_pagerank_sql pattern)."""
+    parts = [f"""
+WITH {_CODEKG_CTE},
+ e AS (SELECT DISTINCT 'mod' || doc_id AS src, 'mod' || k AS dst
+       FROM cimp WHERE doc_id <> k),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ cnt AS (SELECT COUNT(*) AS n FROM nodes),
+ outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+ r0 AS (SELECT node,
+               1000000000000 // (SELECT n FROM cnt) AS r
+        FROM nodes)"""]
+    for it in range(1, _CODEKG_PR_ITERS + 1):
+        parts.append(f""",
+ r{it} AS (SELECT n.node,
+            (1000000000000 * 15 // 100) // (SELECT n FROM cnt)
+            + COALESCE(s.in_r, 0) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((r.r * 85) // 100) // od.od) AS in_r
+            FROM e JOIN r{it - 1} r ON r.node = e.src
+                   JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst) s ON s.node = n.node)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{_CODEKG_PR_ITERS}""")
+    return "".join(parts)
+
+
+@q("code_kg_import_rank", _codekg_pagerank_sql())
+def code_kg_import_rank(spark, sf):
+    """Graph analytics over the materialized code KG: module-level
+    import graph (import_module_edges — one file-keyed equi-join of
+    two predicate slices of the canonical store) feeding the integer-
+    micro PageRank power iteration.  The full 3-round trajectory is
+    value-hashed against the unrolled SQL replay — extraction,
+    canonicalization, edge build, and the iterative algorithm proven
+    together, bit-identical at any parallelism."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.ops.graph_analytics import pagerank
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    can = canonicalize(tr, C.module_alias_map(tr))
+    return pagerank(C.import_module_edges(can), iters=_CODEKG_PR_ITERS)
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The driver's correctness snapshot records only the FIRST 50 keys of

@@ -208,3 +208,161 @@ def synth_code_content(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("")))
     return docs.select(
         "doc_id", F.concat(header, body, secret).alias("content"))
+
+# ---------------------------------------------------------------------------
+# Code dependency knowledge graph — the north rule applied literally
+# ---------------------------------------------------------------------------
+# BASELINE.json's north_rule mandates KG construction "over Iceberg
+# tables of source-code repositories".  The flu KG path proves the
+# reference's semantics (extract/, plans/); this family proves the
+# same construction stages — triple extraction, entity linking /
+# canonicalization, graph materialize + analytics — over the CODE
+# meaning of the (repo, path, lang, content) table: imports, defined
+# symbols, module identity, and the per-row content sha256 invariant
+# (input_hint) all become triples, import aliases are unified to
+# canonical module IRIs by the SAME ops/canonicalize machinery the
+# strain-name path uses, and the module import graph feeds
+# ops/graph_analytics.pagerank.
+
+CODE_NS = "urn:code:"
+
+# raw import syntaxes recognized (RE2-safe; group 1 is the RAW alias
+# exactly as written — '.h'-suffixed for C includes, bare for python):
+IMPORT_PATTERNS: list[str] = [
+    r'#include ["<]([A-Za-z0-9_.]+)[">]',
+    r'(?m)^import ([A-Za-z0-9_]+)$',
+]
+DEFINE_PATTERN = r'(?m)^int ([A-Za-z0-9_]+)\('
+MODULE_PATTERN = r'([A-Za-z0-9_]+)\.[a-z]+$'
+
+
+def synth_code_repo(docs: DataFrame) -> DataFrame:
+    """Deterministic source-repo corpus in the north rule's input
+    shape — (doc_id, repo, path, lang, content) with every byte a
+    closed-form function of doc_id so a SQL engine rebuilds the exact
+    string (the synth_code_content discipline):
+
+      repo     = org/proj-(d % 7)
+      path     = src/mod<d>.c            (module identity = mod<d>)
+      imports  = j in [0, 1 + d % 3):  module mod<K>,
+                 K = (d + 31*j + 7) % 997, written in style
+                 (d + j) % 3 — 0: '#include "modK.h"',
+                 1: '#include <modK.h>', 2: 'import modK'
+                 (three alias FORMS of the same module — the entity-
+                 linking surface)
+      defines  = i in [0, 1 + d % 2):  'int fn_<d>_<i>(int x) ...'
+    """
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+
+    def imp(j: int):
+        k = (d + F.lit(31 * j) + F.lit(7)) % 997
+        mod = F.concat(F.lit("mod"), k)
+        style = (d + F.lit(j)) % 3
+        line = (
+            F.when(style == 0,
+                   F.concat(F.lit('#include "'), mod, F.lit('.h"'), nl))
+            .when(style == 1,
+                  F.concat(F.lit('#include <'), mod, F.lit('.h>'), nl))
+            .otherwise(F.concat(F.lit("import "), mod, nl)))
+        return F.when(F.lit(j) < 1 + d % 3, line).otherwise(F.lit(""))
+
+    def dfn(i: int):
+        line = F.concat(
+            F.lit("int fn_"), d, F.lit(f"_{i}"),
+            F.lit("(int x) { return x + "), (d + F.lit(i)) % 89,
+            F.lit("; }"), nl)
+        return F.when(F.lit(i) < 1 + d % 2, line).otherwise(F.lit(""))
+
+    content = F.concat(
+        F.lit("// module mod"), d, nl,
+        imp(0), imp(1), imp(2), dfn(0), dfn(1))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("org/proj-"), d % 7).alias("repo"),
+        F.concat(F.lit("src/mod"), d, F.lit(".c")).alias("path"),
+        F.lit("c").alias("lang"),
+        content.alias("content"))
+
+
+def code_kg_triples(files: DataFrame) -> DataFrame:
+    """Triple extraction over a source-repo table (repo, path, lang,
+    content) -> (subject, predicate, object_lex, object_dtype):
+
+      (repo,  c:contains, <file>)          file = repo || '/' || path
+      (file,  c:module,   <module>)        stem of path
+      (file,  c:lang,     lang)
+      (file,  c:sha256,   sha2(content))   the input_hint per-row
+                                           invariant, made a queryable
+                                           fact of the graph
+      (file,  c:imports,  <raw alias>)     one per IMPORT_PATTERNS hit
+      (file,  c:defines,  <symbol>)        one per DEFINE_PATTERN hit
+
+    Pure map-side: per-family regexp projections + explode +
+    unionByName — zero shuffles, zero Python; at 100 TB this is one
+    scan stage per family over the same cached source relation (and
+    Catalyst collapses the union into a single stage)."""
+    from octofludb_spark.functions.uri import DT_URI
+
+    file = F.concat("repo", F.lit("/"), "path")
+    base = files.select(
+        file.alias("file"), "repo", "path", "lang", "content")
+
+    def tri(s, p, o, dt):
+        return base.select(
+            s.alias("subject"), F.lit(CODE_NS + p).alias("predicate"),
+            o.alias("object_lex"), F.lit(dt).alias("object_dtype"))
+
+    f = F.col("file")
+    parts = [
+        tri(F.col("repo"), "contains", f, DT_URI),
+        tri(f, "module",
+            F.regexp_extract("path", MODULE_PATTERN, 1), DT_URI),
+        tri(f, "lang", F.col("lang"), "string"),
+        tri(f, "sha256", F.sha2("content", 256), "string"),
+        tri(f, "defines",
+            F.explode(F.regexp_extract_all(
+                "content", F.lit(DEFINE_PATTERN), 1)), "string"),
+    ]
+    for pat in IMPORT_PATTERNS:
+        parts.append(tri(
+            f, "imports",
+            F.explode(F.regexp_extract_all("content", F.lit(pat), 1)),
+            DT_URI))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def module_alias_map(triples: DataFrame) -> DataFrame:
+    """Entity-linking dictionary for import aliases: every DISTINCT
+    raw c:imports token written in C-header form ('<stem>.h') maps to
+    the canonical module IRI (the bare stem) — (node, canonical).
+    Module-vocabulary-sized (distinct aliases, not rows), so it
+    broadcasts; built with one regexp projection + distinct."""
+    imp = triples.where(
+        F.col("predicate") == CODE_NS + "imports")
+    return (imp.select(F.col("object_lex").alias("node")).distinct()
+            .where(F.col("node").endswith(".h"))
+            .select("node",
+                    F.regexp_replace("node", r"\.h$", "")
+                    .alias("canonical")))
+
+
+def import_module_edges(triples: DataFrame) -> DataFrame:
+    """Module-level import graph (src, dst) from CANONICAL triples:
+    each file's c:module fact joined to its c:imports facts on the
+    file subject, self-imports dropped, exact-deduped.  The join key
+    is the file IRI — both sides are slices of the same bucketed
+    store, and the imports side is file-local (<= a few rows per
+    file), so this is one co-partitioned equi-join, never a fan-out."""
+    mod = (triples.where(F.col("predicate") == CODE_NS + "module")
+           .select(F.col("subject").alias("file"),
+                   F.col("object_lex").alias("src")))
+    imp = (triples.where(F.col("predicate") == CODE_NS + "imports")
+           .select(F.col("subject").alias("file"),
+                   F.col("object_lex").alias("dst")))
+    return (mod.join(imp, "file")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())

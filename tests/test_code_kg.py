@@ -1,0 +1,109 @@
+"""Code dependency knowledge graph (scale/code.py code_kg_* family):
+triple extraction over the north rule's literal source-repo input,
+import-alias entity linking, and the module import graph — semantics
+pinned with python replays and plan-shape guards."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = [pytest.mark.spark, pytest.mark.core]
+
+
+def _replay_content(d: int) -> str:
+    lines = [f"// module mod{d}"]
+    for j in range(1 + d % 3):
+        k = (d + 31 * j + 7) % 997
+        s = (d + j) % 3
+        lines.append({0: f'#include "mod{k}.h"',
+                      1: f'#include <mod{k}.h>',
+                      2: f'import mod{k}'}[s])
+    for i in range(1 + d % 2):
+        lines.append(f"int fn_{d}_{i}(int x) {{ return x + {(d + i) % 89}; }}")
+    return "\n".join(lines) + "\n"
+
+
+def _docs(spark, n=24):
+    return spark.range(0, n).select(F.col("id").alias("doc_id"))
+
+
+def test_synth_code_repo_replay(spark):
+    from octofludb_spark.scale.code import synth_code_repo
+
+    rows = {r.doc_id: r for r in synth_code_repo(_docs(spark)).collect()}
+    for d in (0, 1, 2, 5, 11, 23):
+        r = rows[d]
+        assert r.repo == f"org/proj-{d % 7}"
+        assert r.path == f"src/mod{d}.c"
+        assert r.content == _replay_content(d)
+
+
+def test_code_kg_triples_ground_truth(spark):
+    from octofludb_spark.scale.code import code_kg_triples, synth_code_repo
+
+    tr = code_kg_triples(synth_code_repo(_docs(spark))).collect()
+    got = {(r.subject, r.predicate, r.object_lex) for r in tr}
+    assert len(got) == len(tr)  # no duplicate triples
+    for d in (0, 1, 2, 7):
+        file = f"org/proj-{d % 7}/src/mod{d}.c"
+        assert (f"org/proj-{d % 7}", "urn:code:contains", file) in got
+        assert (file, "urn:code:module", f"mod{d}") in got
+        assert (file, "urn:code:lang", "c") in got
+        sha = hashlib.sha256(_replay_content(d).encode()).hexdigest()
+        assert (file, "urn:code:sha256", sha) in got
+        for i in range(1 + d % 2):
+            assert (file, "urn:code:defines", f"fn_{d}_{i}") in got
+        for j in range(1 + d % 3):
+            k = (d + 31 * j + 7) % 997
+            raw = f"mod{k}" if (d + j) % 3 == 2 else f"mod{k}.h"
+            assert (file, "urn:code:imports", raw) in got
+    # exactly the planted families, nothing else
+    n = 24
+    n_imp = sum(1 + d % 3 for d in range(n))
+    n_def = sum(1 + d % 2 for d in range(n))
+    assert len(got) == 4 * n + n_imp + n_def
+
+
+def test_canonicalization_unifies_alias_forms(spark):
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.scale.code import (
+        code_kg_triples, module_alias_map, synth_code_repo)
+
+    tr = code_kg_triples(synth_code_repo(_docs(spark)))
+    m = {r.node: r.canonical for r in module_alias_map(tr).collect()}
+    assert m and all(k.endswith(".h") and k == v + ".h"
+                     for k, v in m.items())
+    can = canonicalize(tr, module_alias_map(tr))
+    imp = can.where(F.col("predicate") == "urn:code:imports")
+    aliased = imp.where(F.col("object_lex").endswith(".h")).count()
+    assert aliased == 0  # every include-form alias resolved
+    # non-import triples untouched
+    assert (can.where(F.col("predicate") != "urn:code:imports").count()
+            == tr.where(F.col("predicate") != "urn:code:imports").count())
+
+
+def test_import_module_edges_replay(spark):
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.scale.code import (
+        code_kg_triples, import_module_edges, module_alias_map,
+        synth_code_repo)
+
+    tr = code_kg_triples(synth_code_repo(_docs(spark)))
+    edges = import_module_edges(canonicalize(tr, module_alias_map(tr)))
+    got = {(r.src, r.dst) for r in edges.collect()}
+    expect = set()
+    for d in range(24):
+        for j in range(1 + d % 3):
+            k = (d + 31 * j + 7) % 997
+            if k != d:
+                expect.add((f"mod{d}", f"mod{k}"))
+    assert got == expect
+
+
+def test_extraction_plan_is_map_side(spark):
+    from octofludb_spark.scale.code import code_kg_triples, synth_code_repo
+
+    plan = code_kg_triples(synth_code_repo(_docs(spark)))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # union of projections: zero shuffles
