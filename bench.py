@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     # map-side window expansion)
     "text_naive_bayes",
     "graph_walk_skipgrams",
+    # round-4 code-KG flagship: the north rule's literal input — triple
+    # extraction over a source-repo table (map-side regexp union),
+    # import-alias canonicalization (broadcast dictionary), module
+    # import graph + 3-round integer PageRank
+    "code_kg_import_rank",
 ]
 
 

@@ -230,11 +230,25 @@ def pagerank(edges: DataFrame, iters: int = 5,
     engine at any parallelism.  The plan is ``iters`` unrolled
     join+agg rounds (Catalyst sees the whole thing; no driver loop
     state), each one shuffle on dst."""
-    # e is scanned once per iteration (and once for nodes/outdeg):
-    # persist it so the unrolled plan reads a materialized edge table
-    # instead of re-deriving the input per round.
+    # e is scanned once per iteration (and once for nodes/outdeg), and
+    # the unrolled plan repeats its LINEAGE once per reference even
+    # when the data is cached — with a deep upstream (extraction ->
+    # canonicalize -> join) Catalyst re-analyzes thousands of nodes
+    # and planning time dominates the tiny per-round jobs.  Truncate
+    # the lineage at the edge table: checkpoint() when a reliable
+    # checkpoint dir is configured (survives executor loss on a
+    # cluster), else localCheckpoint() (executor-local; right for
+    # local mode and measured 3x end-to-end on a deep-lineage caller).
     e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")).distinct().persist()
+        F.col("src") != F.col("dst")).distinct()
+    try:
+        has_dir = (edges.sparkSession.sparkContext._jsc.sc()
+                   .getCheckpointDir().isDefined())
+    except Exception:
+        has_dir = False
+    # (localCheckpoint already caches its partitions; the reliable
+    # checkpoint re-reads files per scan, so persist on top of it)
+    e = e.checkpoint().persist() if has_dir else e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
