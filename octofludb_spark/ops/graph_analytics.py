@@ -746,3 +746,69 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
                     F.col("p.context").alias("context"))
             .groupBy("center", "context")
             .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+def transe_negatives(triples: DataFrame, n_buckets: int = 16,
+                     seed: int = 0) -> DataFrame:
+    """KG-embedding training pairs (TransE/DistMult-style, Bordes et
+    al. 2013): for every URI-object triple (h, r, t) emit one
+    deterministically-corrupted negative — head or tail replaced by a
+    pseudo-random entity — as (h, r, t, side, neg).
+
+    RNG-free and engine-replayable: the corrupted side and the drawn
+    entity are md5 functions of (seed, h, r, t), so the same sample
+    set falls out at any parallelism and a SQL engine replays every
+    row.  Negatives equal to the node they replace are filtered (the
+    'filtered' sampling convention), so every emitted pair is a true
+    corruption.
+
+    Scale design — no global entity index: a single row_number over
+    the whole entity vocabulary would serialize on one partition at
+    10^9 entities.  Instead entities are md5-bucketed into
+    ``n_buckets`` groups and ranked per bucket (parallel windows);
+    a triple draws bucket = md5 mod n_buckets, then rank = md5 mod
+    bucket_size.  The bucket-size table is n_buckets rows (broadcast);
+    the draw resolves with ONE (bucket, idx)-keyed equi-join against
+    the ranked vocabulary — triple-scale x entity-scale, both sides
+    hash-partitioned, no window ever sees more than one bucket."""
+    from pyspark.sql import Window
+
+    from octofludb_spark.functions.uri import DT_URI
+
+    def h24(*cols):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws(":", *cols)), 1, 12), 16, 10).cast("long")
+
+    pos = (triples.where(F.col("object_dtype") == DT_URI)
+           .select(F.col("subject").alias("h"),
+                   F.col("predicate").alias("r"),
+                   F.col("object_lex").alias("t")))
+    ent = (pos.select(F.col("h").alias("node"))
+           .unionByName(pos.select(F.col("t").alias("node")))
+           .distinct()
+           .withColumn("bucket", F.pmod(
+               F.conv(F.substring(F.md5("node"), 1, 6), 16, 10)
+               .cast("long"), F.lit(n_buckets))))
+    w = Window.partitionBy("bucket").orderBy("node")
+    ranked = ent.withColumn("idx", F.row_number().over(w) - 1)
+    bsize = ranked.groupBy("bucket").agg(
+        F.count("*").alias("bsize"))
+    s = F.lit(int(seed))
+    drawn = (pos
+             .withColumn("bucket", F.pmod(
+                 h24(s, F.col("h"), F.col("r"), F.col("t"), F.lit("b")),
+                 F.lit(n_buckets)))
+             .join(F.broadcast(bsize), "bucket")
+             .withColumn("idx", F.pmod(
+                 h24(s, F.col("h"), F.col("r"), F.col("t"), F.lit("r")),
+                 F.col("bsize")))
+             .withColumn("side", F.when(F.pmod(
+                 h24(s, F.col("h"), F.col("r"), F.col("t"), F.lit("s")),
+                 F.lit(2)) == 0, F.lit("head")).otherwise(F.lit("tail"))))
+    out = (drawn.join(ranked.select("bucket", "idx",
+                                    F.col("node").alias("neg")),
+                      ["bucket", "idx"])
+           .where(((F.col("side") == "head") & (F.col("neg") != F.col("h")))
+                  | ((F.col("side") == "tail")
+                     & (F.col("neg") != F.col("t")))))
+    return out.select("h", "r", "t", "side", "neg")

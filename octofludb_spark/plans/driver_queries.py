@@ -7025,6 +7025,63 @@ def code_kg_import_rank(spark, sf):
     return pagerank(C.import_module_edges(can), iters=_CODEKG_PR_ITERS)
 
 
+_CODEKG_TRANSE_SQL = f"""
+WITH {_CODEKG_CTE},
+ pos AS (
+  SELECT repo AS h, 'urn:code:contains' AS r, file AS t FROM ckg
+  UNION ALL
+  SELECT file, 'urn:code:module', 'mod' || doc_id FROM ckg
+  UNION ALL
+  SELECT file, 'urn:code:imports', 'mod' || k FROM cimp),
+ ent AS (SELECT DISTINCT node FROM (
+   SELECT h AS node FROM pos UNION ALL SELECT t FROM pos)),
+ entb AS (SELECT node,
+   CAST(('0x' || substr(md5(node), 1, 6)) AS BIGINT) % 16 AS bucket
+   FROM ent),
+ ranked AS (SELECT node, bucket,
+   ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY node) - 1 AS idx
+   FROM entb),
+ bsize AS (SELECT bucket, COUNT(*) AS bsize FROM entb GROUP BY bucket),
+ drawn AS (SELECT h, r, t, b.bsize,
+   CAST(('0x' || substr(md5('0:' || h || ':' || r || ':' || t || ':b'),
+        1, 12)) AS BIGINT) % 16 AS bucket,
+   CAST(('0x' || substr(md5('0:' || h || ':' || r || ':' || t || ':r'),
+        1, 12)) AS BIGINT) AS rv,
+   CASE WHEN CAST(('0x' || substr(md5('0:' || h || ':' || r || ':' || t
+        || ':s'), 1, 12)) AS BIGINT) % 2 = 0
+        THEN 'head' ELSE 'tail' END AS side
+   FROM pos p JOIN bsize b ON b.bucket =
+     CAST(('0x' || substr(md5('0:' || h || ':' || r || ':' || t || ':b'),
+          1, 12)) AS BIGINT) % 16)
+SELECT d.h, d.r, d.t, d.side, k.node AS neg
+FROM drawn d JOIN ranked k
+  ON k.bucket = d.bucket AND k.idx = d.rv % d.bsize
+WHERE (d.side = 'head' AND k.node <> d.h)
+   OR (d.side = 'tail' AND k.node <> d.t)
+"""
+
+
+@q("code_kg_transe_negatives", _CODEKG_TRANSE_SQL)
+def code_kg_transe_negatives(spark, sf):
+    """KG-embedding training pairs over the materialized code KG
+    (ops/graph_analytics.transe_negatives): every URI-object triple
+    gets one md5-deterministic corrupted negative (head or tail
+    swapped for a pseudo-random entity), the contrastive sample set
+    TransE/DistMult training consumes.  No global entity index — the
+    vocabulary is md5-bucketed and ranked per bucket (parallel
+    windows), the draw is one (bucket, idx) equi-join; bucket sizes
+    broadcast.  The oracle replays entity bucketing, per-bucket
+    ranking, and every md5 draw — sample selection itself is value-
+    hashed, bit-identical at any parallelism."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.ops.graph_analytics import transe_negatives
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    can = canonicalize(tr, C.module_alias_map(tr))
+    return transe_negatives(can, n_buckets=16, seed=0)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

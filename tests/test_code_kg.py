@@ -107,3 +107,38 @@ def test_extraction_plan_is_map_side(spark):
     plan = code_kg_triples(synth_code_repo(_docs(spark)))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # union of projections: zero shuffles
+
+
+def test_transe_negatives_semantics(spark):
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.ops.graph_analytics import transe_negatives
+    from octofludb_spark.scale.code import (
+        code_kg_triples, module_alias_map, synth_code_repo)
+
+    tr = code_kg_triples(synth_code_repo(_docs(spark, 40)))
+    can = canonicalize(tr, module_alias_map(tr))
+    neg = transe_negatives(can, n_buckets=8, seed=0)
+    rows = neg.collect()
+    pos = {(r.subject, r.predicate, r.object_lex)
+           for r in can.where(F.col("object_dtype") == "uri").collect()}
+    ents = {h for h, _, _ in pos} | {t for _, _, t in pos}
+    assert rows and len(rows) <= len(pos)  # filtered convention
+    for r in rows:
+        assert (r.h, r.r, r.t) in pos
+        assert r.neg in ents  # drawn from the entity vocabulary
+        assert r.neg != (r.h if r.side == "head" else r.t)
+    # every emitted positive appears at most once
+    assert len({(r.h, r.r, r.t) for r in rows}) == len(rows)
+
+
+def test_transe_negatives_seed_varies_samples(spark):
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.ops.graph_analytics import transe_negatives
+    from octofludb_spark.scale.code import (
+        code_kg_triples, module_alias_map, synth_code_repo)
+
+    tr = code_kg_triples(synth_code_repo(_docs(spark, 40)))
+    can = canonicalize(tr, module_alias_map(tr))
+    a = {tuple(r) for r in transe_negatives(can, seed=0).collect()}
+    b = {tuple(r) for r in transe_negatives(can, seed=1).collect()}
+    assert a != b  # seed genuinely re-draws
