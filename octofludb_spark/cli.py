@@ -529,7 +529,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "skipgrams", "fim", "license", "secrets", "redact",
               "strip-comments", "dsir", "hard-negatives",
               "span-corrupt", "image-augment", "audio-augment",
-              "zorder")
+              "zorder", "code-kg", "code-kg-rank", "transe-neg")
 
 
 def cmd_scale(args) -> int:
@@ -537,7 +537,8 @@ def cmd_scale(args) -> int:
     ops: documents (doc_id, text[, lang, ...]); warc-*/cdx/host-rep:
     crawl media; walks: edges; image/audio ops: media payloads):
     dedup, quality, language-ID, sampling, chunking, tokenizer,
-    packing, web-crawl, code-prep, curation (naive-bayes/dsir/
+    packing, web-crawl, code-prep, code-KG construction (code-kg /
+    code-kg-rank / transe-neg), curation (naive-bayes/dsir/
     blocklist), augmentation, and layout clustering — the scale/
     suite as a tool.  Writes parquet with --out, else prints a TSV
     head."""
@@ -815,6 +816,26 @@ def cmd_scale(args) -> int:
         # --key: comma list of integer columns to cluster by
         from octofludb_spark.ops.layout import zorder_cluster
         out = zorder_cluster(docs, args.key.split(","), bits=8)
+    elif args.op == "code-kg":
+        # input: source-repo parquet (repo, path, lang, content)
+        from octofludb_spark.scale.code import code_kg_triples
+        out = code_kg_triples(docs)
+    elif args.op == "code-kg-rank":
+        # input: source-repo parquet -> canonical module import graph
+        # -> integer-micro PageRank
+        from octofludb_spark.ops.canonicalize import canonicalize
+        from octofludb_spark.ops.graph_analytics import pagerank
+        from octofludb_spark.scale.code import (code_kg_triples,
+                                                import_module_edges,
+                                                module_alias_map)
+        tr = code_kg_triples(docs)
+        can = canonicalize(tr, module_alias_map(tr))
+        out = pagerank(import_module_edges(can), iters=args.k)
+    elif args.op == "transe-neg":
+        # input: triples parquet (subject, predicate, object_lex,
+        # object_dtype) -> one corrupted negative per URI triple
+        from octofludb_spark.ops.graph_analytics import transe_negatives
+        out = transe_negatives(docs, seed=args.seed)
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
