@@ -579,3 +579,46 @@ def stream_validation(spark: SparkSession, directory: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_code_kg(spark: SparkSession, directory: str,
+                   out_dir: str, checkpoint_dir: str,
+                   max_files: int = 16):
+    """Streaming face of code-KG construction: source-repo parquet
+    files (repo, path, lang, content) land in a directory; each
+    micro-batch runs the full triple extraction (scale/code.py
+    code_kg_triples — containment / module / lang / sha256 / defines
+    / imports) and appends (subject, predicate, object_lex,
+    object_dtype) to the landing triple store.  The extraction chain
+    is STATELESS (regexp projections + explode + union), so the
+    streaming plan is the batch plan per micro-batch — equivalence is
+    test-pinned — and the checkpoint resumes a killed ingest at the
+    last committed file without re-emitting triples (the north_rule's
+    resumability criterion on its literal 10^12-file input: files
+    arrive continuously, triples flow out, no state store grows).
+    Alias canonicalization and graph analytics stay in the batch path
+    (they are graph-global, the honest split stream_validation also
+    makes)."""
+    import pyspark.sql.types as T
+
+    from octofludb_spark.scale.code import code_kg_triples
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(directory)
+    )
+    triples = code_kg_triples(stream)
+    return (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

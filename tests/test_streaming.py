@@ -332,3 +332,35 @@ def test_stream_validation_matches_batch_row_local_shapes(spark, tmp_path):
     q2 = stream_validation(spark, tdir, out_dir, ckpt, max_files=1).start()
     q2.awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_stream_code_kg_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming code-KG ingest == batch code_kg_triples on the same
+    source files, and a same-checkpoint re-run re-emits nothing (the
+    north_rule's resumability on its literal source-repo input)."""
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.scale.code import code_kg_triples, synth_code_repo
+    from octofludb_spark.streaming.pipeline import stream_code_kg
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    src_dir = str(tmp_path / "repos_in")
+    synth_code_repo(docs).coalesce(3).write.parquet(src_dir)
+
+    out_dir = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt_kg")
+    q = stream_code_kg(spark, src_dir, out_dir, ckpt, max_files=1).start()
+    q.awaitTermination(180)
+
+    cols = ["subject", "predicate", "object_lex", "object_dtype"]
+    got = sorted(map(tuple,
+                     spark.read.parquet(out_dir).select(*cols).collect()))
+    want = sorted(map(tuple,
+                      code_kg_triples(spark.read.parquet(src_dir))
+                      .select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # resume with the same checkpoint: nothing re-emitted
+    q2 = stream_code_kg(spark, src_dir, out_dir, ckpt, max_files=1).start()
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == len(want)
