@@ -7082,6 +7082,35 @@ def code_kg_transe_negatives(spark, sf):
     return transe_negatives(can, n_buckets=16, seed=0)
 
 
+_SPARQL_CODEKG_SQL = f"""
+WITH {_CODEKG_CTE}
+SELECT 'mod' || k AS module, CAST(COUNT(*) AS BIGINT) AS n_importers
+FROM cimp GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+@q("sparql_code_imports", _SPARQL_CODEKG_SQL)
+def sparql_code_imports(spark, sf):
+    """The SPARQL-subset compiler is namespace-agnostic: the same
+    plans/sparql.py path that serves the flu graph compiles an
+    aggregate query (GROUP BY + HAVING over a one-pattern BGP) under
+    the code KG's `urn:code:` prefix against the canonicalized code
+    triples — popular modules by importer count.  One predicate-
+    filtered scan + one groupBy shuffle; oracle recomputes the
+    importer lattice closed-form."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.plans.sparql import sparql_to_df
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    can = canonicalize(tr, C.module_alias_map(tr))
+    text = ("PREFIX c: <urn:code:>\n"
+            "SELECT ?module (COUNT(?file) AS ?n_importers) WHERE {\n"
+            "  ?file c:imports ?module . }\n"
+            "GROUP BY ?module HAVING (COUNT(?file) >= 2)")
+    return sparql_to_df(spark, text, can)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
