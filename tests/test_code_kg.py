@@ -142,3 +142,50 @@ def test_transe_negatives_seed_varies_samples(spark):
     a = {tuple(r) for r in transe_negatives(can, seed=0).collect()}
     b = {tuple(r) for r in transe_negatives(can, seed=1).collect()}
     assert a != b  # seed genuinely re-draws
+
+
+def test_code_kg_triples_fuzz_vs_python_re(spark):
+    """Differential fuzz: on ARBITRARY content (not just the synth
+    grammar — markers inside strings, tabs, unicode, unterminated
+    syntax), Spark's extraction battery must agree with an
+    independent python-re replay of the published patterns."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    frags = [
+        '#include "alpha.h"', "#include <beta.h>", "import gamma",
+        "import delta_2", "int f(", "int long_name_9(int x) {",
+        '"#include <fake.h>"', "// import commented", "\timport tabbed",
+        "importnospace", "#include <no_close.h", "int 9bad(",
+        "print('import strlit')", "#include \"x.y.z.h\"", "int _u(",
+        "/* int hidden( */", "import UPPER", "int CAPS_OK(", "",
+        "unicode é中 import mixed", "int a(int b(",
+    ]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 8)
+        body = "\n".join(rng.choice(frags) for _ in range(n))
+        docs.append((i, "r", f"f{i}.c", "c", body))
+    df = spark.createDataFrame(
+        docs, ["doc_id", "repo", "path", "lang", "content"])
+
+    from octofludb_spark.scale.code import (
+        DEFINE_PATTERN, IMPORT_PATTERNS, code_kg_triples)
+
+    tr = code_kg_triples(df.select("repo", "path", "lang", "content"))
+    got_imp = sorted(
+        (r.subject, r.object_lex) for r in
+        tr.where(F.col("predicate") == "urn:code:imports").collect())
+    got_def = sorted(
+        (r.subject, r.object_lex) for r in
+        tr.where(F.col("predicate") == "urn:code:defines").collect())
+
+    want_imp, want_def = [], []
+    for i, repo, path, lang, body in docs:
+        subj = f"{repo}/{path}"
+        for pat in IMPORT_PATTERNS:
+            want_imp += [(subj, m) for m in re.findall(pat, body)]
+        want_def += [(subj, m) for m in re.findall(DEFINE_PATTERN, body)]
+    assert got_imp == sorted(want_imp)
+    assert got_def == sorted(want_def)
