@@ -7152,8 +7152,12 @@ _DRIVER_WINDOW = [
     # interchangeable evidence with the variants kept here; they made
     # room for the round-4 tokenizer/packing flagships below)
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_near", "dedup_near_clusters", "dedup_paragraphs",
+    "dedup_simhash_near", "dedup_near_clusters",
     "semantic_dedup",
+    # round-4 signature family: KG construction over the north rule's
+    # literal source-repo input (dedup_paragraphs moved out — the
+    # dedup family keeps 5 in-window representatives)
+    "code_kg_triples",
     # similarity search
     "ann_topk_lsh_ids", "ann_topk_ivf_ids", "ann_topk_pq_ids",
     "embedding_centroids",
