@@ -7082,6 +7082,87 @@ def code_kg_transe_negatives(spark, sf):
     return transe_negatives(can, n_buckets=16, seed=0)
 
 
+def _codekg_rev_sql(rev: int) -> str:
+    """CTE body rebuilding the FULL code-KG triple set of snapshot
+    ``rev`` (synth_code_repo(rev=) semantics: deletes at d%11==5,
+    sha-only edits at d%7==3, renames at d%13==6)."""
+    edit = (f"(CASE WHEN doc_id % 7 = 3 THEN {rev} ELSE 0 END)"
+            if rev > 0 else "0")
+    stem = (f"CASE WHEN doc_id % 13 = 6 THEN 'mod' || doc_id || '_v{rev}'"
+            " ELSE 'mod' || doc_id END" if rev > 0 else "'mod' || doc_id")
+    keep = "WHERE doc_id % 11 <> 5" if rev > 0 else ""
+    segs = ["'// module mod' || doc_id || chr(10)"]
+    for j in range(3):
+        k = f"((doc_id + {31 * j + 7}) % 997)"
+        segs.append(f"""CASE WHEN {j} < 1 + doc_id % 3 THEN
+      CASE (doc_id + {j}) % 3
+        WHEN 0 THEN '#include "mod' || {k} || '.h"' || chr(10)
+        WHEN 1 THEN '#include <mod' || {k} || '.h>' || chr(10)
+        ELSE 'import mod' || {k} || chr(10) END
+      ELSE '' END""")
+    for i in range(2):
+        segs.append(f"""CASE WHEN {i} < 1 + doc_id % 2 THEN
+      'int fn_' || doc_id || '_{i}(int x) {{ return x + '
+      || ((doc_id + {i} + {edit}) % 89) || '; }}' || chr(10)
+      ELSE '' END""")
+    content = "\n    || ".join(segs)
+    return f"""
+ r{rev}src AS (
+  SELECT doc_id, 'org/proj-' || (doc_id % 7) AS repo,
+    {stem} AS stem,
+    'org/proj-' || (doc_id % 7) || '/src/' || ({stem}) || '.c' AS file,
+    {content} AS content
+  FROM documents {keep}),
+ r{rev}tr AS (
+  SELECT repo AS subject, 'urn:code:contains' AS predicate,
+         file AS object_lex FROM r{rev}src
+  UNION ALL
+  SELECT file, 'urn:code:module', stem FROM r{rev}src
+  UNION ALL
+  SELECT file, 'urn:code:lang', 'c' FROM r{rev}src
+  UNION ALL
+  SELECT file, 'urn:code:sha256', sha256(content) FROM r{rev}src
+  UNION ALL
+  SELECT s.file, 'urn:code:defines', 'fn_' || s.doc_id || '_' || i.i
+  FROM r{rev}src s, range(2) i(i) WHERE i.i < 1 + s.doc_id % 2
+  UNION ALL
+  SELECT s.file, 'urn:code:imports',
+    CASE WHEN (s.doc_id + j.j) % 3 = 2
+         THEN 'mod' || ((s.doc_id + 31 * j.j + 7) % 997)
+         ELSE 'mod' || ((s.doc_id + 31 * j.j + 7) % 997) || '.h' END
+  FROM r{rev}src s, range(3) j(j) WHERE j.j < 1 + s.doc_id % 3)"""
+
+
+_CODEKG_DIFF_SQL = f"""
+WITH {_codekg_rev_sql(0)},
+{_codekg_rev_sql(1)}
+SELECT subject, predicate, object_lex, 'added' AS status
+FROM (SELECT * FROM r1tr EXCEPT SELECT * FROM r0tr)
+UNION ALL
+SELECT subject, predicate, object_lex, 'removed'
+FROM (SELECT * FROM r0tr EXCEPT SELECT * FROM r1tr)
+"""
+
+
+@q("code_kg_snapshot_diff", _CODEKG_DIFF_SQL)
+def code_kg_snapshot_diff(spark, sf):
+    """KG-level CDC: two snapshots of the source repos (deletes,
+    sha-only body edits, file renames) are each run through the full
+    triple extraction, and kg_snapshot_diff reduces the pair to its
+    triple delta — added/removed rows only, two keyed LEFT ANTI joins
+    on the subject-bucketed layout (unchanged triples, the 10^12-file
+    majority, never move).  The oracle independently rebuilds BOTH
+    revisions' content bytes, re-extracts every triple family in SQL
+    (sha256 included), and diffs with EXCEPT — the whole change
+    lattice cross-checked through real extraction of both snapshots."""
+    from octofludb_spark.scale import code as C
+
+    d = t(spark, sf, "documents")
+    old = C.code_kg_triples(C.synth_code_repo(d, rev=0))
+    new = C.code_kg_triples(C.synth_code_repo(d, rev=1))
+    return C.kg_snapshot_diff(old, new)
+
+
 _SPARQL_CODEKG_SQL = f"""
 WITH {_CODEKG_CTE}
 SELECT 'mod' || k AS module, CAST(COUNT(*) AS BIGINT) AS n_importers

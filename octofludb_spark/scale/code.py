@@ -236,7 +236,7 @@ DEFINE_PATTERN = r'(?m)^int ([A-Za-z0-9_]+)\('
 MODULE_PATTERN = r'([A-Za-z0-9_]+)\.[a-z]+$'
 
 
-def synth_code_repo(docs: DataFrame) -> DataFrame:
+def synth_code_repo(docs: DataFrame, rev: int = 0) -> DataFrame:
     """Deterministic source-repo corpus in the north rule's input
     shape — (doc_id, repo, path, lang, content) with every byte a
     closed-form function of doc_id so a SQL engine rebuilds the exact
@@ -251,7 +251,15 @@ def synth_code_repo(docs: DataFrame) -> DataFrame:
                  (three alias FORMS of the same module — the entity-
                  linking surface)
       defines  = i in [0, 1 + d % 2):  'int fn_<d>_<i>(int x) ...'
-    """
+
+    ``rev`` models a later snapshot of the same repositories (the
+    recrawl-diff convention of web.synth_warc); rev 0 is byte-
+    identical to the original corpus.  At rev >= 1: docs with
+    d % 11 == 5 are DELETED, docs with d % 7 == 3 get a body EDIT
+    (the define constant shifts by rev — function names stay, only
+    the content sha changes), and docs with d % 13 == 6 are RENAMED
+    (path gains a _v<rev> suffix — every triple of the old file IRI
+    goes, the new IRI's set arrives)."""
     d = F.col("doc_id")
     nl = F.lit("\n")
 
@@ -267,22 +275,54 @@ def synth_code_repo(docs: DataFrame) -> DataFrame:
             .otherwise(F.concat(F.lit("import "), mod, nl)))
         return F.when(F.lit(j) < 1 + d % 3, line).otherwise(F.lit(""))
 
+    edit = F.when((F.lit(int(rev)) > 0) & (d % 7 == 3),
+                  F.lit(int(rev))).otherwise(F.lit(0))
+
     def dfn(i: int):
         line = F.concat(
             F.lit("int fn_"), d, F.lit(f"_{i}"),
-            F.lit("(int x) { return x + "), (d + F.lit(i)) % 89,
+            F.lit("(int x) { return x + "), (d + F.lit(i) + edit) % 89,
             F.lit("; }"), nl)
         return F.when(F.lit(i) < 1 + d % 2, line).otherwise(F.lit(""))
 
     content = F.concat(
         F.lit("// module mod"), d, nl,
         imp(0), imp(1), imp(2), dfn(0), dfn(1))
-    return docs.select(
+    path = F.concat(F.lit("src/mod"), d, F.lit(".c"))
+    if rev > 0:
+        path = F.when(
+            d % 13 == 6,
+            F.concat(F.lit("src/mod"), d, F.lit(f"_v{int(rev)}.c"))
+        ).otherwise(path)
+    out = docs.select(
         "doc_id",
         F.concat(F.lit("org/proj-"), d % 7).alias("repo"),
-        F.concat(F.lit("src/mod"), d, F.lit(".c")).alias("path"),
+        path.alias("path"),
         F.lit("c").alias("lang"),
         content.alias("content"))
+    if rev > 0:
+        out = out.where(d % 11 != 5)
+    return out
+
+
+def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Triple-level delta between two KG snapshots — the CDC step
+    that reduces a revision pair to what changed: (subject,
+    predicate, object_lex, status) with status 'added' (in new only)
+    or 'removed' (in old only).  Unchanged triples — the overwhelming
+    majority at 10^12-file scale — never appear in the output.
+
+    Two keyed LEFT ANTI joins on the full triple key, nothing else:
+    both sides are slices of the same subject-bucketed store layout,
+    so the anti joins co-partition and the diff costs one shuffle per
+    side regardless of corpus size (the crawl_diff stance applied to
+    the graph itself)."""
+    key = ["subject", "predicate", "object_lex"]
+    added = (new.select(*key).join(old.select(*key), key, "left_anti")
+             .withColumn("status", F.lit("added")))
+    removed = (old.select(*key).join(new.select(*key), key, "left_anti")
+               .withColumn("status", F.lit("removed")))
+    return added.unionByName(removed)
 
 
 def code_kg_triples(files: DataFrame) -> DataFrame:

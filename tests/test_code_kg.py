@@ -189,3 +189,52 @@ def test_code_kg_triples_fuzz_vs_python_re(spark):
         want_def += [(subj, m) for m in re.findall(DEFINE_PATTERN, body)]
     assert got_imp == sorted(want_imp)
     assert got_def == sorted(want_def)
+
+
+def test_kg_snapshot_diff_change_lattice(spark):
+    """Every change class lands in the delta exactly as planted:
+    deletes remove the whole file, edits swap only the sha triple,
+    renames move every triple to the new IRI, untouched docs are
+    absent."""
+    from octofludb_spark.scale.code import (
+        code_kg_triples, kg_snapshot_diff, synth_code_repo)
+
+    docs = _docs(spark, 100)
+    old = code_kg_triples(synth_code_repo(docs, rev=0))
+    new = code_kg_triples(synth_code_repo(docs, rev=1))
+    diff = kg_snapshot_diff(old, new).collect()
+    by = {}
+    for r in diff:
+        by.setdefault(r.status, set()).add(
+            (r.subject, r.predicate, r.object_lex))
+    added, removed = by.get("added", set()), by.get("removed", set())
+
+    for d in range(100):
+        file = f"org/proj-{d % 7}/src/mod{d}.c"
+        deleted, edited, renamed = d % 11 == 5, d % 7 == 3, d % 13 == 6
+        old_rows = {(s, p, o) for (s, p, o) in
+                    (list(removed) + list(added))
+                    if s == file or o == file}
+        if deleted:
+            # all of the file's triples are in 'removed', none added
+            assert any((s, p, o) in removed for (s, p, o) in old_rows)
+            assert not any(f"mod{d}_v1" in o or f"mod{d}_v1" in s
+                           for (s, p, o) in added)
+        elif renamed:
+            nf = f"org/proj-{d % 7}/src/mod{d}_v1.c"
+            assert (f"org/proj-{d % 7}", "urn:code:contains", nf) in added
+            assert (f"org/proj-{d % 7}", "urn:code:contains", file) \
+                in removed
+            assert (nf, "urn:code:module", f"mod{d}_v1") in added
+        elif edited:
+            shas_rm = {o for (s, p, o) in removed
+                       if s == file and p == "urn:code:sha256"}
+            shas_ad = {o for (s, p, o) in added
+                       if s == file and p == "urn:code:sha256"}
+            assert len(shas_rm) == 1 and len(shas_ad) == 1
+            # ONLY the sha changed for an edited (non-renamed) file
+            others = {(s, p) for (s, p, o) in removed | added
+                      if s == file and p != "urn:code:sha256"}
+            assert not others
+        else:
+            assert not old_rows  # untouched docs never appear
