@@ -529,7 +529,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "skipgrams", "fim", "license", "secrets", "redact",
               "strip-comments", "dsir", "hard-negatives",
               "span-corrupt", "image-augment", "audio-augment",
-              "zorder", "code-kg", "code-kg-rank", "transe-neg")
+              "zorder", "code-kg", "code-kg-rank", "transe-neg",
+              "code-kg-diff")
 
 
 def cmd_scale(args) -> int:
@@ -836,6 +837,13 @@ def cmd_scale(args) -> int:
         # object_dtype) -> one corrupted negative per URI triple
         from octofludb_spark.ops.graph_analytics import transe_negatives
         out = transe_negatives(docs, seed=args.seed)
+    elif args.op == "code-kg-diff":
+        # input: OLD-snapshot triples parquet; --target: NEW snapshot
+        from octofludb_spark.scale.code import kg_snapshot_diff
+        if not args.target:
+            raise SystemExit("scale code-kg-diff needs --target "
+                             "(new-snapshot triples parquet)")
+        out = kg_snapshot_diff(docs, spark.read.parquet(args.target))
     elif args.op == "cdx":
         from octofludb_spark.scale.web import cdx_index
         out = cdx_index(docs, compressed=args.gz)
