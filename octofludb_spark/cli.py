@@ -530,7 +530,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "strip-comments", "dsir", "hard-negatives",
               "span-corrupt", "image-augment", "audio-augment",
               "zorder", "code-kg", "code-kg-rank", "transe-neg",
-              "code-kg-diff")
+              "code-kg-diff", "node2vec")
 
 
 def cmd_scale(args) -> int:
@@ -766,6 +766,10 @@ def cmd_scale(args) -> int:
         # input: edges parquet (src, dst)
         from octofludb_spark.ops.graph_analytics import random_walks
         out = random_walks(docs, walk_len=args.k, seed=args.seed)
+    elif args.op == "node2vec":
+        # input: edges parquet (src, dst); second-order biased walks
+        from octofludb_spark.ops.graph_analytics import node2vec_walks
+        out = node2vec_walks(docs, walk_len=args.k, seed=args.seed)
     elif args.op == "skipgrams":
         # input: walks parquet (walk_id, start, path)
         from octofludb_spark.ops.graph_analytics import walk_skipgrams

@@ -812,3 +812,106 @@ def transe_negatives(triples: DataFrame, n_buckets: int = 16,
                   | ((F.col("side") == "tail")
                      & (F.col("neg") != F.col("t")))))
     return out.select("h", "r", "t", "side", "neg")
+
+
+def node2vec_walks(edges: DataFrame, walk_len: int = 4,
+                   walks_per_node: int = 1, seed: int = 0,
+                   w_return: int = 1, w_in: int = 4,
+                   w_out: int = 2) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walk corpus (Grover &
+    Leskovec 2016) over a directed graph: (walk_id, start, path).
+    Each step weighs the current node's out-neighbours by where they
+    sit relative to the PREVIOUS node — back to it (``w_return``,
+    node2vec's 1/p), adjacent to it (``w_in``, the BFS-ish weight 1),
+    or farther (``w_out``, 1/q) — so integer weights (w_return, w_in,
+    w_out) = (1, 4, 2) correspond to p=4, q=2.  The first step (no
+    previous node) falls through to uniform w_out.
+
+    Deterministic like random_walks: the step-t draw of walk w is
+    ``md5("{seed}:{w}:{t}") mod total_weight`` landing in a
+    neighbour's cumulative-weight interval (dst-asc order) — RNG-free,
+    bit-identical at any parallelism, replayable in SQL (the oracle
+    REWALKS every path through the same class logic and interval
+    arithmetic).  Walks stop at sinks keeping their prefix.
+
+    Scale shape per step: ONE keyed equi-join of the frontier against
+    the ranked adjacency (fan-out = out-degree of the current node),
+    ONE broadcast-free left join against the edge set for the
+    is-adjacent-to-previous class (keyed on (prev, dst)), and ONE
+    walk-keyed window for the cumulative intervals — partitions are
+    single-neighbourhood-sized, never graph-sized.  walk_len is a
+    small constant: the whole plan is unrolled for Catalyst."""
+    from pyspark.sql import Window
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if min(w_return, w_in, w_out) < 1:
+        raise ValueError("class weights must be >= 1")
+    w_rank = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    e = edges.select("src", "dst").distinct()
+    ranked = e.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long") - 1)
+    # fresh lineage for the previous-node adjacency side (a shared
+    # plan with `ranked` trips Spark's ambiguous-self-join check)
+    prev_adj = (edges.select(F.col("src").alias("p_src"),
+                             F.col("dst").alias("p_dst")).distinct()
+                .withColumn("p_hit", F.lit(1)))
+
+    starts = e.select(F.col("src").alias("start")).distinct()
+    reps = F.explode(F.sequence(
+        F.lit(0), F.lit(int(walks_per_node) - 1))).alias("rep")
+    frontier = (starts.select("start", reps)
+                .select(
+                    F.concat_ws(":", F.col("start"), F.col("rep"))
+                    .alias("walk_id"),
+                    F.col("start"),
+                    F.col("start").cast("string").alias("path"),
+                    F.lit(None).cast("string").alias("prev"),
+                    F.col("start").alias("cur")))
+
+    w_cum = Window.partitionBy("walk_id").orderBy(F.col("rank").asc())
+    w_tot = Window.partitionBy("walk_id")
+    for t in range(int(walk_len)):
+        draw = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(int(seed)), F.col("walk_id"),
+                              F.lit(t))), 1, 12), 16, 10)
+            .cast("long"))
+        cand = (frontier.alias("f")
+                .join(ranked.alias("rk"),
+                      F.col("f.cur") == F.col("rk.src"))
+                .join(prev_adj.alias("pa"),
+                      (F.col("f.prev") == F.col("pa.p_src"))
+                      & (F.col("rk.dst") == F.col("pa.p_dst")), "left")
+                .select(F.col("f.walk_id").alias("walk_id"),
+                        F.col("f.prev").alias("prev"),
+                        F.col("rk.dst").alias("dst"),
+                        F.col("rk.rank").alias("rank"),
+                        F.col("pa.p_hit").alias("p_hit"))
+                .withColumn(
+                    "w",
+                    F.when(F.col("dst") == F.col("prev"),
+                           F.lit(int(w_return)))
+                    .when(F.col("p_hit").isNotNull(), F.lit(int(w_in)))
+                    .otherwise(F.lit(int(w_out))).cast("long")))
+        cand = (cand
+                .withColumn("cum", F.sum("w").over(w_cum))
+                .withColumn("tot", F.sum("w").over(w_tot))
+                .withColumn("r", F.pmod(draw, F.col("tot")))
+                .where((F.col("r") >= F.col("cum") - F.col("w"))
+                       & (F.col("r") < F.col("cum")))
+                .select(F.col("walk_id").alias("c_walk"),
+                        F.col("dst").alias("nxt")))
+        frontier = (frontier
+                    .join(cand, frontier["walk_id"] == cand["c_walk"],
+                          "left")
+                    .select(
+                        "walk_id", "start",
+                        F.when(F.col("nxt").isNull(), F.col("path"))
+                        .otherwise(F.concat_ws(" ", F.col("path"),
+                                               F.col("nxt")))
+                        .alias("path"),
+                        F.when(F.col("nxt").isNull(),
+                               F.lit(None).cast("string"))
+                        .otherwise(F.col("cur")).alias("prev"),
+                        F.col("nxt").alias("cur")))
+    return frontier.select("walk_id", "start", "path")

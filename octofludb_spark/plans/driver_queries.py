@@ -6153,6 +6153,78 @@ def graph_random_walks(spark, sf):
                         seed=0)
 
 
+def _node2vec_cte() -> str:
+    """Unrolled second-order biased-walk replay over the closed-form
+    host edges, mirroring ops/graph_analytics.node2vec_walks step for
+    step: per-step neighbour classes vs the PREVIOUS node (return=1,
+    in=4, out=2), cumulative-weight intervals in dst-asc order, and
+    the md5 draw landing in an interval."""
+    steps = []
+    for t in range(_WALK_LEN):
+        steps.append(f""",
+ n{t} AS (SELECT f.walk_id, f.prev, f.cur, rk.dst, rk.rnk,
+                CASE WHEN rk.dst = f.prev THEN 1
+                     WHEN ep.src IS NOT NULL THEN 4
+                     ELSE 2 END AS w
+         FROM f{t} f JOIN rk ON f.cur = rk.src
+         LEFT JOIN e ep ON ep.src = f.prev AND ep.dst = rk.dst),
+ c{t} AS (SELECT *,
+                SUM(w) OVER (PARTITION BY walk_id ORDER BY rnk) AS cum,
+                SUM(w) OVER (PARTITION BY walk_id) AS tot FROM n{t}),
+ p{t} AS (SELECT walk_id, dst FROM c{t}
+         WHERE CAST(('0x' || substr(md5('0:' || walk_id || ':{t}'),
+                                    1, 12)) AS BIGINT) % tot
+               BETWEEN cum - w AND cum - 1),
+ f{t + 1} AS (SELECT f.walk_id, f.start,
+                  CASE WHEN p.dst IS NULL THEN f.path
+                       ELSE f.path || ' ' || p.dst END AS path,
+                  CASE WHEN p.dst IS NULL THEN NULL
+                       ELSE f.cur END AS prev,
+                  p.dst AS cur
+           FROM f{t} f LEFT JOIN p{t} p USING (walk_id))""")
+    return f"""{_LINKFARM_EDGE_CTE},
+ e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ledges),
+ rk AS (SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst ASC) - 1
+            AS rnk
+        FROM e),
+ s0 AS (SELECT DISTINCT src AS start FROM e),
+ f0 AS (SELECT start || ':' || r.rep AS walk_id, start,
+               CAST(start AS VARCHAR) AS path,
+               CAST(NULL AS VARCHAR) AS prev, start AS cur
+        FROM s0, range(2) r(rep)){''.join(steps)}"""
+
+
+_NODE2VEC_SQL = f"""
+WITH {_node2vec_cte()}
+SELECT walk_id, start, path FROM f{_WALK_LEN}
+"""
+
+
+@q("graph_node2vec_walks", _NODE2VEC_SQL)
+def graph_node2vec_walks(spark, sf):
+    """node2vec SECOND-ORDER biased walks over the REAL crawl host
+    graph (ops/graph_analytics.node2vec_walks): each step classes the
+    current node's neighbours against the PREVIOUS node — return /
+    adjacent / far, integer weights (1, 4, 2) = p=4, q=2 — and the
+    md5 draw lands in a cumulative-weight interval, so the entire
+    biased trajectory is RNG-free and the oracle REWALKS every path
+    through the same class logic and interval arithmetic.  Per step:
+    one keyed adjacency join, one (prev, dst)-keyed class join, one
+    walk-keyed window over single-neighbourhood partitions.  The BFS/
+    DFS interpolation DeepWalk cannot express, as the same kind of
+    corpus the pack/shuffle/dedup ops consume downstream."""
+    from octofludb_spark.ops.graph_analytics import node2vec_walks
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"), linkfarm=True)
+    edges = (W.host_link_graph(W.http_responses(m))
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst")))
+    return node2vec_walks(edges, walk_len=_WALK_LEN, walks_per_node=2,
+                          seed=0, w_return=1, w_in=4, w_out=2)
+
+
 _SKIPGRAM_SQL = f"""
 WITH {_random_walk_cte()},
  tk AS (SELECT string_split(path, ' ') AS ws FROM f{_WALK_LEN}),

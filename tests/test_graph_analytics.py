@@ -284,3 +284,67 @@ def test_walk_skipgrams_plan_is_joinless(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # the count agg's partial/final
+
+
+def test_node2vec_walks_python_replay(spark):
+    """Second-order biased walks replay exactly in python: class
+    weights vs the previous node, cumulative intervals, md5 draws."""
+    import hashlib
+
+    from octofludb_spark.ops.graph_analytics import (node2vec_walks,
+                                                     random_walks)
+
+    raw = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+           ("c", "a"), ("d", "b"), ("c", "d")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = sorted(map(tuple, node2vec_walks(
+        edges, walk_len=4, walks_per_node=2, seed=0).collect()))
+
+    adj = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+
+    def replay(start, rep, seed=0, length=4, wr=1, wi=4, wo=2):
+        wid = f"{start}:{rep}"
+        path, prev, cur = [start], None, start
+        for step in range(length):
+            nbrs = sorted(adj.get(cur, []))
+            if not nbrs:
+                break
+            ws = [wr if (prev and x == prev)
+                  else wi if (prev and x in adj.get(prev, set()))
+                  else wo for x in nbrs]
+            r = int(hashlib.md5(
+                f"{seed}:{wid}:{step}".encode()).hexdigest()[:12],
+                16) % sum(ws)
+            cum = 0
+            for x, wgt in zip(nbrs, ws):
+                cum += wgt
+                if r < cum:
+                    nxt = x
+                    break
+            prev, cur = cur, nxt
+            path.append(nxt)
+        return (wid, start, " ".join(path))
+
+    expect = sorted(replay(s, r) for s in adj for r in (0, 1))
+    assert got == expect
+    # the bias genuinely changes trajectories vs uniform DeepWalk
+    uni = sorted(map(tuple, random_walks(
+        edges, walk_len=4, walks_per_node=2, seed=0).collect()))
+    assert got != uni
+    # parallelism invariance
+    rep2 = sorted(map(tuple, node2vec_walks(
+        edges.repartition(7), walk_len=4, walks_per_node=2,
+        seed=0).collect()))
+    assert got == rep2
+
+
+def test_node2vec_walks_sink_keeps_prefix(spark):
+    from octofludb_spark.ops.graph_analytics import node2vec_walks
+
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "a")], ["src", "dst"])
+    got = {tuple(r) for r in node2vec_walks(edges, walk_len=3).collect()}
+    assert ("a:0", "a", "a z") in got        # stops at sink z
+    assert ("b:0", "b", "b a z") in got
