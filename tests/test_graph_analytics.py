@@ -348,3 +348,27 @@ def test_node2vec_walks_sink_keeps_prefix(spark):
     got = {tuple(r) for r in node2vec_walks(edges, walk_len=3).collect()}
     assert ("a:0", "a", "a z") in got        # stops at sink z
     assert ("b:0", "b", "b a z") in got
+
+
+def test_skipgrams_compose_over_node2vec_walks(spark):
+    """The walk corpus contract is shared: walk_skipgrams consumes
+    node2vec output exactly as it consumes DeepWalk output."""
+    from octofludb_spark.ops.graph_analytics import (node2vec_walks,
+                                                     walk_skipgrams)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")],
+        ["src", "dst"])
+    walks = node2vec_walks(edges, walk_len=3, walks_per_node=2, seed=1)
+    pairs = walk_skipgrams(walks, window=1).collect()
+    # replay: every +/-1 pair from every path, counted
+    from collections import Counter
+    want = Counter()
+    for r in walks.collect():
+        toks = r.path.split(" ")
+        for i, c in enumerate(toks):
+            for j in (i - 1, i + 1):
+                if 0 <= j < len(toks):
+                    want[(c, toks[j])] += 1
+    got = {(r.center, r.context): r.n_pairs for r in pairs}
+    assert got == dict(want) and got
