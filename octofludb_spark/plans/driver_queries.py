@@ -7264,6 +7264,44 @@ def sparql_code_imports(spark, sf):
     return sparql_to_df(spark, text, can)
 
 
+_CODEKG_REPORT_SQL = f"""
+WITH {_CODEKG_CTE},
+ base AS (SELECT 'org/proj-' || (doc_id % 7) AS repo,
+                 COUNT(*) AS n_files,
+                 SUM(1 + doc_id % 2) AS n_defines,
+                 SUM(1 + doc_id % 3) AS n_imports
+          FROM ckg GROUP BY 1),
+ mods AS (SELECT 'org/proj-' || (doc_id % 7) AS repo,
+                 COUNT(DISTINCT k) AS n_modules
+          FROM cimp GROUP BY 1)
+SELECT b.repo, CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_defines AS BIGINT) AS n_defines,
+       CAST(n_imports AS BIGINT) AS n_imports,
+       CAST(n_modules AS BIGINT) AS n_modules
+FROM base b JOIN mods m ON m.repo = b.repo
+"""
+
+
+@q("code_kg_repo_report", _CODEKG_REPORT_SQL)
+def code_kg_repo_report(spark, sf):
+    """The report stage of KG construction on the code face
+    (scale/code.py code_repo_report): per-repository file / symbol /
+    import-statement / distinct-dependency rollup over the CANONICAL
+    graph (distinct modules must count alias forms once — the report
+    is only correct after entity linking).  Each family is one
+    predicate-filtered scan + one repo-keyed aggregate; repo is
+    recovered from the file IRI by a map-side regexp, so no join
+    against the containment relation ever touches triple-scale rows.
+    Oracle states the whole rollup closed-form from the doc_id
+    lattice."""
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    can = canonicalize(tr, C.module_alias_map(tr))
+    return C.code_repo_report(can)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------

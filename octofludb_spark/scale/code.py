@@ -406,3 +406,40 @@ def import_module_edges(triples: DataFrame) -> DataFrame:
     return (mod.join(imp, "file")
             .where(F.col("src") != F.col("dst"))
             .select("src", "dst").distinct())
+
+
+def code_repo_report(triples: DataFrame) -> DataFrame:
+    """Per-repository rollup over the (canonical) code KG — the
+    report stage of KG construction applied to the code face:
+    (repo, n_files, n_defines, n_imports, n_modules) where n_imports
+    counts import statements and n_modules the DISTINCT modules a
+    repo depends on.
+
+    The file IRI embeds its repo (repo || '/src/...'), so every slice
+    recovers repo with one map-side regexp — no join against the
+    containment relation; each family is one predicate-filtered scan
+    + one 7-ish-row aggregate, and the final assembly joins
+    repo-cardinality tables (broadcast-trivial at any corpus size)."""
+    repo_of = F.regexp_extract("subject", r"^(.*?)/src/", 1)
+
+    files = (triples.where(F.col("predicate") == CODE_NS + "contains")
+             .groupBy(F.col("subject").alias("repo"))
+             .agg(F.countDistinct("object_lex").cast("long")
+                  .alias("n_files")))
+    defines = (triples.where(F.col("predicate") == CODE_NS + "defines")
+               .select(repo_of.alias("repo"))
+               .groupBy("repo")
+               .agg(F.count("*").cast("long").alias("n_defines")))
+    imports = (triples.where(F.col("predicate") == CODE_NS + "imports")
+               .select(repo_of.alias("repo"), "object_lex")
+               .groupBy("repo")
+               .agg(F.count("*").cast("long").alias("n_imports"),
+                    F.countDistinct("object_lex").cast("long")
+                    .alias("n_modules")))
+    return (files.join(defines, "repo", "left")
+            .join(imports, "repo", "left")
+            .select("repo",
+                    "n_files",
+                    F.coalesce("n_defines", F.lit(0)).alias("n_defines"),
+                    F.coalesce("n_imports", F.lit(0)).alias("n_imports"),
+                    F.coalesce("n_modules", F.lit(0)).alias("n_modules")))

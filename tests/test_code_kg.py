@@ -238,3 +238,25 @@ def test_kg_snapshot_diff_change_lattice(spark):
             assert not others
         else:
             assert not old_rows  # untouched docs never appear
+
+
+def test_code_repo_report_replay(spark):
+    from octofludb_spark.ops.canonicalize import canonicalize
+    from octofludb_spark.scale.code import (
+        code_kg_triples, code_repo_report, module_alias_map,
+        synth_code_repo)
+
+    n = 60
+    tr = code_kg_triples(synth_code_repo(_docs(spark, n)))
+    rep = {r.repo: r for r in
+           code_repo_report(canonicalize(tr, module_alias_map(tr)))
+           .collect()}
+    for repo_i in range(7):
+        ds = [d for d in range(n) if d % 7 == repo_i]
+        r = rep[f"org/proj-{repo_i}"]
+        assert r.n_files == len(ds)
+        assert r.n_defines == sum(1 + d % 2 for d in ds)
+        assert r.n_imports == sum(1 + d % 3 for d in ds)
+        mods = {(d + 31 * j + 7) % 997
+                for d in ds for j in range(1 + d % 3)}
+        assert r.n_modules == len(mods)
