@@ -2367,41 +2367,70 @@ WITH t AS (SELECT subject, predicate, object_lex
        LEFT JOIN sero se ON b.gid = se.gid
        LEFT JOIN gsub gs ON b.sid = gs.sid
        GROUP BY 1, 2),
- per AS (SELECT strain_name,
-           flatten(list(string_split(isolates, '+'))) AS iso_all,
-           list_distinct(list(CASE WHEN NOT contains(segment_subtypes, '+')
-                 AND regexp_matches(segment_subtypes, '^H[0-9]+$')
-                 THEN segment_subtypes END)) AS has0,
-           list_distinct(list(CASE WHEN NOT contains(segment_subtypes, '+')
-                 AND regexp_matches(segment_subtypes, '^N[0-9]+$')
-                 THEN segment_subtypes END)) AS nas0,
-           flatten(list(DISTINCT string_split(gisaid_subtypes, '+'))) AS gis_raw,
-           flatten(list(DISTINCT string_split(genbank_subtypes, '+'))) AS gb_raw
-         FROM q GROUP BY strain_name),
- cleaned AS (SELECT strain_name, iso_all,
-           list_filter(has0, x -> x IS NOT NULL) AS has,
-           list_filter(nas0, x -> x IS NOT NULL) AS nas,
-           list_distinct(list_transform(
-             list_filter(gis_raw, x -> x IS NOT NULL AND x <> ''),
-             x -> regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 1)
-               || regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 2)))
-             AS gis,
-           list_distinct(list_transform(
-             list_filter(gb_raw, x -> x IS NOT NULL AND x <> ''),
-             x -> regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 1)
-               || regexp_extract(upper(trim(x)), '.*(H[0-9]+).*(N[0-9]+).*', 2)))
-             AS gb
-         FROM per),
- resolved AS (SELECT strain_name,
-           CASE WHEN len(has) = 1 AND len(nas) = 1 THEN has[1] || nas[1]
-                WHEN len(gis) > 1 OR len(gb) > 1
-                  OR len(has) > 1 OR len(nas) > 1 THEN 'mixed'
-                WHEN len(gb) = 1 THEN gb[1]
-                WHEN len(gis) = 1 THEN gis[1]
+ -- Portable tail (VERDICT r4 #1): the previous list(DISTINCT
+ -- string_split)/list(CASE ...) machinery was DuckDB-version-sensitive;
+ -- this rewrite uses only constructs proven green in the other 184
+ -- oracles: unnest in the SELECT list, GROUP BY, COUNT(DISTINCT),
+ -- string_agg(... ORDER BY ...), and regexp_matches-guarded
+ -- regexp_extract.
+ gtok AS (SELECT strain_name, unnest(string_split(gisaid_subtypes, '+')) AS tok
+          FROM q),
+ btok AS (SELECT strain_name, unnest(string_split(genbank_subtypes, '+')) AS tok
+          FROM q),
+ itok AS (SELECT DISTINCT strain_name, tok FROM
+            (SELECT strain_name, unnest(string_split(isolates, '+')) AS tok
+             FROM q)),
+ gclean AS (SELECT strain_name,
+              CASE WHEN regexp_matches(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*')
+                   THEN regexp_extract(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*', 1)
+                     || regexp_extract(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*', 2)
+                   ELSE '' END AS val
+            FROM gtok WHERE tok <> ''),
+ bclean AS (SELECT strain_name,
+              CASE WHEN regexp_matches(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*')
+                   THEN regexp_extract(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*', 1)
+                     || regexp_extract(upper(trim(tok)),
+                                       '.*(H[0-9]+).*(N[0-9]+).*', 2)
+                   ELSE '' END AS val
+            FROM btok WHERE tok <> ''),
+ gagg AS (SELECT strain_name, COUNT(DISTINCT val) AS n, MIN(val) AS v
+          FROM gclean GROUP BY strain_name),
+ bagg AS (SELECT strain_name, COUNT(DISTINCT val) AS n, MIN(val) AS v
+          FROM bclean GROUP BY strain_name),
+ hvote AS (SELECT strain_name, upper(trim(segment_subtypes)) AS val FROM q
+           WHERE strpos(segment_subtypes, '+') = 0
+             AND regexp_matches(segment_subtypes, '^H[0-9]+$')),
+ nvote AS (SELECT strain_name, upper(trim(segment_subtypes)) AS val FROM q
+           WHERE strpos(segment_subtypes, '+') = 0
+             AND regexp_matches(segment_subtypes, '^N[0-9]+$')),
+ hagg AS (SELECT strain_name, COUNT(DISTINCT val) AS n, MIN(val) AS v
+          FROM hvote GROUP BY strain_name),
+ nagg AS (SELECT strain_name, COUNT(DISTINCT val) AS n, MIN(val) AS v
+          FROM nvote GROUP BY strain_name),
+ iagg AS (SELECT strain_name, string_agg(tok, '+' ORDER BY tok) AS isolates
+          FROM itok WHERE tok <> '' GROUP BY strain_name),
+ names AS (SELECT DISTINCT strain_name FROM q),
+ resolved AS (SELECT s.strain_name,
+           CASE WHEN COALESCE(h.n, 0) = 1 AND COALESCE(na.n, 0) = 1
+                  THEN h.v || na.v
+                WHEN COALESCE(g.n, 0) > 1 OR COALESCE(b.n, 0) > 1
+                  OR COALESCE(h.n, 0) > 1 OR COALESCE(na.n, 0) > 1
+                  THEN 'mixed'
+                WHEN COALESCE(b.n, 0) = 1 THEN b.v
+                WHEN COALESCE(g.n, 0) = 1 THEN g.v
                 ELSE NULL END AS subtype,
-           array_to_string(list_sort(list_distinct(
-             list_filter(iso_all, x -> x <> ''))), '+') AS isolates
-         FROM cleaned)
+           COALESCE(i.isolates, '') AS isolates
+         FROM names s
+         LEFT JOIN hagg h USING (strain_name)
+         LEFT JOIN nagg na USING (strain_name)
+         LEFT JOIN gagg g USING (strain_name)
+         LEFT JOIN bagg b USING (strain_name)
+         LEFT JOIN iagg i USING (strain_name))
 SELECT strain_name, subtype, isolates FROM resolved WHERE subtype IS NOT NULL
 """
 
