@@ -26,6 +26,29 @@ PR_SCALE = 1_000_000_000_000  # rank micro-units: 1.0 == 10^12
 HITS_SCALE = 1_000_000  # HITS micro-units: L1 norm == 10^6
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and CUT its logical-plan lineage — the
+    iterative-op discipline (pagerank round-4 fix, extended to hits/
+    kcore in round 5): persist() bounds *execution* but every unrolled
+    round still re-embeds the full upstream plan, so Catalyst
+    re-analyzes a plan that grows per round (kcore hit 11k Exchange
+    nodes in the round-4 plan audit; pure analysis waste at scale).
+
+    Uses reliable ``checkpoint()`` (+persist: the checkpoint re-reads
+    files per scan) when the caller configured a checkpoint dir —
+    that's the explicit durability request; note files outlive the op
+    unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
+    (the engine's own get_spark enables it).  Otherwise eager
+    ``localCheckpoint()`` — executor-local, right for local mode and
+    for clusters that can afford recompute-on-loss."""
+    try:
+        has_dir = (df.sparkSession.sparkContext._jsc.sc()
+                   .getCheckpointDir().isDefined())
+    except Exception:
+        has_dir = False
+    return df.checkpoint().persist() if has_dir else df.localCheckpoint()
+
+
 def undirect(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set from (src, dst): distinct pairs
     with src < dst, self-loops dropped."""
@@ -108,8 +131,13 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     bounded by HITS_SCALE keep products within BIGINT for graphs up
     to ~9e6 nodes (swap to DECIMAL(38,0) beyond).  Nodes without
     in-edges (out-edges) hold authority (hub) 0."""
-    e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")).distinct().persist()
+    # truncate at the edge table (round-4 pagerank discipline): the
+    # caller's lineage (extraction -> canonicalize -> join) would be
+    # re-embedded ~4x per round otherwise — 7,372 Exchange nodes in
+    # the round-4 plan audit
+    e = _truncate_lineage(
+        edges.select("src", "dst").where(
+            F.col("src") != F.col("dst")).distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -129,9 +157,10 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         # into the projection as a literal.  A crossJoin(broadcast(
         # agg)) variant keeps the plan lazy but nests a broadcast
         # exchange per round — measured 2x slower and heap-hungry by
-        # iteration 3.  x is persisted so the sum and both downstream
-        # consumers read the same materialized rows.
-        x = x.persist()
+        # iteration 3.  x is materialized anyway for the sum, so cut
+        # the round's lineage here too — round k+1's plan then builds
+        # on a flat table instead of k nested rounds.
+        x = _truncate_lineage(x)
         cached.append(x)
         s = int(x.agg(F.greatest(F.sum(col), F.lit(1))).first()[0])
         return x.select(
@@ -239,16 +268,9 @@ def pagerank(edges: DataFrame, iters: int = 5,
     # checkpoint dir is configured (survives executor loss on a
     # cluster), else localCheckpoint() (executor-local; right for
     # local mode and measured 3x end-to-end on a deep-lineage caller).
-    e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")).distinct()
-    try:
-        has_dir = (edges.sparkSession.sparkContext._jsc.sc()
-                   .getCheckpointDir().isDefined())
-    except Exception:
-        has_dir = False
-    # (localCheckpoint already caches its partitions; the reliable
-    # checkpoint re-reads files per scan, so persist on top of it)
-    e = e.checkpoint().persist() if has_dir else e.localCheckpoint()
+    e = _truncate_lineage(
+        edges.select("src", "dst").where(
+            F.col("src") != F.col("dst")).distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -362,8 +384,11 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     Scale shape: per round one degree aggregation (map-side partial)
     + two semi-joins of the edge set against the surviving-node set —
     the classic distributed peel; the edge set only shrinks, and each
-    round is persisted so round r+1 scans a materialized table."""
-    cur = undirect(edges).persist()
+    round's lineage is CUT (checkpoint, not just persist): a round
+    references the previous edge set three times (degree + two
+    semi-joins), so the un-truncated plan grew ~3^rounds references
+    and hit 11,554 Exchange nodes in the round-4 plan audit."""
+    cur = _truncate_lineage(undirect(edges))
     cached = [cur]
     try:
         for _ in range(rounds):
@@ -373,12 +398,11 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
                 .groupBy("node").agg(F.count("*").alias("d"))
             )
             keep = deg.where(F.col("d") >= k).select("node")
-            cur = (
+            cur = _truncate_lineage(
                 cur.join(keep.withColumnRenamed("node", "a"), "a",
                          "left_semi")
                 .join(keep.withColumnRenamed("node", "b"), "b",
                       "left_semi")
-                .persist()
             )
             cached.append(cur)
         out = (

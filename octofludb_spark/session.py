@@ -42,6 +42,11 @@ def get_spark(
         # the first driver collect after a big persist into a multi-
         # second GC stall (measured), so size it to the box
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # iterative ops (pagerank/hits/kcore) use reliable checkpoint()
+        # when a checkpoint dir is configured; without this flag the
+        # checkpoint files outlive every invocation and leak a copy of
+        # the edge table per call for the app's lifetime
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     if local_dir:
