@@ -928,39 +928,18 @@ def perplexity_buckets(docs: DataFrame, vocab_k: int = 50_000,
 # public web-corpus pipelines (CCNet dedups by URL before content):
 # pure regex/array expressions, identical in the DuckDB oracle.
 
-URL_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
+from octofludb_spark.scale.urlnorm import (  # noqa: E402  (re-export)
+    URL_TRACKING_RE,
+    url_canonicalize,
+)
 
 
 def url_normalize(docs: DataFrame, url_col: str = "url") -> DataFrame:
-    """Canonicalize a URL column: drop the #fragment, lowercase the
-    scheme://host[:port] prefix, strip a leading 'www.', strip the
-    scheme-default port (:80 http / :443 https), strip trailing
-    slashes from the path, and remove tracking query parameters
-    (utm_*, fbclid, gclid) while preserving the remaining parameter
-    order.  Adds ``url_norm``; all other columns pass through.
-    One map-side projection — no shuffle, no UDF."""
-    u = F.col(url_col)
-    nofrag = F.regexp_replace(u, "#.*", "")
-    base = F.regexp_replace(nofrag, r"\?.*", "")
-    query = F.when(nofrag.contains("?"),
-                   F.regexp_replace(nofrag, r"^[^?]*\?", "")) \
-        .otherwise(F.lit(""))
-    prefix = F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
-    path = F.substr(base, F.length(prefix) + 1)
-    p2 = F.lower(prefix)
-    p2 = F.regexp_replace(p2, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
-    p2 = F.regexp_replace(p2, "^(http://.*):80$", "$1")
-    p2 = F.regexp_replace(p2, "^(https://.*):443$", "$1")
-    path2 = F.regexp_replace(path, "/+$", "")
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE))
-    norm = F.concat(
-        p2, path2,
-        F.when(F.size(params) > 0,
-               F.concat(F.lit("?"), F.array_join(params, "&")))
-        .otherwise(F.lit("")))
-    return docs.withColumn("url_norm", norm)
+    """Dedup-layer URL canonicalization — delegates to the unified
+    ``urlnorm.url_canonicalize(mode="dedup")`` (see that module for
+    the convention).  Adds ``url_norm``; all other columns pass
+    through.  One map-side projection — no shuffle, no UDF."""
+    return url_canonicalize(docs, url_col, mode="dedup")
 
 
 def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:

@@ -629,48 +629,14 @@ def anchor_text(resp: DataFrame, body_col: str = "body") -> DataFrame:
 # ------------------------------------------------------------------
 
 def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """RFC 3986-flavored URL canonicalization, entirely JVM-side —
-    the normalize-before-dedup step every frontier needs (the same
-    page reachable as HTTP://Example.ORG:80/a//b/./c?b=2&a=1#frag
-    and https://example.org/a/b/c?a=1&b=2 must collapse to one key).
+    """RFC 3986-flavored frontier URL canonicalization — delegates to
+    the unified ``urlnorm.url_canonicalize(mode="frontier")`` (see
+    that module for the convention and how it differs from the
+    dedup-layer mode).  Adds ``url_canon`` next to the input column;
+    entirely JVM-side, no shuffle."""
+    from octofludb_spark.scale.urlnorm import url_canonicalize
 
-    Steps: lowercase scheme+host, strip default port, drop fragment,
-    collapse duplicate slashes, resolve ./ and ../ dot-segments
-    (an `aggregate` fold over path segments — no Python, no explode),
-    sort query parameters.  Adds `url_canon` next to the input column.
-    """
-    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
-    hostport = F.lower(F.regexp_extract(url_col, r"^[^:]+://([^/?#]*)", 1))
-    host = (F.when((scheme == "http") & hostport.endswith(":80"),
-                   hostport.substr(F.lit(1), F.length(hostport) - 3))
-            .when((scheme == "https") & hostport.endswith(":443"),
-                  hostport.substr(F.lit(1), F.length(hostport) - 4))
-            .otherwise(hostport))
-    rest = F.regexp_extract(url_col, r"^[^:]+://[^/?#]*([^#]*)", 1)
-    path = F.regexp_extract(rest, r"^([^?]*)", 1)
-    query = F.regexp_extract(rest, r"\?(.*)$", 1)
-    # duplicate-slash collapse, then dot-segment fold over segments
-    squashed = F.regexp_replace(path, "/{2,}", "/")
-    segs = F.split(squashed, "/")
-    folded = F.aggregate(
-        segs,
-        F.expr("CAST(array() AS ARRAY<STRING>)"),
-        lambda acc, x: (
-            F.when(x == ".", acc)
-             .when(x == "..", F.slice(acc, F.lit(1),
-                                      F.greatest(F.size(acc) - 1, F.lit(0))))
-             .otherwise(F.concat(acc, F.array(x)))),
-    )
-    canon_path = F.when(squashed == "", F.lit("/")).otherwise(
-        F.concat(F.lit("/"), F.array_join(
-            F.filter(folded, lambda s: s != ""), "/")))
-    canon_query = F.when(
-        query == "", F.lit("")).otherwise(
-        F.concat(F.lit("?"), F.array_join(
-            F.array_sort(F.split(query, "&")), "&")))
-    return df.withColumn(
-        "url_canon",
-        F.concat(scheme, F.lit("://"), host, canon_path, canon_query))
+    return url_canonicalize(df, url_col, mode="frontier")
 
 
 # ------------------------------------------------------------------

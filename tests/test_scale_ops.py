@@ -1414,6 +1414,34 @@ def test_url_normalize_cases(spark):
     assert dd[2].keep == 1 and dd[3].keep == 1  # different schemes differ
 
 
+def test_url_canonicalize_unified(spark):
+    """Round-5 unification: both URL conventions live behind ONE
+    entry point (scale/urlnorm.py) and the text/web wrappers are pure
+    delegates — same rows, same output columns, and the two modes
+    disagree exactly where their conventions differ (dot-segments,
+    query order, www-stripping)."""
+    import pytest
+
+    from octofludb_spark.scale.urlnorm import OUT_COLS, url_canonicalize
+    from octofludb_spark.scale.text import url_normalize as dedup_norm
+    from octofludb_spark.scale.web import url_normalize as frontier_norm
+
+    d = spark.createDataFrame(
+        [(1, "HTTP://www.Example.ORG:80/a//b/./c?b=2&a=1#frag")],
+        "doc_id long, url string")
+    uni_d = url_canonicalize(d, "url", mode="dedup").first()
+    uni_f = url_canonicalize(d, "url", mode="frontier").first()
+    assert uni_d.url_norm == dedup_norm(d).first().url_norm
+    assert uni_f.url_canon == frontier_norm(d).first().url_canon
+    # frontier resolves dot-segments + sorts params; dedup preserves
+    # order and strips www — the documented semantic difference
+    assert uni_f.url_canon == "http://www.example.org/a/b/c?a=1&b=2"
+    assert uni_d.url_norm == "http://example.org/a//b/./c?b=2&a=1"
+    assert set(OUT_COLS.values()) == {"url_norm", "url_canon"}
+    with pytest.raises(ValueError):
+        url_canonicalize(d, "url", mode="nope")
+
+
 def test_kcore_peels_tail(spark):
     """A triangle with a pendant chain: k=2 peeling removes the chain
     (iteratively) and keeps the triangle at degree 2."""
