@@ -4259,6 +4259,47 @@ def multimodal_jpeg(spark, sf):
                     "n_pixels", "pixel_sum")
 
 
+_JPEG_PROG_SQL = """
+WITH p AS (SELECT doc_id,
+                  CAST(2 + doc_id % 5 AS BIGINT) AS wb,
+                  CAST(2 + (doc_id * 7) % 5 AS BIGINT) AS hb
+           FROM documents),
+s AS (SELECT doc_id,
+             CAST(64 * SUM((doc_id + 23 * bx.i + 31 * by.j) % 256)
+                  AS BIGINT) AS pixel_sum
+      FROM p, range(8) bx(i), range(8) by(j)
+      WHERE bx.i < p.wb AND by.j < p.hb
+      GROUP BY doc_id)
+SELECT p.doc_id AS media_id, 'jpeg' AS format,
+       8 * wb AS width, 8 * hb AS height,
+       64 * wb * hb AS n_pixels, s.pixel_sum AS pixel_sum
+FROM p JOIN s USING (doc_id)
+"""
+
+
+@q("multimodal_jpeg_progressive", _JPEG_PROG_SQL)
+def multimodal_jpeg_progressive(spark, sf):
+    """REAL progressive (SOF2) JPEG codec, hash-oracled: payloads are
+    encoded with the stdlib+numpy progressive encoder — a libjpeg-
+    style successive-approximation scan script (interleaved DC first
+    at Al=1, spectral-selection AC bands at Al=2, the Ah=2->1->0
+    refinement ladder with cross-block EOB runs and buffered
+    correction bits) — and decoded back by the multi-scan decoder
+    (scale/multimodal.py synth_jpeg_progressive/decode_jpeg_pixels).
+    Images are 8x8-block-constant, which survive quantization exactly,
+    so the DuckDB oracle states the decoded pixel sums in closed form;
+    the AC-heavy progressive paths are pinned to the same oracle
+    transitively by the pytest equality battery against the sequential
+    codec (tests/test_jpeg_progressive.py).  Both steps are
+    Arrow-batched mapInPandas; payload bytes never visit the driver."""
+    from octofludb_spark.scale.multimodal import (
+        decode_media, synth_jpeg_progressive_media)
+
+    m = decode_media(synth_jpeg_progressive_media(t(spark, sf, "documents")))
+    return m.select("media_id", "format", "width", "height",
+                    "n_pixels", "pixel_sum")
+
+
 _RESIZE_SQL = """
 WITH p AS (SELECT doc_id,
                   CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,

@@ -8,10 +8,12 @@ Decode coverage is pure stdlib (struct/zlib) + numpy, no PIL/ffmpeg:
   * FULL CONTENT decode — png (IDAT inflate + unfiltering of all five
     scanline filter types, color types 0/2/3/4/6), 24-bit bmp, gif
     (variable-width LZW, every frame, palette mapping), 16-bit PCM
-    wav, and baseline jpeg — grayscale AND 3-component YCbCr color at
-    4:4:4 / 4:2:0 (marker walk, per-component interleaved-MCU
-    canonical-Huffman entropy decode, dequantize + batched IDCT,
-    chroma upsample, exact integer BT.601 color transform).
+    wav, and jpeg — baseline/extended-sequential (SOF0/SOF1) AND
+    progressive (SOF2: spectral selection, successive approximation,
+    EOB runs), grayscale AND 3-component YCbCr color at 4:4:4 / 4:2:0
+    (marker walk, per-scan canonical-Huffman entropy decode,
+    dequantize + batched IDCT, chroma upsample, exact integer BT.601
+    color transform); only arithmetic-coded / lossless JPEG raises.
   * mp4 (ISO BMFF) — real box-tree walk (dimensions, timescales,
     durations, frame counts from mvhd/tkhd/mdhd/stts/stsz) AND real
     sample demux (stsz/stsc/stco -> per-sample mdat byte slices); the
@@ -886,6 +888,310 @@ def synth_jpeg_color(width: int, height: int, rgb_fn=None,
             + w.flush() + b"\xff\xd9")
 
 
+# ---------------------------------------------- progressive (SOF2) JPEG
+# Spectral-selection + successive-approximation progressive coding
+# (ITU-T T.81 Annex G, Huffman entropy only).  The encoder emits a
+# libjpeg-style scan script — interleaved DC first scan at Al=1,
+# per-component spectral-selection AC first scans at Al=2, an AC
+# refinement ladder (Ah=2->1, 1->0) with cross-block EOB runs and
+# buffered correction bits, then a DC refinement scan — and the
+# decoder accumulates coefficients across scans, so every decoder
+# path (DC first/refine, AC first/refine, ZRL, EOBn) is exercised by
+# the round-trip tests.  Arithmetic-coded JPEG stays out of scope.
+
+# AC Huffman table for progressive scans: Annex K's 162 (run, size)
+# symbols plus the EOBn symbols 0x10..0xE0 that only progressive
+# streams use, all as 9-bit canonical codes.  The decoder reads tables
+# from the DHT the file itself carries, so any valid prefix code works
+# — compression ratio is irrelevant here.
+_PROG_AC_VALS = sorted(set(_AC_VALS) | {r << 4 for r in range(1, 15)})
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALS)
+
+
+def _enc_eob_flush(w: "_JpegBitWriter", ac_code: dict,
+                   eob_cnt: int, eob_bits: list) -> tuple[int, list]:
+    """Emit the pending EOBn run — plus the correction bits buffered
+    for the blocks it covers (refinement scans only) — and reset."""
+    while eob_cnt > 0:
+        n = min(eob_cnt, 32767)
+        rr = n.bit_length() - 1
+        c, cn = ac_code[rr << 4]
+        w.write(c, cn)
+        if rr:
+            w.write(n - (1 << rr), rr)
+        eob_cnt -= n
+    for bit in eob_bits:
+        w.write(bit, 1)
+    return 0, []
+
+
+def _enc_ac_first_scan(blocks, Ss: int, Se: int, Al: int,
+                       ac_code: dict) -> bytes:
+    """Entropy bytes for a first AC scan (Ah=0): sign-magnitude point
+    transform by Al, (run, size) coding, cross-block EOB runs."""
+    w = _JpegBitWriter()
+    eob_cnt, eob_bits = 0, []
+    for zz in blocks:
+        vals = [v >> Al if v >= 0 else -((-v) >> Al)
+                for v in (int(zz[k]) for k in range(Ss, Se + 1))]
+        last = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eob_cnt += 1
+            if eob_cnt == 32767:
+                eob_cnt, eob_bits = _enc_eob_flush(
+                    w, ac_code, eob_cnt, eob_bits)
+            continue
+        eob_cnt, eob_bits = _enc_eob_flush(w, ac_code, eob_cnt, eob_bits)
+        run = 0
+        for v in vals[:last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, n = ac_code[0xF0]
+                w.write(c, n)
+                run -= 16
+            t, amp = _amp_bits(v)
+            c, n = ac_code[(run << 4) | t]
+            w.write(c, n)
+            w.write(amp, t)
+            run = 0
+        if last < len(vals) - 1:
+            eob_cnt += 1
+    _enc_eob_flush(w, ac_code, eob_cnt, eob_bits)
+    return w.flush()
+
+
+def _enc_ac_refine_block_ops(band: list, Al: int):
+    """Refinement-scan symbol plan for one block, built as the exact
+    dual of the decoder's advance loop: returns (ops, trailing_bits,
+    needs_eob) where ops = [(rs_symbol, sign_bit_or_None, [correction
+    bits read while the decoder advances to the placement])...],
+    trailing_bits are the history-coefficient corrections after the
+    last newly-nonzero value (they ride with the EOB run), and
+    needs_eob says whether the block contributes to an EOB run."""
+    n = len(band)
+    hist = [(abs(v) >> (Al + 1)) != 0 for v in band]
+    corr = [(abs(v) >> Al) & 1 for v in band]
+    ops = []
+    i = 0
+    while True:
+        j = next((x for x in range(i, n)
+                  if not hist[x] and (abs(band[x]) >> Al) != 0), None)
+        if j is None:
+            break
+        z = sum(1 for x in range(i, j) if not hist[x])
+        while z > 15:
+            bits = []
+            consumed = 0
+            while consumed < 16:
+                if hist[i]:
+                    bits.append(corr[i])
+                else:
+                    consumed += 1
+                i += 1
+            ops.append((0xF0, None, bits))
+            z -= 16
+        bits = [corr[x] for x in range(i, j) if hist[x]]
+        ops.append(((z << 4) | 1, 1 if band[j] > 0 else 0, bits))
+        i = j + 1
+    trailing = [corr[x] for x in range(i, n) if hist[x]]
+    return ops, trailing, i < n
+
+
+def _enc_ac_refine_scan(blocks, Ss: int, Se: int, Al: int,
+                        ac_code: dict) -> bytes:
+    """Entropy bytes for an AC refinement scan (Ah=Al+1): one new bit
+    of precision per coefficient — newly-nonzero values coded as
+    (run, 1) + sign, history values as embedded correction bits, with
+    cross-block EOB runs carrying the deferred corrections."""
+    w = _JpegBitWriter()
+    eob_cnt, eob_bits = 0, []
+    for zz in blocks:
+        band = [int(zz[k]) for k in range(Ss, Se + 1)]
+        ops, trailing, needs_eob = _enc_ac_refine_block_ops(band, Al)
+        if ops:
+            eob_cnt, eob_bits = _enc_eob_flush(
+                w, ac_code, eob_cnt, eob_bits)
+            for rs, sign, bits in ops:
+                c, n = ac_code[rs]
+                w.write(c, n)
+                if sign is not None:
+                    w.write(sign, 1)
+                for bit in bits:
+                    w.write(bit, 1)
+        if needs_eob:
+            eob_cnt += 1
+            eob_bits.extend(trailing)
+            if eob_cnt == 32767:
+                eob_cnt, eob_bits = _enc_eob_flush(
+                    w, ac_code, eob_cnt, eob_bits)
+    _enc_eob_flush(w, ac_code, eob_cnt, eob_bits)
+    return w.flush()
+
+
+def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
+                           rgb_fn=None, quant: int = 8,
+                           subsample: bool = True) -> bytes:
+    """A real PROGRESSIVE (SOF2) JPEG: the same coefficient pipeline
+    as synth_jpeg / synth_jpeg_color (level shift, 8x8 forward DCT,
+    uniform quantization, exact integer BT.601 color transform)
+    entropy-coded across a libjpeg-style successive-approximation scan
+    script.  Grayscale when ``pixel_fn`` is given, 3-component YCbCr
+    color when ``rgb_fn`` is (4:2:0 when ``subsample`` else 4:4:4).
+    Because the coefficients are identical to the sequential encoders',
+    decode_jpeg_pixels must return byte-identical pixels for the same
+    input — the round-trip tests assert exactly that — and block/
+    MCU-constant inputs survive the codec EXACTLY, so the closed-form
+    pixel-sum oracles apply unchanged."""
+    import numpy as np
+
+    m = _dct_matrix()
+
+    def coefs(plane):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (np.asarray(plane, dtype=float) - 128.0).reshape(
+            bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        z = np.rint(np.einsum("ij,abjk,lk->abil", m, blocks, m)
+                    / quant).astype(int)
+        return z.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+
+    if rgb_fn is None:
+        img = np.full((height, width), 128.0)
+        if pixel_fn is not None:
+            img = np.array([[pixel_fn(x, y) for x in range(width)]
+                            for y in range(height)], dtype=float)
+        bh, bw = -(-height // 8), -(-width // 8)
+        pad = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                     mode="edge")
+        planes = {1: coefs(pad)}
+        comps = [{"id": 1, "hs": 1, "vs": 1}]
+        mcux, mcuy = bw, bh
+    else:
+        rgb = np.array([[rgb_fn(x, y) for x in range(width)]
+                        for y in range(height)], dtype=np.int64)
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = np.clip((19595 * r_ + 38470 * g_ + 7471 * b_ + 32768) >> 16,
+                    0, 255)
+        cb = np.clip(128 + (((-11059 * r_ - 21710 * g_ + 32768 * b_
+                              + 32768) + _FX_BIAS) >> 16) - _FX_POST,
+                     0, 255)
+        cr = np.clip(128 + (((32768 * r_ - 27439 * g_ - 5329 * b_
+                              + 32768) + _FX_BIAS) >> 16) - _FX_POST,
+                     0, 255)
+        hs = vs = 2 if subsample else 1
+        mw, mh = 8 * hs, 8 * vs
+        mcux, mcuy = -(-width // mw), -(-height // mh)
+        pad = lambda p: np.pad(p, ((0, mcuy * mh - height),
+                                   (0, mcux * mw - width)), mode="edge")
+        y, cb, cr = pad(y), pad(cb), pad(cr)
+        if subsample:
+            box = lambda p: (p.reshape(p.shape[0] // 2, 2,
+                                       p.shape[1] // 2, 2)
+                             .sum(axis=(1, 3)) // 4)
+            cb, cr = box(cb), box(cr)
+        planes = {1: coefs(y), 2: coefs(cb), 3: coefs(cr)}
+        comps = [{"id": 1, "hs": hs, "vs": vs},
+                 {"id": 2, "hs": 1, "vs": 1},
+                 {"id": 3, "hs": 1, "vs": 1}]
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+
+    def noninterleaved(cid):
+        # non-interleaved scans cover the component's OWN ceil-dims,
+        # not the MCU-padded grid (T.81 A.2.2)
+        c = next(c for c in comps if c["id"] == cid)
+        cw = -(-(width * c["hs"]) // hmax)
+        ch = -(-(height * c["vs"]) // vmax)
+        arr = planes[cid]
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield arr[by, bx]
+
+    def interleaved():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            yield c["id"], planes[c["id"]][
+                                my * c["vs"] + by, mx * c["hs"] + bx]
+
+    def dc_blocks():
+        if len(comps) > 1:
+            return interleaved()
+        return ((comps[0]["id"], z)
+                for z in noninterleaved(comps[0]["id"]))
+
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def dc_first(Al):
+        w = _JpegBitWriter()
+        pred = {c["id"]: 0 for c in comps}
+        for cid, zz in dc_blocks():
+            v = int(zz[0]) >> Al  # arithmetic shift, per G.1.2.1
+            t, amp = _amp_bits(v - pred[cid])
+            pred[cid] = v
+            c, n = dc_code[t]
+            w.write(c, n)
+            if t:
+                w.write(amp, t)
+        return w.flush()
+
+    def dc_refine(Al):
+        w = _JpegBitWriter()
+        for cid, zz in dc_blocks():
+            w.write((int(zz[0]) >> Al) & 1, 1)
+        return w.flush()
+
+    cids = [c["id"] for c in comps]
+    script = [("dcf", cids, 0, 0, 0, 1)]
+    for cid in cids:
+        script.append(("acf", [cid], 1, 5, 0, 2))
+    for cid in cids:
+        script.append(("acf", [cid], 6, 63, 0, 2))
+    for cid in cids:
+        script.append(("acr", [cid], 1, 63, 2, 1))
+    script.append(("dcr", cids, 0, 0, 1, 0))
+    for cid in cids:
+        script.append(("acr", [cid], 1, 63, 1, 0))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = bytes([quant] * 64)
+    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    sof = (struct.pack(">BHHB", 8, height, width, len(comps))
+           + b"".join(bytes([c["id"], (c["hs"] << 4) | c["vs"], 0])
+                      for c in comps))
+    out = (b"\xff\xd8"
+           + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + seg(0xDB, bytes([0x00]) + qtab)
+           + seg(0xC2, sof)
+           + seg(0xC4, dht))
+    for kind, scids, Ss, Se, Ah, Al in script:
+        if kind == "dcf":
+            data = dc_first(Al)
+        elif kind == "dcr":
+            data = dc_refine(Al)
+        elif kind == "acf":
+            data = _enc_ac_first_scan(noninterleaved(scids[0]),
+                                      Ss, Se, Al, ac_code)
+        else:
+            data = _enc_ac_refine_scan(noninterleaved(scids[0]),
+                                       Ss, Se, Al, ac_code)
+        body = bytes([len(scids)])
+        for cid in scids:
+            body += bytes([cid, 0x00])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, body) + data
+    return out + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first entropy reader: unstuffs 0xFF 0x00, stops at any
     other marker."""
@@ -968,14 +1274,224 @@ def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return clip(r), clip(g), clip(b)
 
 
+def _skip_to_marker(b: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker:
+    entropy data escapes 0xFF as 0xFF00, so any 0xFF followed by a
+    non-zero, non-RST byte is the next marker."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 \
+                and not (0xD0 <= b[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return pos
+
+
+def _dec_dc_prog(r: "_JpegBitReader", blk, c: dict, htabs: dict,
+                 pred: dict, Ah: int, Al: int) -> None:
+    """One block of a progressive DC scan: first pass decodes the
+    point-transformed diff chain (stored << Al); refinement passes OR
+    in one raw bit at position Al (arithmetic-shift semantics, so a
+    plain OR is exact for negative values too)."""
+    if Ah == 0:
+        t = r.read_huff(htabs[(0, c["dc"])])
+        pred[c["id"]] += _extend(r.read(t), t)
+        blk[0] = pred[c["id"]] << Al
+    elif r.read(1):
+        blk[0] |= 1 << Al
+
+
+def _dec_ac_first(r: "_JpegBitReader", blk, Ss: int, Se: int, Al: int,
+                  act: dict, state: dict) -> None:
+    """One block of a first AC scan (Ah=0): (run, size) symbols with
+    EOBn end-of-band runs; decoded values stored << Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = r.read_huff(act)
+        run, t = rs >> 4, rs & 0x0F
+        if t:
+            k += run
+            if k > Se:
+                raise ValueError("AC coefficient index overflow")
+            blk[k] = _extend(r.read(t), t) << Al
+            k += 1
+        elif run == 15:  # ZRL
+            k += 16
+        else:  # EOBn: this block ends, (2^run + ext - 1) more follow
+            state["eobrun"] = (1 << run) - 1 + (r.read(run) if run else 0)
+            break
+
+
+def _dec_ac_refine(r: "_JpegBitReader", blk, Ss: int, Se: int, Al: int,
+                   act: dict, state: dict) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients arrive as (run, 1) + sign, history coefficients read
+    one correction bit each as the position cursor crosses them
+    (T.81 G.2 / the libjpeg decode_mcu_AC_refine control flow)."""
+    p1, m1 = 1 << Al, -(1 << Al)
+
+    def correct(k):
+        if r.read(1) and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = Ss
+    if state["eobrun"] == 0:
+        while k <= Se:
+            rs = r.read_huff(act)
+            run, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                s = p1 if r.read(1) else m1
+            elif run != 15:
+                state["eobrun"] = (1 << run) + (r.read(run) if run else 0)
+                break
+            # advance over `run` zero-history coefficients (16 for
+            # ZRL), correcting the nonzero ones crossed on the way
+            while k <= Se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if s and k <= Se:
+                blk[k] = s
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= Se:  # rest of the band rides the EOB run
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _noninterleaved_blocks(arr, c: dict, w: int, h: int, hmax: int,
+                           vmax: int, on_block):
+    """Block raster over a component's OWN ceil-dims (T.81 A.2.2 —
+    non-interleaved scans do not cover the MCU padding blocks)."""
+    cw = -(-(w * c["hs"]) // hmax)
+    ch = -(-(h * c["vs"]) // vmax)
+    for by in range(-(-ch // 8)):
+        for bx in range(-(-cw // 8)):
+            on_block()
+            yield arr[by, bx]
+
+
+def _decode_jpeg_scan(b: bytes, pos: int, body: bytes, comps: list,
+                      htabs: dict, coef: dict, w: int, h: int,
+                      hmax: int, vmax: int, mcux: int, mcuy: int,
+                      progressive: bool,
+                      restart_interval: int) -> int:
+    """Decode one entropy-coded scan (sequential or progressive) into
+    the shared coefficient planes; returns the position of the next
+    marker."""
+    ns = body[0]
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    for si in range(ns):
+        cid, sel = body[1 + 2 * si], body[2 + 2 * si]
+        c = by_id[cid]
+        c["dc"], c["ac"] = sel >> 4, sel & 0x0F
+        scomps.append(c)
+    Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+    Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    r = _JpegBitReader(b, pos)
+    pred = {c["id"]: 0 for c in scomps}
+    state = {"eobrun": 0}
+    rst = {"i": 0, "cnt": 0}
+
+    def on_unit():
+        # restart-interval bookkeeping: one call per MCU (interleaved)
+        # or per block (non-interleaved); resets preds + EOB run
+        if restart_interval and rst["cnt"] and \
+                rst["cnt"] % restart_interval == 0:
+            r.expect_rst(rst["i"])
+            rst["i"] += 1
+            for key in pred:
+                pred[key] = 0
+            state["eobrun"] = 0
+        rst["cnt"] += 1
+
+    if not progressive:
+        if ns != len(comps):
+            raise NotImplementedError("multi-scan sequential JPEG")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                on_unit()
+                for c in scomps:
+                    dct = htabs[(0, c["dc"])]
+                    act = htabs[(1, c["ac"])]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            blk = coef[c["id"]][my * c["vs"] + by,
+                                                mx * c["hs"] + bx]
+                            t = r.read_huff(dct)
+                            pred[c["id"]] += _extend(r.read(t), t)
+                            blk[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = r.read_huff(act)
+                                run, t = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC coefficient index overflow")
+                                blk[k] = _extend(r.read(t), t)
+                                k += 1
+    elif Ss == 0:  # progressive DC scan
+        if Se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if ns > 1:  # interleaved over the full MCU grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    on_unit()
+                    for c in scomps:
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                _dec_dc_prog(
+                                    r,
+                                    coef[c["id"]][my * c["vs"] + by,
+                                                  mx * c["hs"] + bx],
+                                    c, htabs, pred, Ah, Al)
+        else:
+            c = scomps[0]
+            for blk in _noninterleaved_blocks(coef[c["id"]], c, w, h,
+                                              hmax, vmax, on_unit):
+                _dec_dc_prog(r, blk, c, htabs, pred, Ah, Al)
+    else:  # progressive AC scan: always single-component
+        if ns != 1:
+            raise ValueError("interleaved AC scan is not legal JPEG")
+        c = scomps[0]
+        act = htabs[(1, c["ac"])]
+        for blk in _noninterleaved_blocks(coef[c["id"]], c, w, h,
+                                          hmax, vmax, on_unit):
+            if Ah == 0:
+                _dec_ac_first(r, blk, Ss, Se, Al, act, state)
+            else:
+                _dec_ac_refine(r, blk, Ss, Se, Al, act, state)
+    return _skip_to_marker(b, r.pos)
+
+
 def decode_jpeg_pixels(b: bytes) -> dict:
-    """Full stdlib+numpy baseline JPEG decode -> {width, height,
-    channels, pixels}: marker walk (DQT/SOF0/DHT/SOS), per-component
-    entropy decode against the file's own Huffman tables (interleaved
-    MCUs for multi-component scans), dequantize, batched IDCT, level
-    shift, chroma upsample (replication), integer YCbCr->RGB, crop.
-    Grayscale (1 component) and 3-component YCbCr at 4:4:4 or 4:2:0
-    are supported; progressive / other samplings raise."""
+    """Full stdlib+numpy JPEG decode -> {width, height, channels,
+    pixels}: marker walk, per-scan entropy decode against the file's
+    own Huffman tables, dequantize, batched IDCT, level shift, chroma
+    upsample (replication), integer YCbCr->RGB, crop.  Supports
+    baseline / extended-sequential (SOF0/SOF1) single-scan files AND
+    progressive (SOF2) multi-scan files — spectral selection,
+    successive approximation, EOB runs, restart markers — for
+    grayscale and 3-component YCbCr at 4:4:4 or 4:2:0.  Only
+    arithmetic-coded (SOF9-11/13-15) and lossless/hierarchical JPEG
+    still raise."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -983,10 +1499,13 @@ def decode_jpeg_pixels(b: bytes) -> dict:
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
     w = h = 0
-    restart_interval = 0  # MCUs between RST markers (DRI), 0 = none
+    restart_interval = 0  # MCUs/blocks between RST markers (DRI)
     comps: list[dict] = []  # {id, hs, vs, qsel, dc, ac} in SOF order
+    progressive = False
+    coef: dict | None = None
+    hmax = vmax = mcux = mcuy = 0
     pos = 2
-    while pos < len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad marker stream")
         marker = b[pos + 1]
@@ -1003,25 +1522,35 @@ def decode_jpeg_pixels(b: bytes) -> dict:
                     raise NotImplementedError("16-bit quant tables")
                 qtabs[body[o] & 0x0F] = list(body[o + 1:o + 65])
                 o += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit 1- or 3-component baseline JPEG")
+                    "only 8-bit 1- or 3-component JPEG")
             for ci in range(ncomp):
                 cid, hv, qs = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0x0F,
-                              "qsel": qs})
+                              "qsel": qs, "dc": 0, "ac": 0})
             samp = [(c["hs"], c["vs"]) for c in comps]
             if ncomp == 3 and samp not in ([(1, 1)] * 3,
                                            [(2, 2), (1, 1), (1, 1)]):
                 raise NotImplementedError(f"sampling {samp}")
             if ncomp == 1 and samp != [(1, 1)]:
                 raise NotImplementedError(f"sampling {samp}")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (SOF%d)"
-                                      % (marker - 0xC0))
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # int32 so progressive refinement bit-ORs are exact
+            coef = {c["id"]: np.zeros(
+                (mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+                for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic-coded / lossless / hierarchical JPEG "
+                "(SOF%d)" % (marker - 0xC0))
         elif marker == 0xC4:
             o = 0
             while o < len(body):
@@ -1036,61 +1565,13 @@ def decode_jpeg_pixels(b: bytes) -> dict:
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
-            ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG")
-            by_id = {c["id"]: c for c in comps}
-            for si in range(ns):
-                cid, sel = body[1 + 2 * si], body[2 + 2 * si]
-                by_id[cid]["dc"], by_id[cid]["ac"] = sel >> 4, sel & 0x0F
-            break
-    else:
-        raise ValueError("no SOS marker")
-
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    r = _JpegBitReader(b, pos)
-    # per-component coefficient planes in MCU-block layout
-    coef = {c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64))
-            for c in comps}
-    pred = {c["id"]: 0 for c in comps}
-    mcu_i = rst_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and \
-                    mcu_i % restart_interval == 0:
-                r.expect_rst(rst_i)
-                rst_i += 1
-                pred = {c["id"]: 0 for c in comps}
-            mcu_i += 1
-            for c in comps:
-                dct = htabs[(0, c["dc"])]
-                act = htabs[(1, c["ac"])]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        blk = np.zeros(64)
-                        t = r.read_huff(dct)
-                        pred[c["id"]] += _extend(r.read(t), t)
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = r.read_huff(act)
-                            run, t = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow")
-                            blk[k] = _extend(r.read(t), t)
-                            k += 1
-                        coef[c["id"]][my * c["vs"] + by,
-                                      mx * c["hs"] + bx] = blk
+            if coef is None:
+                raise ValueError("SOS before SOF")
+            pos = _decode_jpeg_scan(
+                b, pos, body, comps, htabs, coef, w, h, hmax, vmax,
+                mcux, mcuy, progressive, restart_interval)
+    if coef is None:
+        raise ValueError("no SOF marker")
     m = _dct_matrix()
     planes = []
     for c in comps:
@@ -1490,6 +1971,34 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                     8 * wb, 8 * hb,
                     lambda x, y, m=mid:
                         (m + 16 * (x // 8) + 29 * (y // 8)) % 256))
+            yield pd.DataFrame({
+                "media_id": pd.array([int(m) for m in pdf["doc_id"]],
+                                     dtype="int64"),
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary")
+
+
+def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL progressive (SOF2) JPEG payloads (media_id,
+    payload).  Same 8x8-block-constant pattern discipline as
+    synth_jpeg_media (block value (mid + 23*bx + 31*by) % 256), so the
+    multi-scan successive-approximation codec round-trips the pixels
+    bit-exactly and the DuckDB oracle can state the decoded pixel sum
+    in closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                wb, hb = 2 + mid % 5, 2 + (mid * 7) % 5
+                payloads.append(synth_jpeg_progressive(
+                    8 * wb, 8 * hb,
+                    pixel_fn=lambda x, y, m=mid:
+                        (m + 23 * (x // 8) + 31 * (y // 8)) % 256))
             yield pd.DataFrame({
                 "media_id": pd.array([int(m) for m in pdf["doc_id"]],
                                      dtype="int64"),
