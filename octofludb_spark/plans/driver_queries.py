@@ -5461,6 +5461,51 @@ def web_warc_pipeline(spark, sf):
                     "n_chars_clean")
 
 
+_MALFORMED_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 8 AS INT) AS mode,
+       CAST(3 + 2 * (doc_id % 3)
+            - CASE WHEN doc_id % 8 IN (1, 2, 3, 7) THEN 1 ELSE 0 END
+            AS INT) AS n_ok,
+       CAST(1 + doc_id % 3
+            - CASE WHEN doc_id % 8 IN (1, 2, 7) THEN 1 ELSE 0 END
+            AS INT) AS n_http_ok,
+       CAST(CASE WHEN doc_id % 8 IN (1, 2) THEN 1 ELSE 0 END AS INT)
+         AS rej_truncated,
+       CAST(CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END AS INT)
+         AS rej_version,
+       CAST(CASE WHEN doc_id % 8 = 4 THEN 1 ELSE 0 END AS INT)
+         AS rej_injection,
+       CAST(CASE WHEN doc_id % 8 = 5 THEN 1 ELSE 0 END AS INT)
+         AS rej_chunk,
+       CAST(CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END AS INT)
+         AS rej_gzip
+FROM documents
+"""
+
+
+@q("web_malformed_tolerance", _MALFORMED_SQL)
+def web_malformed_tolerance(spark, sf):
+    """Adversarial-input tolerance for the web-archive readers,
+    hash-oracled: each document becomes a WARC archive with a
+    deterministic corruption keyed by doc_id % 8 — intact, stream
+    truncated mid-payload, a 3 GB Content-Length lie, a corrupted
+    WARC version line, bare-LF header injection, a malformed chunked
+    HTTP body, intact .warc.gz, and a truncated gzip member
+    (scale/web.py synth_warc_corrupt).  The tolerant walkers
+    (walk_warc_tolerant / walk_gzip_members_tolerant /
+    parse_http_tolerant) skip-and-COUNT every malformation and resync
+    at the next record boundary, so the oracle states the exact
+    surviving-record and per-category reject counts in closed form —
+    a green row proves one bad record costs one record, visibly,
+    never an exception and never silent loss.  Map-side mapInPandas;
+    archive bytes never visit the driver."""
+    from octofludb_spark.scale import web as W
+
+    return W.warc_malformed_stats(
+        W.synth_corrupt_media(t(spark, sf, "documents")))
+
+
 _WEB_CORPUS_SQL = rf"""
 WITH {_WARC_SYNTH_CTE},
  tx AS (

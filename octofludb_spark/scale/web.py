@@ -146,16 +146,10 @@ def n_pages(d: int) -> int:
     return 1 + d % 3
 
 
-def synth_warc(d: int, compress: bool = False,
-               linkfarm: bool = False, rev: int = 0) -> bytes:
-    """One WARC file for doc d: warcinfo, then (request, response)
-    per page.  compress=True emits the Common Crawl layout — each
-    record its own gzip member (mtime=0 for determinism).
-    linkfarm=True swaps the bodies for closed-form outlink pages
-    (the host-graph gates).  rev > 0 is a recrawl snapshot: pages
-    with (d+p) % 9 == 5 are GONE, every 6th doc gains one NEW page
-    at index n_pages(d), and (d+p) % 4 == 0 bodies CHANGE (suffix);
-    the rest are byte-identical — the crawl-diff lattice."""
+def _synth_warc_recs(d: int, linkfarm: bool = False,
+                     rev: int = 0) -> list[bytes]:
+    """The record list behind synth_warc, exposed so the adversarial
+    corruption faces can rebuild individual records surgically."""
     recs = [_record_bytes(d, 0, "warcinfo",
                           synth_warcinfo(d).encode(), None)]
     pages = list(range(n_pages(d)))
@@ -171,6 +165,20 @@ def synth_warc(d: int, compress: bool = False,
             d, 2 * p + 2, "response",
             synth_http_response(d, p, linkfarm=linkfarm,
                                 rev=rev).encode(), uri))
+    return recs
+
+
+def synth_warc(d: int, compress: bool = False,
+               linkfarm: bool = False, rev: int = 0) -> bytes:
+    """One WARC file for doc d: warcinfo, then (request, response)
+    per page.  compress=True emits the Common Crawl layout — each
+    record its own gzip member (mtime=0 for determinism).
+    linkfarm=True swaps the bodies for closed-form outlink pages
+    (the host-graph gates).  rev > 0 is a recrawl snapshot: pages
+    with (d+p) % 9 == 5 are GONE, every 6th doc gains one NEW page
+    at index n_pages(d), and (d+p) % 4 == 0 bodies CHANGE (suffix);
+    the rest are byte-identical — the crawl-diff lattice."""
+    recs = _synth_warc_recs(d, linkfarm=linkfarm, rev=rev)
     if compress:
         return b"".join(gzip.compress(r, mtime=0) for r in recs)
     return b"".join(recs)
@@ -323,6 +331,347 @@ def scan_gzip_member_offsets(b: bytes) -> list[int]:
             pos = hit + consumed
         else:
             pos = hit + 1
+
+
+# ------------------------------------------------------------------
+# adversarial-input tolerance (skip-and-count)
+#
+# The strict parsers above raise on the first malformed byte — right
+# for synthesized archives, wrong for a real crawl corpus where a
+# single bad record must not kill a 100 TB job.  The tolerant walkers
+# below never raise on content: every malformed region is SKIPPED,
+# COUNTED by category, and the walk resyncs at the next record
+# boundary (the dedup family's logged-cap contract — loss is bounded
+# and always visible, never silent).
+# ------------------------------------------------------------------
+
+_WARC_MAGIC = b"WARC/"
+_MAX_WARC_HEADER = 65536  # adversarial giant-header guard
+
+
+def _warc_resync(b: bytes, pos: int) -> int:
+    """Next plausible record boundary: a 'WARC/' that starts a line."""
+    hit = b.find(BCRLF + _WARC_MAGIC, pos)
+    return hit + 2 if hit >= 0 else len(b)
+
+
+def walk_warc_tolerant(b: bytes) -> tuple[list[dict], dict]:
+    """Tolerant twin of iter_warc_records: returns (records, rejects)
+    where rejects counts skipped malformations by category —
+    bad_version (line doesn't start 'WARC/'), unterminated_header (no
+    CRLFCRLF within 64 KiB), bad_content_length (missing / non-
+    numeric / negative), truncated_payload (Content-Length exceeds
+    the remaining stream — the '>2 GiB lie' and truncated-tail cases
+    both land here).  After any reject the walk resyncs at the next
+    line-starting 'WARC/', so one bad record costs one record, not
+    the archive.  skipped_bytes totals the resync losses."""
+    records: list[dict] = []
+    rejects = {"bad_version": 0, "unterminated_header": 0,
+               "bad_content_length": 0, "truncated_payload": 0,
+               "skipped_bytes": 0}
+    pos, n = 0, len(b)
+    while pos < n:
+        while b[pos:pos + 2] == BCRLF:  # inter-record padding
+            pos += 2
+        if pos >= n:
+            break
+        if not b.startswith(_WARC_MAGIC, pos):
+            rejects["bad_version"] += 1
+            nxt = _warc_resync(b, pos)
+            rejects["skipped_bytes"] += nxt - pos
+            pos = nxt
+            continue
+        end = b.find(BCRLF + BCRLF, pos, pos + _MAX_WARC_HEADER)
+        if end < 0:
+            rejects["unterminated_header"] += 1
+            nxt = _warc_resync(b, pos + 1)
+            rejects["skipped_bytes"] += nxt - pos
+            pos = nxt
+            continue
+        lines = b[pos:end].decode("utf-8", "replace").split(CRLF)
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        start = end + 4
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            clen = -1
+        if clen < 0:
+            rejects["bad_content_length"] += 1
+            nxt = _warc_resync(b, start)
+            rejects["skipped_bytes"] += nxt - start
+            pos = nxt
+            continue
+        if clen > n - start:
+            rejects["truncated_payload"] += 1
+            nxt = _warc_resync(b, start)
+            rejects["skipped_bytes"] += nxt - start
+            pos = nxt
+            continue
+        records.append({"offset": pos, "version": lines[0],
+                        "headers": headers,
+                        "payload": b[start:start + clen]})
+        pos = start + clen
+    return records, rejects
+
+
+def walk_gzip_members_tolerant(b: bytes) -> tuple[list[bytes], dict]:
+    """Tolerant twin of iter_gzip_members: returns (members, rejects).
+    A member that fails to decompress (bit-rot, truncation, a trailer
+    cut off mid-stream) is counted as bad_gzip_member and the walk
+    resyncs at the next VALIDATED member magic (same validation as
+    scan_gzip_member_offsets); non-gzip garbage between members is
+    counted as gzip_garbage."""
+    members: list[bytes] = []
+    rejects = {"bad_gzip_member": 0, "gzip_garbage": 0,
+               "skipped_bytes": 0}
+    pos, n = 0, len(b)
+    while pos < n:
+        hit = b.find(GZ_MAGIC, pos)
+        if hit < 0:
+            rejects["gzip_garbage"] += 1
+            rejects["skipped_bytes"] += n - pos
+            break
+        if hit > pos:
+            rejects["gzip_garbage"] += 1
+            rejects["skipped_bytes"] += hit - pos
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(b[hit:])
+            ok = d.eof
+        except zlib.error:
+            ok = False
+        if ok:
+            members.append(out)
+            pos = hit + (n - hit - len(d.unused_data))
+        else:
+            rejects["bad_gzip_member"] += 1
+            # resync: next magic that decompresses to a full member
+            nxt = n
+            scan = hit + 1
+            while True:
+                cand = b.find(GZ_MAGIC, scan)
+                if cand < 0:
+                    break
+                d2 = zlib.decompressobj(wbits=31)
+                try:
+                    d2.decompress(b[cand:])
+                    if d2.eof:
+                        nxt = cand
+                        break
+                except zlib.error:
+                    pass
+                scan = cand + 1
+            rejects["skipped_bytes"] += nxt - hit
+            pos = nxt
+    return members, rejects
+
+
+def _dechunk(body: bytes) -> tuple[bytes, int]:
+    """RFC 7230 chunked transfer decoding, tolerant: returns
+    (decoded_prefix, n_rejects) — a malformed chunk-size line, a
+    truncated chunk or a missing chunk terminator counts one reject
+    and keeps whatever decoded cleanly before it."""
+    out = bytearray()
+    pos, rejects = 0, 0
+    while True:
+        nl = body.find(BCRLF, pos)
+        if nl < 0:
+            rejects += 1
+            break
+        tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            sz = int(tok, 16)
+        except ValueError:
+            rejects += 1
+            break
+        if sz == 0:  # terminating chunk (trailers ignored)
+            break
+        chunk = body[nl + 2:nl + 2 + sz]
+        out += chunk
+        if len(chunk) < sz:
+            rejects += 1
+            break
+        pos = nl + 2 + sz
+        if body[pos:pos + 2] != BCRLF:
+            rejects += 1
+            break
+        pos += 2
+    return bytes(out), rejects
+
+
+def parse_http_tolerant(payload: bytes) -> tuple[dict | None, dict]:
+    """Tolerant twin of parse_http_message: returns (message_or_None,
+    rejects) with categories no_terminator, bad_status_line,
+    header_injection (a bare LF inside the header block — request
+    smuggling's signature), bad_chunk (malformed chunked framing),
+    length_mismatch (Content-Length disagrees with the actual body).
+    Chunked bodies are decoded; the body delivered is whatever
+    survived, never an exception."""
+    rejects = {"no_terminator": 0, "bad_status_line": 0,
+               "header_injection": 0, "bad_chunk": 0,
+               "length_mismatch": 0}
+    end = payload.find(BCRLF + BCRLF)
+    if end < 0:
+        rejects["no_terminator"] += 1
+        return None, rejects
+    head = payload[:end]
+    if b"\n" in head.replace(BCRLF, b""):
+        rejects["header_injection"] += 1
+    lines = head.decode("utf-8", "replace").split(CRLF)
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    out: dict = {"headers": headers}
+    first = lines[0]
+    if first.startswith("HTTP/"):
+        parts = first.split(" ", 2)
+        try:
+            out["status"] = int(parts[1])
+        except (IndexError, ValueError):
+            rejects["bad_status_line"] += 1
+            return None, rejects
+    else:
+        parts = first.split(" ")
+        if len(parts) < 2:
+            rejects["bad_status_line"] += 1
+            return None, rejects
+        out["method"], out["path"] = parts[0], parts[1]
+    body = payload[end + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body, nrej = _dechunk(body)
+        rejects["bad_chunk"] += nrej
+    elif "content-length" in headers:
+        try:
+            if int(headers["content-length"]) != len(body):
+                rejects["length_mismatch"] += 1
+        except ValueError:
+            rejects["length_mismatch"] += 1
+    out["body"] = body
+    return out, rejects
+
+
+# Corruption modes for the fuzz battery / the web_malformed_tolerance
+# gate, keyed by d % 8.  Every mode's effect on the tolerant-walk
+# counters is closed-form (see the gate's oracle):
+#   0 intact plain            4 bare-LF header injection in HTTP
+#   1 stream truncated mid-   5 malformed chunked HTTP body
+#     payload of last record  6 intact .warc.gz
+#   2 Content-Length lie      7 last gzip member truncated
+#     (3 GB) on 1st response
+#   3 corrupted WARC version
+#     line on record 1
+def synth_warc_corrupt(d: int) -> bytes:
+    """synth_warc(d) with the deterministic adversarial corruption
+    d % 8 applied (table above) — the malformed-input battery face."""
+    mode = d % 8
+    if mode == 6:
+        return synth_warc(d, compress=True)
+    if mode == 7:
+        return synth_warc(d, compress=True)[:-6]  # trailer cut off
+    recs = _synth_warc_recs(d)
+    uri = f"https://example-{d % N_HOSTS}.org/doc/{d}/page/0"
+    if mode == 1:
+        return b"".join(recs)[:-10]
+    if mode == 2:
+        head, _, tail = recs[2].partition(BCRLF + BCRLF)
+        resp = synth_http_response(d, 0)
+        head = head.replace(
+            f"Content-Length: {len(resp.encode())}".encode(),
+            b"Content-Length: 3000000000")
+        recs[2] = head + BCRLF + BCRLF + tail
+    elif mode == 3:
+        recs[1] = b"FAKE/9.9" + recs[1][len(b"WARC/1.0"):]
+    elif mode == 4:
+        resp = synth_http_response(d, 0).encode()
+        resp = resp.replace(
+            BCRLF, BCRLF + b"X-Smuggle: a\nX-Injected: b" + BCRLF, 1)
+        recs[2] = _record_bytes(d, 2, "response", resp, uri)
+    elif mode == 5:
+        resp = synth_http_response(d, 0).encode()
+        head, _, body = resp.partition(BCRLF + BCRLF)
+        head = head.replace(
+            f"Content-Length: {len(body)}".encode(),
+            b"Transfer-Encoding: chunked")
+        first = body[:16]
+        chunked = (f"{len(first):x}".encode() + BCRLF + first + BCRLF
+                   + b"ZZZ" + BCRLF)  # garbage size line -> bad_chunk
+        recs[2] = _record_bytes(d, 2, "response",
+                                head + BCRLF + BCRLF + chunked, uri)
+    return b"".join(recs)
+
+
+MALFORMED_SCHEMA = ("media_id long, mode int, n_ok int, n_http_ok int, "
+                    "rej_truncated int, rej_version int, "
+                    "rej_injection int, rej_chunk int, rej_gzip int")
+
+
+def warc_malformed_stats(media: DataFrame) -> DataFrame:
+    """Adversarial-tolerance telemetry, map-side (Arrow-batched
+    mapInPandas, bytes never visit the driver): runs the tolerant
+    walkers over each archive — gzip membership auto-sniffed per
+    payload — and reports records parsed plus every reject counter.
+    This is the contract a 100 TB crawl read needs: malformed input
+    costs bounded, COUNTED loss instead of a dead executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "mode", "n_ok", "n_http_ok", "rej_truncated",
+                "rej_version", "rej_injection", "rej_chunk", "rej_gzip"]
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                gz_rej = 0
+                if raw[:3] == GZ_MAGIC:
+                    members, grej = walk_gzip_members_tolerant(raw)
+                    raw = b"".join(members)
+                    gz_rej = (grej["bad_gzip_member"]
+                              + grej["gzip_garbage"])
+                recs, wrej = walk_warc_tolerant(raw)
+                n_http = inj = chunk = 0
+                for rec in recs:
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    msg, hrej = parse_http_tolerant(rec["payload"])
+                    if msg is not None:
+                        n_http += 1
+                    inj += hrej["header_injection"]
+                    chunk += hrej["bad_chunk"]
+                out["media_id"].append(int(mid))
+                out["mode"].append(int(mid) % 8)
+                out["n_ok"].append(len(recs))
+                out["n_http_ok"].append(n_http)
+                out["rej_truncated"].append(wrej["truncated_payload"])
+                out["rej_version"].append(wrej["bad_version"])
+                out["rej_injection"].append(inj)
+                out["rej_chunk"].append(chunk)
+                out["rej_gzip"].append(gz_rej)
+            yield pd.DataFrame({
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                **{c: pd.array(out[c], dtype="int32")
+                   for c in cols[1:]},
+            })
+
+    return media.mapInPandas(run, MALFORMED_SCHEMA)
+
+
+def synth_corrupt_media(docs: DataFrame) -> DataFrame:
+    """documents -> one deterministically corrupted WARC per doc_id
+    (synth_warc_corrupt), Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "payload": [synth_warc_corrupt(d) for d in ids],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "media_id long, payload binary")
 
 
 # ------------------------------------------------------------------
