@@ -214,6 +214,107 @@ def run_kg() -> tuple[dict, dict]:
     return queries, extras
 
 
+def run_skew(sf_dir: str) -> tuple[dict, dict]:
+    """Auto-salt decision telemetry (VERDICT r4 next-round #8): ONE
+    90%-hub canonicalize-shaped join measured three ways in a fresh
+    JVM — explicit salt (auto_salted_join at the probe's nsalt),
+    plain join with AQE's skew-join split allowed to fire, and plain
+    join with the split disabled (the one-reducer baseline).
+    Broadcast is disabled to model the 100 TB regime (dim too big to
+    broadcast -> sort-merge join), and the AQE skew thresholds are
+    scaled down so the adaptive path CAN fire at bench size (the
+    default 256 MB trigger is cluster-scale).  The row records each
+    strategy's time, the probe's decision, and whether AQE actually
+    fired (skew=true markers in the final adaptive plan) — the salt
+    flag's value measured, not assumed."""
+    spark, _cpus = _get_spark()
+    from pyspark.sql import functions as F
+
+    from octofludb_spark.ops.skew import (aqe_skew_telemetry,
+                                          auto_salted_join, execute_jvm)
+
+    conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin."
+             "skewedPartitionThresholdInBytes", "512k")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    # x4 replication: enough hub mass that one reducer owning 90% of
+    # it is visibly slower than a spread layout at bench scale.
+    # repartition(cpus) matters: AQE splits a skewed reduce partition
+    # at MAPPER granularity, and this parquet scans in ~3 tasks — on a
+    # 1000-executor cluster the mapper count is in the thousands and
+    # AQE can always act, but at bench scale the split is impossible
+    # until the map side is spread (found empirically; without this
+    # the row silently measures a config where AQE *can't* act)
+    big = (li.select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit("HUB"))
+        .otherwise(F.concat(F.lit("k"), (F.col("l_orderkey") % 97)
+                            .cast("string"))).alias("k"),
+        F.col("l_quantity").alias("qty"))
+        .withColumn("rep", F.explode(F.array(*[F.lit(i)
+                                               for i in range(4)])))
+        .repartition(_cpus)
+        .persist())
+    big.count()
+    # dim arrives as an INDEPENDENT table (a canonical dictionary from
+    # the store, not derived from big): derived-via-distinct would
+    # already be hash-partitioned on k, the join's right side would
+    # reuse that layout instead of shuffling, and AQE cannot skew-split
+    # a join whose right side isn't a fresh shuffle stage — the
+    # comparison would silently measure a config where AQE *can't* act
+    import hashlib as _hl
+    keys = ["HUB"] + [f"k{i}" for i in range(97)]
+    dim = spark.createDataFrame(
+        [(k, _hl.md5(k.encode()).hexdigest()) for k in keys],
+        "k string, tag string").persist()
+    dim.count()
+
+    extras: dict = {}
+
+    def best(fn, reps=2):
+        # execute_jvm, NOT count(): count() runs a different query
+        # execution (no telemetry) and an agg above the join suppresses
+        # AQE's skew split entirely — fresh DataFrame per pass so no
+        # stage state is reused across timings
+        execute_jvm(fn())  # warm
+        t_best, df = float("inf"), None
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn()
+            execute_jvm(df)
+            t_best = min(t_best, time.time() - t0)
+        return t_best, df
+
+    def salted():
+        j, dec = auto_salted_join(big, dim, "k")
+        extras["skew_nsalt"] = dec["nsalt"]
+        extras["skew_top_share_ppm"] = dec["top_share_ppm"]
+        extras["skew_strategy"] = dec["strategy"]
+        return j
+
+    # probe + salted join (the probe's collect is part of the
+    # strategy's honest cost, so it stays inside the timed window)
+    t, _ = best(salted)
+    extras["skew_salted_sec"] = round(t, 3)
+
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t, df = best(lambda: big.join(dim, on="k"))
+    extras["skew_plain_aqe_sec"] = round(t, 3)
+    tele = aqe_skew_telemetry(df)
+    extras["skew_aqe_skew_joins"] = tele["aqe_skew_joins"]
+
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t, _ = best(lambda: big.join(dim, on="k"))
+    extras["skew_plain_noskew_sec"] = round(t, 3)
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    big.unpersist()
+    dim.unpersist()
+    return {}, extras
+
+
 def run_ops(names: list[str], sf_dir: str) -> tuple[dict, dict]:
     """Measure an operator group in this process: one untimed warm
     pass (JIT + python-worker spinup + broadcast builds), then
@@ -286,6 +387,8 @@ def main() -> None:
     if worker:  # subprocess mode: one group, partial JSON out
         if worker == "kg":
             q, e = run_kg()
+        elif worker == "skew":
+            q, e = run_skew(sf_dir)
         else:
             q, e = run_ops(worker.split(":", 1)[1].split(","), sf_dir)
         print(json.dumps({"queries": q, "extras": e}))
@@ -296,7 +399,8 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     if isolate:
-        for grp in ["kg"] + [f"ops:{','.join(g)}" for g in OP_GROUPS]:
+        for grp in (["kg"] + [f"ops:{','.join(g)}" for g in OP_GROUPS]
+                    + ["skew"]):
             q, e = _spawn(grp)
             queries.update(q)
             extras.update(e)
@@ -304,6 +408,8 @@ def main() -> None:
         q, e = run_kg()
         queries.update(q); extras.update(e)
         q, e = run_ops(BENCH_QUERIES, sf_dir)
+        queries.update(q); extras.update(e)
+        q, e = run_skew(sf_dir)
         queries.update(q); extras.update(e)
 
     # ---- KG steady-state guard ------------------------------------------

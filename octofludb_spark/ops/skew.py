@@ -120,5 +120,41 @@ def auto_salted_join(big: DataFrame, dim: DataFrame, key: str,
     d = salt_decision(big, key, hub_ppm=hub_ppm,
                       target_spread=target_spread)
     if d["nsalt"] <= 1:
+        d["strategy"] = "plain"
         return big.join(dim, on=key, how=how), d
+    d["strategy"] = "salted"
     return salted_join(big, dim, key, nsalt=d["nsalt"], how=how), d
+
+
+def execute_jvm(df: DataFrame) -> int:
+    """Execute ``df``'s OWN query execution entirely JVM-side and
+    return the row count.  Two reasons this exists: (a) ``df.count()``
+    / ``df.agg(...)`` run a DIFFERENT query execution (and an
+    aggregate stacked on a join suppresses AQE's skew-split — the
+    optimizer declines to break the join's output partitioning), so
+    plan telemetry read off ``df`` after them describes a plan that
+    never ran; (b) no rows cross to the driver.  After this call
+    ``df``'s adaptive plan is final and aqe_skew_telemetry reads what
+    actually happened."""
+    return df._jdf.queryExecution().executedPlan().execute().count()
+
+
+def aqe_skew_telemetry(df: DataFrame) -> dict:
+    """Post-execution AQE introspection for the salt-vs-AQE decision
+    record: call AFTER executing ``df``'s own query execution
+    (execute_jvm — NOT ``df.count()``, which runs a separate one) and
+    get what the adaptive planner actually did —
+
+      * aqe_skew_joins — count of ``skew=true`` join markers in the
+        final adaptive plan (AQE's skew-split fired that many times)
+      * exchanges      — shuffle exchange count in the executed plan
+      * final_plan     — whether AQE reached its final re-planned form
+
+    This is the "what did AQE do alone" half of the telemetry the
+    bench's skew row records next to auto_salted_join's probe decision
+    (bench.py run_skew), so the explicit salt hint's value is measured
+    rather than assumed."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {"aqe_skew_joins": plan.count("skew=true"),
+            "exchanges": plan.count("Exchange"),
+            "final_plan": "isFinalPlan=true" in plan}
