@@ -104,14 +104,21 @@ def cmd_build(args) -> int:
     n = store.read(spark, "triples_canonical").count()
     print(f"built {args.store}: {n} canonical triples", file=sys.stderr)
     if getattr(args, "validate", False):
-        # post-build quality gate: SHACL over the entailed graph
-        from octofludb_spark.plans.validation import shacl_validate
+        # post-build quality gate: SHACL over the entailed graph.
+        # Severity-split (ADVICE r4): warn-only shapes fire naturally
+        # on healthy reference-shaped corpora (partial dates, merged
+        # hub strains), so they are reported but only sh:Violation
+        # rows fail the build — unless --strict-validate.
+        from octofludb_spark.plans.validation import (shacl_validate,
+                                                      violation_counts)
 
         triples = store.read(spark, "triples").select(
             "subject", "predicate", "object_lex", "object_dtype")
-        n_bad = shacl_validate(triples).count()
-        print(f"validation: {n_bad} violation(s)", file=sys.stderr)
-        if n_bad:
+        n_hard, n_warn = violation_counts(shacl_validate(triples))
+        print(f"validation: {n_hard} violation(s), "
+              f"{n_warn} warning(s)", file=sys.stderr)
+        if n_hard or (n_warn and getattr(args, "strict_validate",
+                                         False)):
             return 3
     return 0
 
@@ -504,9 +511,14 @@ def cmd_validate(args) -> int:
               file=sys.stderr)
     report = shacl_validate(triples, entailed=ent)
     print(as_table_text(report))
-    n_bad = report.count()
-    print(f"{n_bad} violation(s)", file=sys.stderr)
-    return 0 if n_bad == 0 else 3
+    from octofludb_spark.plans.validation import violation_counts
+
+    n_hard, n_warn = violation_counts(report)
+    print(f"{n_hard} violation(s), {n_warn} warning(s)",
+          file=sys.stderr)
+    # warn-only shapes (partial dates, merged hub strains) fire on
+    # healthy corpora: reported above, fatal only under --strict
+    return 3 if n_hard or (n_warn and args.strict) else 0
 
 
 _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
@@ -1020,7 +1032,11 @@ def main(argv=None) -> int:
     sb.add_argument("--batch-id", dest="batch_id", default=None)
     sb.add_argument("--validate", action="store_true",
                     help="run the SHACL quality gate after the build "
-                         "(exit 3 on violations)")
+                         "(exit 3 on sh:Violation rows; warn-only "
+                         "shapes are reported, not fatal)")
+    sb.add_argument("--strict-validate", dest="strict_validate",
+                    action="store_true",
+                    help="escalate warn-only shapes to build failures")
     sb.set_defaults(fn=cmd_build)
 
     sm = sub.add_parser("merge")
@@ -1109,6 +1125,8 @@ def main(argv=None) -> int:
                     dest="refresh_entailment", action="store_true",
                     help="fold triple changes into triples_entailed "
                          "at O(changes) before validating")
+    sv.add_argument("--strict", action="store_true",
+                    help="exit 3 on warn-only shapes too")
     sv.set_defaults(fn=cmd_validate)
 
     ss = sub.add_parser("store")

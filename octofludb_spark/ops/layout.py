@@ -32,7 +32,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
     Column i's bucket bit b lands at interleaved position
     b * n_cols + i — dimensions take turns, the Morton layout.
     Requires integer-typed columns (the caller buckets floats or
-    hashes strings first); raises on ranges wider than 2^62."""
+    hashes strings first).  Ranges wide enough that the BIGINT
+    product (x - lo) * (2^bits - 1) would overflow are routed through
+    an exact DECIMAL(38,0) bucket expression instead — any 64-bit
+    column range is safe."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     if bits * len(cols) > 62:
@@ -46,14 +49,24 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
         if lo is None:
             raise ValueError(f"column {c!r} is all-null")
         span = int(hi) - int(lo)
-        if span < 0 or span > (1 << 62):
+        if span < 0:
             raise ValueError(f"column {c!r} range unusable: {lo}..{hi}")
         if span == 0:
             bucket = F.lit(0).cast("long")
-        else:
-            # floor((x - lo) * n / span) in exact BIGINT (div)
+        elif span <= (2 ** 63 - 1) // n:
+            # floor((x - lo) * n / span) in exact BIGINT (div); the
+            # bound keeps (x - lo) * n inside 64 bits for every x in
+            # [lo, hi] — bits-dependent, so bits=8 caps span at ~2^55
             bucket = F.expr(
                 f"(({c} - {int(lo)}L) * {n}L) div {span}L")
+        else:
+            # wider ranges would overflow the BIGINT product (ANSI
+            # mode: job-killing runtime error; ANSI off: silent wrap
+            # and a WRONG clustering) — widen through DECIMAL(38,0),
+            # exact for any 64-bit range at any bits setting
+            bucket = F.expr(
+                f"CAST(((CAST({c} AS DECIMAL(38, 0)) - {int(lo)})"
+                f" * {n}) div {span} AS BIGINT)")
         # interleave: bucket bit b -> zkey bit b * len(cols) + i
         for b in range(bits):
             parts.append(

@@ -200,6 +200,31 @@ DEFAULT_SHAPES: list[dict] = [
 ]
 
 
+# SHACL severity split (ADVICE r4): two default shapes fire NATURALLY
+# on healthy reference-shaped corpora — partial collection dates
+# (year/month-only precision is legitimate surveillance metadata) and
+# >8-segment hub strains (sameAs unification can merge re-submissions)
+# — so they carry sh:Warning severity: always REPORTED, never fatal to
+# the build gate.  Everything else is sh:Violation and fails
+# `build --validate` (cli.py); `--strict-validate` escalates warnings.
+WARN_SHAPE_IDS = {"CollectionDateIsFullDate", "StrainAtMost8Segments"}
+
+
+def severity_of(shape_id: str) -> str:
+    """sh:Violation / sh:Warning for a default-set shape id."""
+    return "Warning" if shape_id in WARN_SHAPE_IDS else "Violation"
+
+
+def violation_counts(report: DataFrame) -> tuple[int, int]:
+    """(n_hard, n_warn) severity rollup of a shacl_validate report —
+    the numbers the build gate's exit code is decided on."""
+    by_shape = {r["shape_id"]: r["n"] for r in
+                report.groupBy("shape_id")
+                .agg(F.count("*").alias("n")).collect()}
+    n_warn = sum(n for s, n in by_shape.items() if s in WARN_SHAPE_IDS)
+    return sum(by_shape.values()) - n_warn, n_warn
+
+
 def shacl_validate(triples: DataFrame,
                    shapes: Optional[list[dict]] = None,
                    entailed: Optional[DataFrame] = None) -> DataFrame:

@@ -62,6 +62,25 @@ def test_zorder_guards(spark):
     assert out.where(F.col("zkey") < 0).count() == 0
 
 
+def test_zorder_wide_range_no_bigint_overflow(spark):
+    # ADVICE r4: span > (2^63-1)/255 used to pass the old 2^62 guard
+    # yet overflow (x - lo) * n — ANSI abort or silently wrong zkey.
+    # Full-width 64-bit range must now bucket exactly via DECIMAL.
+    from octofludb_spark.ops.layout import zorder_key
+
+    vals = [-(2 ** 62), -1, 0, 1, 2 ** 62]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = {r.x: r.zkey for r in zorder_key(df, ["x"], bits=8).collect()}
+    span = 2 ** 63
+    lo = -(2 ** 62)
+    for v in vals:
+        assert rows[v] == (v - lo) * 255 // span, v
+    # fast path unchanged: narrow range still pure BIGINT arithmetic
+    small = spark.createDataFrame([(v,) for v in range(9)], "x long")
+    got = {r.x: r.zkey for r in zorder_key(small, ["x"], bits=3).collect()}
+    assert got == {v: v * 7 // 8 for v in range(9)}
+
+
 def test_zorder_key_is_mapside_after_stats(spark):
     from octofludb_spark.ops.layout import zorder_key
 

@@ -108,6 +108,34 @@ def test_shacl_every_kind_fires_on_poisoned_graph(spark):
     assert not any(f == "A" for _, f in got)
 
 
+def test_severity_split_gates_only_hard_violations(spark):
+    # ADVICE r4: partial dates / >8-segment hubs fire on HEALTHY
+    # reference-shaped corpora -> sh:Warning, never build-fatal
+    hs, cd = NT + "has_segment", NT + "collection_date"
+    healthyish = _triples(spark, [
+        (NT + "strain_name", V.DOMAIN, NT + "Strain", "uri"),
+        (hs, V.RANGE, NT + "Segment", "uri"),
+        ("A", NT + "strain_name", "a", ""),
+        ("A", hs, "segA", "uri"),
+        ("A", cd, "2026", "xsd:gYear"),      # warn: partial date
+        ("B", NT + "strain_name", "b", ""),
+        *[("B", hs, f"s{i}", "uri") for i in range(9)],  # warn: 9 segs
+    ])
+    n_hard, n_warn = V.violation_counts(V.shacl_validate(healthyish))
+    assert n_hard == 0 and n_warn == 2
+    poisoned = _triples(spark, [
+        (NT + "strain_name", V.DOMAIN, NT + "Strain", "uri"),
+        (hs, V.RANGE, NT + "Segment", "uri"),
+        ("A", NT + "strain_name", "a", ""),
+        ("A", hs, "segA", "uri"),
+        ("segA", NT + "segment_number", "9", ""),  # hard: bad range
+    ])
+    n_hard2, n_warn2 = V.violation_counts(V.shacl_validate(poisoned))
+    assert n_hard2 == 1 and n_warn2 == 0
+    assert V.severity_of("CollectionDateIsFullDate") == "Warning"
+    assert V.severity_of("SegmentNumberInRange") == "Violation"
+
+
 def test_shacl_class_shape_fires_without_range_axiom(spark):
     hs = NT + "has_segment"
     t = _triples(spark, [
