@@ -927,12 +927,21 @@ def _enc_eob_flush(w: "_JpegBitWriter", ac_code: dict,
 
 
 def _enc_ac_first_scan(blocks, Ss: int, Se: int, Al: int,
-                       ac_code: dict) -> bytes:
+                       ac_code: dict, restart_interval: int = 0) -> bytes:
     """Entropy bytes for a first AC scan (Ah=0): sign-magnitude point
-    transform by Al, (run, size) coding, cross-block EOB runs."""
+    transform by Al, (run, size) coding, cross-block EOB runs; RSTn
+    every ``restart_interval`` blocks (EOB run flushed first, per
+    T.81 — runs never cross a restart)."""
     w = _JpegBitWriter()
     eob_cnt, eob_bits = 0, []
+    rst = cnt = 0
     for zz in blocks:
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            eob_cnt, eob_bits = _enc_eob_flush(w, ac_code,
+                                               eob_cnt, eob_bits)
+            w.restart(rst)
+            rst += 1
+        cnt += 1
         vals = [v >> Al if v >= 0 else -((-v) >> Al)
                 for v in (int(zz[k]) for k in range(Ss, Se + 1))]
         last = max((i for i, v in enumerate(vals) if v), default=-1)
@@ -1001,14 +1010,23 @@ def _enc_ac_refine_block_ops(band: list, Al: int):
 
 
 def _enc_ac_refine_scan(blocks, Ss: int, Se: int, Al: int,
-                        ac_code: dict) -> bytes:
+                        ac_code: dict, restart_interval: int = 0) -> bytes:
     """Entropy bytes for an AC refinement scan (Ah=Al+1): one new bit
     of precision per coefficient — newly-nonzero values coded as
     (run, 1) + sign, history values as embedded correction bits, with
-    cross-block EOB runs carrying the deferred corrections."""
+    cross-block EOB runs carrying the deferred corrections; RSTn
+    every ``restart_interval`` blocks (run + buffered bits flushed
+    first)."""
     w = _JpegBitWriter()
     eob_cnt, eob_bits = 0, []
+    rst = cnt = 0
     for zz in blocks:
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            eob_cnt, eob_bits = _enc_eob_flush(w, ac_code,
+                                               eob_cnt, eob_bits)
+            w.restart(rst)
+            rst += 1
+        cnt += 1
         band = [int(zz[k]) for k in range(Ss, Se + 1)]
         ops, trailing, needs_eob = _enc_ac_refine_block_ops(band, Al)
         if ops:
@@ -1033,7 +1051,9 @@ def _enc_ac_refine_scan(blocks, Ss: int, Se: int, Al: int,
 
 def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
                            rgb_fn=None, quant: int = 8,
-                           subsample: bool = True) -> bytes:
+                           subsample: bool = True,
+                           quant_prec: int = 8,
+                           restart_interval: int = 0) -> bytes:
     """A real PROGRESSIVE (SOF2) JPEG: the same coefficient pipeline
     as synth_jpeg / synth_jpeg_color (level shift, 8x8 forward DCT,
     uniform quantization, exact integer BT.601 color transform)
@@ -1044,7 +1064,14 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
     decode_jpeg_pixels must return byte-identical pixels for the same
     input — the round-trip tests assert exactly that — and block/
     MCU-constant inputs survive the codec EXACTLY, so the closed-form
-    pixel-sum oracles apply unchanged."""
+    pixel-sum oracles apply unchanged.
+
+    ``quant_prec=16`` emits the DQT as 16-bit big-endian entries
+    (T.81 Pq=1, legal for SOF1/SOF2 — real web JPEGs use it and the
+    decoder reads it; values above 255 need it).  ``restart_interval``
+    > 0 emits DRI + RSTn markers every that-many MCUs (DC scans) /
+    blocks (AC scans), resetting predictors and EOB runs — the
+    decoder's progressive restart path."""
     import numpy as np
 
     m = _dct_matrix()
@@ -1110,20 +1137,22 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
             for bx in range(-(-cw // 8)):
                 yield arr[by, bx]
 
-    def interleaved():
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for c in comps:
-                    for by in range(c["vs"]):
-                        for bx in range(c["hs"]):
-                            yield c["id"], planes[c["id"]][
-                                my * c["vs"] + by, mx * c["hs"] + bx]
-
-    def dc_blocks():
+    def dc_units():
+        # restart units: one MCU (interleaved) / one block (ns=1)
         if len(comps) > 1:
-            return interleaved()
-        return ((comps[0]["id"], z)
-                for z in noninterleaved(comps[0]["id"]))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for c in comps:
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                unit.append((c["id"], planes[c["id"]][
+                                    my * c["vs"] + by,
+                                    mx * c["hs"] + bx]))
+                    yield unit
+        else:
+            for z in noninterleaved(comps[0]["id"]):
+                yield [(comps[0]["id"], z)]
 
     dc_code = _huff_codes(_DC_BITS, _DC_VALS)
     ac_code = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
@@ -1131,20 +1160,35 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
     def dc_first(Al):
         w = _JpegBitWriter()
         pred = {c["id"]: 0 for c in comps}
-        for cid, zz in dc_blocks():
-            v = int(zz[0]) >> Al  # arithmetic shift, per G.1.2.1
-            t, amp = _amp_bits(v - pred[cid])
-            pred[cid] = v
-            c, n = dc_code[t]
-            w.write(c, n)
-            if t:
-                w.write(amp, t)
+        rst = cnt = 0
+        for unit in dc_units():
+            if restart_interval and cnt and \
+                    cnt % restart_interval == 0:
+                w.restart(rst)
+                rst += 1
+                pred = {c["id"]: 0 for c in comps}
+            cnt += 1
+            for cid, zz in unit:
+                v = int(zz[0]) >> Al  # arithmetic shift, per G.1.2.1
+                t, amp = _amp_bits(v - pred[cid])
+                pred[cid] = v
+                c, n = dc_code[t]
+                w.write(c, n)
+                if t:
+                    w.write(amp, t)
         return w.flush()
 
     def dc_refine(Al):
         w = _JpegBitWriter()
-        for cid, zz in dc_blocks():
-            w.write((int(zz[0]) >> Al) & 1, 1)
+        rst = cnt = 0
+        for unit in dc_units():
+            if restart_interval and cnt and \
+                    cnt % restart_interval == 0:
+                w.restart(rst)
+                rst += 1
+            cnt += 1
+            for _cid, zz in unit:
+                w.write((int(zz[0]) >> Al) & 1, 1)
         return w.flush()
 
     cids = [c["id"] for c in comps]
@@ -1162,7 +1206,14 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    qtab = bytes([quant] * 64)
+    if quant_prec == 16:
+        dqt = bytes([0x10]) + struct.pack(">64H", *([quant] * 64))
+    elif quant_prec == 8:
+        if not 0 < quant < 256:
+            raise ValueError("8-bit DQT needs 0 < quant < 256")
+        dqt = bytes([0x00]) + bytes([quant] * 64)
+    else:
+        raise ValueError("quant_prec must be 8 or 16")
     dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
            + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
     sof = (struct.pack(">BHHB", 8, height, width, len(comps))
@@ -1170,9 +1221,11 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
                       for c in comps))
     out = (b"\xff\xd8"
            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-           + seg(0xDB, bytes([0x00]) + qtab)
+           + seg(0xDB, dqt)
            + seg(0xC2, sof)
            + seg(0xC4, dht))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for kind, scids, Ss, Se, Ah, Al in script:
         if kind == "dcf":
             data = dc_first(Al)
@@ -1180,10 +1233,12 @@ def synth_jpeg_progressive(width: int, height: int, pixel_fn=None,
             data = dc_refine(Al)
         elif kind == "acf":
             data = _enc_ac_first_scan(noninterleaved(scids[0]),
-                                      Ss, Se, Al, ac_code)
+                                      Ss, Se, Al, ac_code,
+                                      restart_interval)
         else:
             data = _enc_ac_refine_scan(noninterleaved(scids[0]),
-                                       Ss, Se, Al, ac_code)
+                                       Ss, Se, Al, ac_code,
+                                       restart_interval)
         body = bytes([len(scids)])
         for cid in scids:
             body += bytes([cid, 0x00])
@@ -1518,10 +1573,13 @@ def decode_jpeg_pixels(b: bytes) -> dict:
         if marker == 0xDB:
             o = 0
             while o < len(body):
-                if body[o] >> 4:
-                    raise NotImplementedError("16-bit quant tables")
-                qtabs[body[o] & 0x0F] = list(body[o + 1:o + 65])
-                o += 65
+                if body[o] >> 4:  # precision 1: 16-bit big-endian
+                    qtabs[body[o] & 0x0F] = list(
+                        struct.unpack_from(">64H", body, o + 1))
+                    o += 129
+                else:
+                    qtabs[body[o] & 0x0F] = list(body[o + 1:o + 65])
+                    o += 65
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)

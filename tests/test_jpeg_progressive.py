@@ -104,6 +104,39 @@ def test_header_and_pixel_stats_on_progressive():
     assert s["n_pixels"] == 240 and s["pixel_sum"] > 0
 
 
+def test_16bit_quant_tables_decode():
+    # T.81 Pq=1 (legal for SOF1/SOF2; real web JPEGs use it): same
+    # quant via 16-bit entries decodes byte-identically, and values
+    # above 255 — impossible in an 8-bit table — work
+    base = decode_jpeg_pixels(synth_jpeg(40, 24, _gradient))
+    p16 = decode_jpeg_pixels(synth_jpeg_progressive(
+        40, 24, pixel_fn=_gradient, quant_prec=16))
+    assert p16["pixels"] == base["pixels"]
+    q, v = 300, 200
+    d = decode_jpeg_pixels(synth_jpeg_progressive(
+        16, 16, pixel_fn=lambda x, y: v, quant=q, quant_prec=16))
+    dcq = round(8 * (v - 128) / q)
+    assert set(d["pixels"]) == {min(255, round(dcq * q / 8 + 128))}
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_progressive_restart_markers_gray(ri):
+    base = decode_jpeg_pixels(synth_jpeg(40, 24, _gradient))
+    prog = decode_jpeg_pixels(synth_jpeg_progressive(
+        40, 24, pixel_fn=_gradient, restart_interval=ri))
+    assert prog["pixels"] == base["pixels"]
+
+
+@pytest.mark.parametrize("ri", [1, 3])
+def test_progressive_restart_markers_color(ri):
+    # interleaved DC scan restarts at MCU boundaries, AC scans at
+    # block boundaries; predictors and EOB runs reset at each RSTn
+    base = decode_jpeg_pixels(synth_jpeg_color(24, 24, _rgb))
+    prog = decode_jpeg_pixels(synth_jpeg_progressive(
+        24, 24, rgb_fn=_rgb, restart_interval=ri))
+    assert prog["pixels"] == base["pixels"]
+
+
 def test_arithmetic_coded_still_raises():
     # flip SOF2 -> SOF10 (progressive arithmetic): honest-scope raise
     b = bytearray(synth_jpeg_progressive(16, 16, pixel_fn=_gradient))
