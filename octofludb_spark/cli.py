@@ -534,6 +534,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "mp4-info", "mp4-samples", "audio-features", "image-dhash",
               "dhash-neardup", "shard-shuffle", "mix-epochs", "kmeans",
               "avi-frames", "warc-records", "warc-responses", "warc-text",
+              "warc-text-tolerant", "warc-rejects",
               "warc-linkgraph", "robots-rules", "frontier", "politeness",
               "anchor-text", "url-normalize", "wet", "wet-files",
               "cdx", "cdx-shards", "sitemap-urls", "sitemap-seed",
@@ -702,6 +703,15 @@ def cmd_scale(args) -> int:
     elif args.op == "warc-text":
         from octofludb_spark.scale.web import warc_html_pipeline
         out = warc_html_pipeline(docs, compressed=args.gz)
+    elif args.op == "warc-text-tolerant":
+        # skip-and-count parsing: survives malformed archives, pages
+        # from the good records; pair with `warc-rejects` for audit
+        from octofludb_spark.scale.web import warc_html_pipeline
+        out = warc_html_pipeline(docs, tolerant=True)
+    elif args.op == "warc-rejects":
+        # per-archive reject telemetry of the tolerant walkers
+        from octofludb_spark.scale.web import warc_malformed_stats
+        out = warc_malformed_stats(docs)
     elif args.op == "warc-linkgraph":
         from octofludb_spark.scale.web import host_link_graph, http_responses
         out = host_link_graph(http_responses(docs, compressed=args.gz))

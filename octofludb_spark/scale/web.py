@@ -775,10 +775,18 @@ HTTP_SCHEMA = ("media_id long, page int, target_uri string, "
                "body_md5 string, body string")
 
 
-def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
+def http_responses(media: DataFrame, compressed: bool = False,
+                   tolerant: bool = False) -> DataFrame:
     """WARC files -> one row per HTTP response: status, content type,
     body (string — the crawl-to-text handoff column).  Page index is
-    parsed from the target URI, not assumed from record order."""
+    parsed from the target URI, not assumed from record order.
+
+    ``tolerant=True`` swaps in the skip-and-count walkers (gzip
+    membership auto-sniffed per payload): malformed records are
+    dropped instead of raising, so one bad archive costs its bad
+    records, not the job — run warc_malformed_stats over the same
+    media for the per-category reject counts (the streaming ingest's
+    tolerant face writes both)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "page", "target_uri", "http_status",
@@ -787,16 +795,26 @@ def http_responses(media: DataFrame, compressed: bool = False) -> DataFrame:
             out: dict = {c: [] for c in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if compressed:
-                    stream = b"".join(
-                        u for _, _, u in iter_gzip_members(raw))
+                if tolerant:
+                    if raw[:3] == GZ_MAGIC:
+                        members, _ = walk_gzip_members_tolerant(raw)
+                        raw = b"".join(members)
+                    recs = walk_warc_tolerant(raw)[0]
+                elif compressed:
+                    recs = iter_warc_records(b"".join(
+                        u for _, _, u in iter_gzip_members(raw)))
                 else:
-                    stream = raw
-                for rec in iter_warc_records(stream):
+                    recs = iter_warc_records(raw)
+                for rec in recs:
                     h = rec["headers"]
                     if h.get("warc-type") != "response":
                         continue
-                    msg = parse_http_message(rec["payload"])
+                    if tolerant:
+                        msg, _hrej = parse_http_tolerant(rec["payload"])
+                        if msg is None:
+                            continue
+                    else:
+                        msg = parse_http_message(rec["payload"])
                     uri = h.get("warc-target-uri", "")
                     tail = uri.rsplit("/", 1)[-1]
                     page = int(tail) if tail.isdigit() else -1
@@ -853,18 +871,20 @@ def host_link_graph(resp: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_links")))
 
 
-def warc_html_pipeline(media: DataFrame, compressed: bool = False
-                       ) -> DataFrame:
+def warc_html_pipeline(media: DataFrame, compressed: bool = False,
+                       tolerant: bool = False) -> DataFrame:
     """The full crawl-to-text hop: WARC -> HTTP 200 text/html bodies
     -> html_extract (script/style/comment strip, entity decode,
     whitespace collapse).  Everything after the record explode is
     JVM-side regexp projection — at 100 TB this is one scan stage.
+    ``tolerant=True``: skip-and-count parsing (see http_responses).
 
     Output: (media_id, page, n_links, text_clean, n_chars_clean).
     """
     from octofludb_spark.scale.text import html_extract
 
-    resp = http_responses(media, compressed=compressed)
+    resp = http_responses(media, compressed=compressed,
+                          tolerant=tolerant)
     pages = (resp
              .where((F.col("http_status") == 200)
                     & (F.col("content_type") == "text/html"))

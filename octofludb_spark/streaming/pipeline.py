@@ -534,6 +534,53 @@ def stream_crawl_to_text(spark: SparkSession, directory: str,
     )
 
 
+def stream_crawl_tolerant(spark: SparkSession, directory: str,
+                          out_dir: str, checkpoint_dir: str,
+                          max_files: int = 16):
+    """Adversarial-tolerant streaming face of the crawl ingest: the
+    strict stream_crawl_to_text dies on the first malformed archive a
+    real crawl WILL eventually deliver; this one parses every
+    micro-batch with the skip-and-count walkers (scale/web.py
+    walk_warc_tolerant family) and writes TWO outputs per batch via
+    foreachBatch — clean pages to ``out_dir`` and the per-archive
+    reject telemetry (warc_malformed_stats) to ``out_dir``+"_rejects"
+    — so a poisoned record costs its record AND leaves an audit row,
+    never an exception and never silent loss.  The batch is persisted
+    across the two writes; gzip membership is auto-sniffed per
+    payload.  foreachBatch keeps the checkpoint exactly-once at the
+    batch level (both writes re-run together on recovery)."""
+    import pyspark.sql.types as T
+
+    from octofludb_spark.scale.web import (warc_html_pipeline,
+                                           warc_malformed_stats)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(directory)
+    )
+
+    def sink(batch, _bid):
+        batch = batch.persist()
+        try:
+            (warc_html_pipeline(batch, tolerant=True)
+             .write.mode("append").parquet(out_dir))
+            (warc_malformed_stats(batch)
+             .write.mode("append").parquet(out_dir + "_rejects"))
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_validation(spark: SparkSession, directory: str,
                       out_dir: str, checkpoint_dir: str,
                       max_files: int = 16):

@@ -288,6 +288,52 @@ def test_stream_crawl_to_text_matches_batch_and_resumes(spark, tmp_path):
     assert got_gz == want
 
 
+def test_stream_crawl_tolerant_survives_poisoned_archives(spark, tmp_path):
+    """The tolerant streaming ingest keeps flowing through archives
+    the strict face would die on: corrupted archives (every
+    synth_warc_corrupt mode, incl. gzip faces auto-sniffed) yield
+    their surviving pages to one sink and per-archive reject
+    telemetry to the _rejects sink — counted loss, no exception."""
+    from octofludb_spark.scale import web as W
+    from octofludb_spark.streaming.pipeline import stream_crawl_tolerant
+
+    docs = spark.range(16).toDF("doc_id")  # 2 of each corruption mode
+    media_dir = str(tmp_path / "warc_bad")
+    W.synth_corrupt_media(docs).coalesce(3).write.parquet(media_dir)
+
+    out_dir = str(tmp_path / "pages_tol")
+    q = stream_crawl_tolerant(spark, media_dir, out_dir,
+                              str(tmp_path / "ckpt_tol"),
+                              max_files=2).start()
+    q.awaitTermination(180)
+
+    pages = spark.read.parquet(out_dir)
+    rejects = spark.read.parquet(out_dir + "_rejects")
+    # streaming pages == batch tolerant pipeline on the same archives
+    cols = ["media_id", "page", "n_links", "text_clean", "n_chars_clean"]
+    want = sorted(map(tuple, W.warc_html_pipeline(
+        spark.read.parquet(media_dir), tolerant=True)
+        .select(*cols).collect()))
+    assert sorted(map(tuple, pages.select(*cols).collect())) == want
+    assert pages.count() > 0
+    # every archive has an audit row; the corrupted ones show rejects
+    assert rejects.count() == 16
+    tot = rejects.selectExpr(
+        "sum(rej_truncated + rej_version + rej_injection + rej_chunk "
+        "+ rej_gzip) AS t").first()["t"]
+    assert tot == 12  # modes 1,2,3,4,5,7 x 2 docs each
+
+    # tolerant == strict page output on CLEAN archives
+    clean_dir = str(tmp_path / "warc_clean")
+    W.synth_warc_media(docs).coalesce(3).write.parquet(clean_dir)
+    strict = sorted(map(tuple, W.warc_html_pipeline(
+        spark.read.parquet(clean_dir)).select(*cols).collect()))
+    tol = sorted(map(tuple, W.warc_html_pipeline(
+        spark.read.parquet(clean_dir), tolerant=True)
+        .select(*cols).collect()))
+    assert tol == strict
+
+
 def test_stream_validation_matches_batch_row_local_shapes(spark, tmp_path):
     """Streaming SHACL monitor == batch shacl_validate restricted to
     the row-local shapes, on the same triple files; checkpoint re-run
