@@ -5461,6 +5461,25 @@ def web_warc_pipeline(spark, sf):
                     "n_chars_clean")
 
 
+@q("web_warc_pipeline_tolerant", _WARC_PIPELINE_SQL)
+def web_warc_pipeline_tolerant(spark, sf):
+    """The tolerant-parse crawl-to-text hop on CLEAN archives, held
+    to the SAME closed-form oracle as web_warc_pipeline: the
+    skip-and-count walkers (walk_warc_tolerant / parse_http_tolerant,
+    gzip auto-sniffed) must be byte-equivalent to the strict parsers
+    whenever nothing is malformed — tolerance costs zero fidelity.
+    Together with web_malformed_tolerance (which pins the reject
+    accounting on corrupted archives) this hash-proves both halves of
+    the tolerant contract externally."""
+    from octofludb_spark.scale import web as W
+
+    m = W.synth_warc_media(t(spark, sf, "documents"))
+    x = W.warc_html_pipeline(m, tolerant=True)
+    return x.select("media_id", "page", "n_links",
+                    F.md5("text_clean").alias("clean_md5"),
+                    "n_chars_clean")
+
+
 _MALFORMED_SQL = """
 SELECT doc_id AS media_id,
        CAST(doc_id % 8 AS INT) AS mode,
