@@ -776,10 +776,23 @@ def test_baseline_jpeg_codec():
     got = np.frombuffer(d["pixels"], np.uint8).reshape(40, 56)
     assert np.abs(got.astype(int) - img).max() <= 2
 
-    # honest scope: progressive SOF2 raises
+    # SOF2 is SUPPORTED since round 5 (tests/test_jpeg_progressive.py
+    # has the full battery) — a baseline stream whose SOF marker is
+    # merely forged to SOF2 is structurally INVALID (its full-band
+    # interleaved scan is not a legal progressive scan) and must be
+    # rejected, not misdecoded
+    from octofludb_spark.scale.multimodal import synth_jpeg_progressive
+
+    assert decode_jpeg_pixels(
+        synth_jpeg_progressive(16, 16, pixel_fn=lambda x, y: 7)
+    )["pixels"] == bytes([7]) * 256
     j = bytearray(synth_jpeg(16, 16))
     j[j.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg_pixels(bytes(j))
+    # the honest-scope raise narrowed to arithmetic coding
+    j[j.index(b"\xff\xc2") + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(j))
 
 
