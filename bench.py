@@ -352,14 +352,32 @@ def _spawn(worker: str) -> tuple[dict, dict]:
     env = dict(os.environ, BENCH_WORKER=worker)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
     lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
     if proc.returncode != 0 or not lines:
+        tail = proc.stderr.decode(errors="replace")[-2000:]
         raise RuntimeError(f"bench worker {worker!r} failed "
-                           f"(rc={proc.returncode})")
+                           f"(rc={proc.returncode}); stderr tail:\n{tail}")
     part = json.loads(lines[-1])
     return part["queries"], part["extras"]
+
+
+def _rebest_kg(queries: dict, extras: dict, q: dict, e: dict) -> None:
+    """Fold a KG re-measurement into the best-so-far stage times and
+    recompute the derived throughputs — ONE implementation for both
+    the steady-state guard and the regression re-measure path."""
+    for n, t in q.items():
+        queries[n] = min(queries[n], t)
+    extras["kg_materialize_sec"] = min(
+        extras["kg_materialize_sec"], e["kg_materialize_sec"])
+    t_ex = queries["kg_extract_dedup"]
+    t_e2e = t_ex + queries["kg_link_canonicalize"]
+    extras["kg_triples_per_sec_extract"] = round(
+        extras["kg_triples"] / t_ex, 1)
+    extras["kg_triples_per_sec_e2e"] = round(
+        extras["kg_triples"] / t_e2e, 1)
+    extras["kg_docs_per_sec"] = round(extras["kg_docs"] / t_ex, 1)
 
 
 def _previous_round() -> tuple[str, dict]:
@@ -430,17 +448,7 @@ def main() -> None:
         )
         if extras.get("kg_triples_per_sec_extract", 0) < 0.95 * best_prev_ex:
             q, e = _spawn("kg")
-            for n, t in q.items():
-                queries[n] = min(queries[n], t)
-            extras["kg_materialize_sec"] = min(
-                extras["kg_materialize_sec"], e["kg_materialize_sec"])
-            t_ex = queries["kg_extract_dedup"]
-            t_e2e = t_ex + queries["kg_link_canonicalize"]
-            extras["kg_triples_per_sec_extract"] = round(
-                extras["kg_triples"] / t_ex, 1)
-            extras["kg_triples_per_sec_e2e"] = round(
-                extras["kg_triples"] / t_e2e, 1)
-            extras["kg_docs_per_sec"] = round(extras["kg_docs"] / t_ex, 1)
+            _rebest_kg(queries, extras, q, e)
 
     # ---- regression self-check vs the previous committed round ----------
     prev_name, prev = _previous_round()
@@ -459,19 +467,7 @@ def main() -> None:
                 queries[n] = min(queries[n], t)
         if kg_flagged:
             q, e = _spawn("kg")
-            for n, t in q.items():
-                if t < queries[n]:
-                    queries[n] = t
-            extras["kg_materialize_sec"] = min(
-                extras["kg_materialize_sec"], e["kg_materialize_sec"])
-            # recompute throughputs from the best stage times
-            t_ex = queries["kg_extract_dedup"]
-            t_e2e = t_ex + queries["kg_link_canonicalize"]
-            extras["kg_triples_per_sec_extract"] = round(
-                extras["kg_triples"] / t_ex, 1)
-            extras["kg_triples_per_sec_e2e"] = round(
-                extras["kg_triples"] / t_e2e, 1)
-            extras["kg_docs_per_sec"] = round(extras["kg_docs"] / t_ex, 1)
+            _rebest_kg(queries, extras, q, e)
     regressions = sorted(
         n for n in queries
         if n in prev_q and prev_q[n] > 0

@@ -46,7 +46,18 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
                    .getCheckpointDir().isDefined())
     except Exception:
         has_dir = False
-    return df.checkpoint().persist() if has_dir else df.localCheckpoint()
+    if not has_dir:
+        return df.localCheckpoint()
+    # reliable checkpoint computes the plan TWICE unless the
+    # pre-checkpoint partitions are cached (the checkpoint write is a
+    # second job over the same lineage — Spark's documented RDD
+    # semantics): persist first so the write job reads the cache, then
+    # drop the scratch cache and persist the checkpointed (file-backed)
+    # result so later scans don't re-read the files every time
+    df = df.persist()
+    out = df.checkpoint()  # eager: materializes via the cache
+    df.unpersist()
+    return out.persist()
 
 
 def undirect(edges: DataFrame) -> DataFrame:

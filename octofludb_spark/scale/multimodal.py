@@ -1559,6 +1559,7 @@ def decode_jpeg_pixels(b: bytes) -> dict:
     progressive = False
     coef: dict | None = None
     hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
     pos = 2
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -1628,8 +1629,14 @@ def decode_jpeg_pixels(b: bytes) -> dict:
             pos = _decode_jpeg_scan(
                 b, pos, body, comps, htabs, coef, w, h, hmax, vmax,
                 mcux, mcuy, progressive, restart_interval)
+            n_scans += 1
     if coef is None:
         raise ValueError("no SOF marker")
+    if n_scans == 0:
+        # a stream truncated/forged between SOF and SOS would
+        # otherwise "decode" to all-zero coefficients — mid-gray
+        # pixels and a plausible bogus pixel_sum; reject instead
+        raise ValueError("no SOS marker")
     m = _dct_matrix()
     planes = []
     for c in comps:

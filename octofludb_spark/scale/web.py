@@ -306,31 +306,40 @@ def iter_gzip_members(b: bytes) -> Iterator[tuple[int, int, bytes]]:
 GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def scan_gzip_member_offsets(b: bytes) -> list[int]:
-    """Offset re-synchronisation for splittable .warc.gz reads: scan
-    for the member magic and VALIDATE each candidate by attempting a
-    full member decompress (a random \\x1f\\x8b\\x08 inside deflate
-    data fails validation and is skipped).  On a cluster each split
-    scans forward from its assigned byte range to the first valid
-    member and stops at the first valid member past its end — no
-    coordination, no index file.  Test-pinned == iter_gzip_members."""
-    offsets, pos = [], 0
+def _next_valid_member(b: bytes, pos: int) -> tuple[int, int] | None:
+    """First offset >= ``pos`` holding a VALID gzip member: candidate
+    magic + full-member decompress validation (a random
+    \\x1f\\x8b\\x08 inside deflate data fails and is skipped).
+    Returns (offset, compressed_length) or None.  The ONE validation
+    rule shared by the splittable scanner and the tolerant walker's
+    resync — they cannot drift apart."""
     while True:
         hit = b.find(GZ_MAGIC, pos)
         if hit < 0:
-            return offsets
+            return None
         d = zlib.decompressobj(wbits=31)
         try:
             d.decompress(b[hit:])
-            ok = d.eof
+            if d.eof:
+                return hit, len(b) - hit - len(d.unused_data)
         except zlib.error:
-            ok = False
-        if ok:
-            offsets.append(hit)
-            consumed = len(b) - hit - len(d.unused_data)
-            pos = hit + consumed
-        else:
-            pos = hit + 1
+            pass
+        pos = hit + 1
+
+
+def scan_gzip_member_offsets(b: bytes) -> list[int]:
+    """Offset re-synchronisation for splittable .warc.gz reads
+    (_next_valid_member validation).  On a cluster each split scans
+    forward from its assigned byte range to the first valid member
+    and stops at the first valid member past its end — no
+    coordination, no index file.  Test-pinned == iter_gzip_members."""
+    offsets, pos = [], 0
+    while True:
+        nxt = _next_valid_member(b, pos)
+        if nxt is None:
+            return offsets
+        offsets.append(nxt[0])
+        pos = nxt[0] + nxt[1]
 
 
 # ------------------------------------------------------------------
@@ -448,22 +457,10 @@ def walk_gzip_members_tolerant(b: bytes) -> tuple[list[bytes], dict]:
             pos = hit + (n - hit - len(d.unused_data))
         else:
             rejects["bad_gzip_member"] += 1
-            # resync: next magic that decompresses to a full member
-            nxt = n
-            scan = hit + 1
-            while True:
-                cand = b.find(GZ_MAGIC, scan)
-                if cand < 0:
-                    break
-                d2 = zlib.decompressobj(wbits=31)
-                try:
-                    d2.decompress(b[cand:])
-                    if d2.eof:
-                        nxt = cand
-                        break
-                except zlib.error:
-                    pass
-                scan = cand + 1
+            # resync at the next VALIDATED member (same rule as the
+            # splittable scanner: _next_valid_member)
+            cand = _next_valid_member(b, hit + 1)
+            nxt = cand[0] if cand else n
             rejects["skipped_bytes"] += nxt - hit
             pos = nxt
     return members, rejects

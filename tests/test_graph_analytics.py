@@ -54,6 +54,32 @@ def test_pagerank_star_and_conservation(spark):
     assert sum(got.values()) > PR_SCALE * 0.9
 
 
+def test_truncate_lineage_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured, _truncate_lineage takes the
+    reliable path: pre-checkpoint persist (so the checkpoint write
+    doesn't recompute the plan — review finding r5), checkpoint files
+    on disk, identical results; pagerank over it matches the
+    localCheckpoint baseline bit-for-bit."""
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")])
+    base = {r.node: r.rank_micro for r in pagerank(e, iters=3).collect()}
+
+    from octofludb_spark.ops.graph_analytics import _truncate_lineage
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out = _truncate_lineage(e.select("src", "dst").distinct())
+        assert out.count() == 4
+        ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+        assert ckpt_files, "no reliable checkpoint files written"
+        got = {r.node: r.rank_micro
+               for r in pagerank(e, iters=3).collect()}
+        assert got == base
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # restore local-mode path
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+
 def test_pagerank_deterministic_across_partitioning(spark):
     """The SAME ranks regardless of input partitioning — integer sums
     have no order sensitivity (a float PageRank cannot promise

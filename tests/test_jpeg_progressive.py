@@ -137,6 +137,18 @@ def test_progressive_restart_markers_color(ri):
     assert prog["pixels"] == base["pixels"]
 
 
+def test_truncated_before_sos_rejects():
+    # review finding r5: a stream cut between SOF and SOS used to
+    # "decode" to all-zero coefficients (mid-gray pixels, plausible
+    # bogus pixel_sum) — must reject like the pre-rewrite decoder did
+    b = synth_jpeg(16, 16, _gradient)
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg_pixels(b[:b.index(b"\xff\xda")])
+    p = synth_jpeg_progressive(16, 16, pixel_fn=_gradient)
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg_pixels(p[:p.index(b"\xff\xda")])
+
+
 def test_arithmetic_coded_still_raises():
     # flip SOF2 -> SOF10 (progressive arithmetic): honest-scope raise
     b = bytearray(synth_jpeg_progressive(16, 16, pixel_fn=_gradient))
