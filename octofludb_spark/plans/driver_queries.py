@@ -6149,6 +6149,39 @@ def kg_shacl_report(spark, sf):
     return shacl_validate(triples)
 
 
+_SHACL_SEVERITY_SQL = f"""
+WITH base AS ({_SHACL_SQL})
+SELECT shape_id,
+       CASE WHEN shape_id IN ('CollectionDateIsFullDate',
+                              'StrainAtMost8Segments')
+            THEN 'Warning' ELSE 'Violation' END AS severity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM base GROUP BY 1, 2
+"""
+
+
+@q("kg_shacl_severity", _SHACL_SEVERITY_SQL)
+def kg_shacl_severity(spark, sf):
+    """Severity rollup of the SHACL report (ADVICE r4: the two shapes
+    that fire NATURALLY on healthy reference-shaped corpora — partial
+    collection dates, sameAs-merged hub strains — carry sh:Warning and
+    no longer fail `build --validate`; everything else is
+    sh:Violation).  This gate makes the severity mapping itself
+    driver-checkable: per-shape counts from the same entailed-graph
+    validation, tagged through plans/validation.severity_of's exact
+    WARN_SHAPE_IDS set, against the oracle's independent restatement."""
+    from octofludb_spark.plans.validation import (WARN_SHAPE_IDS,
+                                                  shacl_validate)
+
+    triples, _ = _stage_kg(spark)
+    rep = shacl_validate(triples)
+    sev = F.when(F.col("shape_id").isin(*sorted(WARN_SHAPE_IDS)),
+                 F.lit("Warning")).otherwise(F.lit("Violation"))
+    return (rep.groupBy("shape_id")
+            .agg(F.count("*").cast("long").alias("n_rows"))
+            .select("shape_id", sev.alias("severity"), "n_rows"))
+
+
 @q("kg_incremental_entailment", _ENTAIL_SQL)
 def kg_incremental_entailment(spark, sf):
     """Incrementally-maintained RDFS entailment (plans/validation.py
