@@ -543,7 +543,8 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "strip-comments", "dsir", "hard-negatives",
               "span-corrupt", "image-augment", "audio-augment",
               "zorder", "code-kg", "code-kg-rank", "transe-neg",
-              "code-kg-diff", "node2vec")
+              "code-kg-diff", "node2vec", "unigram-train",
+              "unigram-encode")
 
 
 def cmd_scale(args) -> int:
@@ -712,6 +713,13 @@ def cmd_scale(args) -> int:
         # per-archive reject telemetry of the tolerant walkers
         from octofludb_spark.scale.web import warc_malformed_stats
         out = warc_malformed_stats(docs)
+    elif args.op == "unigram-train":
+        from octofludb_spark.scale.unigram import unigram_train
+        out = unigram_train(docs)
+    elif args.op == "unigram-encode":
+        from octofludb_spark.scale.unigram import (unigram_encode_stats,
+                                                   unigram_train)
+        out = unigram_encode_stats(docs, unigram_train(docs))
     elif args.op == "warc-linkgraph":
         from octofludb_spark.scale.web import host_link_graph, http_responses
         out = host_link_graph(http_responses(docs, compressed=args.gz))

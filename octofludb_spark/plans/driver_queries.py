@@ -4646,6 +4646,176 @@ def bpe_merges(spark, sf):
         "merged", "pair_count")
 
 
+_UNI_K, _UNI_M, _UNI_SEED, _UNI_R = 40, 4, 200, 2
+_UNI_UNK = -20_000_000
+
+
+def _unigram_round_sql(r: int, prev: str) -> str:
+    """One unigram hard-EM round as CTE text: scores from the ``prev``
+    vocab -> candidate-edge table -> Viterbi DP (recursive CTE whose
+    rows carry the whole best-key prefix as a LIST, so the recursion
+    is positions-deep, never path-exponential; the packed-BIGINT key
+    ((-score)*64 + n_pieces)*32 + j is the same argmax+tie-break the
+    Spark _viterbi uses) -> backtrace -> piece counts."""
+    return f"""
+t{r} AS (SELECT CAST(FLOOR(LN(SUM(GREATEST(cnt, 1))) * 1000000 + 0.5)
+                AS BIGINT) AS lt FROM {prev}),
+s{r} AS (SELECT piece,
+  CAST(FLOOR(LN(GREATEST(cnt, 1)) * 1000000 + 0.5) AS BIGINT)
+    - (SELECT lt FROM t{r}) AS sc FROM {prev}),
+cand{r} AS (
+  SELECT w.word, w.cnt AS wcnt, j.j AS j, j.j + l.l AS i,
+         COALESCE(s.sc, {_UNI_UNK}) AS sc
+  FROM uni_words w
+  CROSS JOIN range(0, 16) j(j)
+  CROSS JOIN range(1, {_UNI_M + 1}) l(l)
+  LEFT JOIN s{r} s
+    ON s.piece = substr(w.word, CAST(j.j AS INTEGER) + 1,
+                        CAST(l.l AS INTEGER))
+  WHERE j.j + l.l <= length(w.word)
+    AND (s.piece IS NOT NULL OR l.l = 1)),
+wc{r} AS (SELECT word, wcnt,
+          list(struct_pack(j := j, i := i, s := sc) ORDER BY i, j)
+            AS cands
+          FROM cand{r} GROUP BY word, wcnt),
+dp{r} AS (
+  SELECT word, wcnt, cands, CAST(0 AS BIGINT) AS i,
+         [CAST(0 AS BIGINT)] AS ks
+  FROM wc{r}
+  UNION ALL
+  SELECT word, wcnt, cands, i + 1,
+    list_append(ks, list_min(list_transform(
+      list_filter(cands, x -> x.i = i + 1),
+      x -> ((ks[x.j + 1] // 2048 - x.s) * 64
+            + (ks[x.j + 1] // 32) % 64 + 1) * 32 + x.j)))
+  FROM dp{r} WHERE i < length(word)),
+bt{r} AS (
+  SELECT word, wcnt, ks, CAST(length(word) AS BIGINT) AS pos
+  FROM dp{r} WHERE i = length(word)
+  UNION ALL
+  SELECT word, wcnt, ks, ks[pos + 1] % 32 FROM bt{r} WHERE pos > 0),
+c{r} AS (
+  SELECT substr(word, CAST(ks[pos + 1] % 32 AS INTEGER) + 1,
+                CAST(pos - ks[pos + 1] % 32 AS INTEGER)) AS piece,
+         CAST(SUM(wcnt) AS BIGINT) AS cnt
+  FROM bt{r} WHERE pos > 0 GROUP BY 1)"""
+
+
+def _unigram_cte(rounds: int) -> str:
+    """Full unrolled replay of scale/unigram.unigram_train: word
+    table (length <= 16), substring seed (all single chars + top
+    k_seed multis by (cnt DESC, piece ASC)), then ``rounds`` EM
+    rounds, each pruning to all chars + the top (vocab_k - n_chars)
+    multis with cnt >= 1 under the same order."""
+    parts = [f"""
+uni_w0 AS (SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents),
+uni_words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni_w0
+              WHERE length(word) BETWEEN 1 AND 16 GROUP BY word),
+uni_subs AS (
+  SELECT substr(w.word, CAST(j.j AS INTEGER) + 1,
+                CAST(l.l AS INTEGER)) AS piece,
+         CAST(SUM(w.cnt) AS BIGINT) AS cnt
+  FROM uni_words w
+  CROSS JOIN range(0, 16) j(j)
+  CROSS JOIN range(1, {_UNI_M + 1}) l(l)
+  WHERE j.j + l.l <= length(w.word)
+  GROUP BY 1),
+uni_chars AS (SELECT piece, cnt FROM uni_subs WHERE length(piece) = 1),
+v0 AS (SELECT piece, cnt FROM uni_chars
+       UNION ALL
+       SELECT piece, cnt FROM (
+         SELECT piece, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         FROM uni_subs WHERE length(piece) >= 2)
+       WHERE rn <= {_UNI_SEED})"""]
+    for r in range(1, rounds + 1):
+        parts.append(_unigram_round_sql(r, f"v{r - 1}"))
+        parts.append(f"""
+vch{r} AS (SELECT c0.piece, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+           FROM uni_chars c0 LEFT JOIN c{r} c USING (piece)),
+v{r} AS (SELECT piece, cnt FROM vch{r}
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT c.piece, c.cnt,
+                  ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.piece ASC)
+                    AS rn
+           FROM c{r} c JOIN {f"v{r - 1}"} pv ON pv.piece = c.piece
+           WHERE length(c.piece) >= 2 AND c.cnt >= 1)
+         WHERE rn <= {_UNI_K} - (SELECT COUNT(*) FROM uni_chars))""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+_UNIGRAM_TRAIN_SQL = _unigram_cte(_UNI_R) + f""",
+tf AS (SELECT CAST(FLOOR(LN(SUM(GREATEST(cnt, 1))) * 1000000 + 0.5)
+              AS BIGINT) AS lt FROM v{_UNI_R})
+SELECT piece, cnt,
+  CAST(FLOOR(LN(GREATEST(cnt, 1)) * 1000000 + 0.5) AS BIGINT)
+    - (SELECT lt FROM tf) AS score_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INTEGER)
+    AS rank
+FROM v{_UNI_R}
+"""
+
+
+@q("tokenizer_unigram_train", _UNIGRAM_TRAIN_SQL)
+def tokenizer_unigram_train(spark, sf):
+    """SentencePiece-style UNIGRAM-LM tokenizer training
+    (scale/unigram.py unigram_train; Kudo 2018, Viterbi hard-EM
+    variant) — the other major subword family next to BPE: substring
+    seeding, 2 EM rounds of per-distinct-word Viterbi segmentation
+    (dictionary-encoded Arrow batches against a broadcast score
+    dict), char-preserving prune to vocab_k=40.  The oracle replays
+    the ENTIRE trajectory — seed top-K, integer-micro log scores,
+    the packed-BIGINT Viterbi argmax with its three-level tie-break,
+    backtrace, per-round prune — via unrolled recursive CTEs whose
+    DP rows carry the best-key prefix as a LIST (positions-deep,
+    never path-exponential).  Training touches the corpus once (the
+    BPE word_freq pass); every round is vocab-sized."""
+    from octofludb_spark.scale.unigram import unigram_train
+
+    return unigram_train(t(spark, sf, "documents"), vocab_k=_UNI_K,
+                         max_piece_len=_UNI_M, k_seed=_UNI_SEED,
+                         em_rounds=_UNI_R)
+
+
+_UNIGRAM_ENCODE_SQL = _unigram_cte(_UNI_R) + "," + _unigram_round_sql(
+    _UNI_R + 1, f"v{_UNI_R}") + f""",
+wstat AS (SELECT word, ks[CAST(length(word) AS BIGINT) + 1] AS k
+          FROM dp{_UNI_R + 1} WHERE i = length(word)),
+dwords AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN length(d.word) > 16 THEN 1
+                     ELSE (w.k // 32) % 64 END) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN length(d.word) > 16 THEN {_UNI_UNK}
+                     ELSE -(w.k // 2048) END) AS BIGINT)
+         AS score_sum_micro
+FROM dwords d LEFT JOIN wstat w USING (word)
+WHERE length(d.word) > 0
+GROUP BY d.doc_id
+"""
+
+
+@q("tokenizer_unigram_encode", _UNIGRAM_ENCODE_SQL)
+def tokenizer_unigram_encode(spark, sf):
+    """Unigram-LM encoding over the trained vocabulary
+    (scale/unigram.py unigram_encode_stats): per-document word count,
+    token count and summed segmentation score in integer micros —
+    order-independent totals that still pin EVERY word's Viterbi
+    segmentation (any piece-choice difference shifts n_tokens or the
+    score sum).  One per-DISTINCT-word DP pass broadcast-joined back
+    to the word stream; the oracle re-trains AND re-segments via one
+    more unrolled DP chain over the final scores."""
+    from octofludb_spark.scale.unigram import (unigram_encode_stats,
+                                               unigram_train)
+
+    docs = t(spark, sf, "documents")
+    model = unigram_train(docs, vocab_k=_UNI_K, max_piece_len=_UNI_M,
+                          k_seed=_UNI_SEED, em_rounds=_UNI_R)
+    return unigram_encode_stats(docs, model, max_piece_len=_UNI_M)
+
+
 _BPE_DOC_SQL = _bpe_steps_sql(_BPE_MERGES) + f"""
 SELECT o.doc_id,
        CAST(SUM((length(s.seq) - length(replace(s.seq, chr(31), ''))) // 2)
