@@ -544,7 +544,7 @@ _SCALE_OPS = ("dedup-exact", "dedup-clusters", "dedup-spans", "jaccard",
               "span-corrupt", "image-augment", "audio-augment",
               "zorder", "code-kg", "code-kg-rank", "transe-neg",
               "code-kg-diff", "node2vec", "unigram-train",
-              "unigram-encode")
+              "unigram-encode", "code-calls")
 
 
 def cmd_scale(args) -> int:
@@ -720,6 +720,10 @@ def cmd_scale(args) -> int:
         from octofludb_spark.scale.unigram import (unigram_encode_stats,
                                                    unigram_train)
         out = unigram_encode_stats(docs, unigram_train(docs))
+    elif args.op == "code-calls":
+        # expects the source-repo table (repo, path, lang, content)
+        from octofludb_spark.scale.code import call_graph, code_kg_triples
+        out = call_graph(code_kg_triples(docs, calls=True))
     elif args.op == "warc-linkgraph":
         from octofludb_spark.scale.web import host_link_graph, http_responses
         out = host_link_graph(http_responses(docs, compressed=args.gz))

@@ -7619,6 +7619,46 @@ FROM base b JOIN mods m ON m.repo = b.repo
 """
 
 
+_CODEKG_CALLS_SQL = """
+WITH fl AS (SELECT doc_id,
+              'org/proj-' || (doc_id % 7) || '/src/mod' || doc_id
+                || '.c' AS file
+            FROM documents),
+calls AS (
+  SELECT c.doc_id,
+         'fn_' || ((c.doc_id * 13 + i.i * 5 + 3) % 997) || '_0'
+           AS callee,
+         (c.doc_id * 13 + i.i * 5 + 3) % 997 AS t
+  FROM documents c CROSS JOIN range(0, 2) i(i)
+  WHERE i.i < 1 + c.doc_id % 2)
+SELECT fc.file AS caller_file, c.callee, ft.file AS callee_file,
+       CAST(COUNT(*) AS BIGINT) AS n_calls
+FROM calls c
+JOIN fl fc ON fc.doc_id = c.doc_id
+LEFT JOIN fl ft ON ft.doc_id = c.t
+GROUP BY 1, 2, 3
+"""
+
+
+@q("code_kg_call_graph", _CODEKG_CALLS_SQL)
+def code_kg_call_graph(spark, sf):
+    """Function-call graph over the code KG (scale/code.py
+    call_graph): the calls face of the synthetic repo corpus ->
+    c:calls extraction (map-side regexp, anchored so a function's own
+    definition never matches) -> symbol resolution against c:defines
+    (the linker's join; min-IRI collision rule; dangling callees kept
+    with NULL callee_file).  The oracle is GROUND TRUTH, not a regex
+    re-run: it restates every call edge and its resolution from the
+    corpus-generator arithmetic (callee owner (d*13 + i*5 + 3) % 997,
+    resolvable iff that doc exists — about half dangle at small sf,
+    so both faces are non-vacuous)."""
+    from octofludb_spark.scale.code import (call_graph, code_kg_triples,
+                                            synth_code_repo)
+
+    files = synth_code_repo(t(spark, sf, "documents"), calls=True)
+    return call_graph(code_kg_triples(files, calls=True))
+
+
 @q("code_kg_repo_report", _CODEKG_REPORT_SQL)
 def code_kg_repo_report(spark, sf):
     """The report stage of KG construction on the code face

@@ -234,9 +234,13 @@ IMPORT_PATTERNS: list[str] = [
 ]
 DEFINE_PATTERN = r'(?m)^int ([A-Za-z0-9_]+)\('
 MODULE_PATTERN = r'([A-Za-z0-9_]+)\.[a-z]+$'
+# callee of a `return NAME(...)` statement; deliberately anchored on
+# `return ` so a function's OWN definition line never matches
+CALL_PATTERN = r'return ([A-Za-z0-9_]+)\('
 
 
-def synth_code_repo(docs: DataFrame, rev: int = 0) -> DataFrame:
+def synth_code_repo(docs: DataFrame, rev: int = 0,
+                    calls: bool = False) -> DataFrame:
     """Deterministic source-repo corpus in the north rule's input
     shape — (doc_id, repo, path, lang, content) with every byte a
     closed-form function of doc_id so a SQL engine rebuilds the exact
@@ -251,6 +255,14 @@ def synth_code_repo(docs: DataFrame, rev: int = 0) -> DataFrame:
                  (three alias FORMS of the same module — the entity-
                  linking surface)
       defines  = i in [0, 1 + d % 2):  'int fn_<d>_<i>(int x) ...'
+
+    ``calls=True`` is the CALL-GRAPH face (the linkfarm convention of
+    web.synth_warc): function bodies become
+    'int fn_<d>_<i>(int x) {{ return fn_<T>_0(x + K); }}' with callee
+    owner T = (d*13 + i*5 + 3) % 997 — resolvable iff doc T exists,
+    so both the resolved and dangling faces of symbol resolution are
+    exercised.  Default False keeps every byte of the original corpus
+    (the existing code-KG gates' oracles state those strings).
 
     ``rev`` models a later snapshot of the same repositories (the
     recrawl-diff convention of web.synth_warc); rev 0 is byte-
@@ -279,10 +291,18 @@ def synth_code_repo(docs: DataFrame, rev: int = 0) -> DataFrame:
                   F.lit(int(rev))).otherwise(F.lit(0))
 
     def dfn(i: int):
-        line = F.concat(
-            F.lit("int fn_"), d, F.lit(f"_{i}"),
-            F.lit("(int x) { return x + "), (d + F.lit(i) + edit) % 89,
-            F.lit("; }"), nl)
+        if calls:
+            callee = (d * 13 + F.lit(i * 5) + F.lit(3)) % 997
+            line = F.concat(
+                F.lit("int fn_"), d, F.lit(f"_{i}"),
+                F.lit("(int x) { return fn_"), callee,
+                F.lit("_0(x + "), (d + F.lit(i) + edit) % 89,
+                F.lit("); }"), nl)
+        else:
+            line = F.concat(
+                F.lit("int fn_"), d, F.lit(f"_{i}"),
+                F.lit("(int x) { return x + "), (d + F.lit(i) + edit) % 89,
+                F.lit("; }"), nl)
         return F.when(F.lit(i) < 1 + d % 2, line).otherwise(F.lit(""))
 
     content = F.concat(
@@ -325,7 +345,7 @@ def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return added.unionByName(removed)
 
 
-def code_kg_triples(files: DataFrame) -> DataFrame:
+def code_kg_triples(files: DataFrame, calls: bool = False) -> DataFrame:
     """Triple extraction over a source-repo table (repo, path, lang,
     content) -> (subject, predicate, object_lex, object_dtype):
 
@@ -337,6 +357,10 @@ def code_kg_triples(files: DataFrame) -> DataFrame:
                                            fact of the graph
       (file,  c:imports,  <raw alias>)     one per IMPORT_PATTERNS hit
       (file,  c:defines,  <symbol>)        one per DEFINE_PATTERN hit
+      (file,  c:calls,    <symbol>)        one per CALL_PATTERN hit
+                                           (only when ``calls=True`` —
+                                           default keeps the original
+                                           gates' triple sets)
 
     Pure map-side: per-family regexp projections + explode +
     unionByName — zero shuffles, zero Python; at 100 TB this is one
@@ -364,6 +388,11 @@ def code_kg_triples(files: DataFrame) -> DataFrame:
             F.explode(F.regexp_extract_all(
                 "content", F.lit(DEFINE_PATTERN), 1)), "string"),
     ]
+    if calls:
+        parts.append(tri(
+            f, "calls",
+            F.explode(F.regexp_extract_all(
+                "content", F.lit(CALL_PATTERN), 1)), "string"))
     for pat in IMPORT_PATTERNS:
         parts.append(tri(
             f, "imports",
@@ -373,6 +402,33 @@ def code_kg_triples(files: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def call_graph(triples: DataFrame) -> DataFrame:
+    """Function-call symbol resolution over the code KG — the
+    linker's job as one relational join: every (file, c:calls,
+    symbol) fact resolves to the file that c:defines the symbol,
+    giving (caller_file, callee, callee_file, n_calls); a symbol no
+    file defines stays in the output with callee_file NULL (dangling
+    calls are a finding, never a silent drop).
+
+    Scale shape: symbols defined in several files (collisions are
+    real at monorepo scale) resolve deterministically to the MIN
+    defining file IRI — one symbol-keyed agg on the defines side —
+    then ONE symbol-keyed equi join against the calls side and one
+    keyed count agg.  Both sides are projections of the same triple
+    relation; no fan-out beyond true collision multiplicity."""
+    calls = (triples.where(F.col("predicate") == CODE_NS + "calls")
+             .select(F.col("subject").alias("caller_file"),
+                     F.col("object_lex").alias("callee")))
+    defs = (triples.where(F.col("predicate") == CODE_NS + "defines")
+            .select(F.col("object_lex").alias("callee"),
+                    F.col("subject").alias("callee_file"))
+            .groupBy("callee")
+            .agg(F.min("callee_file").alias("callee_file")))
+    return (calls.join(defs, "callee", "left")
+            .groupBy("caller_file", "callee", "callee_file")
+            .agg(F.count("*").cast("long").alias("n_calls")))
 
 
 def module_alias_map(triples: DataFrame) -> DataFrame:

@@ -260,3 +260,57 @@ def test_code_repo_report_replay(spark):
         mods = {(d + 31 * j + 7) % 997
                 for d in ds for j in range(1 + d % 3)}
         assert r.n_modules == len(mods)
+
+
+def test_call_graph_resolution_and_dangling(spark):
+    """Calls face: extraction finds exactly the generator's call
+    statements (never a function's own definition line), resolution
+    lands on the defining file iff that doc exists, dangling callees
+    keep NULL callee_file — no silent drops."""
+    from octofludb_spark.scale.code import (call_graph, code_kg_triples,
+                                            synth_code_repo)
+
+    docs = _docs(spark, n=24)
+    files = synth_code_repo(docs, calls=True)
+    tri = code_kg_triples(files, calls=True)
+    got = {(r.caller_file, r.callee): (r.callee_file, r.n_calls)
+           for r in call_graph(tri).collect()}
+    expected = {}
+    for d in range(24):
+        caller = f"org/proj-{d % 7}/src/mod{d}.c"
+        for i in range(1 + d % 2):
+            t = (d * 13 + i * 5 + 3) % 997
+            cf = (f"org/proj-{t % 7}/src/mod{t}.c" if t < 24 else None)
+            expected[(caller, f"fn_{t}_0")] = (cf, 1)
+    assert got == expected
+    assert any(v[0] is None for v in got.values())      # dangling face
+    assert any(v[0] is not None for v in got.values())  # resolved face
+
+
+def test_call_graph_collision_resolves_to_min_file(spark):
+    from octofludb_spark.scale.code import CODE_NS, call_graph
+
+    rows = [("fA", CODE_NS + "calls", "dup", "string"),
+            ("fZ", CODE_NS + "defines", "dup", "string"),
+            ("fB", CODE_NS + "defines", "dup", "string")]
+    tri = spark.createDataFrame(
+        rows, "subject string, predicate string, object_lex string, "
+              "object_dtype string")
+    out = call_graph(tri).collect()
+    assert [(r.caller_file, r.callee, r.callee_file, r.n_calls)
+            for r in out] == [("fA", "dup", "fB", 1)]
+
+
+def test_calls_face_leaves_default_corpus_unchanged(spark):
+    from octofludb_spark.scale.code import synth_code_repo
+
+    docs = _docs(spark, n=12)
+    a = sorted(map(tuple, synth_code_repo(docs).collect()))
+    b = sorted(map(tuple, synth_code_repo(docs, calls=False).collect()))
+    assert a == b
+    # calls face only rewrites function bodies; imports/defines stay
+    c = {r.doc_id: r.content
+         for r in synth_code_repo(docs, calls=True).collect()}
+    for d in (3, 7):
+        assert f"int fn_{d}_0(" in c[d]
+        assert f"return fn_{(d * 13 + 3) % 997}_0(x + {d % 89})" in c[d]
