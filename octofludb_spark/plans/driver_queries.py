@@ -7601,6 +7601,42 @@ def sparql_code_imports(spark, sf):
     return sparql_to_df(spark, text, can)
 
 
+_SPARQL_CALLS_SQL = """
+WITH calls AS (
+  SELECT c.doc_id, (c.doc_id * 13 + i.i * 5 + 3) % 997 AS t
+  FROM documents c CROSS JOIN range(0, 2) i(i)
+  WHERE i.i < 1 + c.doc_id % 2)
+SELECT 'fn_' || c.t || '_0' AS callee,
+       CAST(COUNT(*) AS BIGINT) AS n_callers
+FROM calls c JOIN documents dd ON dd.doc_id = c.t
+GROUP BY 1
+"""
+
+
+@q("sparql_code_calls", _SPARQL_CALLS_SQL)
+def sparql_code_calls(spark, sf):
+    """Symbol resolution expressed IN SPARQL over the code KG: a
+    two-pattern BGP join (?caller c:calls ?callee . ?def c:defines
+    ?callee) compiled by plans/sparql.py into the same keyed equi
+    join call_graph plans by hand — the J9 self-join family exercised
+    on the calls face, dangling callees excluded by the join
+    semantics themselves.  Oracle restates the resolved-caller
+    lattice from the generator arithmetic (ground truth, not a
+    regex re-run)."""
+    from octofludb_spark.plans.sparql import sparql_to_df
+    from octofludb_spark.scale import code as C
+
+    tr = C.code_kg_triples(
+        C.synth_code_repo(t(spark, sf, "documents"), calls=True),
+        calls=True)
+    text = ("PREFIX c: <urn:code:>\n"
+            "SELECT ?callee (COUNT(?caller) AS ?n_callers) WHERE {\n"
+            "  ?caller c:calls ?callee .\n"
+            "  ?def c:defines ?callee . }\n"
+            "GROUP BY ?callee")
+    return sparql_to_df(spark, text, tr)
+
+
 _CODEKG_REPORT_SQL = f"""
 WITH {_CODEKG_CTE},
  base AS (SELECT 'org/proj-' || (doc_id % 7) AS repo,
