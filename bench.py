@@ -385,14 +385,19 @@ def _previous_round() -> tuple[str, dict]:
     under 'parsed'), for the regression self-check."""
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not rounds:
-        return "", {}
-    try:
-        with open(rounds[-1]) as f:
-            d = json.load(f)
-        return os.path.basename(rounds[-1]), d.get("parsed", d)
-    except Exception:
-        return "", {}
+    # newest-first, skipping records the driver failed to parse
+    # ("parsed": null — e.g. the r5 bonus-start re-bench crash record):
+    # the self-check needs the latest round that actually has queries
+    for p in reversed(rounds):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            d = d.get("parsed") or d
+            if d.get("queries"):
+                return os.path.basename(p), d
+        except Exception:
+            continue
+    return "", {}
 
 
 def main() -> None:
@@ -439,11 +444,11 @@ def main() -> None:
     # recorded row under-reporting the engine needs two unlucky draws.
     if isolate:
         best_prev_ex = max(
-            (d.get("parsed", d).get("kg_triples_per_sec_extract", 0)
+            ((d.get("parsed") or d).get("kg_triples_per_sec_extract", 0)
              for p in glob.glob(os.path.join(
                  os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
              for d in [json.load(open(p))]
-             if d.get("parsed", d).get("sf") == sf),
+             if (d.get("parsed") or d).get("sf") == sf),
             default=0,
         )
         if extras.get("kg_triples_per_sec_extract", 0) < 0.95 * best_prev_ex:

@@ -76,10 +76,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     iff (v->w) is an oriented edge — each triangle is found exactly
     once, from its lowest-degree corner."""
     # und feeds THREE consumers (degree calc, orientation, closure
-    # semi-join) and oriented feeds two — persist both so the unrolled
-    # plan scans materialized tables instead of re-deriving the edge
-    # set per branch (at graph scale the derivation is itself a join).
-    und = undirect(edges).persist()
+    # semi-join) and oriented feeds two — persist alone bounds
+    # execution but every consumer still re-embeds the full upstream
+    # LOGICAL plan (extract -> canonicalize -> ...), so Catalyst
+    # re-analyzes it once per reference: truncate the lineage at the
+    # canonical edge set, exactly the pagerank/kcore/hits discipline
+    # (kg_triangles sat at 620 Exchange nodes in the r5 plan audit).
+    und = _truncate_lineage(undirect(edges))
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
@@ -233,7 +236,11 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     Cost: the triangle count (degree-oriented wedge join) plus one
     degree agg and a broadcast-sized join of the two node-keyed
     aggregates."""
-    und = undirect(edges).persist()
+    # truncate at the canonical edge set (r5 verdict #1: this was the
+    # registry's largest plan at 2,772 Exchange nodes — the wedge join
+    # and degree agg each re-embedded the deep extract->canonicalize
+    # upstream once per reference; persist alone cannot stop that)
+    und = _truncate_lineage(undirect(edges))
     try:
         deg = (
             und.select(F.col("a").alias("node"))
@@ -350,9 +357,12 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     keep the plan Catalyst-optimizable (no RDD loop)."""
     from pyspark.sql import Window
 
+    # truncate at the symmetric edge list: each LPA round's counts
+    # join re-embeds sym's lineage, so a deep upstream is re-analyzed
+    # once per round otherwise (same discipline as pagerank/kcore)
     und = undirect(edges)
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    sym = _truncate_lineage(und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("community"))
@@ -445,9 +455,12 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     set grows to the reachable ball only, never the full corpus,
     and all joins are keyed shuffles (broadcastable when the frontier
     is small — AQE decides)."""
+    # truncate at the symmetric edge list: every BFS round joins sym
+    # and re-embeds its lineage (624 Exchange nodes in the r5 plan
+    # audit with the deep extract->canonicalize upstream)
     und = undirect(edges)
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    sym = _truncate_lineage(und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     visited = (
         sources.select(F.col(sources.columns[0]).alias("node")).distinct()
         .join(sym.select(F.col("a").alias("node")).distinct(), "node",
@@ -500,7 +513,9 @@ def node_similarity(edges: DataFrame, min_common: int = 1,
     import logging
 
     log = logging.getLogger(__name__)
-    und = undirect(edges).persist()
+    # truncate, not just persist: und feeds nbr (twice), deg, and the
+    # wedge self-join — four lineage re-embeddings of the upstream
+    und = _truncate_lineage(undirect(edges))
     nbr = (
         und.select(F.col("a").alias("ctr"), F.col("b").alias("nb"))
         .unionByName(und.select(F.col("b").alias("ctr"),
@@ -564,7 +579,10 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     like the other ops' bounded collects).
 
     Output: (community, n_nodes, intra_edges, degree_sum, q_num, m)."""
-    und = undirect(edges).persist()
+    # truncate at the canonical edge set (it feeds m, deg and the
+    # community joins; 179 Exchange nodes in the r5 plan audit came
+    # from re-embedding the upstream per reference)
+    und = _truncate_lineage(undirect(edges))
     try:
         m = und.count()
         sym = und.unionByName(
@@ -621,8 +639,12 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     Determinism/scale: same exact-BIGINT floor steps, same unrolled
     join+agg plan (one shuffle on dst per round), plus one semi-join
     to flag the seed set (broadcast when small — the common case)."""
-    e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")).distinct().persist()
+    # truncate at the edge table like plain pagerank: the unrolled
+    # rounds re-embedded the deep upstream once per reference (505
+    # Exchange nodes in the r5 plan audit)
+    e = _truncate_lineage(
+        edges.select("src", "dst").where(
+            F.col("src") != F.col("dst")).distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -219,15 +219,14 @@ def heavy_hitters_cms(docs: DataFrame, key: str = "lang",
     toks = _words(docs, key)
     exact = toks.groupBy(F.col("w").alias("word")).agg(
         F.count("*").alias("n_exact"))
-    topw = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("n_exact"), F.asc("word"))),
-        )
-        .where(F.col("rn") <= top)
-        .drop("rn")
-    )
+    # top-N via orderBy+limit: plans as a distributed
+    # TakeOrderedAndProject (per-partition heaps, driver merges N
+    # rows).  The former row_number() over an UNPARTITIONED window
+    # moved the entire distinct-word table through one reducer — a
+    # single-partition sort of the full vocabulary at corpus scale,
+    # in the operator family whose whole point is avoiding that.
+    # Identical deterministic tie-break (count DESC, token ASC).
+    topw = exact.orderBy(F.desc("n_exact"), F.asc("word")).limit(top)
     cms = cms_counters(docs, key, d=d, w=w)
     probes = topw.select(
         "word",
