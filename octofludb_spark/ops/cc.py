@@ -147,7 +147,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         return (row["n"], row["h"])
 
     spark = edges.sparkSession
-    edges = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    # persist the filtered edge relation: CC runs up to three actions
+    # over it (the contraction pass, the node dictionary — which scans
+    # it TWICE via the src/dst union — and the rare collision
+    # fallback).  Without the cache each action re-executes the
+    # caller's upstream; on the KG link path that was two extra full
+    # scans of the triple store per call (measured: the node-dict job
+    # was the single heaviest CC job).  Unpersisted before returning.
+    edges = (edges.where(F.col("src") != F.col("dst"))
+             .select("src", "dst").persist())
     # Two-level connected components.  Level 1 contracts each
     # partition's edges to a spanning forest IN PARALLEL (mapInPandas
     # over int64 node hashes — Arrow moves them zero-copy): a
@@ -182,6 +190,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         # that lost every pair to src/dst hash collisions must still
         # reach the collision check below, not short-circuit to zero
         # components.
+        edges.unpersist()
         return spark.createDataFrame([], "node string, component string")
     if len(hpdf) <= driver_threshold:
         import pandas as pd
@@ -208,8 +217,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                 zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
             )
         out = pd.DataFrame(comp, columns=["node", "component"])
+        edges.unpersist()
         return spark.createDataFrame(out)  # Arrow transfer back
+    ein = edges
     edges = edges.distinct().localCheckpoint()
+    ein.unpersist()
     sig = _sig(edges)
     # The sameAs edge set is small relative to the triple store; size
     # the iteration's shuffles to the data, not to the session-wide

