@@ -417,6 +417,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5,
     fingerprint set INSIDE the per-doc array (array_distinct over the
     32-char hashes) — callers that only need the per-doc fp SET
     (winnow_pairs) skip an entire corpus-sized distinct() shuffle."""
+    from octofludb_spark.ops.lineage import spread_input
+
+    docs = spread_input(docs)  # md5-per-k-gram map stage: floor parallelism
     ws = F.split("text", " ")
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
@@ -810,7 +813,9 @@ def duplicate_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    from octofludb_spark.ops.lineage import spread_input
+
+    words = spread_input(docs).select("doc_id", F.split("text", " ").alias("w"))
     idx = F.when(
         F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
     ).otherwise(F.array().cast("array<int>"))
