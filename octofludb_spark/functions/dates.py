@@ -176,12 +176,16 @@ def parse_date_parts(s: pd.Series) -> pd.DataFrame:
          "d": np.full(n, None, dtype=object)},
         index=s.index,
     )
+    # stringify ONCE (was re-cast per grammar alternative on every
+    # shrinking unresolved subset); identical to the per-alternative
+    # astype(str) since values never change between alternatives
+    str_s = s.fillna("").astype(str)
     # every alternative requires at least two digits somewhere
-    unresolved = s.notna() & s.fillna("").astype(str).str.contains(r"\d\d", regex=True)
+    unresolved = s.notna() & str_s.str.contains(r"\d\d", regex=True)
     for _, rx in _COMPILED:
         if not unresolved.any():
             break
-        sub = s[unresolved].astype(str)
+        sub = str_s[unresolved]
         ext = sub.str.extract(rx)
         hit = ext["y"].notna() if "y" in ext else pd.Series(False, index=sub.index)
         if not hit.any():

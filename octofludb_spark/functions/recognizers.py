@@ -103,9 +103,14 @@ def _df(clean: pd.Series, dtype: pd.Series | None = None) -> dict:
     return out
 
 
-def _fullmatch(s: pd.Series, pattern: str, case: bool = True) -> pd.Series:
-    """Boolean mask of cells fully matching the pattern."""
-    str_s = s.astype("object").fillna("").astype(str)
+def _fullmatch(s: pd.Series, pattern: str, case: bool = True,
+               str_s: pd.Series | None = None) -> pd.Series:
+    """Boolean mask of cells fully matching the pattern.  ``str_s``
+    lets a caller that already stringified the series skip the
+    three-pass astype/fillna/astype conversion (it is the same
+    ``s.astype("object").fillna("").astype(str)`` value)."""
+    if str_s is None:
+        str_s = s.astype("object").fillna("").astype(str)
     return s.notna() & str_s.str.fullmatch(pattern, case=case)
 
 
@@ -116,8 +121,10 @@ def _regex_recog(pattern: str, munge: str = "", case: bool = True):
         raise ValueError(f"unknown munge {munge!r}")
 
     def run(s: pd.Series) -> pd.DataFrame:
-        m = _fullmatch(s, pattern, case=case)
+        # stringify ONCE: the match mask and the munged values share
+        # the identical conversion (was computed twice per call)
         vals = s.astype("object").fillna("").astype(str)
+        m = _fullmatch(s, pattern, case=case, str_s=vals)
         if munge == "upper":
             vals = vals.str.upper()
         elif munge == "lower":

@@ -1074,22 +1074,21 @@ def jl_project(emb: DataFrame, out_dim: int = 16,
         f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
         " * 1000000 + 0.5) AS BIGINT))"
     )
-    outs = F.array(*[
-        F.struct(
-            F.lit(j).cast("long").alias("out_pos"),
-            F.aggregate(
-                F.zip_with(
-                    q,
-                    F.array(*[F.lit(_jl_sign(j, i)).cast("long")
-                              for i in range(in_dim)]),
-                    lambda a, s: a * s,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("comp_micro"),
-        )
-        for j in range(out_dim)
-    ])
+    # the sign matrix rides as ONE nested-array Literal + one indexed
+    # transform lambda (the _bucket_bits discipline): Catalyst analyzes
+    # ~4 lambdas instead of out_dim x in_dim literal nodes; BIGINT
+    # arithmetic and accumulation order are unchanged, so the output
+    # is bit-identical
+    signs = F.lit([[_jl_sign(j, i) for i in range(in_dim)]
+                   for j in range(out_dim)])
+    outs = F.transform(signs, lambda srow, j: F.struct(
+        j.cast("long").alias("out_pos"),
+        F.aggregate(
+            F.zip_with(q, srow, lambda a, s: a * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("comp_micro"),
+    ))
     return (
         emb.select(F.col(id_col).cast("long").alias("vec_id"),
                    F.explode(outs).alias("o"))
