@@ -168,9 +168,7 @@ def _infer_batched(col_values: pd.Series, file_idx: np.ndarray,
     undecided = np.ones(n_files, dtype=bool)
     n_live = np.bincount(file_idx, weights=live_np, minlength=n_files)
     n_all = np.bincount(file_idx, minlength=n_files)
-    long_np = (
-        live.astype("object").fillna("").astype(str).str.len() > 20
-    ).to_numpy()
+    long_np = None  # len>20 mask: only sequence-mode recogs need it
     for recog in classifiers:
         if not undecided.any():
             break
@@ -178,6 +176,11 @@ def _infer_batched(col_values: pd.Series, file_idx: np.ndarray,
         results[recog.name] = res
         match_np = res["clean"].notna().to_numpy() & live_np
         if recog.goodness_mode == "sequence":
+            if long_np is None:
+                long_np = (
+                    live.astype("object").fillna("").astype(str)
+                    .str.len() > 20
+                ).to_numpy()
             ok = np.bincount(file_idx, weights=match_np & long_np,
                              minlength=n_files)
             good = np.divide(ok, np.maximum(n_all, 1))
