@@ -131,9 +131,16 @@ def test_cc_results_and_cache_hygiene(spark):
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
         "src string, dst string",
     )
+    # The leak check below is against the session-wide SQL cache
+    # manager, so start from a known-empty cache: when the full suite
+    # shares one session, an unrelated module's live cache would
+    # otherwise fail the global isEmpty assertion (unpersisting only
+    # drops a recomputable cache — it cannot change any result).
+    spark.catalog.clearCache()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "clearCache left the cache manager non-empty"
     comp = {r.node: r.component
             for r in connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     # the internal edge persist must not leak into the cache manager
-    jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "CC left a cached relation behind"
